@@ -1,0 +1,63 @@
+"""Table catalog over the driver-generated parquet test data.
+
+Tables (TESTDATA.md / FIXTURES.md §B): region nation customer supplier
+part orders lineitem events documents embeddings — one parquet each under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+``load_tables`` returns plain DataFrames (scans stay declarative so
+Catalyst gets pushdown/pruning); ``register_views`` additionally creates
+temp views so operators can be expressed in SQL where clearer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime-settable confs every query depends on, applied idempotently —
+    the driver builds its own SparkSession, so we can't rely on the session
+    factory having run (verified failure mode: events' TIMESTAMP(NANOS)
+    scan aborts without nanosAsLong)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is TIMESTAMP(NANOS) in the file (read as long nanos via
+        # spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
+        # the same truncation DuckDB applies reading TIMESTAMP_NS.
+        # integer division — double division loses precision above 2^53 ns
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

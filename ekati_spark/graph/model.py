@@ -1,0 +1,184 @@
+"""Property-graph data model over DataFrames (SURVEY.md §1.5).
+
+The reference's Node (``src/ahghee.grpc/types.proto:66-70``) is an
+attribute multimap with timestamps; edges are NodeID-valued attributes
+(``types.proto:29-31``). We hold the graph as two DataFrames:
+
+- ``props(node_id, remote, key, ts, dtype, str, i64, dbl, bool, ref,
+  bytes, meta_type, meta_lang)`` — long format, one row per attribute
+  version (PROPS_SCHEMA).
+- ``edges(src, label, dst, ts)`` — the dtype='ref' projection.
+
+Multiple writes accumulate rows (the reference's fragment-merge
+semantics, ``NodeAttrIndex.cs:187-232``); the ``latest`` view applies
+last-write-wins per (node_id, key) (``Printers.cs:139-169``), ``history``
+keeps all versions ordered by ts.
+
+``from_relational`` derives a graph from the driver's TPC-H-ish tables
+(FIXTURES.md §B note: FK edges customer-[placed]->orders-[contains]->
+lineitem etc.) so traversal results are verifiable by the relational
+DuckDB oracle via joins.
+
+Scale: both DataFrames stay distributed; ``edges`` can be pre-hash-
+partitioned on ``src`` (``partition_edges``) so every BFS hop reuses the
+same partitioning instead of reshuffling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.schemas import PROPS_SCHEMA
+
+
+class PropertyGraph:
+    def __init__(self, props: DataFrame, edges: DataFrame | None = None):
+        self.props = props
+        if edges is None:
+            edges = props.filter(F.col("dtype") == "ref").select(
+                F.col("node_id").alias("src"),
+                F.col("key").alias("label"),
+                F.col("ref").alias("dst"),
+                F.col("ts"),
+            )
+        self.edges = edges
+
+    # -- views ------------------------------------------------------------
+
+    def nodes(self) -> DataFrame:
+        """Distinct node ids (a full scan, reference FileStore.fs:300-315)."""
+        return self.props.select("node_id").distinct()
+
+    def latest(self) -> DataFrame:
+        """Last-write-wins view: one row per (node_id, key), max ts.
+
+        Ties on ts break by the value columns (max struct) so the view is
+        deterministic even for same-batch duplicate writes.
+        """
+        value_cols = [c for c in self.props.columns if c not in ("node_id", "key")]
+        w = W.partitionBy("node_id", "key").orderBy(
+            F.desc("ts"), *[F.desc_nulls_last(c) for c in ("dtype", "str", "i64", "dbl", "ref")]
+        )
+        return (
+            self.props.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def history(self) -> DataFrame:
+        """All attribute versions, ts ascending per (node_id, key)."""
+        return self.props.orderBy("node_id", "key", "ts")
+
+    def out_degree(self) -> DataFrame:
+        return self.edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+
+    def in_degree(self) -> DataFrame:
+        return self.edges.groupBy("dst").agg(F.count("*").alias("in_degree"))
+
+    def reversed(self) -> "PropertyGraph":
+        """Graph with every edge flipped (for in-edge traversal)."""
+        rev = self.edges.select(
+            F.col("dst").alias("src"),
+            F.col("label"),
+            F.col("src").alias("dst"),
+            F.col("ts"),
+        )
+        return PropertyGraph(self.props, rev)
+
+    def partition_edges(self, n: int) -> "PropertyGraph":
+        """Hash-partition edges by src once so each BFS hop co-locates."""
+        return PropertyGraph(self.props, self.edges.repartition(n, "src"))
+
+    # -- constructors -----------------------------------------------------
+
+    @staticmethod
+    def from_rows(spark: SparkSession, rows) -> "PropertyGraph":
+        return PropertyGraph(spark.createDataFrame(rows, PROPS_SCHEMA))
+
+    @staticmethod
+    def from_relational(spark: SparkSession, sf_dir: str) -> "PropertyGraph":
+        """FK graph over the driver tables. Node ids are '<table>:<key>'.
+
+        Edges: customer-[placed]->order, order-[contains]->lineitem,
+        lineitem-[of_part]->part, lineitem-[from_supplier]->supplier,
+        customer/supplier-[in_nation]->nation, nation-[in_region]->region.
+        Props carry each table's scalar columns long-format.
+        """
+        cust = load_table(spark, sf_dir, "customer")
+        ords = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        supp = load_table(spark, sf_dir, "supplier")
+        nat = load_table(spark, sf_dir, "nation")
+        reg = load_table(spark, sf_dir, "region")
+
+        def nid(prefix: str, col) -> F.Column:
+            return F.concat(F.lit(prefix + ":"), col.cast("string"))
+
+        li_id = F.concat(
+            F.lit("lineitem:"),
+            F.col("l_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("l_linenumber").cast("string"),
+        )
+
+        def edge(df, src, label, dst) -> DataFrame:
+            return df.select(
+                src.alias("src"),
+                F.lit(label).alias("label"),
+                dst.alias("dst"),
+                F.lit(0).cast("long").alias("ts"),
+            )
+
+        edges = (
+            edge(ords, nid("customer", F.col("o_custkey")), "placed", nid("order", F.col("o_orderkey")))
+            .unionByName(edge(li, nid("order", F.col("l_orderkey")), "contains", li_id))
+            .unionByName(edge(li, li_id, "of_part", nid("part", F.col("l_partkey"))))
+            .unionByName(edge(li, li_id, "from_supplier", nid("supplier", F.col("l_suppkey"))))
+            .unionByName(edge(cust, nid("customer", F.col("c_custkey")), "in_nation", nid("nation", F.col("c_nationkey"))))
+            .unionByName(edge(supp, nid("supplier", F.col("s_suppkey")), "in_nation", nid("nation", F.col("s_nationkey"))))
+            .unionByName(edge(nat, nid("nation", F.col("n_nationkey")), "in_region", nid("region", F.col("n_regionkey"))))
+        )
+
+        def sprops(df, id_col, mapping: dict[str, F.Column]) -> DataFrame:
+            parts = []
+            for key, col in mapping.items():
+                parts.append(
+                    df.select(
+                        id_col.alias("node_id"),
+                        F.lit("").alias("remote"),
+                        F.lit(key).alias("key"),
+                        F.lit(0).cast("long").alias("ts"),
+                        F.lit("str").alias("dtype"),
+                        col.cast("string").alias("str"),
+                        F.lit(None).cast("long").alias("i64"),
+                        F.lit(None).cast("double").alias("dbl"),
+                        F.lit(None).cast("boolean").alias("bool"),
+                        F.lit(None).cast("string").alias("ref"),
+                        F.lit(None).cast("binary").alias("bytes"),
+                        F.lit(None).cast("string").alias("meta_type"),
+                        F.lit(None).cast("string").alias("meta_lang"),
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        props = (
+            sprops(cust, nid("customer", F.col("c_custkey")),
+                   {"name": F.col("c_name"), "mktsegment": F.col("c_mktsegment"),
+                    "acctbal": F.col("c_acctbal"), "labelV": F.lit("customer")})
+            .unionByName(sprops(ords, nid("order", F.col("o_orderkey")),
+                                {"orderstatus": F.col("o_orderstatus"),
+                                 "orderpriority": F.col("o_orderpriority"),
+                                 "totalprice": F.col("o_totalprice"),
+                                 "labelV": F.lit("order")}))
+            .unionByName(sprops(supp, nid("supplier", F.col("s_suppkey")),
+                                {"name": F.col("s_name"), "labelV": F.lit("supplier")}))
+            .unionByName(sprops(nat, nid("nation", F.col("n_nationkey")),
+                                {"name": F.col("n_name"), "labelV": F.lit("nation")}))
+            .unionByName(sprops(reg, nid("region", F.col("r_regionkey")),
+                                {"name": F.col("r_name"), "labelV": F.lit("region")}))
+        )
+        return PropertyGraph(props, edges)

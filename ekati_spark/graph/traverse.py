@@ -1,0 +1,150 @@
+"""Bounded graph traversal — the reference's ``follow`` operator
+(SURVEY.md §2 #11; reference eval ``src/core/FileStore.fs:166-220,
+373-392``) as an iterative BFS of distributed DataFrame joins.
+
+Semantics (mirroring the reference):
+
+- ``follow * a..b``       — any edge, hop range [a, b]
+- ``follow ("knows" 1..2 && "likes" 1)`` — named edges; a boolean tree of
+  per-label hop windows decides (1) whether an edge may be expanded at
+  hop h (any leaf with ``h <= to`` matching the label) and (2) whether a
+  reached node is emitted (tree evaluates true with leaves requiring
+  ``from <= h <= to``).
+- A node is loaded/emitted at most once per query — the reference uses a
+  10k bloom filter (``FileStore.fs:398-407``); we keep an exact
+  distributed ``visited`` set via left-anti join (strictly stronger,
+  matches the uniqueness the tests assert, ``Tests.fs:882-900``).
+- Hop 0 (the seeds) is emitted iff the range includes 0.
+
+Scale design: frontier and visited stay DataFrames (never collected);
+each hop is ``frontier ⋈ edges`` shuffling on the edge key only. The
+frontier is ``localCheckpoint``-ed every ``checkpoint_every`` hops to cut
+lineage growth (bounded hops make the driver loop safe; SURVEY §7 risks).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+# -- follow spec tree (IR mirror of FollowOperator, types.proto:79-106) ----
+
+
+@dataclass(frozen=True)
+class Any:
+    frm: int
+    to: int
+
+
+@dataclass(frozen=True)
+class Edge:
+    label: str
+    frm: int
+    to: int
+
+
+@dataclass(frozen=True)
+class And:
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Or:
+    left: object
+    right: object
+
+
+def _expand_pred(spec, hop: int) -> Column:
+    """May an edge with this label be expanded at hop ``hop`` (1-based)?"""
+    if isinstance(spec, Any):
+        return F.lit(hop <= spec.to)
+    if isinstance(spec, Edge):
+        return F.lit(hop <= spec.to) & (F.col("label") == spec.label)
+    if isinstance(spec, And):
+        return _expand_pred(spec.left, hop) | _expand_pred(spec.right, hop)
+    if isinstance(spec, Or):
+        return _expand_pred(spec.left, hop) | _expand_pred(spec.right, hop)
+    raise TypeError(f"bad follow spec: {spec!r}")
+
+
+def _emit_pred(spec, hop: int) -> Column:
+    """Is a node reached via this edge at hop ``hop`` emitted?"""
+    if isinstance(spec, Any):
+        return F.lit(spec.frm <= hop <= spec.to)
+    if isinstance(spec, Edge):
+        return F.lit(spec.frm <= hop <= spec.to) & (F.col("label") == spec.label)
+    if isinstance(spec, And):
+        return _emit_pred(spec.left, hop) & _emit_pred(spec.right, hop)
+    if isinstance(spec, Or):
+        return _emit_pred(spec.left, hop) | _emit_pred(spec.right, hop)
+    raise TypeError(f"bad follow spec: {spec!r}")
+
+
+def _max_hops(spec) -> int:
+    if isinstance(spec, (Any, Edge)):
+        return spec.to
+    return max(_max_hops(spec.left), _max_hops(spec.right))
+
+
+def _emits_zero(spec) -> bool:
+    if isinstance(spec, (Any, Edge)):
+        return spec.frm <= 0
+    return _emits_zero(spec.left) or _emits_zero(spec.right)
+
+
+def follow(
+    edges: DataFrame,
+    seeds: DataFrame,
+    spec,
+    dedup: bool = True,
+    checkpoint_every: int = 3,
+    with_hop: bool = False,
+) -> DataFrame:
+    """Traverse ``edges(src, label, dst, ...)`` from ``seeds(node_id)``.
+
+    Returns a DataFrame of ``node_id`` (plus ``hop`` when ``with_hop``) of
+    every node emitted by the follow spec, deduplicated query-wide.
+    """
+    seeds = seeds.select("node_id").distinct()
+    max_hop = _max_hops(spec)
+
+    emitted: list[DataFrame] = []
+    if _emits_zero(spec):
+        emitted.append(seeds.withColumn("hop", F.lit(0)))
+
+    visited = seeds
+    frontier = seeds
+    for hop in range(1, max_hop + 1):
+        step = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .filter(_expand_pred(spec, hop))
+            .select(
+                F.col("dst").alias("node_id"),
+                _emit_pred(spec, hop).alias("__emit"),
+            )
+        )
+        if dedup:
+            step = step.groupBy("node_id").agg(F.max("__emit").alias("__emit"))
+            step = step.join(visited, "node_id", "left_anti")
+        new_frontier = step.select("node_id")
+        if hop % checkpoint_every == 0:
+            new_frontier = new_frontier.localCheckpoint(eager=False)
+        emitted.append(
+            step.filter(F.col("__emit")).select("node_id").withColumn(
+                "hop", F.lit(hop)
+            )
+        )
+        if dedup:
+            visited = visited.unionByName(new_frontier).distinct()
+        frontier = new_frontier
+
+    out = emitted[0]
+    for e in emitted[1:]:
+        out = out.unionByName(e)
+    if dedup:
+        # one row per node (min hop), mirroring emit-once semantics
+        out = out.groupBy("node_id").agg(F.min("hop").alias("hop"))
+    return out if with_hop else out.select("node_id")

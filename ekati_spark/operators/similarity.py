@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine``           built-in-HOF cosine similarity (zip_with + aggregate)
+- ``brute_force_topk`` exact top-k: query set ⋈ corpus (broadcast the
+                       queries), per-query window rank — the correctness
+                       baseline, cost O(|Q|·n).
+- ``ann_lsh_buckets``  random-hyperplane (sign) LSH bucketing — the scale
+                       path: queries only compare within matching buckets.
+                       Hyperplanes are generated from a fixed seed on the
+                       driver and folded into the plan as literals (no RNG
+                       on executors, fully deterministic).
+
+At 100 TB: brute force distributes fine for small query sets (broadcast
+queries, no shuffle of the corpus); LSH turns all-pairs problems into
+per-bucket problems with shuffle ∝ corpus size, not corpus².
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query (excluding self-matches by id).
+
+    Returns (query_id, neighbor_id, cosine, rank). Scores are rounded to
+    6 decimals before ranking so ordering is reproducible across engines;
+    rank ties break by neighbor id.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (driver-side)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-LSH bucket id: bit j = sign(vec · plane_j)."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(float(w)) for w in plane])) > 0, 1 << j
+        ).otherwise(0)
+        for j, plane in enumerate(planes)
+    ]
+    out = F.lit(0)
+    for b in bits:
+        out = out + b
+    return out.cast("long")
+
+
+def ann_lsh_buckets(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 42,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket.
+
+    Recall < 1 by construction (probe-adjacent-bucket variants trade
+    compute for recall); tested against ``brute_force_topk`` in pytest.
+    """
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+    ).withColumn("c_bucket", lsh_bucket(F.col("v"), planes))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    ).withColumn("q_bucket", lsh_bucket(F.col("qv"), planes))
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("c_bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

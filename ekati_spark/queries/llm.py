@@ -1,0 +1,254 @@
+"""LLM-data-pipeline inventory: dedup, similarity search, text analysis,
+multimodal columns over the ``documents`` / ``embeddings`` tables.
+
+Oracle-checkable queries pair with DuckDB SQL computing identical values;
+hash-dependent ops whose primitives aren't portable to DuckDB (MinHash/
+SimHash/LSH — they depend on xxhash64 / Pandas-UDF kernels) register
+without an oracle (driver records a rows-only check) and are instead
+differentially tested against exact baselines in pytest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.operators import dedup as D, similarity as S, text as X
+from ekati_spark.operators.multimodal import content_stats, with_media_columns
+from ekati_spark.queries.base import register
+
+
+@register(
+    "l01_dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+           min(doc_id) AS kept_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def l01_dedup_exact(spark, sf_dir):
+    """Exact dedup on normalized text (hash-groupBy)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs)
+
+
+@register(
+    "l02_ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), ' +')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), ' +')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+2]
+             )) AS sh
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    """,
+)
+def l02_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs (≥ 0.1) on a doc subset."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.ngram_jaccard_pairs(docs, threshold=0.1)
+
+
+@register("l03_minhash_lsh_pairs")
+def l03_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, Jaccard-verified (≥ 0.1).
+
+    No DuckDB oracle: depends on xxhash64. Recall vs the exact
+    baseline is asserted in tests/test_dedup.py."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.minhash_lsh_pairs(docs, threshold=0.1, num_hashes=64, bands=32)
+
+
+@register("l04_simhash_pairs")
+def l04_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 8) via Pandas-UDF signature +
+    prefix blocking. Rows-only check; properties tested in pytest."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    return D.simhash_pairs(docs, max_hamming=8, prefix_bits=4)
+
+
+@register(
+    "l05_embedding_dup_pairs",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+    """,
+)
+def l05_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (cosine ≥ 0.8)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return D.embedding_dup_pairs(emb, threshold=0.8)
+
+
+@register(
+    "l06_knn_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.qv,
+                        CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+           FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+         )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def l06_knn_bruteforce(spark, sf_dir):
+    """Exact cosine top-5 neighbors for the first 10 vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.brute_force_topk(emb, q, k=5)
+
+
+@register("l07_knn_lsh")
+def l07_knn_lsh(spark, sf_dir):
+    """Approximate top-5 via sign-LSH buckets (scale path). Rows-only;
+    recall vs brute force asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ann_lsh_buckets(emb, q, k=5, n_planes=6)
+
+
+@register(
+    "l08_text_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), ' +')) AS INTEGER)
+             AS n_tokens,
+           CAST(len(list_distinct(string_split_regex(trim(lower(text)), ' +')))
+             AS INTEGER) AS n_distinct_tokens,
+           round(CAST(len(list_distinct(string_split_regex(trim(lower(text)), ' +')))
+                 AS DOUBLE) / len(string_split_regex(trim(lower(text)), ' +')), 6)
+             AS distinct_ratio,
+           CAST(length(text) AS INTEGER) AS n_chars_measured,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), ' +'))), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+)
+def l08_text_stats(spark, sf_dir):
+    """Per-document token stats + order-insensitive fingerprint."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        F.size(F.array_distinct(X.tokens(t))).alias("n_distinct_tokens"),
+        F.round(X.distinct_token_ratio(t), 6).alias("distinct_ratio"),
+        F.length(t).alias("n_chars_measured"),
+        X.content_fingerprint(t).alias("fingerprint"),
+    )
+
+
+@register(
+    "l09_lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split_regex(trim(lower(text)), ' +')) AS toks
+      FROM documents
+    ), h AS (
+      SELECT doc_id, lang,
+             len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','zu'])) AS h_de,
+             len(list_intersect(toks, ['the','a','and','of','to','in','is','that','it','for'])) AS h_en,
+             len(list_intersect(toks, ['el','la','los','las','y','es','un','una','en','para'])) AS h_es,
+             len(list_intersect(toks, ['le','la','les','et','est','un','une','dans','pour'])) AS h_fr,
+             len(list_intersect(toks, ['de','shi','bu','le','wo','ni','ta','men','zai'])) AS h_zh
+      FROM t
+    )
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'es'
+                WHEN h_fr = greatest(h_de, h_en, h_es, h_fr, h_zh) THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+    FROM h
+    """,
+)
+def l09_lang_id(spark, sf_dir):
+    """Heuristic stopword language ID next to the dataset's lang label."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        X.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "l10_quality_filter",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE len(string_split_regex(trim(lower(text)), ' +')) BETWEEN 20 AND 400
+      AND CAST(len(list_distinct(string_split_regex(trim(lower(text)), ' +')))
+          AS DOUBLE) / len(string_split_regex(trim(lower(text)), ' +')) > 0.3
+    """,
+)
+def l10_quality_filter(spark, sf_dir):
+    """Quality gate: token-count band + distinct-token ratio threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.filter(
+        X.token_count(t).between(20, 400) & (X.distinct_token_ratio(t) > 0.3)
+    ).select("doc_id", "n_chars")
+
+
+@register(
+    "l11_multimodal_content",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS INTEGER) AS n_bytes,
+           md5(text) AS content_md5,
+           'application/octet-stream' AS mime
+    FROM documents
+    """,
+)
+def l11_multimodal_content(spark, sf_dir):
+    """Multimodal binary-column plumbing: treat text bytes as an opaque
+    payload; JVM-side stats (octet_length, md5) + typed metadata struct.
+    The decode path is stubbed (operators.multimodal.decode_image)."""
+    docs = load_table(spark, sf_dir, "documents")
+    mm = content_stats(with_media_columns(docs, "text"))
+    return mm.select(
+        "doc_id", "n_bytes", "content_md5", F.col("media.mime").alias("mime")
+    )
+
+
+@register("l12_multimodal_features")
+def l12_multimodal_features(spark, sf_dir):
+    """mapInPandas feature extraction over binary payloads (deterministic
+    fake decode — the real decoder is stubbed; Arrow plumbing is real)."""
+    from ekati_spark.operators.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    mm = with_media_columns(docs, "text").select("doc_id", "content", "media")
+    return extract_features(mm, fake=True).select(
+        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    )

@@ -1,0 +1,1041 @@
+"""Relational operator inventory (SURVEY.md §2.3).
+
+The reference has no relational algebra (SURVEY §2 "explicitly absent");
+these queries declare the Spark-native surface of the new engine: scans,
+projection/filter, every join type, aggregation (incl. distinct, rollup/
+cube/grouping sets), window functions, sort/top-k, set ops, scalar
+string/date/math/array/map/JSON functions, subqueries, pivot, as-of and
+range joins. Each has a DuckDB oracle with identical column names.
+
+All implementations are declarative DataFrame/SQL plans — Catalyst picks
+broadcast vs sort-merge joins, pushes filters into the parquet scans, and
+prunes columns; nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.queries.base import davg, dsum, register, sql_davg, sql_dsum
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
+
+
+# ---------------------------------------------------------------------------
+# Scans, projection, filter (pushdown verified in tests via .explain)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r01_scan_count",
+    oracle="SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem",
+)
+def r01_scan_count(spark, sf_dir):
+    """Full scan + count (reference full scan, FileStore.fs:300-315)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.agg(F.count("*").alias("n"))
+
+
+@register(
+    "r02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           l_extendedprice * (1 - l_discount) AS disc_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_returnflag = 'R'
+    """,
+)
+def r02_filter_project(spark, sf_dir):
+    """Projection + predicates pushed to the parquet scan."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_returnflag") == "R")
+        ).select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "disc_price"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r03_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def r03_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — the flagship aggregate.
+
+    Partial (map-side) aggregation + final merge is Spark's default
+    hash-aggregate strategy; decimal accumulation keeps the doubles
+    bit-identical to the sequential oracle.
+    """
+    (li,) = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "r04_single_row_agg",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount', 6)} AS revenue,
+           CAST(count(*) AS BIGINT) AS n,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+      AND l_quantity < 25
+    """,
+)
+def r04_single_row_agg(spark, sf_dir):
+    """TPC-H Q6-style scalar aggregate (filter → single row)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_shipdate") < "1996-01-01")
+            & (F.col("l_quantity") < 25)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "r05_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def r05_count_distinct(spark, sf_dir):
+    """Distinct aggregation (expand + two-phase agg under the hood)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "r06_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,4))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def r06_rollup(spark, sf_dir):
+    """Hierarchical subtotals (rollup)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@register(
+    "r07_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def r07_cube(spark, sf_dir):
+    """All grouping combinations (cube)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@register(
+    "r08_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def r08_grouping_sets(spark, sf_dir):
+    """Explicit grouping sets via SQL."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins — every type; broadcast for dims, sort-merge for fact-fact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r09_join_broadcast_dims",
+    oracle="""
+    SELECT r_name AS region, n_name AS nation,
+           CAST(count(*) AS BIGINT) AS customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(25,4))) AS DOUBLE) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def r09_join_broadcast_dims(spark, sf_dir):
+    """Star join: fact ⋈ broadcast(dim) ⋈ broadcast(dim) — no shuffle joins."""
+    cust, nat, reg = _t(spark, sf_dir, "customer", "nation", "region")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("customers"),
+            dsum("c_acctbal").alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "r10_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def r10_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-style: selective fact-fact join + agg + deterministic top-k."""
+    cust, ords, li = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"))
+        .filter(F.col("o_orderdate") < "1995-03-15")
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > "1995-03-15")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "r11_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name AS nation,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def r11_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5-style multi-way join with a compound join condition."""
+    cust, ords, li, supp, nat = _t(
+        spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation"
+    )
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "r12_join_left",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(count(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,4))), 0) AS DOUBLE)
+               AS total_spent
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def r12_join_left(spark, sf_dir):
+    """Left outer join preserving customers with no orders."""
+    cust, ords = _t(spark, sf_dir, "customer", "orders")
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+@register(
+    "r13_join_full_outer",
+    oracle="""
+    WITH cn AS (SELECT c_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         sn AS (SELECT s_nationkey AS nk, CAST(count(*) AS BIGINT) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(cn.nk, sn.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+    FROM cn FULL OUTER JOIN sn ON cn.nk = sn.nk
+    """,
+)
+def r13_join_full_outer(spark, sf_dir):
+    """Full outer join of two aggregates with coalesced keys."""
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    cn = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_cust")
+    )
+    sn = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(
+        F.count("*").alias("n_supp")
+    )
+    return cn.join(sn, cn.nk == sn.nk, "full_outer").select(
+        F.coalesce(cn.nk, sn.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "r14_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def r14_join_semi(spark, sf_dir):
+    """Left-semi join (EXISTS)."""
+    cust, ords = _t(spark, sf_dir, "customer", "orders")
+    urgent = ords.filter(F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "r15_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def r15_join_anti(spark, sf_dir):
+    """Left-anti join (NOT EXISTS) — the reference's visited-set dedup shape."""
+    cust, ords = _t(spark, sf_dir, "customer", "orders")
+    return cust.join(
+        ords, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "r16_cross_theta",
+    oracle="""
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b
+    FROM nation a CROSS JOIN nation b
+    WHERE a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+    """,
+)
+def r16_cross_theta(spark, sf_dir):
+    """Cross join + theta filter (same-region nation pairs)."""
+    (nat,) = _t(spark, sf_dir, "nation")
+    a = nat.alias("a")
+    b = nat.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(
+            (F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+            & (F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        )
+        .select(
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r17_window_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def r17_window_topk_per_group(spark, sf_dir):
+    """Top-3 orders per customer (ranking window, deterministic tiebreak)."""
+    cust, ords = _t(spark, sf_dir, "customer", "orders")
+    w = W.partitionBy("c_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        cust.join(ords, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "r18_window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total
+    FROM orders
+    """,
+)
+def r18_window_running_sum(spark, sf_dir):
+    """Running total per customer (aggregate over a rows frame)."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ords.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(25,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+    )
+
+
+@register(
+    "r19_window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           lag(o_orderkey) OVER w AS prev_order,
+           lead(o_orderkey) OVER w AS next_order,
+           CAST(date_diff('day',
+                lag(o_orderdate) OVER w, o_orderdate) AS BIGINT)
+             AS days_since_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def r19_window_lag_lead(spark, sf_dir):
+    """lag/lead analytics + date arithmetic between rows."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return ords.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).cast("long").alias("days_since_prev"),
+    )
+
+
+@register(
+    "r20_window_rank_ntile",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(rank()       OVER w AS INTEGER) AS rnk,
+           CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+           CAST(ntile(4)     OVER w AS INTEGER) AS quartile,
+           first_value(o_orderkey) OVER w AS top_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def r20_window_rank_ntile(spark, sf_dir):
+    """rank / dense_rank / ntile / first_value over one window."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return ords.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("o_orderkey").over(w).alias("top_order"),
+    )
+
+
+@register(
+    "r21_window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING)
+                AS BIGINT) AS peers_within_1k
+    FROM orders
+    """,
+)
+def r21_window_range_frame(spark, sf_dir):
+    """RANGE frame: peers within ±1000 of this order's price."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-1000, 1000)
+    )
+    return ords.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count("*").over(w).alias("peers_within_1k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / top-k / offset  +  set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r22_global_topk",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+)
+def r22_global_topk(spark, sf_dir):
+    """Global top-k (TakeOrderedAndProject — no full sort at scale)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+        )
+        .limit(20)
+    )
+
+
+@register(
+    "r23_offset_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 15 OFFSET 30
+    """,
+)
+def r23_offset_limit(spark, sf_dir):
+    """skip/limit with the canonical deterministic ordering (SURVEY §2 #13-14)."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    return (
+        ords.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .offset(30)
+        .limit(15)
+    )
+
+
+@register(
+    "r24_set_ops",
+    oracle="""
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+    SELECT 'union' AS op, nk FROM (SELECT nk FROM cn UNION SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'intersect' AS op, nk FROM (SELECT nk FROM cn INTERSECT SELECT nk FROM sn)
+    UNION ALL
+    SELECT 'except' AS op, nk FROM (SELECT nk FROM cn EXCEPT SELECT nk FROM sn)
+    """,
+)
+def r24_set_ops(spark, sf_dir):
+    """union / intersect / except over nation-key sets, tagged by op."""
+    cust, supp = _t(spark, sf_dir, "customer", "supplier")
+    cn = cust.select(F.col("c_nationkey").alias("nk")).distinct()
+    sn = supp.select(F.col("s_nationkey").alias("nk")).distinct()
+    tag = lambda df, op: df.select(F.lit(op).alias("op"), "nk")  # noqa: E731
+    return (
+        tag(cn.union(sn).distinct(), "union")
+        .unionByName(tag(cn.intersect(sn), "intersect"))
+        .unionByName(tag(cn.exceptAll(sn.distinct()).distinct(), "except"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: string / date / math / conditional / JSON / array
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r25_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(p_type) AS type_lower,
+           substr(p_name, 1, 8) AS name_prefix,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           trim(p_name) AS name_trim,
+           replace(p_type, ' ', '_') AS type_snake,
+           CASE WHEN p_type LIKE '%BRUSHED%' THEN 1 ELSE 0 END AS is_brushed
+    FROM part
+    """,
+)
+def r25_string_funcs(spark, sf_dir):
+    """String function coverage: case, substr, length, concat, trim, replace, LIKE."""
+    (part,) = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.regexp_replace("p_type", " ", "_").alias("type_snake"),
+        F.when(F.col("p_type").like("%BRUSHED%"), 1).otherwise(0).alias("is_brushed"),
+    )
+
+
+@register(
+    "r26_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-12-31') AS INTEGER)
+             AS days_to_eoy,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+           CAST(epoch(o_orderdate) AS BIGINT) AS unix_sec
+    FROM orders
+    """,
+)
+def r26_date_funcs(spark, sf_dir):
+    """Date/time coverage: extract, trunc, diff, interval add, epoch."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    return ords.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.lit("1998-12-31").cast("timestamp"), F.col("o_orderdate"))
+        .cast("int")
+        .alias("days_to_eoy"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTH")).alias("plus3m"),
+        F.unix_timestamp("o_orderdate").alias("unix_sec"),
+    )
+
+
+@register(
+    "r27_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * 1.1, 2) AS bumped,
+           abs(l_discount - 0.05) AS disc_dev,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS q_ceil,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS q_floor,
+           round(sqrt(l_extendedprice), 6) AS price_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(power(l_quantity, 2), 1) AS q_sq,
+           CAST(l_quantity AS BIGINT) % 5 AS q_mod
+    FROM lineitem WHERE l_orderkey % 50 = 0
+    """,
+)
+def r27_math_funcs(spark, sf_dir):
+    """Math coverage: round/abs/ceil/floor/sqrt/ln/pow/mod (rounded for libm parity)."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey") % 50 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 1.1, 2).alias("bumped"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.ceil(F.col("l_quantity") / 7).alias("q_ceil"),
+        F.floor(F.col("l_quantity") / 7).alias("q_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 1).alias("q_sq"),
+        (F.col("l_quantity").cast("long") % 5).alias("q_mod"),
+    )
+
+
+@register(
+    "r28_case_null",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
+           (c_acctbal IS NOT DISTINCT FROM 0.0) AS is_zero,
+           CASE WHEN c_custkey % 2 = 0 THEN NULL ELSE c_custkey END AS odd_key
+    FROM customer
+    """,
+)
+def r28_case_null(spark, sf_dir):
+    """CASE / COALESCE / NULLIF / null-safe equality / produced NULLs."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("MACHINERY")), F.lit("OTHER")).alias(
+            "seg"
+        ),
+        F.col("c_acctbal").eqNullSafe(F.lit(0.0)).alias("is_zero"),
+        F.when(F.col("c_custkey") % 2 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("odd_key"),
+    )
+
+
+@register(
+    "r29_json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+)
+def r29_json_extract(spark, sf_dir):
+    """JSON field extraction from the events.props string column."""
+    (ev,) = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "r30_array_ops",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS INTEGER)
+             AS n_distinct,
+           array_to_string(
+             list_sort(list_distinct(string_split(lower(text), ' ')))[1:5],
+             '|') AS first_tokens
+    FROM documents
+    """,
+)
+def r30_array_ops(spark, sf_dir):
+    """Array ops over tokenized text: size, distinct, sort, slice, join."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct(F.split(F.lower("text"), " "))), 1, 5),
+            "|",
+        ).alias("first_tokens"),
+    )
+
+
+@register(
+    "r31_higher_order_funcs",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> len(t) > 6))
+                AS INTEGER) AS n_long_tokens,
+           CAST(list_sum(list_transform(string_split(text, ' '), t -> len(t)))
+                AS BIGINT) AS total_chars,
+           CAST(len(string_split(text, ' ')) > 10 AS BOOLEAN) AS is_longish
+    FROM documents
+    """,
+)
+def r31_higher_order_funcs(spark, sf_dir):
+    """Higher-order functions: filter / transform / aggregate over arrays."""
+    (docs,) = _t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda t: F.length(t) > 6)).alias("n_long_tokens"),
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        (F.size(toks) > 10).alias("is_longish"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r32_in_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'AUTOMOBILE')
+    """,
+)
+def r32_in_subquery(spark, sf_dir):
+    """IN subquery (planned as a semi-join)."""
+    for n in ("orders", "customer"):
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+        """
+    )
+
+
+@register(
+    "r33_scalar_subquery",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    WHERE l_extendedprice > 2 * (SELECT CAST(SUM(CAST(l_extendedprice AS
+          DECIMAL(25,4))) AS DOUBLE) / COUNT(*) FROM lineitem)
+    """,
+)
+def r33_scalar_subquery(spark, sf_dir):
+    """Scalar subquery: rows above 2× the global average price."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        WHERE l_extendedprice > 2 * (SELECT CAST(SUM(CAST(l_extendedprice AS
+              DECIMAL(25,4))) AS DOUBLE) / COUNT(*) FROM lineitem)
+        """
+    )
+
+
+@register(
+    "r34_correlated_exists",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_partkey = p_partkey AND l_quantity >= 49)
+    """,
+)
+def r34_correlated_exists(spark, sf_dir):
+    """Correlated EXISTS (decorrelated by Catalyst into a semi-join)."""
+    for n in ("part", "lineitem"):
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name FROM part
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 49)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot, as-of join, range join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "r35_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_open,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS n_filled,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(25,4)))
+                FILTER (WHERE l_linestatus = 'O'), 0) AS DOUBLE) AS qty_open,
+           CAST(COALESCE(SUM(CAST(l_quantity AS DECIMAL(25,4)))
+                FILTER (WHERE l_linestatus = 'F'), 0) AS DOUBLE) AS qty_filled
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def r35_pivot(spark, sf_dir):
+    """Pivot (long → wide) with explicit value columns."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    is_o = F.col("l_linestatus") == "O"
+    is_f = F.col("l_linestatus") == "F"
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.when(is_o, 1)).alias("n_open"),
+        F.count(F.when(is_f, 1)).alias("n_filled"),
+        F.coalesce(dsum(F.when(is_o, F.col("l_quantity"))), F.lit(0.0)).alias(
+            "qty_open"
+        ),
+        F.coalesce(dsum(F.when(is_f, F.col("l_quantity"))), F.lit(0.0)).alias(
+            "qty_filled"
+        ),
+    )
+
+
+@register(
+    "r36_unpivot",
+    oracle="""
+    SELECT c_custkey, metric, val FROM (
+      SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+      UNION ALL
+      SELECT c_custkey, 'nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+    )
+    """,
+)
+def r36_unpivot(spark, sf_dir):
+    """Unpivot (wide → long) via stack()."""
+    (cust,) = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal,"
+            " 'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, val)"
+        ),
+    ).select("c_custkey", "metric", "val")
+
+
+@register(
+    "r37_asof_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT max(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+             AS last_order_date
+    FROM events e
+    """,
+)
+def r37_asof_join(spark, sf_dir):
+    """As-of join: latest order at-or-before each event, per user.
+
+    Spark lacks a native as-of join; implemented as conditional join +
+    max-aggregation (exact argmax-by-time). At scale the same plan
+    shuffles both sides once on the key; skew is handled by AQE.
+    """
+    ev, ords = _t(spark, sf_dir, "events", "orders")
+    from ekati_spark.operators.asof import asof_join
+
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ords.select("o_custkey", "o_orderdate"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderdate").alias("last_order_date"),
+    )
+
+
+@register(
+    "r38_range_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(count(e.event_id) AS BIGINT) AS events_day_after
+    FROM orders o LEFT JOIN events e
+      ON e.user_id = o.o_custkey
+     AND e.ts >= o.o_orderdate
+     AND e.ts <  o.o_orderdate + INTERVAL 1 DAY
+    GROUP BY o.o_orderkey
+    """,
+)
+def r38_range_join(spark, sf_dir):
+    """Range (interval) join: events within 1 day after each order."""
+    ev, ords = _t(spark, sf_dir, "events", "orders")
+    cond = (
+        (F.col("e.user_id") == F.col("o.o_custkey"))
+        & (F.col("e.ts") >= F.col("o.o_orderdate"))
+        & (F.col("e.ts") < F.col("o.o_orderdate") + F.expr("INTERVAL 1 DAY"))
+    )
+    return (
+        ords.alias("o")
+        .join(ev.alias("e"), cond, "left")
+        .groupBy("o.o_orderkey")
+        .agg(F.count("e.event_id").alias("events_day_after"))
+    )

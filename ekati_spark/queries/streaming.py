@@ -1,0 +1,105 @@
+"""Streaming-operator inventory, run batch-mode for the oracle (the same
+plans run under readStream in tests/test_streaming.py — Spark's unified
+Dataset API guarantees identical semantics for these windowed aggs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.queries.base import register
+from ekati_spark.streaming import ops
+
+
+@register(
+    "st01_tumbling_window",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+             AS window_start,
+           make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)+1)*300*1000000)
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def st01_tumbling_window(spark, sf_dir):
+    """5-minute tumbling window counts/sums per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.tumbling_counts(ev)
+
+
+@register(
+    "st02_sliding_window",
+    oracle="""
+    SELECT make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) - t.i)*300*1000000)
+             AS window_start,
+           make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT) - t.i + 2)*300*1000000)
+             AS window_end,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events, range(0, 2) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def st02_sliding_window(spark, sf_dir):
+    """10-minute window sliding by 5 minutes (every event in 2 windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.sliding_counts(ev)
+
+
+@register(
+    "st03_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def st03_session_window(spark, sf_dir):
+    """30-minute-gap session windows per user (gaps-and-islands oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.session_counts(ev)
+
+
+@register(
+    "st04_stream_static_join",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, c_mktsegment
+    FROM events JOIN customer ON user_id = c_custkey
+    """,
+)
+def st04_stream_static_join(spark, sf_dir):
+    """Stream-static dimension join (batch-equivalent plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return ops.stream_static_join(ev, cust)
+
+
+@register(
+    "st05_stateful_dedup",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_unique FROM
+      (SELECT DISTINCT event_id FROM events)
+    """,
+)
+def st05_stateful_dedup(spark, sf_dir):
+    """Dedup-by-id count (streaming variant uses
+    dropDuplicatesWithinWatermark; batch degenerates to dropDuplicates)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.dedup_within_watermark(ev).agg(F.count("*").alias("n_unique"))

@@ -1,0 +1,44 @@
+"""SparkSession factory.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default: all cores);
+the config below is chosen so the same code path scales to a real
+multi-executor cluster: AQE on (runtime coalesce + skew-join handling),
+shuffle partitions sized to the parallelism, Arrow enabled for the
+Pandas-UDF operators, UTC session timezone so results compare exactly
+against the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(app_name: str = "ekati_spark", cores: int | None = None) -> SparkSession:
+    """Build (or reuse) the session with scale-aware defaults."""
+    n = cores or default_parallelism()
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS); read as long, the catalog
+        # converts to microsecond timestamps (matching DuckDB's truncation).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,184 @@
+"""Streaming operators over ``events`` (Structured Streaming).
+
+Every transformation here works identically on a batch DataFrame (the
+unified Dataset API) — the query-inventory entries run them batch-mode so
+the DuckDB oracle can check values; the pytest suite drives the same
+plans through ``readStream`` → memory sink with AvailableNow semantics,
+plus the streaming-only behaviors (watermark late-data drop,
+dropDuplicatesWithinWatermark, applyInPandasWithState).
+
+Scale notes: watermarks bound state; session/tumbling aggregations shuffle
+on (window, keys); state-store size is ∝ open windows × keys, so the gap
+and watermark delay are the scale knobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos (nanosAsLong)
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a file stream (parquet source, one-file dir)."""
+    from ekati_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling-window counts/sums per event_type (watermarked)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes"
+) -> DataFrame:
+    """Sliding-window counts (each event lands in width/slide windows)."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user: session = events with < gap between them."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,4)")).cast("double").alias("total"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame) -> DataFrame:
+    """Stateful dedup on event_id bounded by the watermark (streaming-only
+    state GC; batch mode degenerates to dropDuplicates)."""
+    w = events.withWatermark("ts", "10 minutes")
+    if events.isStreaming:
+        return w.dropDuplicatesWithinWatermark(["event_id"])
+    return w.dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """Stream-static join: enrich events with the customer dimension (the
+    static side is broadcast; re-read per micro-batch)."""
+    return events.join(
+        F.broadcast(customers),
+        events.user_id == customers.c_custkey,
+        "inner",
+    ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
+
+
+USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), False),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+
+
+def _user_stats_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): running per-user
+    event count + value total, emitted every micro-batch — the principled
+    replacement for the reference's WASM plugin seam (SURVEY §2 #22 note)."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive a streaming DataFrame to completion into a memory sink and
+    return the collected table (test/oracle harness helper)."""
+    q = (
+        stream_df.writeStream.outputMode(
+            "update" if stream_df.isStreaming else "append"
+        )
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
