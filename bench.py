@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is executed to completion (collect/count) once after a session
+warm-up; times are wall-clock per query. The set spans every operator
+family: scan-agg, multi-join, window, as-of, traversal, dedup (exact +
+MinHash-LSH), similarity top-k, text stats, streaming-shaped windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+HEADLINE = [
+    "r03_pricing_summary",
+    "r10_shipping_priority",
+    "r11_local_supplier_volume",
+    "r17_window_topk_per_group",
+    "r37_asof_join",
+    "g02_follow_two_hop",
+    "g03_follow_any_range",
+    "l01_dedup_exact",
+    "l03_minhash_lsh_pairs",
+    "l06_knn_bruteforce",
+    "l08_text_stats",
+    "st01_tumbling_window",
+    "st03_session_window",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from ekati_spark.session import get_spark
+    import ekati_spark.queries as Q
+
+    spark = get_spark("ekati_bench")
+    # Warm the JVM/codegen path once so per-query times measure the plan,
+    # not session startup.
+    Q.REGISTRY["r01_scan_count"].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = Q.REGISTRY[name].fn
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        times[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
