@@ -1,0 +1,109 @@
+"""Dedup-operator tests: LSH recall vs exact baselines, SimHash
+properties, exact-dedup semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.operators import dedup as D
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark, sf_dir):
+    """Documents plus planted near-duplicates (known ground truth)."""
+    base = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # exact copy (id+10000) and a lightly-edited copy (id+20000)
+    copy = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.col("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    edited = base.select(
+        (F.col("doc_id") + 20000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra trailing token")).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    return base.unionByName(copy).unionByName(edited)
+
+
+def test_exact_dedup_finds_planted_copies(docs_with_dups):
+    out = D.exact_dedup(docs_with_dups).filter(F.col("n_copies") > 1)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(r.n_copies == 2 and r.kept_id < 10000 for r in rows)
+
+
+def test_exact_dedup_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r.kept_id: r.n_copies for r in D.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_recall_vs_exact(docs_with_dups):
+    """Every planted near-dup pair (Jaccard ≥ .5) must be found by LSH."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in D.ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(
+            docs_with_dups, threshold=0.5, num_hashes=64, bands=32
+        ).collect()
+    }
+    assert exact, "ground truth should contain the planted pairs"
+    missed = exact - lsh
+    assert len(missed) / len(exact) <= 0.05, f"LSH recall too low: missed {missed}"
+    # verification step guarantees precision: every LSH pair is a real pair
+    assert lsh <= exact
+
+
+def test_minhash_jaccard_values_match_exact(docs_with_dups):
+    ex = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(docs_with_dups, threshold=0.5).collect()
+    }
+    for r in D.minhash_lsh_pairs(docs_with_dups, threshold=0.5).collect():
+        assert ex[(r.id_a, r.id_b)] == pytest.approx(r.jaccard, abs=1e-9)
+
+
+def test_simhash_identical_and_distinct(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different words entirely unrelated content here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.simhash_pairs(df, max_hamming=0, prefix_bits=0)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_embedding_dup_pairs_selfsim(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.001, 0.0]),  # nearly identical
+            (3, [0.0, 1.0, 0.0]),  # orthogonal
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.embedding_dup_pairs(df, 0.99).collect()}
+    assert pairs == {(1, 2)}

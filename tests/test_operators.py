@@ -1,0 +1,185 @@
+"""As-of join, text analysis, multimodal plumbing, and plan-shape
+(scale-readiness) assertions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.operators.asof import asof_join, asof_join_union
+from ekati_spark.operators import text as X
+from ekati_spark.operators.multimodal import (
+    content_stats,
+    decode_image,
+    extract_features,
+    sample_frames,
+    with_media_columns,
+)
+
+
+# -- as-of ------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def asof_fixture(spark):
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 250), (3, 20, 50)],
+        "event_id long, key long, t long",
+    )
+    right = spark.createDataFrame(
+        [(10, 90, "a"), (10, 200, "b"), (10, 300, "c"), (20, 60, "d")],
+        "key long, t long, val string",
+    )
+    return left, right
+
+
+def test_asof_backward(spark, asof_fixture):
+    left, right = asof_fixture
+    out = asof_join(
+        left, right, left_on="key", right_on="key", left_time="t", right_time="t"
+    )
+    got = {r.event_id: r.val for r in out.collect()}
+    assert got == {1: "a", 2: "b", 3: None}
+
+
+def test_asof_forward(spark, asof_fixture):
+    left, right = asof_fixture
+    out = asof_join(
+        left,
+        right,
+        left_on="key",
+        right_on="key",
+        left_time="t",
+        right_time="t",
+        direction="forward",
+    )
+    got = {r.event_id: r.val for r in out.collect()}
+    assert got == {1: "b", 2: "c", 3: "d"}
+
+
+def test_asof_union_strategy_matches_join_strategy(spark, asof_fixture):
+    left, right = asof_fixture
+    a = asof_join(
+        left, right, left_on="key", right_on="key", left_time="t", right_time="t"
+    )
+    b = asof_join_union(left, right, on="key", left_time="t", right_time="t")
+    ga = {(r.event_id, r.val) for r in a.select("event_id", "val").collect()}
+    gb = {(r.event_id, r.val) for r in b.select("event_id", "val").collect()}
+    assert ga == gb
+
+
+# -- text -------------------------------------------------------------------
+
+
+def test_lang_id_stopwords(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of it is that"),
+            (2, "der hund und die katze ist nicht ein"),
+            (3, "xyzzy qwerty plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.lang
+        for r in df.select("doc_id", X.lang_id(F.col("text")).alias("lang")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id long, text string",
+    )
+    fp = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", X.content_fingerprint(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert fp[1] == fp[2] != fp[3]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    row = docs.select(
+        F.min(X.quality_score(F.col("text"))).alias("lo"),
+        F.max(X.quality_score(F.col("text"))).alias("hi"),
+    ).first()
+    assert 0.0 <= row.lo <= row.hi <= 1.0
+
+
+# -- multimodal -------------------------------------------------------------
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x00\x01")
+
+
+def test_multimodal_plumbing(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    mm = content_stats(with_media_columns(docs, "text"))
+    rows = mm.select("doc_id", "n_bytes", "content_md5", "media").collect()
+    assert all(r.n_bytes > 0 and len(r.content_md5) == 32 for r in rows)
+    assert rows[0].media.mime == "application/octet-stream"
+    feats = extract_features(
+        mm.select("doc_id", "content", "media"), fake=True
+    ).collect()
+    assert all(len(r.features) == 8 for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r.features)
+
+
+def test_frame_sampling(spark):
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
+    mm = with_media_columns(df, "payload").withColumn(
+        "media",
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(3500).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ),
+    )
+    frames = sample_frames(mm, every_ms=1000).collect()
+    assert [r.frame_ms for r in frames] == [0, 1000, 2000, 3000]
+
+
+# -- plan shape (scale readiness) ------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dim_join_is_broadcast(spark, sf_dir):
+    import ekati_spark.queries as Q
+
+    df = Q.REGISTRY["r09_join_broadcast_dims"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    import ekati_spark.queries as Q
+
+    df = Q.REGISTRY["r22_global_topk"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in _plan(df)

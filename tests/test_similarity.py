@@ -1,0 +1,66 @@
+"""Similarity-search tests: brute-force correctness + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.operators import similarity as S
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    a, b = rng.standard_normal(16), rng.standard_normal(16)
+    expect = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+    df = spark.createDataFrame(
+        [(a.tolist(), b.tolist())], "a array<double>, b array<double>"
+    )
+    got = df.select(S.cosine(F.col("a"), F.col("b")).alias("c")).first().c
+    assert math.isclose(got, expect, rel_tol=1e-12)
+
+
+def test_brute_force_topk_shape_and_order(emb, spark):
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.brute_force_topk(emb, q, k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for rows in by_q.values():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3, 4]
+        scores = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_lsh_results_subset_of_bruteforce_scores(emb, spark):
+    """LSH top-k scores are ≤ brute-force top-k scores per query (it
+    searches a subset), and recall@5 is reasonable for 6 planes."""
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = S.brute_force_topk(emb, q, k=5).collect()
+    ann = S.ann_lsh_buckets(emb, q, k=5, n_planes=6).collect()
+    bf_pairs = {(r.query_id, r.neighbor_id) for r in bf}
+    ann_pairs = {(r.query_id, r.neighbor_id) for r in ann}
+    recall = len(bf_pairs & ann_pairs) / len(bf_pairs)
+    assert recall >= 0.2, f"suspiciously low LSH recall: {recall}"
+    # every ANN hit must carry the exact same cosine as brute force computed
+    bf_scores = {(r.query_id, r.neighbor_id): r.cosine for r in bf}
+    for r in ann:
+        if (r.query_id, r.neighbor_id) in bf_scores:
+            assert r.cosine == pytest.approx(
+                bf_scores[(r.query_id, r.neighbor_id)], abs=1e-9
+            )

@@ -1,0 +1,96 @@
+"""Structured Streaming tests: the batch-mode inventory plans run under
+readStream (AvailableNow → memory sink) and produce the same results;
+streaming-only behaviors (stateful dedup, applyInPandasWithState,
+watermark plumbing) execute for real."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.streaming import ops
+
+
+@pytest.fixture(scope="module")
+def ev_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture()
+def ev_stream(spark, sf_dir):
+    return ops.events_stream(spark, sf_dir)
+
+
+def _run(spark, sdf, name, mode):
+    q = (
+        sdf.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_equals_batch(spark, ev_batch, ev_stream):
+    batch = {
+        (r.window_start, r.event_type): (r.n, r.total)
+        for r in ops.tumbling_counts(ev_batch).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type): (r.n, r.total)
+        for r in _run(
+            spark, ops.tumbling_counts(ev_stream), "t_tumbling", "complete"
+        ).collect()
+    }
+    assert stream == batch
+
+
+def test_session_stream_equals_batch(spark, ev_batch, ev_stream):
+    batch = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in ops.session_counts(ev_batch).collect()
+    }
+    stream = {
+        (r.user_id, r.session_start): (r.session_end, r.n_events)
+        for r in _run(
+            spark, ops.session_counts(ev_stream), "t_session", "complete"
+        ).collect()
+    }
+    assert stream == batch
+
+
+def test_dedup_within_watermark_stream(spark, ev_stream, ev_batch):
+    out = _run(
+        spark, ops.dedup_within_watermark(ev_stream), "t_dedup", "append"
+    )
+    assert out.count() == ev_batch.select("event_id").distinct().count()
+
+
+def test_stream_static_join(spark, ev_stream, sf_dir, ev_batch):
+    cust = load_table(spark, sf_dir, "customer")
+    out = _run(
+        spark, ops.stream_static_join(ev_stream, cust), "t_ssj", "append"
+    )
+    expect = ev_batch.join(
+        cust, ev_batch.user_id == cust.c_custkey
+    ).count()
+    assert out.count() == expect
+
+
+def test_apply_in_pandas_with_state(spark, ev_stream, ev_batch):
+    out = _run(
+        spark, ops.user_running_stats(ev_stream), "t_state", "update"
+    )
+    got = {r.user_id: (r.n_events, round(r.total_value, 4)) for r in out.collect()}
+    expect = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in ev_batch.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    # state emits once per batch per key; AvailableNow over one file = one
+    # emission per key holding the final totals
+    assert got == expect
