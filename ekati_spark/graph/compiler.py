@@ -1,0 +1,252 @@
+"""Step-IR → DataFrame compiler + query engine.
+
+The reference executes the Step list as a lazy pull pipeline over node
+sequences (``src/core/FileStore.fs:343-396``); here each Step lowers to a
+DataFrame transformation and Catalyst replaces the reference's peephole
+fusion (``MergeSameSteps``, FileStore.fs:221-269) with CombineFilters/
+CombineLimits/CollapseProject (SURVEY §4: do not reimplement).
+
+Execution model: a query is a *node stream* (DataFrame of node_id) that
+steps transform; the terminal materialization returns the surviving
+nodes' attribute rows (long format), with latest-wins or history
+versioning (``Printers.cs:139-169``).
+
+Determinism: the reference's stream order is storage order; skip/limit
+here use the canonical node_id ordering (SURVEY §5d).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ekati_spark.graph import ir
+from ekati_spark.graph.model import PropertyGraph
+from ekati_spark.graph.parser import parse
+from ekati_spark.graph.traverse import follow
+from ekati_spark.schemas import PROPS_SCHEMA, prop_row
+
+
+class QueryEngine:
+    """Holds a PropertyGraph and executes AHGHEE commands against it.
+
+    ``put`` appends rows (fragments accumulate — NodeAttrIndex.cs:187-232);
+    ``get`` returns a DataFrame of attribute rows; ``load`` ingests
+    GraphML / N-Triples files.
+    """
+
+    def __init__(self, spark: SparkSession, graph: PropertyGraph | None = None):
+        self.spark = spark
+        self.graph = graph or PropertyGraph(
+            spark.createDataFrame([], PROPS_SCHEMA)
+        )
+
+    # -- public API -------------------------------------------------------
+
+    def execute(self, text: str) -> DataFrame:
+        cmd = parse(text)
+        if isinstance(cmd, ir.GetQuery):
+            return self.run_get(cmd)
+        if isinstance(cmd, ir.PutCommand):
+            return self.run_put(cmd)
+        if isinstance(cmd, ir.LoadCommand):
+            return self.run_load(cmd)
+        raise TypeError(f"unknown command {cmd!r}")
+
+    # -- put --------------------------------------------------------------
+
+    def run_put(self, cmd: ir.PutCommand, ts: int | None = None) -> DataFrame:
+        """One timestamp per Add batch (setTimestamps, FileStore.fs:82-89,
+        517-519); fedge/dedge key-side references keep the key string with
+        a meta marker (our representation of key-as-NodeID)."""
+        batch_ts = ts if ts is not None else time.time_ns() // 1_000_000
+        rows = []
+        for node in cmd.nodes:
+            for p in node.pairs:
+                is_ref = p.kind in (ir.PairKind.EDGE, ir.PairKind.DEDGE)
+                val = p.value.iri if isinstance(p.value, ir.NodeRef) else p.value
+                meta = (
+                    "key_is_ref"
+                    if p.kind in (ir.PairKind.FEDGE, ir.PairKind.DEDGE)
+                    else None
+                )
+                if isinstance(val, (dict, list)):
+                    # nested obj/arr → JSON metabytes fallback
+                    # (ContextExtensions.cs:269-278)
+                    import json
+
+                    rows.append(
+                        prop_row(
+                            node.id.iri, p.key, json.dumps(val), ts=batch_ts,
+                            remote=node.id.remote,
+                            meta_type="application/json",
+                        )
+                    )
+                else:
+                    r = prop_row(
+                        node.id.iri, p.key, val, ts=batch_ts,
+                        remote=node.id.remote, is_ref=is_ref,
+                    )
+                    if meta:
+                        r = r[:11] + (meta,) + r[12:]
+                    rows.append(r)
+        new = self.spark.createDataFrame(rows, PROPS_SCHEMA)
+        self.graph = PropertyGraph(self.graph.props.unionByName(new))
+        return new
+
+    # -- get --------------------------------------------------------------
+
+    def run_get(self, q: ir.GetQuery) -> DataFrame:
+        stream = self._seed_stream(q.seeds)
+        for step in q.steps:
+            stream = self._apply_wo_fields(stream, step)
+        fields_steps = [s for s in q.steps if isinstance(s, ir.FieldsStep)]
+        return self._materialize(stream, fields_steps, history=q.history)
+
+    def _seed_stream(self, seeds) -> DataFrame:
+        if any(s.iri == "*" for s in seeds):
+            # full scan (FileStore.fs:300-315)
+            return self.graph.nodes()
+        seed_df = self.spark.createDataFrame(
+            [(s.iri,) for s in seeds], "node_id string"
+        )
+        # point lookups: semi-join prunes to the seed partitions
+        return self.graph.nodes().join(seed_df, "node_id", "left_semi")
+
+    def _apply_wo_fields(self, stream: DataFrame, step) -> DataFrame:
+        if isinstance(step, ir.FollowStep):
+            return follow(self.graph.edges, stream, step.spec)
+        if isinstance(step, ir.FilterStep):
+            return stream.join(
+                self._filter_nodes(step.pred), "node_id", "left_semi"
+            )
+        if isinstance(step, ir.SkipStep):
+            return stream.orderBy("node_id").offset(step.n)
+        if isinstance(step, ir.LimitStep):
+            return stream.orderBy("node_id").limit(step.n)
+        if isinstance(step, ir.FieldsStep):
+            return stream  # applied at materialization
+        raise TypeError(f"unknown step {step!r}")
+
+    def _filter_nodes(self, pred) -> DataFrame:
+        """Node-id set satisfying the compare tree. Compounds evaluate at
+        *node* level (FileStore.fs:140-164: leaf = ∃ attribute): '&&' is
+        the intersection of matching node sets (a node may satisfy each
+        side via different attribute rows), '||' the union."""
+        if isinstance(pred, ir.Compound):
+            l = self._filter_nodes(pred.left)
+            r = self._filter_nodes(pred.right)
+            if pred.bool_op == "&&":
+                return l.join(r, "node_id", "left_semi")
+            return l.unionByName(r).distinct()
+        return (
+            self.graph.props.filter(self._compare_col(pred))
+            .select("node_id")
+            .distinct()
+        )
+
+    def _compare_col(self, pred) -> F.Column:
+        """Leaf predicate on props rows — intended semantics: key match +
+        typed value comparison in the matching variant branch; '!=' means
+        'has key and a value that differs'."""
+        assert isinstance(pred, ir.KeyValueCmp)
+        key_ok = F.col("key") == pred.prop
+        v = pred.value
+        if isinstance(v, bool):
+            col = F.col("bool")
+        elif isinstance(v, int):
+            col = F.col("i64")
+        elif isinstance(v, float):
+            col = F.col("dbl")
+        else:
+            col = F.col("str")
+        ops = {
+            "==": col == F.lit(v),
+            "!=": col != F.lit(v),
+            "<": col < F.lit(v),
+            "<=": col <= F.lit(v),
+            ">": col > F.lit(v),
+            ">=": col >= F.lit(v),
+        }
+        return key_ok & ops[pred.op]
+
+    # -- fields / materialization ----------------------------------------
+
+    def _clude_pred(self, clude) -> F.Column | None:
+        """Fold a clude tree into a row predicate. Sequence semantics match
+        Enumerable.Union/Except over row sets (FileStore.fs:119-125):
+        include extends the kept set, exclude subtracts from it."""
+        if isinstance(clude, (tuple, list)):
+            acc = None
+            for c in clude:
+                if isinstance(c, ir.Exclude):
+                    inner = self._clude_pred(c.item)
+                    acc = (acc if acc is not None else F.lit(True)) & ~inner
+                elif isinstance(c, ir.Include):
+                    inner = self._clude_pred(c.item)
+                    acc = inner if acc is None else (acc | inner)
+                else:
+                    inner = self._clude_pred(c)
+                    acc = inner if acc is None else (acc | inner)
+            return acc
+        if isinstance(clude, ir.Exclude):
+            return ~self._clude_pred(clude.item)
+        if isinstance(clude, ir.Include):
+            return self._clude_pred(clude.item)
+        assert isinstance(clude, ir.CludeOp)
+        return self._part_pred(clude.key, is_key=True) & self._part_pred(
+            clude.val, is_key=False
+        )
+
+    def _part_pred(self, part: ir.CludePart, is_key: bool) -> F.Column:
+        if part.kind == "star":
+            return F.lit(True)
+        if part.kind == "lit":
+            if is_key:
+                return F.col("key") == part.value
+            return (F.col("dtype") == "str") & (F.col("str") == part.value)
+        if part.kind == "caret":
+            if is_key:
+                return F.col("meta_type") == "key_is_ref"
+            return F.col("dtype") == "ref"
+        if part.kind == "caret_target":
+            if is_key:
+                return (F.col("meta_type") == "key_is_ref") & (
+                    F.col("key") == part.value
+                )
+            return (F.col("dtype") == "ref") & (F.col("ref") == part.value)
+        if part.kind == "type":
+            dtype = {"int": "i64", "string": "str", "float": "dbl"}[part.value]
+            return F.col("dtype") == dtype
+        raise ValueError(f"bad cludepart {part!r}")
+
+    def _materialize(
+        self, stream: DataFrame, fields_steps, history: bool
+    ) -> DataFrame:
+        props = (
+            self.graph.history() if history else self.graph.latest()
+        ).join(stream, "node_id", "left_semi")
+        for fs in fields_steps:
+            pred = self._clude_pred(fs.cludes)
+            if pred is not None:
+                props = props.filter(pred)
+        return props.select(
+            "node_id", "key", "ts", "dtype", "str", "i64", "dbl", "bool", "ref"
+        )
+
+    # -- load -------------------------------------------------------------
+
+    def run_load(self, cmd: ir.LoadCommand) -> DataFrame:
+        if cmd.kind == "graphml":
+            from ekati_spark.sources.graphml import load_graphml
+
+            new = load_graphml(self.spark, cmd.path)
+        elif cmd.kind == "nt":
+            from ekati_spark.sources.ntriples import load_ntriples
+
+            new = load_ntriples(self.spark, cmd.path)
+        else:
+            raise ValueError(f"unknown load type {cmd.kind!r}")
+        self.graph = PropertyGraph(self.graph.props.unionByName(new))
+        return new

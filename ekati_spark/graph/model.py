@@ -51,19 +51,18 @@ class PropertyGraph:
         return self.props.select("node_id").distinct()
 
     def latest(self) -> DataFrame:
-        """Last-write-wins view: one row per (node_id, key), max ts.
-
-        Ties on ts break by the value columns (max struct) so the view is
-        deterministic even for same-batch duplicate writes.
+        """Last-write-wins view per (node_id, key) — but attributes are a
+        *multimap* (Tests.fs:200-205: three same-key `follows` edges all
+        survive), so we keep every row at the key's max timestamp, not one
+        row. Exact duplicates collapse like the reference's `.Distinct()`
+        (FileStore.fs:74-79).
         """
-        value_cols = [c for c in self.props.columns if c not in ("node_id", "key")]
-        w = W.partitionBy("node_id", "key").orderBy(
-            F.desc("ts"), *[F.desc_nulls_last(c) for c in ("dtype", "str", "i64", "dbl", "ref")]
-        )
+        w = W.partitionBy("node_id", "key")
         return (
-            self.props.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .drop("__rn")
+            self.props.withColumn("__max_ts", F.max("ts").over(w))
+            .filter(F.col("ts") == F.col("__max_ts"))
+            .drop("__max_ts")
+            .dropDuplicates()
         )
 
     def history(self) -> DataFrame:

@@ -1,0 +1,270 @@
+"""Query-language + golden-graph tests replicating the reference's test
+strategy (SURVEY.md §5): TheCrew GraphML golden assertions
+(Tests.fs:650-857), put/get roundtrip (Tests.fs:354-373), skip/take
+composition (Tests.fs:454-515), N-Triples import (FIXTURES.md A6)."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekati_spark.graph import ir
+from ekati_spark.graph.compiler import QueryEngine
+from ekati_spark.graph.parser import parse
+from ekati_spark.sources.graphml import load_graphml
+from ekati_spark.sources.ntriples import load_ntriples
+
+FIXTURES = Path(__file__).parent / "fixtures"
+
+
+# -- parser -----------------------------------------------------------------
+
+
+def test_parse_get_pipeline():
+    q = parse('get "me" |> follow "likes" 1 |> filter "type" == "dog" |> take 100')
+    assert q.seeds == (ir.NodeRef("me"),)
+    assert q.steps[0] == ir.FollowStep(ir.Edge("likes", 1, 1))
+    assert q.steps[1] == ir.FilterStep(ir.KeyValueCmp("type", "==", "dog"))
+    assert q.steps[2] == ir.LimitStep(100)
+
+
+def test_parse_follow_ranges():
+    q = parse('get "1" |> follow * 0..6')
+    assert q.steps[0].spec == ir.Any(0, 6)
+    q2 = parse('get "1" |> follow ("knows" 1..2 && "likes" 1)')
+    spec = q2.steps[0].spec
+    assert isinstance(spec, ir.And)
+    assert spec.left == ir.Edge("knows", 1, 2)
+    assert spec.right == ir.Edge("likes", 1, 1)
+
+
+def test_parse_compound_filter():
+    q = parse('get "*" |> filter ("age" > 30 && "city" == "Boulder")')
+    pred = q.steps[0].pred
+    assert isinstance(pred, ir.Compound) and pred.bool_op == "&&"
+    assert pred.left == ir.KeyValueCmp("age", ">", 30)
+    assert pred.right == ir.KeyValueCmp("city", "==", "Boulder")
+
+
+def test_parse_fields_clude():
+    q = parse('get "1" |> fields ("name":*, -("secret":*))')
+    cludes = q.steps[0].cludes
+    assert cludes[0] == ir.CludeOp(ir.CludePart("lit", "name"), ir.CludePart("star"))
+    assert isinstance(cludes[1], ir.Exclude)
+
+
+def test_parse_put_pair_shapes():
+    cmd = parse('put "n1" {"name": "x", "knows": ^"n2", ^"n3": "v", ^"n4": ^"n5"}')
+    kinds = [p.kind for p in cmd.nodes[0].pairs]
+    assert kinds == ["kvp", "edge", "fedge", "dedge"]
+    assert cmd.nodes[0].pairs[1].value == ir.NodeRef("n2")
+
+
+def test_parse_get_history_flag():
+    assert parse('get -h "x"').history is True
+    assert parse('get "x"').history is False
+
+
+def test_parse_load():
+    cmd = parse('load graphml "file.xml"')
+    assert cmd == ir.LoadCommand("graphml", "file.xml")
+
+
+# -- put/get through the engine --------------------------------------------
+
+
+@pytest.fixture()
+def engine(spark):
+    return QueryEngine(spark)
+
+
+def _doc(df):
+    """rows → {node_id: {key: value}} (latest values)."""
+    out = {}
+    for r in df.collect():
+        v = r.str if r.dtype == "str" else r.i64 if r.dtype == "i64" else (
+            r.dbl if r.dtype == "dbl" else r.ref if r.dtype == "ref" else r.bool
+        )
+        out.setdefault(r.node_id, {})[r.key] = v
+    return out
+
+
+def test_put_get_roundtrip(engine):
+    engine.execute('put "me" {"name": "austin", "age": 36, "follows": ^"you"}')
+    engine.execute('put "you" {"name": "sam"}')
+    docs = _doc(engine.execute('get "me"'))
+    assert docs == {"me": {"name": "austin", "age": 36, "follows": "you"}}
+
+
+def test_put_accumulates_fragments(engine):
+    """Repeated puts to one id accumulate attributes (Tests.fs:560-623)."""
+    for i in range(5):
+        engine.run_put(
+            ir.PutCommand((ir.PutNode(
+                ir.NodeRef("TESTID"),
+                (ir.PutPair(ir.PairKind.KVP, f"property-{i}", str(i)),),
+            ),)),
+            ts=i,
+        )
+    docs = _doc(engine.execute('get "TESTID"'))
+    assert len(docs["TESTID"]) == 5
+
+
+def test_follow_and_filter_pipeline(engine):
+    engine.execute(
+        'put "1" {"firstName": "Richard", "follows": ^"2"};'
+        '"2" {"firstName": "Sam", "follows": ^"1"};'
+        '"3" {"firstName": "Jim", "follows": ^"1", "follows": ^"2"}'
+    )
+    out = _doc(engine.execute('get "3" |> follow "follows" 1'))
+    assert set(out) == {"1", "2"}
+    out2 = _doc(
+        engine.execute('get "3" |> follow "follows" 1 |> filter "firstName" == "Sam"')
+    )
+    assert set(out2) == {"2"}
+
+
+def test_filter_numeric_ops(engine):
+    engine.execute('put "a" {"age": 20}; "b" {"age": 30}; "c" {"age": 40}')
+    assert set(_doc(engine.execute('get "*" |> filter "age" > 25'))) == {"b", "c"}
+    assert set(_doc(engine.execute('get "*" |> filter "age" != 30'))) == {"a", "c"}
+    assert set(
+        _doc(engine.execute('get "*" |> filter ("age" > 25 && "age" < 35)'))
+    ) == {"b"}
+
+
+def test_skip_take_composition(engine):
+    """skip n |> take m on the canonical ordering (Tests.fs:454-515 made
+    deterministic per SURVEY §5d)."""
+    for i in range(10):
+        engine.execute(f'put "n{i:02d}" {{"v": {i}}}')
+    all_ids = sorted(_doc(engine.execute('get "*"')))
+    sk = _doc(engine.execute('get "*" |> skip 3 |> take 4'))
+    assert sorted(sk) == all_ids[3:7]
+
+
+def test_fields_projection_and_exclusion(engine):
+    engine.execute('put "p" {"name": "x", "secret": "s", "age": 3, "knows": ^"q"}')
+    only_name = engine.execute('get "p" |> fields "name":*')
+    assert {r.key for r in only_name.collect()} == {"name"}
+    no_secret = engine.execute('get "p" |> fields ("*":*, -("secret":*))')
+    assert {r.key for r in no_secret.collect()} == {"name", "age", "knows"}
+    only_edges = engine.execute('get "p" |> fields "*":^')
+    assert {r.key for r in only_edges.collect()} == {"knows"}
+    typed = engine.execute('get "p" |> fields "*":int')
+    assert {r.key for r in typed.collect()} == {"age"}
+
+
+def test_history_vs_latest(engine):
+    engine.run_put(parse('put "v" {"status": "a"}'), ts=1)
+    engine.run_put(parse('put "v" {"status": "b"}'), ts=2)
+    latest = engine.execute('get "v"').collect()
+    assert len(latest) == 1 and latest[0].str == "b"
+    hist = engine.execute('get -h "v"').collect()
+    assert [r.str for r in hist] == ["a", "b"]
+
+
+# -- golden GraphML (TheCrew / TinkerPop modern) ----------------------------
+
+
+@pytest.fixture(scope="module")
+def crew(spark):
+    eng = QueryEngine(spark)
+    eng.execute(f'load graphml "{FIXTURES}/tinkerpop-modern.xml"')
+    return eng
+
+
+def test_crew_label_and_typed_age(crew):
+    """labelV per vertex + typed ints (Tests.fs:650-692)."""
+    docs = _doc(crew.execute('get "1", "3"'))
+    assert docs["1"]["labelV"] == "person"
+    assert docs["1"]["name"] == "marko"
+    assert docs["1"]["age"] == 29
+    assert docs["3"]["labelV"] == "software"
+    assert docs["3"]["lang"] == "java"
+
+
+def test_crew_reified_edges(crew):
+    """out.knows/out.created → edge-nodes; edge-nodes carry labelE,
+    weight, source, target (Tests.fs:750-857)."""
+    rows = crew.execute('get "1"').collect()
+    outs = {(r.key, r.ref) for r in rows if r.dtype == "ref"}
+    assert outs == {
+        ("out.knows", "7"),
+        ("out.knows", "8"),
+        ("out.created", "9"),
+    }
+    e7 = _doc(crew.execute('get "7"'))["7"]
+    assert e7["labelE"] == "knows"
+    assert e7["weight"] == 0.5
+    assert e7["source"] == "1"
+    assert e7["target"] == "2"
+
+
+def test_crew_in_edges(crew):
+    docs = _doc(crew.execute('get "3"'))
+    ins = {k: v for k, v in docs["3"].items() if k.startswith("in.")}
+    rows = crew.execute('get "3"').collect()
+    in_targets = {r.ref for r in rows if r.key == "in.created"}
+    assert in_targets == {"9", "11", "12"}
+    assert ins  # has in-edges
+
+
+def test_crew_traversal_follow_any(crew):
+    """follow * from marko across reified edges: vertex→edge-node→vertex."""
+    out = crew.execute('get "1" |> follow * 2')
+    ids = {r.node_id for r in out.select("node_id").distinct().collect()}
+    # hop1 = edge-nodes 7,8,9 (+ nothing else), hop2 = their source/target
+    # vertices minus visited
+    assert {"7", "8", "9"} <= ids
+    assert {"2", "3", "4"} <= ids
+
+
+def test_crew_id_roundtrip(crew):
+    """ids 1..12 all present (Tests.fs:317-352)."""
+    ids = {r.node_id for r in crew.graph.nodes().collect()}
+    assert ids == {str(i) for i in range(1, 13)}
+
+
+# -- N-Triples --------------------------------------------------------------
+
+
+def test_ntriples_import(spark):
+    df = load_ntriples(spark, str(FIXTURES / "sample.nt"), run_id="t1")
+    rows = df.collect()
+    assert len(rows) == 10
+    by = {}
+    for r in rows:
+        by.setdefault(r.node_id, []).append(r)
+    alice = {r.key: r for r in by["http://example.org/alice"]}
+    assert alice["http://xmlns.com/foaf/0.1/knows"].dtype == "ref"
+    assert alice["http://xmlns.com/foaf/0.1/knows"].ref == "http://example.org/bob"
+    assert alice["http://xmlns.com/foaf/0.1/name"].str == "Alice"
+    aged = alice["http://xmlns.com/foaf/0.1/age"]
+    assert aged.str == "29"
+    assert aged.meta_type == "http://www.w3.org/2001/XMLSchema#int"
+    bob = [r for r in by["http://example.org/bob"] if r.key == "http://example.org/greeting"]
+    assert {(r.str, r.meta_lang) for r in bob} == {("hi", "en"), ("salut", "fr")}
+    # blank node relabeling
+    assert "blank:t1:b1" in by
+    carol_knows = [
+        r for r in by["http://example.org/carol"]
+        if r.key == "http://xmlns.com/foaf/0.1/knows"
+    ]
+    assert carol_knows[0].ref == "blank:t1:b1"
+    # escaped quote in literal
+    carol_name = [
+        r for r in by["http://example.org/carol"]
+        if r.key == "http://xmlns.com/foaf/0.1/name"
+    ]
+    assert carol_name[0].str == 'Carol "C"'
+
+
+def test_ntriples_multimap_grouping(spark, tmp_path):
+    """Repeated subjects accumulate into one node (WatService.cs:142-153
+    grouping made implicit by the long format)."""
+    df = load_ntriples(spark, str(FIXTURES / "sample.nt"))
+    n = df.groupBy("node_id").count().filter(F.col("count") > 1).count()
+    assert n >= 3
