@@ -40,7 +40,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
+# DataFrame handles are reusable within a session; re-calling
+# spark.read.parquet re-lists files and re-reads footers for schema
+# (~0.3 s/table), which multiplies across the many load_table calls a
+# single query makes. Keyed by session id so a restarted session misses.
+_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark), sf_dir, name)
+    hit = _table_cache.get(key)
+    if hit is not None:
+        return hit
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
@@ -49,6 +60,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # the same truncation DuckDB applies reading TIMESTAMP_NS.
         # integer division — double division loses precision above 2^53 ns
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _table_cache[key] = df
     return df
 
 

@@ -100,13 +100,22 @@ def follow(
     seeds: DataFrame,
     spec,
     dedup: bool = True,
-    checkpoint_every: int = 3,
     with_hop: bool = False,
 ) -> DataFrame:
     """Traverse ``edges(src, label, dst, ...)`` from ``seeds(node_id)``.
 
     Returns a DataFrame of ``node_id`` (plus ``hop`` when ``with_hop``) of
     every node emitted by the follow spec, deduplicated query-wide.
+
+    Each hop's frontier is **eagerly localCheckpoint-ed**: the next hop's
+    join, the visited anti-join, and the emitted union all reference the
+    same per-hop plan, and without materialization the lazy DAG recomputes
+    every earlier hop's edge scan 3-4x per hop (exponential in hop count).
+    The frontier is tiny relative to the edge table, so the checkpoint is
+    cheap; the edge scan stays pruned per hop because ``_expand_pred``
+    pushes the label predicate into the scan (constant-folding prunes
+    union branches -- only the tables a hop can reach are read). AQE
+    broadcasts the checkpointed frontier when it is small.
     """
     seeds = seeds.select("node_id").distinct()
     max_hop = _max_hops(spec)
@@ -129,15 +138,19 @@ def follow(
         if dedup:
             step = step.groupBy("node_id").agg(F.max("__emit").alias("__emit"))
             step = step.join(visited, "node_id", "left_anti")
+        if hop < max_hop:
+            # materialize: consumed by >=3 downstream plans (next join,
+            # visited, emit); the last hop is consumed once -- stay lazy.
+            step = step.localCheckpoint(eager=True)
         new_frontier = step.select("node_id")
-        if hop % checkpoint_every == 0:
-            new_frontier = new_frontier.localCheckpoint(eager=False)
         emitted.append(
             step.filter(F.col("__emit")).select("node_id").withColumn(
                 "hop", F.lit(hop)
             )
         )
         if dedup:
+            # no checkpoint: a union of already-checkpointed frontiers —
+            # recompute is a cheap in-memory union, not an edge scan.
             visited = visited.unionByName(new_frontier).distinct()
         frontier = new_frontier
 

@@ -102,6 +102,67 @@ def _minhash_perm(h: Column, seed: int) -> Column:
     return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)
 
 
+def shingle_hash_rows(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct hashed word-n-gram shingles, exploded: ``(id, h)`` with
+    ``h = pmod(xxhash64(gram), 2^31-1)``.
+
+    Built as posexplode(tokens) -> window ``lead`` -> hash: the array
+    higher-order functions (`transform` lambdas) are evaluated interpreted
+    row-at-a-time and dominate wall-clock for long documents; explode +
+    window + hash stays in whole-stage codegen. One shuffle on ``id`` for
+    the window, one for the distinct. Set semantics (distinct) match
+    ``shingles``'s ``array_distinct``.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    gram = F.concat_ws(" ", *parts)
+    # gram and the tail test must be computed in the SAME projection: a
+    # filter placed between two projections that both contain window
+    # expressions makes the second window run over the *filtered* rows
+    # (leads then skip the removed tail and produce truncated grams).
+    return (
+        toks.select("id", gram.alias("gram"), parts[-1].alias("last"))
+        .filter(F.col("last").isNotNull())
+        .select(
+            "id", F.pmod(F.xxhash64("gram"), F.lit(MERSENNE_31)).alias("h")
+        )
+        .distinct()
+    )
+
+
+def _signatures_from_rows(sh_rows: DataFrame, num_hashes: int) -> DataFrame:
+    """MinHash signature per id from exploded shingle hashes: k plain
+    ``min`` aggregates (whole-stage codegen + map-side partial agg; the
+    shuffle carries one k-wide row per doc per partition — the 100 TB
+    shape). Nested HOF formulations (array_min over transform) are
+    interpreted and were 10-30x slower."""
+    mins = [
+        F.min(_minhash_perm(F.col("h"), j)).alias(f"m{j}")
+        for j in range(num_hashes)
+    ]
+    return (
+        sh_rows.groupBy("id")
+        .agg(*mins)
+        .select(
+            "id",
+            F.array(*[f"m{j}" for j in range(num_hashes)]).alias("signature"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     num_hashes: int = 64,
@@ -112,17 +173,11 @@ def minhash_signatures(
     """Per-doc MinHash signature: array<long> of length ``num_hashes``.
 
     Base shingle hash is ``pmod(xxhash64(shingle), 2^31-1)``; signature j
-    is the min of permutation j over the doc's shingle set. Pure built-in
-    higher-order functions — no UDF, whole-stage codegen'd.
+    is the min of permutation j over the doc's shingle set.
     """
-    base = F.transform(
-        shingles(F.col(text_col), shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_31)),
+    return _signatures_from_rows(
+        shingle_hash_rows(docs, shingle_n, text_col, id_col), num_hashes
     )
-    sig = F.array(
-        *[F.array_min(F.transform(base, lambda h, j=j: _minhash_perm(h, j))) for j in range(num_hashes)]
-    )
-    return docs.select(F.col(id_col).alias("id"), sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -138,28 +193,28 @@ def minhash_lsh_pairs(
 
     Signature is split into ``bands`` bands of ``num_hashes//bands`` rows;
     docs sharing any band hash become candidates (shuffle on the band
-    hash), then candidates are verified with exact shingle Jaccard. With
+    hash), then candidates are verified with exact shingle Jaccard over
+    the hashed-shingle rows (set-join + count, no array ops). With
     r=4, b=16 the S-curve crosses ~0.5 — tune (bands, num_hashes) per
     threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Shingle rows are consumed 3x (signatures + both sides of the
+    verification join) — materialized once (at 100 TB: a persisted
+    shingle table; locally: localCheckpoint).
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_n, text_col, id_col)
+    sh_rows = shingle_hash_rows(
+        docs, shingle_n, text_col, id_col
+    ).localCheckpoint(eager=True)
+    sigs = _signatures_from_rows(sh_rows, num_hashes)
     banded = sigs.select(
         "id",
         F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.element_at("signature", b * rows + r + 1).cast("string")
-                                for r in range(rows)
-                            ],
-                        )
-                    )
-                    for b in range(bands)
-                ]
+            # one transform over a band-index sequence (tiny per-row
+            # arrays; fine interpreted); xxhash64 hashes the slice
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(F.slice("signature", b * rows + 1, rows)),
             )
         ).alias("band", "band_hash"),
     )
@@ -174,23 +229,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    sh = docs.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
-    verified = (
-        cand.join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
+    sz = sh_rows.groupBy("id").agg(F.count("*").alias("sz"))
+    shared = (
+        cand.join(
+            sh_rows.select(F.col("id").alias("id_a"), "h"), "id_a"
         )
-        .filter(F.col("jaccard") >= threshold)
+        .join(sh_rows.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
     )
-    return verified.select("id_a", "id_b", "jaccard")
+    jac = F.col("n_shared") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
+    )
+    return (
+        shared.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
+        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
 
 
 @F.pandas_udf(T.LongType())

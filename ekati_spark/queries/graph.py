@@ -18,8 +18,21 @@ from ekati_spark.graph.traverse import Any, Edge, Or, follow
 from ekati_spark.queries.base import register
 
 
+# One FK-graph per (session, sf_dir), edges persisted: a deployment
+# materializes its edge table once (at 100 TB: a bucketed parquet/Delta
+# table partitioned by src); re-deriving the 7-way union-of-scans per
+# query re-reads lineitem 3× per hop. MEMORY_AND_DISK spills safely.
+_graph_cache: dict[tuple[int, str], PropertyGraph] = {}
+
+
 def _graph(spark, sf_dir) -> PropertyGraph:
-    return PropertyGraph.from_relational(spark, sf_dir)
+    key = (id(spark), sf_dir)
+    g = _graph_cache.get(key)
+    if g is None:
+        g = PropertyGraph.from_relational(spark, sf_dir)
+        g.edges = g.edges.persist()
+        _graph_cache[key] = g
+    return g
 
 
 def _seed(spark, ids):

@@ -66,8 +66,10 @@ def l03_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates, Jaccard-verified (≥ 0.1).
 
     No DuckDB oracle: depends on xxhash64. Recall vs the exact
-    baseline is asserted in tests/test_dedup.py."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    baseline is asserted in tests/test_dedup.py. Runs the FULL documents
+    table — LSH cost is ∝ candidates, not n², so unlike the exact-pairs
+    oracle queries it needs no subset cap."""
+    docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, threshold=0.1, num_hashes=64, bands=32)
 
 
