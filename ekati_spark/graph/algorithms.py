@@ -1,0 +1,152 @@
+"""Analytics-scale graph algorithms as Pregel-style DataFrame iteration.
+
+The reference has no analytics surface (its only traversal is the bounded
+``follow`` pipeline, ``src/core/FileStore.fs:166-220``); these extend the
+engine per the GraphX-for-analytics design (SURVEY.md §1.5): the vertex
+state is a DataFrame, each superstep is a join-aggregate against the edge
+table, and the driver loop carries the iteration. Every superstep result
+is eagerly localCheckpoint-ed — vertex state is O(|V|), small next to the
+edge table, and checkpointing stops the lazy plan from re-deriving every
+earlier superstep (see graph/traverse.py for the same pattern).
+
+Scale: state and edges stay distributed; each superstep is one shuffle on
+the edge key (or zero when the edge table is pre-partitioned by src —
+``PropertyGraph.partition_edges``). No collect() of vertex state; the
+only driver-side values are scalar convergence counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _nodes(edges: DataFrame) -> DataFrame:
+    return (
+        edges.select(F.col("src").alias("node_id"))
+        .unionByName(edges.select(F.col("dst").alias("node_id")))
+        .distinct()
+    )
+
+
+def page_rank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank with a fixed iteration count (simple variant: dangling
+    mass is not redistributed, matching the SQL-oracle formulation).
+
+    rank⁰(v) = 1/N; rankᵏ(v) = (1-d)/N + d·Σ_{u→v} rankᵏ⁻¹(u)/out(u).
+
+    Returns ``(node_id, rank)``. One shuffle per superstep (groupBy dst);
+    the contribution join reuses the checkpointed (edges ⋈ out-degree)
+    relation across supersteps.
+    """
+    nodes = _nodes(edges).localCheckpoint(eager=True)
+    n = nodes.count()
+    # out-degree rides with each edge so a superstep is join → groupBy
+    ed = (
+        edges.select("src", "dst")
+        .join(
+            edges.groupBy("src").agg(F.count("*").alias("deg")),
+            "src",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(ed, ranks.node_id == ed.src)
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node_id == contribs.dst, "left")
+            .select(
+                "node_id",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Weakly connected components by iterative min-label propagation over
+    the undirected edge set; converges in ≤ diameter supersteps (driver
+    loop exits early when no label changes). Label = min node_id (string
+    order) in the component.
+
+    Returns ``(node_id, component)``. For graphs with giant diameter an
+    alternating small-star/large-star formulation converges in
+    O(log²) rounds — not needed for FK-shaped graphs whose diameter is
+    bounded by the schema's join depth.
+    """
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = _nodes(edges).withColumn("component", F.col("node_id"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(und, labels.node_id == und.src)
+            .groupBy(F.col("dst").alias("node_id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node_id", "left")
+            .select(
+                "node_id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", "component")
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node_id")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def shortest_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Single/multi-source shortest path length in hops (unweighted BFS).
+
+    Returns ``(node_id, hops)`` for every node within ``max_hops`` of any
+    seed (seeds at 0). The frontier/visited discipline is the same as
+    ``traverse.follow`` — min-hop per node is guaranteed because BFS
+    visits in hop order.
+    """
+    seeds = seeds.select("node_id").distinct().localCheckpoint(eager=True)
+    out = seeds.withColumn("hops", F.lit(0))
+    visited = seeds
+    frontier = seeds
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .select(F.col("dst").alias("node_id"))
+            .distinct()
+            .join(visited, "node_id", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier.withColumn("hops", F.lit(hop)))
+        visited = visited.unionByName(frontier)
+    return out

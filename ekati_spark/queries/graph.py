@@ -333,3 +333,160 @@ def g12_multi_valued_keys(spark, sf_dir):
         .groupBy(F.col("src").alias("node_id"))
         .agg(F.count("*").alias("n_contains"))
     )
+
+
+_PR_EDGES_SQL = """
+      SELECT 'customer:' || CAST(o_custkey AS VARCHAR) AS src,
+             'order:' || CAST(o_orderkey AS VARCHAR) AS dst FROM orders
+      UNION ALL
+      SELECT 'order:' || CAST(l_orderkey AS VARCHAR),
+             'lineitem:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+             CAST(l_linenumber AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+             CAST(l_linenumber AS VARCHAR),
+             'part:' || CAST(l_partkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+             CAST(l_linenumber AS VARCHAR),
+             'supplier:' || CAST(l_suppkey AS VARCHAR) FROM lineitem
+      UNION ALL
+      SELECT 'customer:' || CAST(c_custkey AS VARCHAR),
+             'nation:' || CAST(c_nationkey AS VARCHAR) FROM customer
+      UNION ALL
+      SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+             'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+"""
+
+_PR_STEP_SQL = """
+    s{k} AS (
+      SELECT e.dst, SUM(p.rank / d.deg) AS in_sum
+      FROM pr{j} p JOIN e ON p.node_id = e.src JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr{k} AS (
+      SELECT v.node_id,
+             0.15 / (SELECT n FROM nn) +
+             0.85 * COALESCE(s{k}.in_sum, 0.0) AS rank
+      FROM v LEFT JOIN s{k} ON v.node_id = s{k}.dst
+    )
+"""
+
+
+@register(
+    "g13_pagerank",
+    oracle="WITH e AS (" + _PR_EDGES_SQL + """
+    ),
+    v AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    pr0 AS (SELECT node_id, 1.0 / (SELECT n FROM nn) AS rank FROM v),
+    """
+    + ",".join(_PR_STEP_SQL.format(k=k, j=k - 1) for k in (1, 2, 3))
+    + """
+    SELECT node_id, round(rank, 6) AS rank FROM pr3
+    """,
+)
+def g13_pagerank(spark, sf_dir):
+    """PageRank (3 supersteps, d=0.85, no dangling redistribution) over
+    the full FK graph — Pregel-style DataFrame iteration
+    (graph/algorithms.py); the oracle unrolls the same three steps as
+    chained SQL CTEs. Ranks rounded to 6 decimals on both sides."""
+    from ekati_spark.graph.algorithms import page_rank
+
+    g = _graph(spark, sf_dir)
+    pr = page_rank(g.edges, iterations=3, damping=0.85)
+    return pr.select("node_id", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "g14_connected_components",
+    oracle="""
+    WITH members AS (
+      SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS comp_key,
+             'region:' || CAST(r_regionkey AS VARCHAR) AS node_id FROM region
+      UNION ALL
+      SELECT 'region:' || CAST(n_regionkey AS VARCHAR),
+             'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'region:' || CAST(n_regionkey AS VARCHAR),
+             'customer:' || CAST(c_custkey AS VARCHAR)
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'region:' || CAST(n_regionkey AS VARCHAR),
+             'supplier:' || CAST(s_suppkey AS VARCHAR)
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    lab AS (SELECT comp_key, min(node_id) AS component
+            FROM members GROUP BY comp_key)
+    SELECT m.node_id, l.component
+    FROM members m JOIN lab l ON m.comp_key = l.comp_key
+    """,
+)
+def g14_connected_components(spark, sf_dir):
+    """Weakly connected components (min-label propagation) on the
+    geography subgraph (in_nation/in_region edges) — one component per
+    region tree; the oracle derives each tree's min-label directly from
+    the FK schema."""
+    from ekati_spark.graph.algorithms import connected_components
+
+    g = _graph(spark, sf_dir)
+    geo = g.edges.filter(F.col("label").isin("in_nation", "in_region"))
+    return connected_components(geo, max_iter=6)
+
+
+@register(
+    "g15_shortest_hops",
+    oracle="""
+    WITH h0 AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node_id
+                FROM customer WHERE c_custkey <= 3),
+    h1 AS (
+      SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS node_id
+      FROM orders WHERE o_custkey <= 3
+      UNION
+      SELECT DISTINCT 'nation:' || CAST(c_nationkey AS VARCHAR)
+      FROM customer WHERE c_custkey <= 3
+    ),
+    h2 AS (
+      SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+             CAST(l_linenumber AS VARCHAR) AS node_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey <= 3
+      UNION
+      SELECT DISTINCT 'region:' || CAST(n_regionkey AS VARCHAR)
+      FROM nation JOIN customer ON c_nationkey = n_nationkey
+      WHERE c_custkey <= 3
+    ),
+    h3 AS (
+      SELECT DISTINCT 'part:' || CAST(l_partkey AS VARCHAR) AS node_id
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey <= 3
+      UNION
+      SELECT DISTINCT 'supplier:' || CAST(l_suppkey AS VARCHAR)
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_custkey <= 3
+    )
+    SELECT node_id, 0 AS hops FROM h0
+    UNION ALL SELECT node_id, 1 FROM h1
+    UNION ALL SELECT node_id, 2 FROM h2
+    UNION ALL SELECT node_id, 3 FROM h3
+    """,
+)
+def g15_shortest_hops(spark, sf_dir):
+    """Multi-source BFS shortest hop counts (seeds: customers 1-3, 3
+    hops). Min-hop per node falls out of BFS visit order; the oracle
+    enumerates each hop level from the FK schema (levels are disjoint by
+    node-id prefix)."""
+    from ekati_spark.graph.algorithms import shortest_hops
+
+    g = _graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_custkey") <= 3).select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias(
+            "node_id"
+        )
+    )
+    return shortest_hops(g.edges, seeds, max_hops=3)
