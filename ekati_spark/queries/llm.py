@@ -254,3 +254,116 @@ def l12_multimodal_features(spark, sf_dir):
     return extract_features(mm, fake=True).select(
         "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
     )
+
+
+@register(
+    "l13_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+    dl AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+    dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.tok AS term,
+             round((t.c / CAST(d.len AS DOUBLE)) *
+                   ln((SELECT n FROM n) / f.df), 6) AS tfidf
+      FROM tf t JOIN dl d ON t.doc_id = d.doc_id JOIN dfreq f ON t.tok = f.tok
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def l13_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (tf = count/len, idf = ln(N/df)).
+
+    All built-in: explode tokens → three aggregations → window top-k.
+    Deterministic tie-break on (tfidf desc, term); both sides round to 6
+    decimals before ranking so the sort keys agree bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("len"))
+    dfreq = toks.groupBy("tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "tok")
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            F.round(
+                (F.col("c") / F.col("len").cast("double"))
+                * F.log(F.lit(float(n)) / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@register(
+    "l14_top_bigrams",
+    oracle="""
+    WITH tk AS (
+      SELECT string_split_regex(trim(lower(text)), ' +') AS t FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM tk
+    )
+    SELECT bigram, n_occurrences FROM (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n_occurrences,
+             row_number() OVER (ORDER BY count(*) DESC, bigram) AS rn
+      FROM bg GROUP BY bigram
+    ) WHERE rn <= 20
+    """,
+)
+def l14_top_bigrams(spark, sf_dir):
+    """Global top-20 word bigrams across the corpus (n-gram counting for
+    training-data analysis). posexplode + window lead stays in codegen
+    (array-HOF lambdas are interpreted — see operators/dedup.py); the
+    final top-k is a single-partition row_number over ~unique bigrams
+    pre-aggregated distributively."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), " +")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    nxt = F.lead("tok", 1).over(w)
+    bg = (
+        toks.select(F.concat_ws(" ", "tok", nxt).alias("bigram"), nxt.alias("nxt"))
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    # deterministic top-k via orderBy+limit: Spark plans
+    # TakeOrderedAndProject (per-partition heap + driver merge), not a
+    # single-partition window
+    return bg.orderBy(F.desc("n_occurrences"), "bigram").limit(20)
