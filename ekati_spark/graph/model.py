@@ -89,6 +89,47 @@ class PropertyGraph:
         """Hash-partition edges by src once so each BFS hop co-locates."""
         return PropertyGraph(self.props, self.edges.repartition(n, "src"))
 
+    # -- mutation / lookup (SURVEY §2 #8, #9) ------------------------------
+
+    def remove_nodes(self, ids: list[str]) -> "PropertyGraph":
+        """``IStorage.Remove`` parity (``Utils.cs:57``; the reference's
+        file store never implemented it — ``FileStore.fs:554`` throws;
+        intent from ``MemoryStore.fs:18-22``): drop every attribute row of
+        the given ids. Anti-join rewrite — on Delta this is ``DELETE
+        WHERE node_id IN …``."""
+        spark = self.props.sparkSession
+        victims = spark.createDataFrame(
+            [(i,) for i in ids], "node_id string"
+        )
+        return PropertyGraph(
+            self.props.join(victims, "node_id", "left_anti")
+        )
+
+    def first(self, predicate) -> DataFrame:
+        """``IStorage.First(Func<Node,bool>)`` parity (``Utils.cs:58``,
+        ``MemoryStore.fs:38-43``): attribute rows of one node whose props
+        satisfy ``predicate`` (a Column over the long format). The
+        reference's pick is storage-order-arbitrary; ours is the min
+        node_id (deterministic-order policy, SURVEY §5d)."""
+        hit = (
+            self.props.filter(predicate)
+            .select("node_id")
+            .orderBy("node_id")
+            .limit(1)
+        )
+        return self.props.join(hit, "node_id", "left_semi")
+
+    def stats(self) -> DataFrame:
+        """Engine-stats parity (``GetStats``/``ListStats`` RPCs,
+        ``types.proto:235-238``): corpus-level counts as a one-row
+        DataFrame (node/edge/attribute-row totals). Execution telemetry
+        itself is Spark's own UI/metrics/SparkListener surface."""
+        return self.props.agg(
+            F.countDistinct("node_id").alias("n_nodes"),
+            F.count("*").alias("n_attr_rows"),
+            F.sum((F.col("dtype") == "ref").cast("long")).alias("n_edges"),
+        )
+
     # -- constructors -----------------------------------------------------
 
     @staticmethod

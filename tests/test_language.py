@@ -268,3 +268,31 @@ def test_ntriples_multimap_grouping(spark, tmp_path):
     df = load_ntriples(spark, str(FIXTURES / "sample.nt"))
     n = df.groupBy("node_id").count().filter(F.col("count") > 1).count()
     assert n >= 3
+
+
+# -- Remove / First / stats (SURVEY §2 #8-10) -------------------------------
+
+
+def test_remove_nodes(engine):
+    engine.execute('put "a" {"v": 1}; "b" {"v": 2, "to": ^"a"}; "c" {"v": 3}')
+    g2 = engine.graph.remove_nodes(["a"])
+    assert {r.node_id for r in g2.nodes().collect()} == {"b", "c"}
+    # b's dangling edge row survives (the reference also leaves dangling
+    # refs; readers resolve-or-skip)
+    assert g2.props.filter(F.col("dtype") == "ref").count() == 1
+
+
+def test_first_predicate(engine):
+    engine.execute('put "z1" {"age": 30}; "z2" {"age": 30}; "z3" {"age": 9}')
+    rows = engine.graph.first(
+        (F.col("key") == "age") & (F.col("i64") == 30)
+    ).collect()
+    assert {r.node_id for r in rows} == {"z1"}  # deterministic min id
+
+
+def test_graph_stats(engine):
+    engine.execute('put "s1" {"v": 1, "e": ^"s2"}; "s2" {"v": 2}')
+    row = engine.graph.stats().collect()[0]
+    assert row.n_nodes == 2
+    assert row.n_attr_rows == 3
+    assert row.n_edges == 1
