@@ -103,3 +103,24 @@ def st05_stateful_dedup(spark, sf_dir):
     dropDuplicatesWithinWatermark; batch degenerates to dropDuplicates)."""
     ev = load_table(spark, sf_dir, "events")
     return ops.dedup_within_watermark(ev).agg(F.count("*").alias("n_unique"))
+
+
+@register(
+    "st06_stream_stream_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def st06_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join (clicks x same-user purchases within
+    30 min). Batch-mode here for the oracle; the streaming run with
+    watermark-bounded join state is exercised in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.stream_stream_join(ev)

@@ -121,6 +121,46 @@ def stream_static_join(events: DataFrame, customers: DataFrame) -> DataFrame:
     ).select("event_id", "ts", "user_id", "event_type", "value", "c_mktsegment")
 
 
+def stream_stream_join(
+    events: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each click joins the same user's
+    purchases within ``window`` after it. Both sides watermarked and the
+    join condition carries the time range, so Spark can GC join state
+    (state ∝ events inside watermark+window, not the full history). Works
+    identically batch-mode (the unified-API oracle path)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "10 minutes")
+        buys = buys.withWatermark("purchase_ts", "10 minutes")
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window}")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),

@@ -94,3 +94,19 @@ def test_apply_in_pandas_with_state(spark, ev_stream, ev_batch):
     # state emits once per batch per key; AvailableNow over one file = one
     # emission per key holding the final totals
     assert got == expect
+
+
+def test_stream_stream_join(spark, ev_stream, ev_batch):
+    """Stream-stream interval join under real watermarks equals batch."""
+    batch = {
+        (r.click_id, r.purchase_id)
+        for r in ops.stream_stream_join(ev_batch).collect()
+    }
+    stream = {
+        (r.click_id, r.purchase_id)
+        for r in _run(
+            spark, ops.stream_stream_join(ev_stream), "t_ssj", "append"
+        ).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
