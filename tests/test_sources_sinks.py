@@ -1,0 +1,97 @@
+"""Source/sink coverage (SURVEY §2.3 row 1-2): parquet/CSV/JSON read and
+write round-trips, partitioned writes with partition pruning, and
+append/overwrite modes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ekati_spark.catalog import load_table
+
+
+def _nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_parquet_roundtrip(spark, sf_dir, tmp_path):
+    src = _nation(spark, sf_dir)
+    out = str(tmp_path / "nation_pq")
+    src.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    src = _nation(spark, sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    out = str(tmp_path / "nation_csv")
+    src.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema(src.schema).option("header", True).csv(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    src = _nation(spark, sf_dir).select("n_nationkey", "n_name")
+    out = str(tmp_path / "nation_json")
+    src.write.mode("overwrite").json(out)
+    back = spark.read.schema(src.schema).json(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, src.collect()))
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    """partitionBy layout + filter → PartitionFilters in the scan, not a
+    full-directory read (the 100 TB layout contract)."""
+    src = _nation(spark, sf_dir)
+    out = str(tmp_path / "nation_part")
+    src.write.mode("overwrite").partitionBy("n_regionkey").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("n_regionkey") == 2)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "n_regionkey" in plan.split("PartitionFilters")[1][:120]
+    assert back.count() == src.filter(F.col("n_regionkey") == 2).count()
+
+
+def test_append_accumulates_overwrite_replaces(spark, sf_dir, tmp_path):
+    src = _nation(spark, sf_dir)
+    out = str(tmp_path / "nation_modes")
+    src.write.mode("overwrite").parquet(out)
+    src.write.mode("append").parquet(out)
+    assert spark.read.parquet(out).count() == 2 * src.count()
+    src.write.mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == src.count()
+
+
+def test_bucketed_table_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """bucketBy co-located join: two tables bucketed on the key join
+    without an Exchange on either side (scale path for repeated fact-fact
+    joins)."""
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("t_orders_b", "t_lineitem_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    ords.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy(
+        "o_orderkey"
+    ).saveAsTable("t_orders_b")
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy(
+        "l_orderkey"
+    ).saveAsTable("t_lineitem_b")
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("t_orders_b").join(
+            spark.table("t_lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        # at these sizes the planner would broadcast (disabled above to
+        # model the fact-fact case buckets exist for); the bucketed join
+        # must then run shuffle-free
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
