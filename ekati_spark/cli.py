@@ -1,0 +1,87 @@
+"""Interactive REPL for the query language — the Spark analog of the
+reference's CLI (``src/cli/Program.cs:206-229``: read line → parse →
+execute → print with latest-wins grouping, ``Printers.cs:139-169``).
+
+Usage::
+
+    python -m ekati_spark.cli            # empty graph
+    python -m ekati_spark.cli <dir>      # preload the FK graph from a
+                                         # testdata sf dir
+
+Commands: the full language (``put``, ``get`` incl. ``-h``, ``load
+graphml|nt``) plus ``:quit`` / ``:stats``.
+"""
+
+from __future__ import annotations
+
+import sys
+
+from pyspark.sql import DataFrame
+
+
+def _print_nodes(df: DataFrame, limit: int = 50) -> None:
+    """Group attribute rows into node documents and pretty-print."""
+    rows = df.limit(10_000).collect()
+    docs: dict[str, list] = {}
+    for r in rows:
+        docs.setdefault(r.node_id, []).append(r)
+    for nid in sorted(docs)[:limit]:
+        print(f'"{nid}" {{')
+        for r in sorted(docs[nid], key=lambda r: (r.key, r.ts)):
+            if r.dtype == "ref":
+                val = f'^"{r.ref}"'
+            elif r.dtype == "str":
+                val = f'"{r.str}"'
+            elif r.dtype == "i64":
+                val = str(r.i64)
+            elif r.dtype == "dbl":
+                val = str(r.dbl)
+            else:
+                val = str(r.bool)
+            print(f'    "{r.key}": {val}')
+        print("}")
+    n = len(docs)
+    if n > limit:
+        print(f"… {n - limit} more nodes")
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    from ekati_spark.graph.compiler import QueryEngine
+    from ekati_spark.graph.model import PropertyGraph
+    from ekati_spark.session import get_spark
+
+    spark = get_spark("ekati_cli")
+    if argv:
+        engine = QueryEngine(
+            spark, PropertyGraph.from_relational(spark, argv[0])
+        )
+        print(f"loaded FK graph from {argv[0]}")
+    else:
+        engine = QueryEngine(spark)
+    print("ekati_spark REPL — :quit to exit, :stats for counts")
+    while True:
+        try:
+            line = input("wat> ").strip()
+        except (EOFError, KeyboardInterrupt):
+            print()
+            return 0
+        if not line:
+            continue
+        if line in (":quit", ":q", "exit"):
+            return 0
+        if line == ":stats":
+            engine.graph.stats().show(truncate=False)
+            continue
+        try:
+            out = engine.execute(line)
+            if line.startswith("get"):
+                _print_nodes(out)
+            else:
+                print(f"ok ({out.count()} rows)")
+        except Exception as e:  # noqa: BLE001 — REPL surfaces everything
+            print(f"error: {e}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())
