@@ -15,6 +15,8 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ekati_spark.session import default_parallelism
+
 TABLES = (
     "region",
     "nation",
@@ -38,6 +40,15 @@ def ensure_session_confs(spark: SparkSession) -> None:
     scan aborts without nanosAsLong)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # perf confs (also runtime-settable): a plain session defaults to 200
+    # shuffle partitions — pure task overhead at test scale; AQE coalesce
+    # right-sizes them upward-compatibly at real scale.
+    n = default_parallelism()
+    if int(spark.conf.get("spark.sql.shuffle.partitions")) > 4 * n:
+        spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
 
 
 # DataFrame handles are reusable within a session; re-calling
