@@ -490,3 +490,79 @@ def g15_shortest_hops(spark, sf_dir):
         )
     )
     return shortest_hops(g.edges, seeds, max_hops=3)
+
+
+@register(
+    "g16_motif_supply_path",
+    oracle="""
+    SELECT DISTINCT 'customer:' || CAST(o_custkey AS VARCHAR) AS c,
+           'order:' || CAST(o_orderkey AS VARCHAR) AS o,
+           'lineitem:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+           CAST(l_linenumber AS VARCHAR) AS l,
+           'supplier:' || CAST(l_suppkey AS VARCHAR) AS s
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_custkey <= 20
+    """,
+)
+def g16_motif_supply_path(spark, sf_dir):
+    """Motif find: (c)-[placed]->(o); (o)-[contains]->(l);
+    (l)-[from_supplier]->(s) — GraphFrames-style pattern compiled to a
+    join chain (graph/motif.py), restricted to customers 1-20.
+
+    DISTINCT on both sides: the synthetic lineitem key (orderkey,
+    linenumber) is not unique, so the FK graph is a multigraph — find()
+    matches per edge *instance* (k² paths through a k-duplicated node)
+    while the oracle joins physical rows (k); distinct paths agree."""
+    from ekati_spark.graph.motif import find
+
+    g = _graph(spark, sf_dir)
+    m = find(
+        g.edges,
+        "(c)-[placed]->(o); (o)-[contains]->(l); (l)-[from_supplier]->(s)",
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_custkey") <= 20).select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("c")
+    )
+    return m.join(seeds, "c").distinct()
+
+
+@register(
+    "g17_triangle_count",
+    oracle="""
+    WITH cn AS (SELECT c_custkey, c_nationkey FROM customer
+                WHERE c_custkey <= 300),
+         sn AS (SELECT s_suppkey, s_nationkey FROM supplier)
+    SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM cn JOIN sn ON c_nationkey = s_nationkey
+    """,
+)
+def g17_triangle_count(spark, sf_dir):
+    """Join-based triangle counting (canonical a<b<c orientation) on a
+    graph where every (customer, supplier, shared nation) closes a
+    triangle, so the expected count is exactly |{(c,s): same nation}|."""
+    from ekati_spark.graph.motif import triangle_count
+
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") <= 300
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    cn = cust.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")).alias("dst"),
+        F.col("c_nationkey").alias("nk"),
+    )
+    sn = supp.select(
+        F.concat(F.lit("supplier:"), F.col("s_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("nation:"), F.col("s_nationkey").cast("string")).alias("dst"),
+        F.col("s_nationkey").alias("nk"),
+    )
+    cs = cn.select(F.col("src").alias("c_id"), "nk").join(
+        sn.select(F.col("src").alias("s_id"), "nk"), "nk"
+    ).select(F.col("c_id").alias("src"), F.col("s_id").alias("dst"))
+    edges = (
+        cn.select("src", "dst")
+        .unionByName(sn.select("src", "dst"))
+        .unionByName(cs)
+    )
+    return triangle_count(edges)

@@ -70,3 +70,54 @@ def test_shortest_hops_frontier_exhaustion(spark):
     seeds = spark.createDataFrame([("a",)], "node_id string")
     hops = {r.node_id: r.hops for r in shortest_hops(e, seeds, 10).collect()}
     assert hops == {"a": 0, "b": 1}
+
+
+# -- motif / triangles (graph/motif.py) -------------------------------------
+
+
+def test_motif_two_hop_pattern(spark):
+    from ekati_spark.graph.motif import find
+
+    e = spark.createDataFrame(
+        [("a", "knows", "b", 0), ("b", "likes", "c", 0), ("b", "knows", "d", 0)],
+        "src string, label string, dst string, ts long",
+    )
+    rows = find(e, "(x)-[knows]->(y); (y)-[likes]->(z)").collect()
+    assert [(r.x, r.y, r.z) for r in rows] == [("a", "b", "c")]
+    # any-label atom
+    rows2 = find(e, "(x)-[]->(y); (y)-[]->(z)").collect()
+    assert {(r.x, r.y, r.z) for r in rows2} == {("a", "b", "c"), ("a", "b", "d")}
+
+
+def test_motif_shared_var_cycle(spark):
+    from ekati_spark.graph.motif import find
+
+    e = spark.createDataFrame(
+        [("a", "e", "b", 0), ("b", "e", "a", 0), ("b", "e", "c", 0)],
+        "src string, label string, dst string, ts long",
+    )
+    back = find(e, "(x)-[e]->(y); (y)-[e]->(x)").collect()
+    assert {(r.x, r.y) for r in back} == {("a", "b"), ("b", "a")}
+
+
+def test_motif_bad_pattern_raises(spark):
+    from ekati_spark.graph.motif import find
+
+    e = spark.createDataFrame([], "src string, label string, dst string, ts long")
+    with pytest.raises(ValueError):
+        find(e, "(a)->[x]-(b)")
+
+
+def test_triangle_count_known_graph(spark):
+    from ekati_spark.graph.motif import triangle_count
+
+    # K4 has 4 triangles; direction/duplication must not matter
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("c", "d"),
+    ]
+    e = spark.createDataFrame(
+        [(s, "e", d, 0) for s, d in edges],
+        "src string, label string, dst string, ts long",
+    )
+    assert triangle_count(e).collect()[0].n_triangles == 4

@@ -183,3 +183,15 @@ def test_global_topk_avoids_full_sort(spark, sf_dir):
 
     df = Q.REGISTRY["r22_global_topk"].fn(spark, sf_dir)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_approx_count_distinct_bounds(spark, sf_dir):
+    """HLL sketch (approx_count_distinct) within its configured rsd of the
+    exact count — can't be oracle-matched (DuckDB's HLL differs), so the
+    error contract is the test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.countDistinct("l_partkey").alias("exact"),
+    ).collect()[0]
+    assert abs(row.approx - row.exact) / row.exact < 0.06  # 3×rsd
