@@ -367,3 +367,16 @@ def l14_top_bigrams(spark, sf_dir):
     # TakeOrderedAndProject (per-partition heap + driver merge), not a
     # single-partition window
     return bg.orderBy(F.desc("n_occurrences"), "bigram").limit(20)
+
+
+@register("l15_knn_ivf")
+def l15_knn_ivf(spark, sf_dir):
+    """IVF (inverted-file) approximate top-5: seeded Lloyd's k-means
+    builds 16 lists, queries probe their 6 nearest. Rows-only check
+    (k-means floats aren't portable to DuckDB); recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivf_topk(emb, q, k=5, n_lists=16, n_probe=6, kmeans_iters=2)

@@ -1039,3 +1039,75 @@ def r38_range_join(spark, sf_dir):
         .groupBy("o.o_orderkey")
         .agg(F.count("e.event_id").alias("events_day_after"))
     )
+
+
+@register(
+    "r39_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def r39_percentiles(spark, sf_dir):
+    """Exact percentile aggregation — Spark's `percentile` and DuckDB's
+    `quantile_cont` share linear interpolation; rounded to 4 decimals.
+    (The sketch path, approx_percentile/KLL, is tested for error bounds
+    in pytest — not oracle-matchable.)"""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@register(
+    "r40_resample_gapfill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds
+    ),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(g.bucket AS TIMESTAMP) AS bucket,
+           COALESCE(h.n, 0) AS n,
+           COALESCE(h.total, 0.0) AS total
+    FROM grid g LEFT JOIN hourly h ON g.bucket = h.bucket
+    """,
+)
+def r40_resample_gapfill(spark, sf_dir):
+    """Time-series resample with gap filling: hourly buckets over the full
+    event span via `sequence` (a dense grid even where no events landed),
+    left-joined with the hourly aggregate. The grid generation is a
+    1-row → explode, so the heavy side stays the plain aggregation."""
+    (ev,) = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket")
+    )
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        dsum("value", 4).alias("total"),
+    )
+    return grid.join(hourly, "bucket", "left").select(
+        "bucket",
+        F.coalesce("n", F.lit(0)).alias("n"),
+        F.coalesce("total", F.lit(0.0)).alias("total"),
+    )

