@@ -1,0 +1,42 @@
+"""Skew-handling join utilities.
+
+AQE's skew-join splitting (`spark.sql.adaptive.skewJoin.enabled`, on in
+our sessions) handles most skew at runtime; explicit salting remains the
+tool when one side has pathological hot keys AND the other side is small
+enough to replicate — the classic power-law fact⋈dim case where a single
+hot key would otherwise pin one task.
+
+``salted_join``: the big (skewed) side gets a deterministic salt in
+[0, n_salts) derived from hashing its *non-key* columns (no RNG — plans
+stay reproducible and re-executable after task retries, which
+``rand()``-based salting breaks); the small side is replicated n_salts×.
+The join key becomes (key, salt), spreading each hot key over n_salts
+tasks. Result is row-identical to the unsalted join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join ``big ⋈ small`` on column ``on``, salted ``n_salts`` ways.
+
+    ``small`` is replicated ``n_salts``× (explode of a literal range), so
+    its effective size must stay ≪ shuffle capacity — the same constraint
+    as broadcast, relaxed n_salts-fold.
+    """
+    other_cols = [c for c in big.columns if c != on]
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in other_cols]), F.lit(n_salts))
+    b = big.withColumn("__salt", salt)
+    s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = b.join(s, [on, "__salt"], how)
+    return out.drop("__salt")

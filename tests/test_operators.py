@@ -195,3 +195,38 @@ def test_approx_count_distinct_bounds(spark, sf_dir):
         F.countDistinct("l_partkey").alias("exact"),
     ).collect()[0]
     assert abs(row.approx - row.exact) / row.exact < 0.06  # 3×rsd
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salted equi-join is row-identical to the plain join and spreads a
+    hot key across salt partitions."""
+    from ekati_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_quantity"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sk = supp.withColumnRenamed("s_suppkey", "l_suppkey")
+    plain = li.join(sk, "l_suppkey").groupBy("l_suppkey").count()
+    salted = (
+        salted_join(li, sk, "l_suppkey", n_salts=4)
+        .groupBy("l_suppkey")
+        .count()
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+
+def test_salted_join_outer_keeps_unmatched(spark):
+    from ekati_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k int, payload string"
+    )
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, dim string")
+    out = salted_join(big, small, "k", n_salts=3, how="left")
+    rows = {(r.k, r.payload, r.dim) for r in out.collect()}
+    assert rows == {
+        (1, "a", "x"), (1, "b", "x"), (2, "c", "y"), (3, "d", None)
+    }
