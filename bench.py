@@ -63,6 +63,21 @@ def main() -> None:
         times[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # ingest throughput — the reference's own headline metric
+    # (129,038 fragments/s, BASELINE.md); 1M nodes × 8 fragments
+    import shutil
+    import tempfile
+
+    from tools.ingest_bench import run as ingest_run
+
+    tmp = tempfile.mkdtemp(prefix="ekati_bench_ingest_")
+    try:
+        ingest_run(spark, 100_000, tmp + "/warm")
+        ingest = ingest_run(spark, 500_000, tmp + "/main")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    times["ingest_4m_fragments"] = ingest["wall_s"]
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -72,6 +87,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "ingest_fragments_per_s": ingest["fragments_per_s"],
             }
         )
     )
