@@ -566,3 +566,60 @@ def g17_triangle_count(spark, sf_dir):
         .unionByName(cs)
     )
     return triangle_count(edges)
+
+
+@register(
+    "g18_asof_snapshot",
+    oracle="""
+    WITH versions AS (
+      SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS node_id,
+             'status' AS key, v.ts,
+             CASE v.ts WHEN 1 THEN 'created'
+                       WHEN 2 THEN 'processing'
+                       ELSE o_orderstatus END AS value_str
+      FROM orders
+      CROSS JOIN (VALUES (1), (2), (3)) AS v(ts)
+      WHERE o_orderkey <= 200
+    )
+    SELECT node_id, key, value_str
+    FROM (
+      SELECT node_id, key, value_str,
+             row_number() OVER (PARTITION BY node_id, key
+                                ORDER BY ts DESC) AS rn
+      FROM versions WHERE ts <= 2
+    ) WHERE rn = 1
+    """,
+)
+def g18_asof_snapshot(spark, sf_dir):
+    """Temporal as-of view (SURVEY §1.4): the store keeps every attribute
+    version; `latest(as_of=T)` = last-write-wins over rows with ts ≤ T.
+    Three synthetic versions per order-status attribute; snapshot at T=2
+    must return 'processing', not the ts=3 value."""
+    ords = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 200)
+    nid = F.concat(F.lit("order:"), F.col("o_orderkey").cast("string"))
+
+    def ver(ts, val):
+        return ords.select(
+            nid.alias("node_id"),
+            F.lit("").alias("remote"),
+            F.lit("status").alias("key"),
+            F.lit(ts).cast("long").alias("ts"),
+            F.lit("str").alias("dtype"),
+            val.alias("str"),
+            F.lit(None).cast("long").alias("i64"),
+            F.lit(None).cast("double").alias("dbl"),
+            F.lit(None).cast("boolean").alias("bool"),
+            F.lit(None).cast("string").alias("ref"),
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(None).cast("string").alias("meta_type"),
+            F.lit(None).cast("string").alias("meta_lang"),
+        )
+
+    props = (
+        ver(1, F.lit("created"))
+        .unionByName(ver(2, F.lit("processing")))
+        .unionByName(ver(3, F.col("o_orderstatus")))
+    )
+    g = PropertyGraph(props)
+    snap = PropertyGraph(g.props.filter(F.col("ts") <= 2)).latest()
+    return snap.select("node_id", "key", F.col("str").alias("value_str"))
