@@ -54,12 +54,18 @@ def ensure_session_confs(spark: SparkSession) -> None:
 # DataFrame handles are reusable within a session; re-calling
 # spark.read.parquet re-lists files and re-reads footers for schema
 # (~0.3 s/table), which multiplies across the many load_table calls a
-# single query makes. Keyed by session id so a restarted session misses.
-_table_cache: dict[tuple[int, str, str], DataFrame] = {}
+# single query makes. Keyed by applicationId (stable per live session,
+# fresh after a restart — unlike id(spark), which the allocator can
+# reuse and hand a stale handle of a stopped session).
+_table_cache: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_key(spark: SparkSession) -> str:
+    return spark.sparkContext.applicationId
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     hit = _table_cache.get(key)
     if hit is not None:
         return hit

@@ -22,11 +22,13 @@ from ekati_spark.queries.base import register
 # materializes its edge table once (at 100 TB: a bucketed parquet/Delta
 # table partitioned by src); re-deriving the 7-way union-of-scans per
 # query re-reads lineitem 3× per hop. MEMORY_AND_DISK spills safely.
-_graph_cache: dict[tuple[int, str], PropertyGraph] = {}
+_graph_cache: dict[tuple[str, str], PropertyGraph] = {}
 
 
 def _graph(spark, sf_dir) -> PropertyGraph:
-    key = (id(spark), sf_dir)
+    from ekati_spark.catalog import session_key
+
+    key = (session_key(spark), sf_dir)
     g = _graph_cache.get(key)
     if g is None:
         g = PropertyGraph.from_relational(spark, sf_dir)
