@@ -380,3 +380,29 @@ def l15_knn_ivf(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.ivf_topk(emb, q, k=5, n_lists=16, n_probe=6, kmeans_iters=2)
+
+
+@register("l16_grouped_normalize")
+def l16_grouped_normalize(spark, sf_dir):
+    """Grouped-map applyInPandas (the UDTF shape): per-language z-score
+    normalization of document lengths — each group arrives as one pandas
+    DataFrame (Arrow batch). Rows-only check (pandas float reduction
+    order differs from SQL's); value properties asserted in pytest."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["n_chars"].mean()
+        sd = pdf["n_chars"].std(ddof=0) or 1.0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "lang": pdf["lang"],
+                "z_len": (pdf["n_chars"] - mu) / sd,
+            }
+        )
+
+    return docs.groupBy("lang").applyInPandas(
+        normalize, schema="doc_id long, lang string, z_len double"
+    )

@@ -230,3 +230,39 @@ def test_salted_join_outer_keeps_unmatched(spark):
     assert rows == {
         (1, "a", "x"), (1, "b", "x"), (2, "c", "y"), (3, "d", None)
     }
+
+
+def test_grouped_normalize_properties(spark, sf_dir):
+    """applyInPandas z-scores: per-group mean ≈ 0, population std ≈ 1."""
+    from ekati_spark.queries import REGISTRY
+
+    out = REGISTRY["l16_grouped_normalize"].fn(spark, sf_dir)
+    stats = out.groupBy("lang").agg(
+        F.avg("z_len").alias("mu"),
+        F.stddev_pop("z_len").alias("sd"),
+        F.count("*").alias("n"),
+    )
+    for r in stats.collect():
+        assert abs(r.mu) < 1e-9
+        assert r.n == 1 or abs(r.sd - 1.0) < 1e-6
+
+
+def test_shuffle_hash_join_hint(spark, sf_dir):
+    """SHUFFLE_HASH hint is honored (ShuffledHashJoin in the plan)."""
+    ords = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        ords.hint("SHUFFLE_HASH"), li.l_orderkey == ords.o_orderkey
+    )
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_row_python_udf_registers(spark):
+    """Row-at-a-time Python UDF surface exists (documented slow path —
+    never in hot paths; see README design rules)."""
+    from pyspark.sql.types import IntegerType
+
+    tag = F.udf(lambda s: len(s or ""), IntegerType())
+    df = spark.createDataFrame([("ab",), ("xyz",)], "s string")
+    assert {r.n for r in df.select(tag("s").alias("n")).collect()} == {2, 3}
