@@ -110,3 +110,26 @@ def test_stream_stream_join(spark, ev_stream, ev_batch):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_foreach_batch_parquet_sink(spark, ev_stream, tmp_path):
+    """foreachBatch sink: micro-batches land in parquet exactly once
+    (checkpointed); total rows equal the source."""
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+
+    def write_batch(df, epoch_id):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        ops.tumbling_counts(ev_stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = ops.tumbling_counts(load_table(spark, "/root/testdata/sf0.001", "events"))
+    assert got.count() == batch.count()
