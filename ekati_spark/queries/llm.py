@@ -406,3 +406,58 @@ def l16_grouped_normalize(spark, sf_dir):
     return docs.groupBy("lang").applyInPandas(
         normalize, schema="doc_id long, lang string, z_len double"
     )
+
+
+@register(
+    "l17_fuzzy_dedup_pairs",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    blocked AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             levenshtein(substr(a.t, 1, 80), substr(b.t, 1, 80)) AS edit80
+      FROM d a JOIN d b
+        ON a.doc_id < b.doc_id
+       AND abs(length(a.t) - length(b.t)) <= 20
+    )
+    SELECT id_a, id_b, CAST(edit80 AS BIGINT) AS edit80
+    FROM blocked WHERE edit80 <= 20
+    """,
+)
+def l17_fuzzy_dedup_pairs(spark, sf_dir):
+    """Fuzzy (edit-distance) near-dup pairs: length-difference blocking,
+    then Levenshtein over the first 80 chars ≤ 20. Both engines implement
+    classic Levenshtein, so this is oracle-checked exactly. Length
+    blocking bounds the pair space (|len_a - len_b| ≤ 20 is a lower bound
+    on edit distance — no true pair is lost)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    d = docs.select(
+        "doc_id", D.normalized(F.col("text")).alias("t")
+    ).withColumn("len", F.length("t"))
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("t").alias("t_a"),
+        F.col("len").alias("len_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("t").alias("t_b"),
+        F.col("len").alias("len_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 20),
+        )
+        .withColumn(
+            "edit80",
+            F.levenshtein(
+                F.substring("t_a", 1, 80), F.substring("t_b", 1, 80)
+            ).cast("long"),
+        )
+        .filter(F.col("edit80") <= 20)
+        .select("id_a", "id_b", "edit80")
+    )
