@@ -1111,3 +1111,64 @@ def r40_resample_gapfill(spark, sf_dir):
         F.coalesce("n", F.lit(0)).alias("n"),
         F.coalesce("total", F.lit(0.0)).alias("total"),
     )
+
+
+@register(
+    "r41_map_functions",
+    oracle="""
+    SELECT o_custkey, o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders WHERE o_custkey <= 100
+    GROUP BY o_custkey, o_orderstatus
+    """,
+)
+def r41_map_functions(spark, sf_dir):
+    """Map-type round trip: per customer build map<status, n> with
+    map_from_entries, transform values with transform_values, then
+    explode back to rows for the (map-less) oracle — exercising the map
+    construction / HOF / flatten surface without hashing MapType values
+    (map iteration order is engine-specific)."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    per = (
+        ords.filter(F.col("o_custkey") <= 100)
+        .groupBy("o_custkey", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    mapped = per.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("m")
+    )
+    doubled = mapped.select(
+        "o_custkey",
+        F.transform_values("m", lambda k, v: v * 2).alias("m2"),
+    )
+    return doubled.select(
+        "o_custkey", F.explode(F.col("m2")).alias("status", "n2")
+    ).select("o_custkey", "status", (F.col("n2") / 2).cast("long").alias("n"))
+
+
+@register(
+    "r42_rank_distributions",
+    oracle="""
+    SELECT o_orderkey,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WHERE o_custkey <= 50
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def r42_rank_distributions(spark, sf_dir):
+    """Distribution window functions (percent_rank, cume_dist) with a
+    deterministic total order (price, key)."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    w = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        ords.filter(F.col("o_custkey") <= 50)
+        .select(
+            "o_orderkey",
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+    )
