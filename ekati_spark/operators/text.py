@@ -104,3 +104,19 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(t).alias("lang_pred"),
         content_fingerprint(t).alias("fingerprint"),
     )
+
+
+BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """GPT-2-style pre-tokenization (contractions, space-prefixed word /
+    number / punctuation runs) via one regexp_extract_all — the standard
+    first stage of BPE token counting for training-data budgeting. The
+    ASCII-class pattern is portable between Java regex (Spark) and RE2
+    (DuckDB), which keeps it oracle-checkable."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    return F.size(bpe_ish_tokens(text))

@@ -461,3 +461,39 @@ def l17_fuzzy_dedup_pairs(spark, sf_dir):
         .filter(F.col("edit80") <= 20)
         .select("id_a", "id_b", "edit80")
     )
+
+
+@register(
+    "l18_token_budget",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(lower(text)), ' +')) AS INTEGER)
+             AS ws_tokens,
+           CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\s0-9A-Za-z]+'))
+             AS INTEGER) AS bpe_ish_tokens,
+           round(CAST(len(regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\s0-9A-Za-z]+'))
+             AS DOUBLE) /
+             greatest(len(string_split_regex(trim(lower(text)), ' +')), 1), 6)
+             AS tokens_per_word
+    FROM documents
+    """,
+)
+def l18_token_budget(spark, sf_dir):
+    """Token counting for training budgets: whitespace words vs a
+    GPT-2-style (BPE-ish) pre-tokenizer, plus the expansion ratio.
+    Oracle-checked — the ASCII pattern behaves identically in Java regex
+    and RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        X.token_count(t).alias("ws_tokens"),
+        X.bpe_ish_token_count(t).alias("bpe_ish_tokens"),
+        F.round(
+            X.bpe_ish_token_count(t).cast("double")
+            / F.greatest(X.token_count(t), F.lit(1)),
+            6,
+        ).alias("tokens_per_word"),
+    )
