@@ -105,44 +105,55 @@ class QueryEngine:
         return self._materialize(stream, fields_steps, history=q.history)
 
     def _seed_stream(self, seeds) -> DataFrame:
+        """Node stream = (node_id, remote) pairs — logical identity is
+        (remote, iri) (MemoryPointer.partial.cs:234-245), so the same iri
+        on two remotes is two nodes."""
+        universe = self.graph.props.select("node_id", "remote").distinct()
         if any(s.iri == "*" for s in seeds):
             # full scan (FileStore.fs:300-315)
-            return self.graph.nodes()
+            return universe
         seed_df = self.spark.createDataFrame(
-            [(s.iri,) for s in seeds], "node_id string"
+            [(s.iri, s.remote) for s in seeds], "node_id string, remote string"
         )
         # point lookups: semi-join prunes to the seed partitions
-        return self.graph.nodes().join(seed_df, "node_id", "left_semi")
+        return universe.join(seed_df, ["node_id", "remote"], "left_semi")
 
     def _apply_wo_fields(self, stream: DataFrame, step) -> DataFrame:
         if isinstance(step, ir.FollowStep):
-            return follow(self.graph.edges, stream, step.spec)
+            # traversal targets are plain iri refs (the cluster seam is
+            # the shuffle, SURVEY §2 #22): followed nodes resolve in the
+            # local graph (remote = "")
+            out = follow(self.graph.edges, stream, step.spec)
+            return out.select("node_id", F.lit("").alias("remote"))
         if isinstance(step, ir.FilterStep):
             return stream.join(
-                self._filter_nodes(step.pred), "node_id", "left_semi"
+                self._filter_nodes(step.pred),
+                ["node_id", "remote"],
+                "left_semi",
             )
         if isinstance(step, ir.SkipStep):
-            return stream.orderBy("node_id").offset(step.n)
+            return stream.orderBy("remote", "node_id").offset(step.n)
         if isinstance(step, ir.LimitStep):
-            return stream.orderBy("node_id").limit(step.n)
+            return stream.orderBy("remote", "node_id").limit(step.n)
         if isinstance(step, ir.FieldsStep):
             return stream  # applied at materialization
         raise TypeError(f"unknown step {step!r}")
 
     def _filter_nodes(self, pred) -> DataFrame:
-        """Node-id set satisfying the compare tree. Compounds evaluate at
-        *node* level (FileStore.fs:140-164: leaf = ∃ attribute): '&&' is
-        the intersection of matching node sets (a node may satisfy each
-        side via different attribute rows), '||' the union."""
+        """(node_id, remote) set satisfying the compare tree. Compounds
+        evaluate at *node* level (FileStore.fs:140-164: leaf = ∃
+        attribute): '&&' is the intersection of matching node sets (a
+        node may satisfy each side via different attribute rows), '||'
+        the union."""
         if isinstance(pred, ir.Compound):
             l = self._filter_nodes(pred.left)
             r = self._filter_nodes(pred.right)
             if pred.bool_op == "&&":
-                return l.join(r, "node_id", "left_semi")
+                return l.join(r, ["node_id", "remote"], "left_semi")
             return l.unionByName(r).distinct()
         return (
             self.graph.props.filter(self._compare_col(pred))
-            .select("node_id")
+            .select("node_id", "remote")
             .distinct()
         )
 
@@ -226,7 +237,7 @@ class QueryEngine:
     ) -> DataFrame:
         props = (
             self.graph.history() if history else self.graph.latest()
-        ).join(stream, "node_id", "left_semi")
+        ).join(stream, ["node_id", "remote"], "left_semi")
         for fs in fields_steps:
             pred = self._clude_pred(fs.cludes)
             if pred is not None:

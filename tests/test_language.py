@@ -296,3 +296,22 @@ def test_graph_stats(engine):
     assert row.n_nodes == 2
     assert row.n_attr_rows == 3
     assert row.n_edges == 1
+
+
+def test_remote_nodeid_identity(engine):
+    """Logical identity is (remote, iri) — MemoryPointer.partial.cs:234-245:
+    the same iri on different remotes is two distinct nodes."""
+    engine.run_put(
+        ir.PutCommand((
+            ir.PutNode(ir.NodeRef("me"), (ir.PutPair(ir.PairKind.KVP, "where", "local"),)),
+            ir.PutNode(ir.NodeRef("me", remote="otherhost"),
+                       (ir.PutPair(ir.PairKind.KVP, "where", "remote"),)),
+        )),
+        ts=1,
+    )
+    local = engine.execute('get "me"').collect()
+    assert [r.str for r in local] == ["local"]
+    remote = engine.execute('get "otherhost" "me"').collect()
+    assert [r.str for r in remote] == ["remote"]
+    obj_form = engine.execute('get {"remote": "otherhost", "id": "me"}').collect()
+    assert [r.str for r in obj_form] == ["remote"]
