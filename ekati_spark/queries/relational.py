@@ -1172,3 +1172,79 @@ def r42_rank_distributions(spark, sf_dir):
             F.round(F.cume_dist().over(w), 6).alias("cume"),
         )
     )
+
+
+@register(
+    "r43_sessionize_batch",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+)
+def r43_sessionize_batch(spark, sf_dir):
+    """Batch sessionization via the classic gap-flag cumulative sum: a
+    session starts when the gap to the previous event exceeds 30 min;
+    running SUM of start flags numbers the sessions. The streaming twin
+    is session_window (st03); this is the window-composition form."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_start = F.when(
+        gap.isNull() | (gap > 30 * 60), F.lit(1)
+    ).otherwise(F.lit(0))
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = ev.select(
+        "user_id",
+        "ts",
+        F.sum(is_start).over(wc).alias("session_no"),
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@register(
+    "r44_stats_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_pop(l_quantity, l_extendedprice), 4) AS covar,
+           round(stddev_pop(l_discount), 6) AS sd_disc,
+           round(var_pop(l_tax), 6) AS var_tax
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def r44_stats_aggregates(spark, sf_dir):
+    """Statistical aggregates (corr, covar_pop, stddev_pop, var_pop) —
+    both engines use numerically-stable streaming moment formulas; rounded
+    before compare."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar"),
+        F.round(F.stddev_pop("l_discount"), 6).alias("sd_disc"),
+        F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
+    )
