@@ -497,3 +497,41 @@ def l18_token_budget(spark, sf_dir):
             6,
         ).alias("tokens_per_word"),
     )
+
+
+@register(
+    "l19_quantize_embeddings",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e, list_min(e) AS mn,
+             greatest((list_max(e) - list_min(e)) / 255.0, 1e-12) AS scale
+      FROM v
+    )
+    SELECT vec_id, round(mn, 6) AS mn, round(scale, 9) AS scale,
+           CAST(round((e[1] - mn) / scale) AS BIGINT) AS q1,
+           CAST(round((e[33] - mn) / scale) AS BIGINT) AS q33
+    FROM s
+    """,
+)
+def l19_quantize_embeddings(spark, sf_dir):
+    """Int8 scalar quantization of embeddings (per-vector min/max range
+    mapped to 0..255) — the storage-compression step of a vector
+    pipeline. Oracle compares the per-vector scale and two sampled
+    quantized dimensions (array-valued outputs hash differently across
+    engines; scalars don't)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn = F.array_min(e)
+    scale = F.greatest(
+        (F.array_max(e) - F.array_min(e)) / F.lit(255.0), F.lit(1e-12)
+    )
+    return emb.select(
+        "vec_id",
+        F.round(mn, 6).alias("mn"),
+        F.round(scale, 9).alias("scale"),
+        F.round((F.element_at(e, 1) - mn) / scale, 0).cast("long").alias("q1"),
+        F.round((F.element_at(e, 33) - mn) / scale, 0).cast("long").alias("q33"),
+    )
