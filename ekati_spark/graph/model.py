@@ -130,6 +130,23 @@ class PropertyGraph:
             F.sum((F.col("dtype") == "ref").cast("long")).alias("n_edges"),
         )
 
+    # -- persistence (the Parquet replacement of the reference's FASTER
+    # log + checkpoints, SURVEY §4) ---------------------------------------
+
+    def save(self, path: str, mode: str = "overwrite", buckets: int = 0) -> None:
+        """Write the props table to parquet at ``path``. With ``buckets``
+        > 0, writes a bucketed table layout (bucket by node_id) via a
+        repartition so point lookups and traversals co-locate — the
+        100 TB layout; plain parquet otherwise."""
+        df = self.props
+        if buckets:
+            df = df.repartition(buckets, "node_id")
+        df.write.mode(mode).parquet(path)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "PropertyGraph":
+        return PropertyGraph(spark.read.parquet(path))
+
     # -- constructors -----------------------------------------------------
 
     @staticmethod

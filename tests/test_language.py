@@ -315,3 +315,19 @@ def test_remote_nodeid_identity(engine):
     assert [r.str for r in remote] == ["remote"]
     obj_form = engine.execute('get {"remote": "otherhost", "id": "me"}').collect()
     assert [r.str for r in obj_form] == ["remote"]
+
+
+def test_graph_save_load_roundtrip(engine, tmp_path):
+    """Parquet persistence: a saved graph reloads with identical query
+    results (the Parquet/Delta replacement of the reference's FASTER
+    checkpoints, SURVEY §4)."""
+    from ekati_spark.graph.compiler import QueryEngine
+    from ekati_spark.graph.model import PropertyGraph
+
+    engine.execute('put "pa" {"v": 1, "e": ^"pb"}; "pb" {"v": 2}')
+    out = str(tmp_path / "graph_pq")
+    engine.graph.save(out, buckets=4)
+    reloaded = QueryEngine(engine.spark, PropertyGraph.load(engine.spark, out))
+    orig = sorted(map(tuple, engine.execute('get "pa" |> follow "e" 1').collect()))
+    back = sorted(map(tuple, reloaded.execute('get "pa" |> follow "e" 1').collect()))
+    assert orig == back and len(back) == 1
