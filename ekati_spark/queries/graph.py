@@ -625,3 +625,39 @@ def g18_asof_snapshot(spark, sf_dir):
     g = PropertyGraph(props)
     snap = PropertyGraph(g.props.filter(F.col("ts") <= 2)).latest()
     return snap.select("node_id", "key", F.col("str").alias("value_str"))
+
+
+@register(
+    "g19_connected_components_star",
+    oracle="""
+    WITH members AS (
+      SELECT 'region:' || CAST(r_regionkey AS VARCHAR) AS comp_key,
+             'region:' || CAST(r_regionkey AS VARCHAR) AS node_id FROM region
+      UNION ALL
+      SELECT 'region:' || CAST(n_regionkey AS VARCHAR),
+             'nation:' || CAST(n_nationkey AS VARCHAR) FROM nation
+      UNION ALL
+      SELECT 'region:' || CAST(n_regionkey AS VARCHAR),
+             'customer:' || CAST(c_custkey AS VARCHAR)
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      UNION ALL
+      SELECT 'region:' || CAST(n_regionkey AS VARCHAR),
+             'supplier:' || CAST(s_suppkey AS VARCHAR)
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    lab AS (SELECT comp_key, min(node_id) AS component
+            FROM members GROUP BY comp_key)
+    SELECT m.node_id, l.component
+    FROM members m JOIN lab l ON m.comp_key = l.comp_key
+    """,
+)
+def g19_connected_components_star(spark, sf_dir):
+    """Connected components via alternating small-star/large-star
+    contraction (O(log² n) rounds, diameter-independent — the 100 TB
+    path-shaped-graph variant of g14). Same oracle as g14: one component
+    per region tree."""
+    from ekati_spark.graph.algorithms import connected_components_star
+
+    g = _graph(spark, sf_dir)
+    geo = g.edges.filter(F.col("label").isin("in_nation", "in_region"))
+    return connected_components_star(geo)

@@ -121,3 +121,29 @@ def test_triangle_count_known_graph(spark):
         "src string, label string, dst string, ts long",
     )
     assert triangle_count(e).collect()[0].n_triangles == 4
+
+
+def test_star_cc_matches_propagation(spark):
+    """small-star/large-star CC equals min-label propagation on a mixed
+    graph (two islands, one with a cycle)."""
+    from ekati_spark.graph.algorithms import connected_components_star
+
+    e = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("q", "q2")],
+    )
+    star = {r.node_id: r.component for r in connected_components_star(e).collect()}
+    prop = {r.node_id: r.component for r in connected_components(e).collect()}
+    assert star == prop
+
+
+def test_star_cc_long_chain(spark):
+    """A 24-node chain (diameter 23): star-contraction must converge well
+    under the default iteration cap and find one component."""
+    from ekati_spark.graph.algorithms import connected_components_star
+
+    chain = [(f"n{i:02d}", f"n{i+1:02d}") for i in range(23)]
+    e = _edges(spark, chain)
+    cc = {r.node_id: r.component for r in connected_components_star(e).collect()}
+    assert set(cc.values()) == {"n00"}
+    assert len(cc) == 24
