@@ -147,3 +147,20 @@ def test_star_cc_long_chain(spark):
     cc = {r.node_id: r.component for r in connected_components_star(e).collect()}
     assert set(cc.values()) == {"n00"}
     assert len(cc) == 24
+
+
+def test_personalized_pagerank_locality(spark):
+    """PPR mass concentrates near the source: on two disconnected pairs,
+    the non-source island gets exactly zero."""
+    from ekati_spark.graph.algorithms import personalized_page_rank
+
+    e = _edges(spark, [("a", "b"), ("b", "a"), ("x", "y"), ("y", "x")])
+    seeds = spark.createDataFrame([("a",)], "node_id string")
+    pr = {
+        r.node_id: r.rank
+        for r in personalized_page_rank(e, seeds, iterations=4).collect()
+    }
+    assert pr["x"] == 0.0 and pr["y"] == 0.0
+    assert pr["a"] > pr["b"] > 0
+    # conservation: total mass stays 1 on a dangling-free subgraph
+    assert abs(pr["a"] + pr["b"] - 1.0) < 1e-9

@@ -331,3 +331,26 @@ def test_graph_save_load_roundtrip(engine, tmp_path):
     orig = sorted(map(tuple, engine.execute('get "pa" |> follow "e" 1').collect()))
     back = sorted(map(tuple, reloaded.execute('get "pa" |> follow "e" 1').collect()))
     assert orig == back and len(back) == 1
+
+
+def test_repl_end_to_end(spark, monkeypatch, capsys):
+    """CLI REPL: put → get → :stats → :quit drive through the real main
+    loop (input() monkeypatched)."""
+    import builtins
+
+    lines = iter([
+        'put "r1" {"name": "x", "likes": ^"r2"}',
+        'get "r1"',
+        "not a command",
+        ":stats",
+        ":quit",
+    ])
+    monkeypatch.setattr(builtins, "input", lambda prompt="": next(lines))
+    from ekati_spark.cli import main
+
+    assert main([]) == 0
+    out = capsys.readouterr().out
+    assert '"r1" {' in out
+    assert '"likes": ^"r2"' in out
+    assert "error:" in out  # bad command surfaced, loop continued
+    assert "n_nodes" in out
