@@ -84,13 +84,13 @@ class QueryEngine:
                         )
                     )
                 else:
-                    r = prop_row(
-                        node.id.iri, p.key, val, ts=batch_ts,
-                        remote=node.id.remote, is_ref=is_ref,
+                    rows.append(
+                        prop_row(
+                            node.id.iri, p.key, val, ts=batch_ts,
+                            remote=node.id.remote, is_ref=is_ref,
+                            meta_type=meta,
+                        )
                     )
-                    if meta:
-                        r = r[:11] + (meta,) + r[12:]
-                    rows.append(r)
         new = self.spark.createDataFrame(rows, PROPS_SCHEMA)
         self.graph = PropertyGraph(self.graph.props.unionByName(new))
         return new
@@ -243,7 +243,16 @@ class QueryEngine:
             if pred is not None:
                 props = props.filter(pred)
         return props.select(
-            "node_id", "key", "ts", "dtype", "str", "i64", "dbl", "bool", "ref"
+            "node_id",
+            "remote",
+            "key",
+            "ts",
+            "dtype",
+            "str",
+            "i64",
+            "dbl",
+            "bool",
+            "ref",
         )
 
     # -- load -------------------------------------------------------------

@@ -57,7 +57,7 @@ class PropertyGraph:
         row. Exact duplicates collapse like the reference's `.Distinct()`
         (FileStore.fs:74-79).
         """
-        w = W.partitionBy("node_id", "key")
+        w = W.partitionBy("node_id", "remote", "key")
         return (
             self.props.withColumn("__max_ts", F.max("ts").over(w))
             .filter(F.col("ts") == F.col("__max_ts"))
@@ -67,7 +67,7 @@ class PropertyGraph:
 
     def history(self) -> DataFrame:
         """All attribute versions, ts ascending per (node_id, key)."""
-        return self.props.orderBy("node_id", "key", "ts")
+        return self.props.orderBy("node_id", "remote", "key", "ts")
 
     def out_degree(self) -> DataFrame:
         return self.edges.groupBy("src").agg(F.count("*").alias("out_degree"))

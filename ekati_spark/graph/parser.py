@@ -109,12 +109,19 @@ class Parser:
         if t is None:
             raise SyntaxError("empty input")
         if t.text == "put":
-            return self.put()
-        if t.text == "get":
-            return self.get()
-        if t.text == "load":
-            return self.load()
-        raise SyntaxError(f"unknown command {t.text!r}")
+            out = self.put()
+        elif t.text == "get":
+            out = self.get()
+        elif t.text == "load":
+            out = self.load()
+        else:
+            raise SyntaxError(f"unknown command {t.text!r}")
+        # reject trailing garbage — a valid prefix must not silently
+        # swallow the rest (e.g. an unparenthesized compound filter)
+        left = self.peek()
+        if left is not None:
+            raise SyntaxError(f"unexpected trailing input at {left.text!r}")
+        return out
 
     def _flags(self) -> str:
         if self.peek() and self.peek().text == "-" and self.peek(1) and self.peek(1).kind == "word":
@@ -298,13 +305,25 @@ class Parser:
         t = self.peek()
         if t.text == "{":
             pairs = self.obj_pairs()
-            # obj form: id comes from an "id" kvp
-            iri = next(
-                (p.value for p in pairs if p.kind == ir.PairKind.KVP and p.key == "id"),
-                "",
+            # obj form: identity comes from "id"/"remote" kvps (matching
+            # the nodeid() obj form used by get)
+            def _take(key):
+                return next(
+                    (
+                        p.value
+                        for p in pairs
+                        if p.kind == ir.PairKind.KVP and p.key == key
+                    ),
+                    "",
+                )
+
+            iri, remote = _take("id"), _take("remote")
+            rest = tuple(
+                p
+                for p in pairs
+                if not (p.kind == ir.PairKind.KVP and p.key in ("id", "remote"))
             )
-            rest = tuple(p for p in pairs if not (p.kind == ir.PairKind.KVP and p.key == "id"))
-            return ir.PutNode(ir.NodeRef(str(iri)), rest)
+            return ir.PutNode(ir.NodeRef(str(iri), remote=str(remote)), rest)
         ref = self.nodeid()
         pairs = self.obj_pairs() if self.peek() and self.peek().text == "{" else self.kvps()
         return ir.PutNode(ref, tuple(pairs))

@@ -17,9 +17,10 @@ Semantics (mirroring the reference):
 - Hop 0 (the seeds) is emitted iff the range includes 0.
 
 Scale design: frontier and visited stay DataFrames (never collected);
-each hop is ``frontier ⋈ edges`` shuffling on the edge key only. The
-frontier is ``localCheckpoint``-ed every ``checkpoint_every`` hops to cut
-lineage growth (bounded hops make the driver loop safe; SURVEY §7 risks).
+each hop is ``frontier ⋈ edges`` shuffling on the edge key only. Each
+hop's result is eagerly ``localCheckpoint``-ed (it feeds ≥3 downstream
+plans; see ``follow``'s docstring), which also caps lineage growth
+(bounded hops make the driver loop safe; SURVEY §7 risks).
 """
 
 from __future__ import annotations

@@ -225,6 +225,9 @@ def ivf_topk(
         .collect()
     )
     centroids = [list(r.v) for r in init]
+    # a corpus smaller than n_lists yields fewer seed centroids
+    n_lists = len(centroids)
+    n_probe = min(n_probe, n_lists)
 
     def assign(cents: list[list[float]]):
         return (

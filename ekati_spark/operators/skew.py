@@ -31,7 +31,15 @@ def salted_join(
     ``small`` is replicated ``n_salts``× (explode of a literal range), so
     its effective size must stay ≪ shuffle capacity — the same constraint
     as broadcast, relaxed n_salts-fold.
+
+    Only ``inner`` and ``left`` joins are supported: right/full outer
+    would emit every unmatched small-side row once per salt replica,
+    breaking the row-identity contract.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left joins, got {how!r}"
+        )
     other_cols = [c for c in big.columns if c != on]
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in other_cols]), F.lit(n_salts))
     b = big.withColumn("__salt", salt)

@@ -61,19 +61,23 @@ def graphml_rows(path: str, ts: int = 0) -> list[tuple]:
                 return str(v)
         return "edge"
 
+    # one O(E) pass builds adjacency (and computes each edge's label
+    # once) — scanning the edge list per node is O(V·E)
+    out_edges: dict[str, list[tuple[str, str]]] = {}
+    in_edges: dict[str, list[tuple[str, str]]] = {}
+    for e in edges:
+        lab = edge_label(e)
+        out_edges.setdefault(e.get("source"), []).append((lab, e.get("id")))
+        in_edges.setdefault(e.get("target"), []).append((lab, e.get("id")))
+
     for n in nodes:
         nid = n.get("id")
         for name, v in data_attrs(n):
             rows.append(prop_row(nid, name, v, ts=ts))
-        for e in edges:
-            if e.get("source") == nid:
-                rows.append(
-                    prop_row(nid, f"out.{edge_label(e)}", e.get("id"), ts=ts, is_ref=True)
-                )
-            if e.get("target") == nid:
-                rows.append(
-                    prop_row(nid, f"in.{edge_label(e)}", e.get("id"), ts=ts, is_ref=True)
-                )
+        for lab, eid in out_edges.get(nid, ()):
+            rows.append(prop_row(nid, f"out.{lab}", eid, ts=ts, is_ref=True))
+        for lab, eid in in_edges.get(nid, ()):
+            rows.append(prop_row(nid, f"in.{lab}", eid, ts=ts, is_ref=True))
 
     for e in edges:
         eid = e.get("id")

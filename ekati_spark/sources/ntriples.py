@@ -63,9 +63,20 @@ def load_ntriples(
     ref_target = F.when(F.col("o_iri") != "", F.col("o_iri")).otherwise(
         blank(F.col("o_blank"))
     )
-    unescape = F.regexp_replace(
-        F.regexp_replace(F.col("o_lit"), r'\\"', '"'), r"\\n", "\n"
-    )
+    # Escape-sequence order matters: protect escaped backslashes behind a
+    # sentinel FIRST, or '\\n' (backslash + letter n) decodes as a
+    # newline. \uXXXX escapes are left verbatim (documented limitation).
+    sentinel = "\ue000"  # private-use char, cannot occur in valid N-Triples
+    unescape = F.col("o_lit")
+    for pat, rep in (
+        (r"\\\\", sentinel),
+        (r'\\"', '"'),
+        (r"\\n", "\n"),
+        (r"\\t", "\t"),
+        (r"\\r", "\r"),
+        (sentinel, "\\\\"),
+    ):
+        unescape = F.regexp_replace(unescape, pat, rep)
     return parsed.select(
         subj.alias("node_id"),
         F.lit("").alias("remote"),

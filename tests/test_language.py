@@ -354,3 +354,39 @@ def test_repl_end_to_end(spark, monkeypatch, capsys):
     assert '"likes": ^"r2"' in out
     assert "error:" in out  # bad command surfaced, loop continued
     assert "n_nodes" in out
+
+
+def test_parser_rejects_trailing_garbage():
+    with pytest.raises(SyntaxError):
+        parse('get "*" |> filter "age" > 25 && "age" < 35')  # unparenthesized
+    with pytest.raises(SyntaxError):
+        parse('get "a" limit 5')  # missing |>
+
+
+def test_put_obj_form_remote_roundtrip(engine):
+    engine.execute('put {"id": "ox", "remote": "r9", "k": "v"}')
+    rows = engine.execute('get "r9" "ox"').collect()
+    assert [(r.key, r.str) for r in rows] == [("k", "v")]
+    assert engine.execute('get "ox"').count() == 0  # local ox doesn't exist
+
+
+def test_latest_view_is_remote_scoped(engine):
+    """A newer write on one remote must not mask another remote's
+    same-iri node in the latest view."""
+    engine.run_put(parse('put {"id": "lv", "remote": "ra", "s": "a"}'), ts=1)
+    engine.run_put(parse('put {"id": "lv", "remote": "rb", "s": "b"}'), ts=2)
+    a = engine.execute('get "ra" "lv"').collect()
+    assert [r.str for r in a] == ["a"]
+
+
+def test_ntriples_escape_sequences(spark, tmp_path):
+    nt = tmp_path / "esc.nt"
+    nt.write_text(
+        '<http://e/s> <http://e/p> "a\\\\nb" .\n'   # escaped backslash + n
+        '<http://e/s> <http://e/q> "x\\ty" .\n'      # tab
+        '<http://e/s> <http://e/r> "n\\nl" .\n'      # newline
+    )
+    rows = {r.key: r.str for r in load_ntriples(spark, str(nt)).collect()}
+    assert rows["http://e/p"] == "a\\nb"   # backslash + letter n preserved
+    assert rows["http://e/q"] == "x\ty"
+    assert rows["http://e/r"] == "n\nl"

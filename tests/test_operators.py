@@ -266,3 +266,13 @@ def test_row_python_udf_registers(spark):
     tag = F.udf(lambda s: len(s or ""), IntegerType())
     df = spark.createDataFrame([("ab",), ("xyz",)], "s string")
     assert {r.n for r in df.select(tag("s").alias("n")).collect()} == {2, 3}
+
+
+def test_salted_join_rejects_right_full(spark):
+    from ekati_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1, "a")], "k int, payload string")
+    small = spark.createDataFrame([(1, "x")], "k int, dim string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", how=how)

@@ -86,3 +86,14 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
     # every IVF hit is a real corpus vector with a true (exact) cosine —
     # probing fewer lists can only *miss*, never fabricate
     assert all(qid < 8 for qid, _ in ivf)
+
+
+def test_ivf_tiny_corpus(spark):
+    """Corpus smaller than n_lists must clamp, not crash."""
+    rows = [(i, [float(i + 1), float(-i - 2)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.ivf_topk(emb, q, k=3, n_lists=16, n_probe=8, kmeans_iters=1)
+    assert out.count() > 0
