@@ -22,12 +22,14 @@ from pyspark.sql import DataFrame
 def _print_nodes(df: DataFrame, limit: int = 50) -> None:
     """Group attribute rows into node documents and pretty-print."""
     rows = df.limit(10_000).collect()
-    docs: dict[str, list] = {}
+    docs: dict[tuple, list] = {}
     for r in rows:
-        docs.setdefault(r.node_id, []).append(r)
-    for nid in sorted(docs)[:limit]:
-        print(f'"{nid}" {{')
-        for r in sorted(docs[nid], key=lambda r: (r.key, r.ts)):
+        remote = getattr(r, "remote", "") or ""
+        docs.setdefault((remote, r.node_id), []).append(r)
+    for remote, nid in sorted(docs)[:limit]:
+        head = f'"{remote}" "{nid}"' if remote else f'"{nid}"'
+        print(f"{head} {{")
+        for r in sorted(docs[(remote, nid)], key=lambda r: (r.key, r.ts)):
             if r.dtype == "ref":
                 val = f'^"{r.ref}"'
             elif r.dtype == "str":
