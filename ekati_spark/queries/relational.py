@@ -1248,3 +1248,54 @@ def r44_stats_aggregates(spark, sf_dir):
         F.round(F.stddev_pop("l_discount"), 6).alias("sd_disc"),
         F.round(F.var_pop("l_tax"), 6).alias("var_tax"),
     )
+
+
+@register(
+    "r45_conditional_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+             AS n_finished,
+           CAST(count(*) FILTER (WHERE o_totalprice > 100000) AS BIGINT)
+             AS n_large,
+           CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(25,4)))
+             FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE) AS open_value
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def r45_conditional_agg(spark, sf_dir):
+    """Conditional aggregation (FILTER clause / count_if shape) — one
+    pass over the table computing several predicated aggregates."""
+    (ords,) = _t(spark, sf_dir, "orders")
+    dec = F.col("o_totalprice").cast("decimal(25,4)")
+    return ords.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_totalprice") > 100000).alias("n_large"),
+        F.coalesce(
+            F.sum(F.when(F.col("o_orderstatus") == "O", dec)),
+            F.lit(0).cast("decimal(25,4)"),
+        ).cast("double").alias("open_value"),
+    )
+
+
+@register(
+    "r46_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def r46_string_agg(spark, sf_dir):
+    """Ordered string aggregation (listagg WITHIN GROUP = DuckDB
+    string_agg ORDER BY) — deterministic because the order is explicit."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations
+        FROM nation GROUP BY n_regionkey
+        """
+    )
