@@ -40,6 +40,11 @@ def asof_join(
 
     lcols = left.columns
     rcols = [c for c in right.columns if c not in (right_on,)]
+    # a synthetic row id keeps DUPLICATE left rows distinct through the
+    # argmax groupBy (grouping by the visible columns alone would merge
+    # them, losing cardinality). The id value never reaches the output,
+    # so its nondeterminism across retries is harmless.
+    left = left.withColumn("__lrow", F.monotonically_increasing_id())
     l = left.alias("l")
     r = right.alias("r")
     time_cond = (
@@ -58,9 +63,10 @@ def asof_join(
         best = F.min(F.struct(order_key.alias("__t"), *[F.col(f"r.{c}").alias(c) for c in rcols]))
     else:
         best = F.max(F.struct(order_key.alias("__t"), *[F.col(f"r.{c}").alias(c) for c in rcols]))
-    out = joined.groupBy(*[F.col(f"l.{c}").alias(c) for c in lcols]).agg(
-        best.alias("__best")
-    )
+    out = joined.groupBy(
+        F.col("l.__lrow").alias("__lrow"),
+        *[F.col(f"l.{c}").alias(c) for c in lcols],
+    ).agg(best.alias("__best"))
     return out.select(*lcols, *[F.col(f"__best.{c}").alias(c) for c in rcols])
 
 
@@ -84,7 +90,11 @@ def asof_join_union(
         "__t", F.col(left_time)
     )
     rt = (
-        right.select(
+        # null-time right rows would sort FIRST in the window order and be
+        # carried into every left row; the join strategy's time condition
+        # is null-rejecting, so drop them here to keep the two equivalent
+        right.filter(F.col(right_time).isNotNull())
+        .select(
             F.col(on),
             F.col(right_time).alias("__t"),
             *[F.col(c) for c in right_value_cols],

@@ -48,13 +48,19 @@ def exact_dedup(
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Word n-gram shingle set (distinct) of the lowercased text."""
+    """Word n-gram shingle set (distinct) of the lowercased text.
+
+    Documents with fewer than ``n`` tokens yield an empty array —
+    ``sequence(1, 0)`` would DESCEND ([1, 0]) and the out-of-range
+    ``element_at`` aborts the job under Spark's default ANSI mode."""
     toks = F.split(F.trim(F.lower(text)), " +")
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at(toks, i + k) for k in range(n)]
     )
-    return F.array_distinct(F.transform(idx, gram))
+    return F.when(
+        F.size(toks) >= n, F.array_distinct(F.transform(idx, gram))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def ngram_jaccard_pairs(
@@ -288,9 +294,18 @@ def simhash_pairs(
     prefix) keeps the self-join off n²; a production variant would use 4
     rotated prefix tables for exact recall at distance ≤ 3.
     """
+    # prefix_bits=0 disables blocking (all-pairs): the shift must be a
+    # literal 0 block — shiftrightunsigned(sim, 64) is the IDENTITY (the
+    # JVM masks long shifts to 6 bits), which would block on the full
+    # hash and find only distance-0 pairs.
+    block = (
+        F.lit(0).cast("long")
+        if prefix_bits == 0
+        else F.shiftrightunsigned("sim", 64 - prefix_bits)
+    )
     sh = docs.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
-    ).withColumn("block", F.shiftrightunsigned("sim", 64 - prefix_bits))
+    ).withColumn("block", block)
     a, b = sh.alias("a"), sh.alias("b")
     ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
     return (

@@ -114,15 +114,15 @@ def sample_frames(
     posexplode of a JVM-generated sequence: no Python in the hot path.
     """
     return (
-        df.withColumn(
+        # NULL/zero-duration assets contribute zero frames — without the
+        # filter, sequence(0, 0) emits a phantom frame at offset 0
+        df.filter(F.col("media.duration_ms") > 0)
+        .withColumn(
             "frame_ms",
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(
-                        F.coalesce(F.col("media.duration_ms"), F.lit(0)) - 1,
-                        F.lit(0),
-                    ),
+                    F.col("media.duration_ms") - 1,
                     F.lit(every_ms),
                 )
             ),

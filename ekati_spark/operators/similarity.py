@@ -33,7 +33,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI DIVIDE_BY_ZERO abort) when either vector has
+    zero norm; null scores drop out of every threshold/top-k filter."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def _as_double(vec: Column) -> Column:
@@ -103,7 +105,7 @@ def ann_lsh_buckets(
     n_planes: int = 4,
     n_tables: int = 8,
     seed: int = 42,
-    dim: int = 64,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
@@ -119,6 +121,12 @@ def ann_lsh_buckets(
     At scale: corpus is bucketed once per table (a projection, no
     shuffle); candidate generation shuffles only bucket-matched rows.
     """
+    if dim is None:
+        # read the true dimension from the data: a mismatched dim makes
+        # zip_with null-pad, every dot product NULL, and all vectors land
+        # in one bucket — silently degenerating LSH to a cross join
+        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first.d) if first else 0
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
     )

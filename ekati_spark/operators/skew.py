@@ -6,12 +6,14 @@ tool when one side has pathological hot keys AND the other side is small
 enough to replicate — the classic power-law fact⋈dim case where a single
 hot key would otherwise pin one task.
 
-``salted_join``: the big (skewed) side gets a deterministic salt in
-[0, n_salts) derived from hashing its *non-key* columns (no RNG — plans
-stay reproducible and re-executable after task retries, which
-``rand()``-based salting breaks); the small side is replicated n_salts×.
-The join key becomes (key, salt), spreading each hot key over n_salts
-tasks. Result is row-identical to the unsalted join.
+``salted_join``: the big (skewed) side gets a salt in [0, n_salts)
+derived from ``monotonically_increasing_id`` (partition id + row index),
+which spreads a hot key uniformly even when its rows are byte-identical
+(hashing payload columns would collapse them onto one salt, re-pinning
+the task). The salt only picks WHICH replica of a small-side row a big
+row joins to — the joined payload is identical for every replica — so
+the result is salt-independent and task retries are safe despite the id
+function's nondeterminism. The small side is replicated n_salts×.
 """
 
 from __future__ import annotations
@@ -40,8 +42,7 @@ def salted_join(
         raise ValueError(
             f"salted_join supports inner/left joins, got {how!r}"
         )
-    other_cols = [c for c in big.columns if c != on]
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in other_cols]), F.lit(n_salts))
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     b = big.withColumn("__salt", salt)
     s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -208,13 +208,16 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+def run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     """Drive a streaming DataFrame to completion into a memory sink and
-    return the collected table (test/oracle harness helper)."""
+    return the collected table (test/oracle harness helper).
+
+    ``mode`` must match the plan: 'append' for stream-stream joins and
+    per-row transforms, 'complete' for windowed aggregations (an 'update'
+    memory sink would accumulate each window's intermediate emissions
+    across micro-batches), 'update' for applyInPandasWithState."""
     q = (
-        stream_df.writeStream.outputMode(
-            "update" if stream_df.isStreaming else "append"
-        )
+        stream_df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .trigger(availableNow=True)

@@ -107,3 +107,31 @@ def test_embedding_dup_pairs_selfsim(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in D.embedding_dup_pairs(df, 0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_shingles_short_doc_empty(spark):
+    """Docs with < n tokens yield an empty shingle set, not an ANSI
+    element_at abort (sequence(1,0) descends)."""
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "one two three four")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: len(r.sh) for r in df.select(
+        "doc_id", D.shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert out == {1: 0, 2: 2}
+    # and the pair pipeline survives short docs end-to-end
+    assert D.ngram_jaccard_pairs(df, threshold=0.1).count() == 0
+
+
+def test_simhash_zero_prefix_blocks_all_pairs(spark):
+    """prefix_bits=0 = no blocking: distance 1-3 pairs must be found
+    (shiftrightunsigned(sim, 64) is the identity, not zero)."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+        ],
+        "doc_id long, text string",
+    )
+    out = D.simhash_pairs(df, max_hamming=20, prefix_bits=0).collect()
+    assert len(out) == 1 and out[0].hamming > 0

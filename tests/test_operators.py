@@ -276,3 +276,60 @@ def test_salted_join_rejects_right_full(spark):
     for how in ("right", "full", "outer"):
         with pytest.raises(ValueError):
             salted_join(big, small, "k", how=how)
+
+
+def test_asof_preserves_duplicate_left_rows(spark):
+    left = spark.createDataFrame(
+        [(10, 100), (10, 100), (20, 50)], "key long, t long"
+    )
+    right = spark.createDataFrame([(10, 90, "a")], "key long, t long, val string")
+    out = asof_join(left, right, "key", "key", "t", "t")
+    assert out.count() == 3
+
+
+def test_asof_union_ignores_null_right_times(spark):
+    left = spark.createDataFrame([(10, 100)], "key long, t long")
+    right = spark.createDataFrame(
+        [(10, None, "nulltime"), (10, 90, "a")], "key long, t long, val string"
+    )
+    a = {(r.key, r.val) for r in asof_join(left, right, "key", "key", "t", "t").collect()}
+    b = {(r.key, r.val) for r in asof_join_union(left, right, "key", "t", "t").collect()}
+    assert a == b == {(10, "a")}
+
+
+def test_salted_join_single_column_big_side(spark):
+    from ekati_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame([(1,), (1,), (2,)], "k int")
+    small = spark.createDataFrame([(1, "x"), (2, "y")], "k int, dim string")
+    out = salted_join(big, small, "k", n_salts=4)
+    assert sorted((r.k, r.dim) for r in out.collect()) == [
+        (1, "x"), (1, "x"), (2, "y")
+    ]
+
+
+def test_zero_norm_vector_scores_null_not_crash(spark):
+    from ekati_spark.operators.similarity import cosine
+
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    assert row.c is None
+
+
+def test_sample_frames_skips_empty_assets(spark):
+    df = spark.createDataFrame([(1, b"xx"), (2, b"yy")], "doc_id long, payload binary")
+    mm = with_media_columns(df, "payload").withColumn(
+        "media",
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.when(F.col("doc_id") == 1, 2500).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ),
+    )
+    frames = sample_frames(mm, every_ms=1000).collect()
+    assert {r.doc_id for r in frames} == {1}
+    assert [r.frame_ms for r in frames] == [0, 1000, 2000]

@@ -23,15 +23,7 @@ def ev_stream(spark, sf_dir):
 
 
 def _run(spark, sdf, name, mode):
-    q = (
-        sdf.writeStream.outputMode(mode)
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.sql(f"SELECT * FROM {name}")
+    return ops.run_to_memory(sdf, name, mode)
 
 
 def test_tumbling_stream_equals_batch(spark, ev_batch, ev_stream):

@@ -31,6 +31,8 @@ def canon(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if math.isinf(v):
+            return "inf" if v > 0 else "-inf"
         if v == int(v) and abs(v) < 1e15:
             return repr(float(v))
         return repr(v)
