@@ -154,17 +154,22 @@ def _signatures_from_rows(sh_rows: DataFrame, num_hashes: int) -> DataFrame:
     ``min`` aggregates (whole-stage codegen + map-side partial agg; the
     shuffle carries one k-wide row per doc per partition — the 100 TB
     shape). Nested HOF formulations (array_min over transform) are
-    interpreted and were 10-30x slower."""
+    interpreted and were 10-30x slower.
+
+    Also emits ``sz`` (distinct-shingle count) — free in the same
+    aggregation pass, and needed by the LSH verification step (computing
+    it separately would re-aggregate the full shingle table)."""
     mins = [
         F.min(_minhash_perm(F.col("h"), j)).alias(f"m{j}")
         for j in range(num_hashes)
     ]
     return (
         sh_rows.groupBy("id")
-        .agg(*mins)
+        .agg(*mins, F.count("*").alias("sz"))
         .select(
             "id",
             F.array(*[f"m{j}" for j in range(num_hashes)]).alias("signature"),
+            "sz",
         )
     )
 
@@ -176,7 +181,8 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Per-doc MinHash signature: array<long> of length ``num_hashes``.
+    """Per-doc MinHash signature: ``(id, signature array<long> of length
+    ``num_hashes``, sz = distinct-shingle count)``.
 
     Base shingle hash is ``pmod(xxhash64(shingle), 2^31-1)``; signature j
     is the min of permutation j over the doc's shingle set.
@@ -206,7 +212,9 @@ def minhash_lsh_pairs(
 
     Shingle rows are consumed 3x (signatures + both sides of the
     verification join) — materialized once (at 100 TB: a persisted
-    shingle table; locally: localCheckpoint).
+    shingle table; locally: localCheckpoint). Doc shingle counts ride
+    along from the signature aggregation through the band join, so
+    verification needs no extra aggregation or size joins.
     """
     rows = num_hashes // bands
     sh_rows = shingle_hash_rows(
@@ -215,6 +223,7 @@ def minhash_lsh_pairs(
     sigs = _signatures_from_rows(sh_rows, num_hashes)
     banded = sigs.select(
         "id",
+        "sz",
         F.posexplode(
             # one transform over a band-index sequence (tiny per-row
             # arrays; fine interpreted); xxhash64 hashes the slice
@@ -232,25 +241,27 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .distinct()
     )
-    sz = sh_rows.groupBy("id").agg(F.count("*").alias("sz"))
     shared = (
         cand.join(
             sh_rows.select(F.col("id").alias("id_a"), "h"), "id_a"
         )
         .join(sh_rows.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
-        .groupBy("id_a", "id_b")
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
         .agg(F.count("*").alias("n_shared"))
     )
     jac = F.col("n_shared") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
     )
     return (
-        shared.join(sz.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")), "id_a")
-        .join(sz.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")), "id_b")
-        .withColumn("jaccard", F.round(jac, 6))
+        shared.withColumn("jaccard", F.round(jac, 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
