@@ -267,6 +267,46 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_groups(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve near-dup PAIRS into GROUPS: every doc gets a ``group_id``
+    = the smallest doc id in its transitive near-dup cluster (connected
+    component of the pair graph); docs in no pair are their own group.
+    This is the end-product of corpus dedup — "keep one doc per group".
+
+    ``pairs`` must have columns (id_a, id_b) — output of any of the pair
+    finders (ngram_jaccard_pairs, minhash_lsh_pairs, simhash_pairs,
+    embedding_dup_pairs), so the grouping is strategy-agnostic.
+
+    Implementation: min-label propagation (graph.algorithms.
+    connected_components) over the pair edges only — at 100 TB the
+    iteration touches the (tiny) dup subgraph, never the full corpus;
+    the corpus joins in once at the end to label singletons. Ids ride
+    through the string-keyed CC kernel zero-padded so string min ==
+    numeric min.
+    """
+    from ekati_spark.graph.algorithms import connected_components
+
+    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    # materialize the pair edges ONCE: the CC kernel consumes its edge
+    # plan twice (undirected closure + node seed), which would re-run
+    # the full pair-finding pipeline (shingle joins) each time
+    edges = pairs.select(
+        pad("id_a").alias("src"), pad("id_b").alias("dst")
+    ).localCheckpoint(eager=True)
+    comp = connected_components(edges).select(
+        F.col("node_id").cast("long").alias(id_col),
+        F.col("component").cast("long").alias("__grp"),
+    )
+    return docs.select(id_col).join(comp, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("__grp", F.col(id_col)).alias("group_id"),
+    )
+
+
 @F.pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-batched Pandas UDF —

@@ -1,0 +1,112 @@
+"""Deterministic sampling for training-data pipelines.
+
+All predicates hash a stable key with md5 and compare the first 8 hex
+chars against a precomputed threshold string. Properties that matter at
+100 TB:
+
+- **Deterministic & reproducible**: no RNG, no seed-per-partition state;
+  the same row always lands on the same side of every split, across
+  reruns, retries, and engines (md5 hex is portable — the DuckDB oracles
+  compute the identical predicate).
+- **No shuffle**: sampling/splitting is a narrow ``filter``/``select``;
+  at 100 TB it runs scan-local and composes with partition pruning.
+- **Stable under appends**: membership depends only on the key, so
+  growing the corpus never resamples old rows (unlike ``df.sample``,
+  whose per-partition RNG re-draws when partitioning changes).
+
+Rate precision is 1/16^8 (~6e-10). Hex-prefix comparison is valid
+because '0'-'9' < 'a'-'f' in ASCII: lexicographic order on the prefix
+equals numeric order of the 32-bit value.
+
+No reference analog: Astn/ekati has no sampling surface; this is part of
+the training-pipeline extension (SURVEY §2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_SPACE = 16**8
+
+
+def _hex_prefix(key: Column, salt: str = "") -> Column:
+    """First 8 hex chars of md5(salt || key) — a uniform 32-bit draw."""
+    s = key.cast("string") if not salt else F.concat(F.lit(salt), key.cast("string"))
+    return F.substring(F.md5(s), 1, 8)
+
+
+def _threshold(rate: float) -> str:
+    """Hex threshold such that P[prefix < threshold] = rate.
+
+    rate=1.0 returns 'g' (one char past 'f'): every 8-hex-char prefix
+    sorts below it, whereas the 9-char string '100000000' would sort
+    below almost every prefix and silently drop ~94% of rows."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * _SPACE), "08x")
+
+
+def sample_predicate(key: Column, rate: float, salt: str = "") -> Column:
+    """Boolean column: deterministically keep ~``rate`` of rows by key."""
+    if rate >= 1.0:
+        return F.lit(True)
+    return _hex_prefix(key, salt) < F.lit(_threshold(rate))
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Uniform deterministic sample: keep rows whose hashed key falls
+    below the rate threshold."""
+    return df.filter(sample_predicate(F.col(key_col), rate, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. downsample dominant
+    languages, keep the tail): ``rates`` maps stratum value → keep rate.
+
+    One narrow filter — the per-stratum threshold is a CASE expression,
+    so no join, no shuffle, and Catalyst pushes the whole predicate into
+    the scan.
+    """
+    thr = F.lit(_threshold(default_rate))
+    for value, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(stratum_col) == value, F.lit(_threshold(rate))
+        ).otherwise(thr)
+    return df.filter(_hex_prefix(F.col(key_col), salt) < thr)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    val_rate: float = 0.05,
+    test_rate: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Assign a deterministic ``split`` column ('train'/'val'/'test').
+
+    The salt decorrelates the split draw from any sampling draw on the
+    same key (otherwise "the first 5% of hash space" would be the same
+    rows in both). Row-local projection — no shuffle.
+    """
+    if val_rate + test_rate >= 1.0:
+        raise ValueError("val_rate + test_rate must be < 1")
+    h = _hex_prefix(F.col(key_col), salt)
+    t_val = _threshold(val_rate)
+    t_test = _threshold(val_rate + test_rate)
+    split = (
+        F.when(h < F.lit(t_val), F.lit("val"))
+        .when(h < F.lit(t_test), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)

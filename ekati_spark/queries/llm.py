@@ -535,3 +535,103 @@ def l19_quantize_embeddings(spark, sf_dir):
         F.round((F.element_at(e, 1) - mn) / scale, 0).cast("long").alias("q1"),
         F.round((F.element_at(e, 33) - mn) / scale, 0).cast("long").alias("q33"),
     )
+
+
+@register(
+    "l20_dedup_groups",
+    oracle="""
+    WITH RECURSIVE
+    sh AS MATERIALIZED (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), ' +')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), ' +')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+2]
+             )) AS sh
+      FROM documents WHERE doc_id < 500
+    ),
+    sh_rows AS (SELECT id, unnest(sh) AS g FROM sh),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+      FROM sh_rows a JOIN sh_rows b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN (SELECT id, len(sh) AS sz FROM sh) sa ON sa.id = id_a
+      JOIN (SELECT id, len(sh) AS sz FROM sh) sb ON sb.id = id_b
+      WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.05
+    ),
+    und AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+      UNION
+      SELECT u.d, reach.r FROM und u JOIN reach ON u.s = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+    """,
+)
+def l20_dedup_groups(spark, sf_dir):
+    """Near-dup GROUP resolution: transitive closure of exact 3-gram
+    Jaccard pairs (≥ 0.05) into clusters; every doc labeled with the min
+    doc_id of its cluster (singletons label themselves). The "keep one
+    per group" end-product of corpus dedup. Oracle: recursive-CTE
+    reachability in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    pairs = D.ngram_jaccard_pairs(docs, threshold=0.05)
+    return D.dedup_groups(docs, pairs)
+
+
+@register(
+    "l21_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+          CASE lang WHEN 'en' THEN '40000000'
+                    WHEN 'zh' THEN '80000000'
+                    ELSE 'g' END
+    ORDER BY doc_id
+    """,
+)
+def l21_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: downsample dominant languages
+    (keep 25% of en, 50% of zh, 100% of the tail) by md5-prefix of
+    doc_id — reproducible across engines/reruns/appends, no RNG, no
+    shuffle (predicate is scan-local)."""
+    from ekati_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.25, "zh": 0.5}, default_rate=1.0
+    ).select("doc_id", "lang")
+
+
+@register(
+    "l22_train_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '0ccccccc' THEN 'val'
+                WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                     < '19999999' THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def l22_train_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (90/5/5) — salted
+    md5-prefix ranges so the split draw is independent of any sampling
+    draw on the same key. Pure projection: composes with partition
+    pruning at 100 TB."""
+    from ekati_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_val_test_split(docs, "doc_id", 0.05, 0.05).select(
+        "doc_id", "split"
+    )

@@ -135,3 +135,22 @@ def test_simhash_zero_prefix_blocks_all_pairs(spark):
     )
     out = D.simhash_pairs(df, max_hamming=20, prefix_bits=0).collect()
     assert len(out) == 1 and out[0].hamming > 0
+
+
+def test_dedup_groups_transitive(spark):
+    """A-B and B-C pairs put A,B,C in ONE group labeled min(id);
+    unpaired docs label themselves."""
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 7, 9]], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(2, 3), (1, 2)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.group_id for r in D.dedup_groups(docs, pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 7: 7, 9: 9}
+
+
+def test_dedup_groups_numeric_min_not_string_min(spark):
+    """Group label is the NUMERIC min (2), not the string min ('10')."""
+    docs = spark.createDataFrame([(2,), (10,)], "doc_id long")
+    pairs = spark.createDataFrame([(2, 10)], "id_a long, id_b long")
+    out = {r.doc_id: r.group_id for r in D.dedup_groups(docs, pairs).collect()}
+    assert out == {2: 2, 10: 2}

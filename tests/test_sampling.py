@@ -1,0 +1,71 @@
+"""Deterministic-sampling tests: reproducibility, stratified rates,
+split partitioning, rate accuracy."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekati_spark.catalog import load_table
+from ekati_spark.operators import sampling as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_hash_sample_deterministic_and_append_stable(spark, docs):
+    ids1 = {r.doc_id for r in S.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    ids2 = {r.doc_id for r in S.hash_sample(docs, "doc_id", 0.3).select("doc_id").collect()}
+    assert ids1 == ids2
+    # membership depends only on the key: sampling a subset agrees
+    sub = S.hash_sample(docs.filter(F.col("doc_id") < 100), "doc_id", 0.3)
+    assert {r.doc_id for r in sub.select("doc_id").collect()} == {
+        i for i in ids1 if i < 100
+    }
+
+
+def test_hash_sample_rate_within_tolerance(spark):
+    n = 20000
+    df = spark.range(n).withColumnRenamed("id", "k")
+    got = S.hash_sample(df, "k", 0.25).count()
+    assert abs(got / n - 0.25) < 0.02
+
+
+def test_hash_sample_rate_one_keeps_all(spark, docs):
+    assert S.hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+
+
+def test_stratified_rates_respected(spark, docs):
+    out = S.stratified_sample(
+        docs, "doc_id", "lang", {"en": 0.0}, default_rate=1.0
+    )
+    kept = out.groupBy("lang").count().collect()
+    langs = {r.lang: r["count"] for r in kept}
+    base = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert "en" not in langs
+    for lang, cnt in base.items():
+        if lang != "en":
+            assert langs[lang] == cnt
+
+
+def test_split_is_a_partition(spark, docs):
+    out = S.train_val_test_split(docs, "doc_id", 0.1, 0.1)
+    assert out.count() == docs.count()
+    counts = {r.split: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] > counts.get("val", 0)
+    # independent of the sampling draw on the same key: both splits
+    # contain sampled and unsampled rows
+    both = S.hash_sample(out, "doc_id", 0.5).groupBy("split").count().collect()
+    assert {r.split for r in both} == set(counts)
+
+
+def test_threshold_edges():
+    with pytest.raises(ValueError):
+        S._threshold(1.5)
+    assert S._threshold(1.0) == "g"
+    assert S._threshold(0.5) == "80000000"
+    with pytest.raises(ValueError):
+        S.train_val_test_split(None, "k", 0.6, 0.5)
