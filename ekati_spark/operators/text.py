@@ -120,3 +120,97 @@ def bpe_ish_tokens(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     return F.size(bpe_ish_tokens(text))
+
+
+# --- Repetition filters (Gopher-style quality signals) -----------------
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals used by Gopher/C4-style quality
+    filters: duplicate-word fraction, most-frequent-word fraction, and
+    most-frequent-bigram fraction.
+
+    Shape: posexplode tokens → window ``lead`` for bigrams (no lambda
+    HOFs in the per-token path) → per-(doc, term) counts → per-doc
+    aggregates. Every shuffle is keyed by ``doc_id`` so the op scales
+    with corpus size, not document count skew; a pathological single
+    giant doc is one task's work.
+
+    ``top_bigram_frac`` is NULL for documents with fewer than 2 tokens.
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    # bigram and its validity computed in the SAME select (a filter
+    # between two window projections would corrupt the leads)
+    rows = toks.select(
+        "id",
+        "tok",
+        F.concat_ws(" ", "tok", F.lead("tok", 1).over(w)).alias("bigram"),
+        F.lead("tok", 1).over(w).isNotNull().alias("has_bigram"),
+    )
+    wstats = (
+        rows.groupBy("id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(
+            F.sum("c").alias("n_words"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_w"),
+        )
+    )
+    bstats = (
+        rows.filter("has_bigram")
+        .groupBy("id", "bigram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bg"))
+    )
+    return wstats.join(bstats, "id", "left").select(
+        F.col("id").alias(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "dup_word_frac"
+        ),
+        F.round(F.col("top_w") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(F.col("top_bg") / F.col("n_bigrams"), 6).alias(
+            "top_bigram_frac"
+        ),
+    )
+
+
+# --- PII redaction (C4-style scrubbing) --------------------------------
+
+# RE2-compatible (no lookaround/backrefs) so the same pattern runs in
+# Java regex (Spark) and RE2 (DuckDB oracle) with identical semantics.
+PII_PATTERNS: dict[str, str] = {
+    "url": r"https?://[^\s]+",
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+_PII_ORDER = ["url", "email", "phone"]  # urls first: they may contain '@'
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind match counts (url/email/phone)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace every URL/email/phone with a typed placeholder token.
+
+    Pure per-row projection (three JVM regex passes, no shuffle, no
+    Python); order matters — URLs are scrubbed before emails so
+    'https://x.com/a@b' doesn't leave a half-redacted tail."""
+    out = text
+    for kind in _PII_ORDER:
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
+    return out

@@ -635,3 +635,79 @@ def l22_train_split(spark, sf_dir):
     return train_val_test_split(docs, "doc_id", 0.05, 0.05).select(
         "doc_id", "split"
     )
+
+
+@register(
+    "l23_repetition_stats",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    words AS (SELECT doc_id, unnest(t) AS w FROM tk),
+    wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2),
+    ws AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+             count(*) AS n_dist, max(c) AS top_w
+      FROM wc GROUP BY 1
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(t), 1)),
+                                   i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM tk
+    ),
+    bgc AS (
+      SELECT doc_id, b, count(*) AS c FROM bg
+      WHERE b IS NOT NULL GROUP BY 1, 2
+    ),
+    bgs AS (
+      SELECT doc_id, sum(c) AS n_bigrams, max(c) AS top_bg FROM bgc GROUP BY 1
+    )
+    SELECT ws.doc_id, n_words,
+           round(1.0 - CAST(n_dist AS DOUBLE) / n_words, 6) AS dup_word_frac,
+           round(CAST(top_w AS DOUBLE) / n_words, 6) AS top_word_frac,
+           round(CAST(top_bg AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac
+    FROM ws LEFT JOIN bgs ON ws.doc_id = bgs.doc_id
+    """,
+)
+def l23_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document:
+    duplicate-word fraction, top-word fraction, top-bigram fraction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.repetition_stats(docs)
+
+
+@register(
+    "l24_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INTEGER)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INTEGER)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '\\+?[0-9][0-9()\\- ]{6,}[0-9]'))
+             AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g'))
+             AS redacted_md5
+    FROM documents
+    """,
+)
+def l24_pii_redact(spark, sf_dir):
+    """C4-style PII scrubbing: count and redact URLs / emails / phone
+    numbers (RE2-compatible patterns — identical semantics in Spark's
+    Java regex and the DuckDB oracle). Redacted text compared by md5.
+    Planted-PII behavior is asserted in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = X.pii_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        c["url"].alias("n_urls"),
+        c["email"].alias("n_emails"),
+        c["phone"].alias("n_phones"),
+        F.md5(X.redact_pii(F.col("text"))).alias("redacted_md5"),
+    )

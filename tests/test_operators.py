@@ -333,3 +333,53 @@ def test_sample_frames_skips_empty_assets(spark):
     frames = sample_frames(mm, every_ms=1000).collect()
     assert {r.doc_id for r in frames} == {1}
     assert [r.frame_ms for r in frames] == [0, 1000, 2000]
+
+
+def test_pii_redaction_planted(spark):
+    from ekati_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@mail-host.org or call +1 (555) 123-4567"),
+            (2, "docs at https://ex.com/a?b=c#d and http://t.co/xyz"),
+            (3, "clean text with no identifiers at all"),
+        ],
+        "doc_id long, text string",
+    )
+    c = X.pii_counts(F.col("text"))
+    out = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            c["email"].alias("ne"),
+            c["url"].alias("nu"),
+            c["phone"].alias("np"),
+            X.redact_pii(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert (out[1].ne, out[1].np) == (1, 1)
+    assert out[2].nu == 2
+    assert (out[3].ne, out[3].nu, out[3].np) == (0, 0, 0)
+    assert "<EMAIL>" in out[1].red and "<PHONE>" in out[1].red
+    assert "jo.doe" not in out[1].red and "555" not in out[1].red
+    assert out[2].red == "docs at <URL> and <URL>"
+    assert out[3].red == "clean text with no identifiers at all"
+
+
+def test_repetition_stats_known_values(spark):
+    from ekati_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    # doc 1: 5 words, 2 distinct; bigrams: ab, ba, ab, ba -> top 2/4
+    assert out[1].n_words == 5
+    assert out[1].dup_word_frac == 0.6
+    assert out[1].top_word_frac == 0.6
+    assert out[1].top_bigram_frac == 0.5
+    # doc 2: all distinct
+    assert out[2].dup_word_frac == 0.0 and out[2].top_bigram_frac == 0.5
+    # doc 3: single word -> no bigrams
+    assert out[3].top_bigram_frac is None
