@@ -214,3 +214,49 @@ def redact_pii(text: Column) -> Column:
     for kind in _PII_ORDER:
         out = F.regexp_replace(out, PII_PATTERNS[kind], f"<{kind.upper()}>")
     return out
+
+
+# --- Sequence packing (training-batch assembly) ------------------------
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences.
+
+    Contiguous greedy packing: docs are ordered by id within a
+    deterministic hash bucket; a doc joins the pack where its running
+    token offset starts (packs may overrun the budget by < one doc — the
+    standard "pack then truncate" training shape). Returns
+    ``(doc_id, bucket, pack_id, n_tokens, tok_offset)`` where
+    ``tok_offset`` is the doc's start inside its bucket stream.
+
+    The bucket bounds the ordering scope: each bucket packs
+    independently in one task (window partitioned by bucket), so at
+    100 TB this is ``n_buckets``-way parallel instead of a
+    single-partition global sort. Determinism: bucket = pmod(id, n),
+    order = id — stable across runs/engines, no RNG.
+    """
+    from pyspark.sql import Window as W
+
+    nt = docs.select(
+        F.col(id_col),
+        F.pmod(F.col(id_col), F.lit(n_buckets)).alias("bucket"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("bucket")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    off = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return nt.select(
+        id_col,
+        "bucket",
+        F.floor(off / budget).alias("pack_id"),
+        "n_tokens",
+        off.alias("tok_offset"),
+    )

@@ -711,3 +711,33 @@ def l24_pii_redact(spark, sf_dir):
         c["phone"].alias("n_phones"),
         F.md5(X.redact_pii(F.col("text"))).alias("redacted_md5"),
     )
+
+
+@register(
+    "l25_pack_sequences",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id, doc_id % 64 AS bucket,
+             CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CAST(floor(coalesce(sum(n_tokens) OVER (
+                  PARTITION BY bucket ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / 2048) AS BIGINT) AS pack_id,
+           n_tokens,
+           coalesce(sum(n_tokens) OVER (
+             PARTITION BY bucket ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS tok_offset
+    FROM nt
+    """,
+)
+def l25_pack_sequences(spark, sf_dir):
+    """Training-sequence packing: deterministic bucketed greedy packing
+    of documents into 2048-token budgets (window running sum per hash
+    bucket — n_buckets-way parallel, no global sort)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.pack_sequences(docs, budget=2048, n_buckets=64)

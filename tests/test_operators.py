@@ -383,3 +383,25 @@ def test_repetition_stats_known_values(spark):
     assert out[2].dup_word_frac == 0.0 and out[2].top_bigram_frac == 0.5
     # doc 3: single word -> no bigrams
     assert out[3].top_bigram_frac is None
+
+
+def test_pack_sequences_invariants(spark):
+    from ekati_spark.operators import text as X
+
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (10 + i))) for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = X.pack_sequences(df, budget=30, n_buckets=4).collect()
+    assert len(out) == 20
+    by_bucket = {}
+    for r in sorted(out, key=lambda r: (r.bucket, r.doc_id)):
+        assert r.bucket == r.doc_id % 4
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for rows in by_bucket.values():
+        # offsets are the exclusive running sum within the bucket
+        cum = 0
+        for r in rows:
+            assert r.tok_offset == cum
+            assert r.pack_id == cum // 30
+            cum += r.n_tokens
