@@ -6,7 +6,8 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed to completion (collect/count) once after a session
 warm-up; times are wall-clock per query. The set spans every operator
 family: scan-agg, multi-join, window, as-of, traversal, dedup (exact +
-MinHash-LSH), similarity top-k, text stats, streaming-shaped windows.
+MinHash-LSH + transitive group resolution), similarity top-k, text stats,
+repetition quality filters, sequence packing, streaming-shaped windows.
 """
 
 from __future__ import annotations
@@ -29,6 +30,9 @@ HEADLINE = [
     "l03_minhash_lsh_pairs",
     "l06_knn_bruteforce",
     "l08_text_stats",
+    "l20_dedup_groups",
+    "l23_repetition_stats",
+    "l25_pack_sequences",
     "st01_tumbling_window",
     "st03_session_window",
 ]

@@ -75,12 +75,18 @@ def ngram_jaccard_pairs(
     Shingle-inverted-index self-join: pairs only meet where they share a
     shingle, so cost is ∝ Σ bucket², not n² — rare shingles keep buckets
     small; a stopword-shingle cap would bound hot buckets at 100 TB.
+
+    Shingle rows come from the explode+window shape, not the
+    ``shingles()`` array: exploding the interpreted ``transform`` makes
+    the generator's inferred pre-filters (size>0, isnotnull) re-evaluate
+    the whole lambda per row — with the tokenizing ``split`` re-run for
+    every ``element_at`` — measured ~25x slower than the window form.
     """
-    sh = docs.select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), n).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
-    ex = sh.select("id", "sz", F.explode("sh").alias("g"))
+    rows = shingle_rows(docs, n, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
+    ex = rows.join(sz, "id")
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
@@ -108,21 +114,20 @@ def _minhash_perm(h: Column, seed: int) -> Column:
     return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)
 
 
-def shingle_hash_rows(
+def shingle_rows(
     docs: DataFrame,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Distinct hashed word-n-gram shingles, exploded: ``(id, h)`` with
-    ``h = pmod(xxhash64(gram), 2^31-1)``.
+    """Distinct word-n-gram shingles, exploded: ``(id, g)`` string rows.
 
-    Built as posexplode(tokens) -> window ``lead`` -> hash: the array
+    Built as posexplode(tokens) -> window ``lead`` -> concat: the array
     higher-order functions (`transform` lambdas) are evaluated interpreted
-    row-at-a-time and dominate wall-clock for long documents; explode +
-    window + hash stays in whole-stage codegen. One shuffle on ``id`` for
-    the window, one for the distinct. Set semantics (distinct) match
-    ``shingles``'s ``array_distinct``.
+    row-at-a-time and dominate wall-clock; explode + window + concat stays
+    in whole-stage codegen. One shuffle on ``id`` for the window, one for
+    the distinct. Set semantics (distinct) match ``shingles``'s
+    ``array_distinct``; docs with fewer than ``n`` tokens yield no rows.
     """
     from pyspark.sql import Window as W
 
@@ -140,12 +145,23 @@ def shingle_hash_rows(
     # expressions makes the second window run over the *filtered* rows
     # (leads then skip the removed tail and produce truncated grams).
     return (
-        toks.select("id", gram.alias("gram"), parts[-1].alias("last"))
+        toks.select("id", gram.alias("g"), parts[-1].alias("last"))
         .filter(F.col("last").isNotNull())
-        .select(
-            "id", F.pmod(F.xxhash64("gram"), F.lit(MERSENNE_31)).alias("h")
-        )
+        .select("id", "g")
         .distinct()
+    )
+
+
+def shingle_hash_rows(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct hashed word-n-gram shingles, exploded: ``(id, h)`` with
+    ``h = pmod(xxhash64(gram), 2^31-1)``. See ``shingle_rows``."""
+    return shingle_rows(docs, n, text_col, id_col).select(
+        "id", F.pmod(F.xxhash64("g"), F.lit(MERSENNE_31)).alias("h")
     )
 
 

@@ -75,8 +75,9 @@ def stratified_sample(
     languages, keep the tail): ``rates`` maps stratum value → keep rate.
 
     One narrow filter — the per-stratum threshold is a CASE expression,
-    so no join, no shuffle, and Catalyst pushes the whole predicate into
-    the scan.
+    so no join and no shuffle; the predicate evaluates in the scan stage
+    (md5 isn't a parquet-pushable filter, but it never leaves the task
+    that read the row).
     """
     thr = F.lit(_threshold(default_rate))
     for value, rate in sorted(rates.items()):
