@@ -20,7 +20,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """a · b. With ``dim``, an unrolled element_at sum that stays in
+    whole-stage codegen (the zip_with/aggregate lambdas are interpreted
+    row-at-a-time — ~100x slower in pair-join hot paths). Only pass
+    ``dim`` for MATERIALIZED array columns (scan/shuffle output): over a
+    lambda-HOF expression each element_at would re-evaluate the lambda.
+    Both forms accumulate left-to-right in double, so results are
+    bit-identical to each other and to the DuckDB oracles."""
+    if dim:
+        return _fold_sum(
+            _el(a, k) * _el(b, k) for k in range(1, dim + 1)
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -28,18 +39,39 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
+    if dim:
+        return F.sqrt(
+            _fold_sum(_el(a, k) * _el(a, k) for k in range(1, dim + 1))
+        )
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """NULL (not an ANSI DIVIDE_BY_ZERO abort) when either vector has
     zero norm; null scores drop out of every threshold/top-k filter."""
-    return F.try_divide(dot(a, b), norm(a) * norm(b))
+    return F.try_divide(dot(a, b, dim), norm(a, dim) * norm(b, dim))
+
+
+def _el(a: Column, k: int) -> Column:
+    return F.element_at(a, k).cast("double")
+
+
+def _fold_sum(terms) -> Column:
+    out = None
+    for t in terms:
+        out = t if out is None else out + t
+    return out
 
 
 def _as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Embedding dimensionality, read from the data (one-row job)."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    return int(row.d) if row else 0
 
 
 def brute_force_topk(
@@ -57,16 +89,23 @@ def brute_force_topk(
     6 decimals before ranking so ordering is reproducible across engines;
     rank ties break by neighbor id.
     """
+    dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nv"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(query_vec_col)).alias("qv"),
+        F.col(query_vec_col).alias("qv"),
+        norm(F.col(query_vec_col), dim).alias("nq"),
+    )
+    cos = F.try_divide(
+        dot(F.col("qv"), F.col("v"), dim), F.col("nq") * F.col("nv")
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("cosine", F.round(cos, 6))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -128,11 +167,14 @@ def ann_lsh_buckets(
         first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(first.d) if first else 0
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nv"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(query_vec_col)).alias("qv"),
+        F.col(query_vec_col).alias("qv"),
+        norm(F.col(query_vec_col), dim).alias("nq"),
     )
     buckets_c = F.array(
         *[
@@ -156,12 +198,15 @@ def ann_lsh_buckets(
             (F.col("c_bucket") == F.col("q_bucket"))
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "qv", "neighbor_id", "v")
+        .select("query_id", "qv", "nq", "neighbor_id", "v", "nv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("v")), 6)
-    ).select("query_id", "neighbor_id", "cosine")
+    cos = F.try_divide(
+        dot(F.col("qv"), F.col("v"), dim), F.col("nq") * F.col("nv")
+    )
+    scored = cand.withColumn("cosine", F.round(cos, 6)).select(
+        "query_id", "neighbor_id", "cosine"
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -198,19 +243,24 @@ def ivf_topk(
     Recall < 1 by construction; tested against ``brute_force_topk``.
     """
     spark = corpus.sparkSession
+    dim = _infer_dim(corpus, vec_col)
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("v")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nv"),
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        _as_double(F.col(query_vec_col)).alias("qv"),
+        F.col(query_vec_col).alias("qv"),
+        norm(F.col(query_vec_col), dim).alias("nq"),
     )
 
     def sq_l2(a: Column, b: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        # unrolled codegen form; operands are materialized columns
+        # (post-join rows / broadcast centroids), never HOF expressions
+        return _fold_sum(
+            (_el(a, k) - _el(b, k)) * (_el(a, k) - _el(b, k))
+            for k in range(1, dim + 1)
         )
 
     def cents_df(cents: list[list[float]]):
@@ -245,6 +295,7 @@ def ivf_topk(
             .agg(
                 F.min_by("list_id", "d").alias("list_id"),
                 F.first("v").alias("v"),
+                F.first("nv").alias("nv"),
             )
         )
 
@@ -274,7 +325,7 @@ def ivf_topk(
         .withColumn("d", sq_l2(F.col("qv"), F.col("cent")))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
-        .select("query_id", "qv", "list_id")
+        .select("query_id", "qv", "nq", "list_id")
     )
 
     cand = (
@@ -283,12 +334,15 @@ def ivf_topk(
             (assigned.list_id == qp.list_id)
             & (F.col("neighbor_id") != F.col("query_id")),
         )
-        .select("query_id", "qv", "neighbor_id", "v")
+        .select("query_id", "qv", "nq", "neighbor_id", "v", "nv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("v")), 6)
-    ).select("query_id", "neighbor_id", "cosine")
+    cos = F.try_divide(
+        dot(F.col("qv"), F.col("v"), dim), F.col("nq") * F.col("nv")
+    )
+    scored = cand.withColumn("cosine", F.round(cos, 6)).select(
+        "query_id", "neighbor_id", "cosine"
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
