@@ -17,7 +17,10 @@ per-bucket problems with shuffle ∝ corpus size, not corpus².
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window as W, functions as F
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -89,19 +92,21 @@ def brute_force_topk(
     6 decimals before ranking so ordering is reproducible across engines;
     rank ties break by neighbor id.
     """
-    dim = _infer_dim(corpus, vec_col)
+    # zip_with dot + PRE-JOIN norms: the non-equi query⋈corpus join plans
+    # as BroadcastNestedLoopJoin, whose surrounding expressions evaluate
+    # interpreted — there an unrolled element_at tree is ~4x SLOWER than
+    # the zip_with loop, and precomputing per-vector norms (one codegen'd
+    # scan-side projection) leaves only the dot per pair
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("nv"),
-    )
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qv"),
-        norm(F.col(query_vec_col), dim).alias("nq"),
-    )
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    ).withColumn("nq", norm(F.col("qv")))
     cos = F.try_divide(
-        dot(F.col("qv"), F.col("v"), dim), F.col("nq") * F.col("nv")
+        dot(F.col("qv"), F.col("v")), F.col("nq") * F.col("nv")
     )
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
@@ -117,8 +122,6 @@ def brute_force_topk(
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (driver-side)."""
-    import numpy as np
-
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim)).tolist()
 
@@ -176,22 +179,29 @@ def ann_lsh_buckets(
         F.col(query_vec_col).alias("qv"),
         norm(F.col(query_vec_col), dim).alias("nq"),
     )
-    buckets_c = F.array(
-        *[
-            lsh_bucket(F.col("v"), _hyperplanes(dim, n_planes, seed + t))
-            + (t << 32)
-            for t in range(n_tables)
-        ]
-    )
-    buckets_q = F.array(
-        *[
-            lsh_bucket(F.col("qv"), _hyperplanes(dim, n_planes, seed + t))
-            + (t << 32)
-            for t in range(n_tables)
-        ]
-    )
-    ce = c.withColumn("c_bucket", F.explode(buckets_c))
-    qe = q.withColumn("q_bucket", F.explode(buckets_q))
+    # bucket assignment as ONE vectorized Arrow UDF: n_tables×n_planes
+    # plane dots per row via numpy matmul. The literal-expression form
+    # (48 zip_with dots per row) is interpreted and was ~10x slower; an
+    # unrolled form is a ~9000-node projection that stalls Catalyst
+    # analysis. Buckets only gate candidate RECALL, so the UDF's
+    # summation order is not correctness-bearing (scoring still uses the
+    # bit-exact JVM path).
+    P = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (n_tables, n_planes, dim)
+    offs = (np.arange(n_tables, dtype=np.int64) << 32)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        A = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        # (n, n_tables, n_planes) sign bits -> per-table bucket ids
+        s = np.einsum("nd,tpd->ntp", A, P) > 0
+        ids = (s * weights).sum(axis=2) + offs
+        return pd.Series(list(ids))
+
+    ce = c.withColumn("c_bucket", F.explode(bucket_ids("v")))
+    qe = q.withColumn("q_bucket", F.explode(bucket_ids("qv")))
     cand = (
         ce.join(
             F.broadcast(qe),
