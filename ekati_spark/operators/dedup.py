@@ -297,25 +297,40 @@ def dedup_groups(
     finders (ngram_jaccard_pairs, minhash_lsh_pairs, simhash_pairs,
     embedding_dup_pairs), so the grouping is strategy-agnostic.
 
-    Implementation: min-label propagation (graph.algorithms.
-    connected_components) over the pair edges only — at 100 TB the
-    iteration touches the (tiny) dup subgraph, never the full corpus;
-    the corpus joins in once at the end to label singletons. Ids ride
-    through the string-keyed CC kernel zero-padded so string min ==
-    numeric min.
+    Implementation: alternating large-star/small-star components
+    (graph.algorithms.connected_components_star — O(log² n) rounds
+    regardless of cluster diameter; min-label propagation stalls at
+    max_iter on chain-shaped clusters, the canonical near-dup shape)
+    over the pair edges only — at 100 TB the iteration touches the
+    (tiny) dup subgraph, never the full corpus; the corpus joins in
+    once at the end to label singletons. Ids ride through the
+    string-keyed CC kernel as bias-encoded fixed-width decimals
+    (id + 2^63, zero-padded) so string order == numeric order for the
+    FULL long range including negatives (plain zero-padding would both
+    abort the cast on '-' and sort negatives wrongly).
     """
-    from ekati_spark.graph.algorithms import connected_components
+    from ekati_spark.graph.algorithms import connected_components_star
 
-    pad = lambda c: F.lpad(F.col(c).cast("string"), 20, "0")  # noqa: E731
+    dec = "decimal(20,0)"
+    # 2^63 exceeds the py4j long protocol — ship the bias as a string
+    bias = F.lit(str(1 << 63)).cast(dec)
+
+    def pad(c: str) -> Column:
+        biased = (F.col(c).cast(dec) + bias).cast(dec)
+        return F.lpad(biased.cast("string"), 20, "0")
+
+    def unpad(c: str) -> Column:
+        return (F.col(c).cast(dec) - bias).cast("long")
+
     # materialize the pair edges ONCE: the CC kernel consumes its edge
     # plan twice (undirected closure + node seed), which would re-run
     # the full pair-finding pipeline (shingle joins) each time
     edges = pairs.select(
         pad("id_a").alias("src"), pad("id_b").alias("dst")
     ).localCheckpoint(eager=True)
-    comp = connected_components(edges).select(
-        F.col("node_id").cast("long").alias(id_col),
-        F.col("component").cast("long").alias("__grp"),
+    comp = connected_components_star(edges).select(
+        unpad("node_id").alias(id_col),
+        unpad("component").alias("__grp"),
     )
     return docs.select(id_col).join(comp, id_col, "left").select(
         F.col(id_col),
@@ -428,9 +443,18 @@ def embedding_dup_pairs(
     import numpy as np
     import pandas as pd
 
+    from ekati_spark.operators.similarity import _infer_dim
+
     B = n_blocks
+    dim = _infer_dim(emb, vec_col)
     blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B))
-    v = emb.select(
+    # NULL or off-dimension vectors: the SQL path yielded NULL cosine
+    # (zip_with null-pads) and the pair dropped below any threshold;
+    # np.stack would instead abort the job, so drop those rows up front
+    # (vectors of the inferred dim behave identically to before)
+    v = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), blk.alias("blk")
     )
     left = v.select(

@@ -50,9 +50,10 @@ def _threshold(rate: float) -> str:
 
 def sample_predicate(key: Column, rate: float, salt: str = "") -> Column:
     """Boolean column: deterministically keep ~``rate`` of rows by key."""
+    thr = _threshold(rate)  # validates range even when short-circuiting
     if rate >= 1.0:
         return F.lit(True)
-    return _hex_prefix(key, salt) < F.lit(_threshold(rate))
+    return _hex_prefix(key, salt) < F.lit(thr)
 
 
 def hash_sample(

@@ -64,7 +64,9 @@ def _fold_sum(terms) -> Column:
     out = None
     for t in terms:
         out = t if out is None else out + t
-    return out
+    # dim=0 (empty corpus / degenerate inference) folds zero terms — an
+    # empty sum, not a None column
+    return F.lit(0.0) if out is None else out
 
 
 def _as_double(vec: Column) -> Column:
@@ -72,9 +74,16 @@ def _as_double(vec: Column) -> Column:
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
-    """Embedding dimensionality, read from the data (one-row job)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    return int(row.d) if row else 0
+    """Embedding dimensionality, read from the data: the max size over a
+    null-skipping sample row set would still be one arbitrary row's dim,
+    so take the modal contract instead — the first NON-NULL vector's
+    size (one small job). 0 for an empty / all-null column."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .first()
+    )
+    return int(row.d) if row and row.d is not None else 0
 
 
 def brute_force_topk(
@@ -167,14 +176,21 @@ def ann_lsh_buckets(
         # read the true dimension from the data: a mismatched dim makes
         # zip_with null-pad, every dot product NULL, and all vectors land
         # in one bucket — silently degenerating LSH to a cross join
-        first = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
-        dim = int(first.d) if first else 0
-    c = corpus.select(
+        dim = _infer_dim(corpus, vec_col)
+    # NULL / off-dimension vectors would abort np.stack (bucket UDF) and
+    # ANSI element_at (unrolled norm); the old lambda path scored them
+    # NULL and dropped them — filter up front for the same outcome
+    c = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col), dim).alias("nv"),
     )
-    q = queries.select(
+    q = queries.filter(
+        F.col(query_vec_col).isNotNull()
+        & (F.size(F.col(query_vec_col)) == dim)
+    ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
         norm(F.col(query_vec_col), dim).alias("nq"),
@@ -254,12 +270,19 @@ def ivf_topk(
     """
     spark = corpus.sparkSession
     dim = _infer_dim(corpus, vec_col)
-    c = corpus.select(
+    # same guard as ann_lsh_buckets: NULL / off-dimension vectors would
+    # abort the unrolled ANSI element_at paths instead of scoring NULL
+    c = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col), dim).alias("nv"),
     )
-    q = queries.select(
+    q = queries.filter(
+        F.col(query_vec_col).isNotNull()
+        & (F.size(F.col(query_vec_col)) == dim)
+    ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
         norm(F.col(query_vec_col), dim).alias("nq"),
@@ -281,12 +304,15 @@ def ivf_topk(
             )
         )
 
-    # deterministic init: the n_lists corpus vectors with smallest seeded
-    # xxhash of their id -- stable across partitionings
+    # deterministic init: the n_lists (valid) corpus vectors with
+    # smallest seeded xxhash of their id -- stable across partitionings;
+    # drawn from the filtered side so a NULL vector can't seed a centroid
     init = (
-        corpus.select(
-            _as_double(F.col(vec_col)).alias("v"),
-            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
+        c.select(
+            "v",
+            F.xxhash64(F.col("neighbor_id").cast("string"), F.lit(seed)).alias(
+                "h"
+            ),
         )
         .orderBy("h")
         .limit(n_lists)

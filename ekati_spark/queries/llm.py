@@ -51,8 +51,8 @@ def l01_dedup_exact(spark, sf_dir):
                  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
              AS jaccard
     FROM sh a JOIN sh b ON a.id < b.id
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.1
     """,
 )
 def l02_ngram_jaccard_pairs(spark, sf_dir):
@@ -562,7 +562,8 @@ def l19_quantize_embeddings(spark, sf_dir):
       FROM inter
       JOIN (SELECT id, len(sh) AS sz FROM sh) sa ON sa.id = id_a
       JOIN (SELECT id, len(sh) AS sz FROM sh) sb ON sb.id = id_b
-      WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.05
+      WHERE round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 6)
+            >= 0.05
     ),
     und AS MATERIALIZED (
       SELECT id_a AS s, id_b AS d FROM pairs

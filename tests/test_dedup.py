@@ -154,3 +154,35 @@ def test_dedup_groups_numeric_min_not_string_min(spark):
     pairs = spark.createDataFrame([(2, 10)], "id_a long, id_b long")
     out = {r.doc_id: r.group_id for r in D.dedup_groups(docs, pairs).collect()}
     assert out == {2: 2, 10: 2}
+
+
+def test_dedup_groups_long_chain_converges(spark):
+    """A 26-node chain (diameter > min-label's 20-iteration budget) must
+    still resolve to ONE group — star CC is diameter-independent."""
+    docs = spark.createDataFrame([(i,) for i in range(26)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(25)], "id_a long, id_b long"
+    )
+    out = {r.doc_id: r.group_id for r in D.dedup_groups(docs, pairs).collect()}
+    assert out == {i: 0 for i in range(26)}
+
+
+def test_dedup_groups_negative_ids(spark):
+    docs = spark.createDataFrame([(-5,), (3,), (7,)], "doc_id long")
+    pairs = spark.createDataFrame([(-5, 3)], "id_a long, id_b long")
+    out = {r.doc_id: r.group_id for r in D.dedup_groups(docs, pairs).collect()}
+    assert out == {-5: -5, 3: -5, 7: 7}
+
+
+def test_embedding_dup_pairs_tolerates_null_and_ragged(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, None),
+            (4, [1.0, 0.0, 0.5]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r.id_a, r.id_b) for r in D.embedding_dup_pairs(df, 0.99).collect()}
+    assert pairs == {(1, 2)}

@@ -69,3 +69,10 @@ def test_threshold_edges():
     assert S._threshold(0.5) == "80000000"
     with pytest.raises(ValueError):
         S.train_val_test_split(None, "k", 0.6, 0.5)
+
+
+def test_out_of_range_rate_raises_everywhere(spark, docs):
+    with pytest.raises(ValueError):
+        S.hash_sample(docs, "doc_id", 1.5).count()
+    with pytest.raises(ValueError):
+        S.sample_predicate(F.col("doc_id"), -0.1)

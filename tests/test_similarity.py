@@ -97,3 +97,30 @@ def test_ivf_tiny_corpus(spark):
     )
     out = S.ivf_topk(emb, q, k=3, n_lists=16, n_probe=8, kmeans_iters=1)
     assert out.count() > 0
+
+
+def test_ann_lsh_tolerates_null_and_ragged(spark):
+    from pyspark.sql import functions as F
+    from ekati_spark.operators.similarity import ann_lsh_buckets
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [1.0, 0.1]), (3, None), (4, [1.0, 0.0, 0.5])],
+        "vec_id long, embedding array<float>",
+    )
+    q = df.filter(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = ann_lsh_buckets(df, q, k=2, n_planes=2)
+    assert {r.neighbor_id for r in out.collect()} <= {2}
+
+
+def test_ivf_empty_corpus_returns_empty(spark):
+    from pyspark.sql import functions as F
+    from ekati_spark.operators.similarity import ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    q = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    assert ivf_topk(empty, q, k=3).count() == 0
