@@ -124,3 +124,30 @@ def st06_stream_stream_join(spark, sf_dir):
     watermark-bounded join state is exercised in tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return ops.stream_stream_join(ev)
+
+
+@register(
+    "st07_stream_curation",
+    oracle="""
+    SELECT doc_id, lang,
+           CAST(len(string_split_regex(trim(lower(text)), ' +')) AS INTEGER)
+             AS n_tokens,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g'))
+             AS redacted_md5
+    FROM documents
+    WHERE len(string_split_regex(trim(lower(text)), ' +')) BETWEEN 20 AND 400
+      AND CAST(len(list_distinct(string_split_regex(trim(lower(text)), ' +')))
+          AS DOUBLE) / len(string_split_regex(trim(lower(text)), ' +')) > 0.3
+    """,
+)
+def st07_stream_curation(spark, sf_dir):
+    """Streaming-shaped curation pipeline: quality gate (length band +
+    distinct-token ratio) -> PII redaction -> token count. Stateless
+    per-row maps, so the identical plan runs under readStream with
+    batch-equal results (asserted in tests/test_streaming.py); the
+    oracle checks the batch run."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ops.curation_map(docs)

@@ -225,3 +225,39 @@ def run_to_memory(stream_df: DataFrame, name: str, mode: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table as a file stream (the source takes the sf
+    DIRECTORY + a glob — FileStreamSource rejects a bare file path)."""
+    from ekati_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def curation_map(docs: DataFrame) -> DataFrame:
+    """Stateless curation pipeline (quality gate -> PII redaction ->
+    token count) — identical semantics batch and streaming, no state,
+    no watermark, scan-local at any scale."""
+    from ekati_spark.operators import text as X
+
+    t = F.col("text")
+    n_tok = X.token_count(t)
+    return (
+        docs.filter(
+            n_tok.between(20, 400) & (X.distinct_token_ratio(t) > 0.3)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            n_tok.alias("n_tokens"),
+            F.md5(X.redact_pii(t)).alias("redacted_md5"),
+        )
+    )

@@ -125,3 +125,12 @@ def test_foreach_batch_parquet_sink(spark, ev_stream, tmp_path):
     got = spark.read.parquet(out)
     batch = ops.tumbling_counts(load_table(spark, "/root/testdata/sf0.001", "events"))
     assert got.count() == batch.count()
+
+
+def test_stream_curation_equals_batch(spark, sf_dir):
+    batch = ops.curation_map(load_table(spark, sf_dir, "documents"))
+    sdf = ops.curation_map(ops.documents_stream(spark, sf_dir))
+    got = _run(spark, sdf, "curation_t", "append")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
