@@ -258,13 +258,15 @@ def ivf_topk(
     corpus vector to its nearest centroid list; each query probes its
     ``n_probe`` nearest lists and scores only those candidates.
 
-    Centroids are *data* (a broadcast n_lists-row DataFrame), not
-    unrolled literal expressions — assignment is corpus x centroids
-    crossJoin + ``min_by`` (one zip_with distance per pair; an unrolled
-    argmin over n_lists x dim literals made Catalyst analysis dominate
-    wall-clock). Refinement collects k x dim scalars per iteration, never
-    data. At 100 TB the corpus would be written list-partitioned so a
-    probe is partition pruning.
+    Centroids live in the UDF closure as a numpy matrix; assignment and
+    each Lloyd step are ONE ``mapInPandas`` job emitting per-partition
+    partial sums (the tree-aggregate shape — k x dim scalars reach the
+    driver, never data). Two earlier formulations were measured and
+    rejected: unrolled argmin literal trees stall Catalyst analysis, and
+    crossJoin + ``min_by`` puts the distance expression above a
+    CartesianProduct, where it evaluates interpreted (no codegen). At
+    100 TB the corpus would be written list-partitioned so a probe is
+    partition pruning.
 
     Recall < 1 by construction; tested against ``brute_force_topk``.
     """
@@ -323,35 +325,73 @@ def ivf_topk(
     n_lists = len(centroids)
     n_probe = min(n_probe, n_lists)
 
-    def assign(cents: list[list[float]]):
-        return (
-            c.crossJoin(cents_df(cents))
-            .withColumn("d", sq_l2(F.col("v"), F.col("cent")))
-            .groupBy("neighbor_id")
-            .agg(
-                F.min_by("list_id", "d").alias("list_id"),
-                F.first("v").alias("v"),
-                F.first("nv").alias("nv"),
+    def _nearest(A: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+        # argmin_j ||a - c_j||²; the ||a||² term is constant per row, so
+        # -2aC^T + ||c||² suffices. First-min tie-break = lowest list_id.
+        d = -2.0 * (A @ C.T) + (C * C).sum(axis=1)
+        return np.argmin(d, axis=1)
+
+    def refine(cents: list[list[float]]):
+        """One Lloyd step as a single job: per-partition partial sums
+        (count + vector sum per list) via mapInPandas — the
+        tree-aggregate shape; k×dim scalars reach the driver, never
+        data. (The crossJoin+min_by formulation put the distance
+        expression above a CartesianProduct, where it evaluates
+        interpreted — no codegen.)"""
+        C = np.asarray(cents, dtype=np.float64)
+
+        def partials(batches):
+            cnt = np.zeros(len(C), dtype=np.int64)
+            sums = np.zeros_like(C)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                lbl = _nearest(A, C)
+                np.add.at(cnt, lbl, 1)
+                np.add.at(sums, lbl, A)
+            if not seen:
+                return
+            yield pd.DataFrame(
+                {
+                    "list_id": np.arange(len(C), dtype=np.int64),
+                    "cnt": cnt,
+                    "sums": list(sums),
+                }
             )
-        )
+
+        rows = c.select("v").mapInPandas(
+            partials, "list_id long, cnt long, sums array<double>"
+        ).collect()
+        cnt = np.zeros(len(C), dtype=np.int64)
+        sums = np.zeros_like(C)
+        for r in rows:
+            cnt[r.list_id] += r.cnt
+            sums[r.list_id] += np.asarray(r.sums)
+        return [
+            (sums[i] / cnt[i]).tolist() if cnt[i] else cents[i]
+            for i in range(len(C))
+        ]
 
     for _ in range(kmeans_iters):
-        agg = (
-            assign(centroids)
-            .select("list_id", F.posexplode("v").alias("dim", "x"))
-            .groupBy("list_id", "dim")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("list_id")
-            .agg(
-                F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("dm")
-            )
-            .select("list_id", F.transform("dm", lambda s: s.m).alias("c"))
-            .collect()
-        )
-        new = {r.list_id: list(r.c) for r in agg}
-        centroids = [new.get(i, centroids[i]) for i in range(n_lists)]
+        centroids = refine(centroids)
 
-    assigned = assign(centroids)
+    Cfinal = np.asarray(centroids, dtype=np.float64)
+
+    def assign_map(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            out = pdf[["neighbor_id", "v", "nv"]].copy()
+            out["list_id"] = _nearest(A, Cfinal)
+            yield out
+
+    assigned = c.mapInPandas(
+        assign_map, "neighbor_id long, v array<float>, nv double, list_id long"
+    )
 
     # query -> its n_probe nearest lists (same crossJoin shape; queries
     # are few, centroids broadcast)
