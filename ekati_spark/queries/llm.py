@@ -742,3 +742,24 @@ def l25_pack_sequences(spark, sf_dir):
     bucket — n_buckets-way parallel, no global sort)."""
     docs = load_table(spark, sf_dir, "documents")
     return X.pack_sequences(docs, budget=2048, n_buckets=64)
+
+
+@register("l26_dedup_keep_one")
+def l26_dedup_keep_one(spark, sf_dir):
+    """End-to-end SCALE-PATH dedup: MinHash-LSH candidate pairs (cost ∝
+    candidates, not n²) -> transitive group resolution (star CC over the
+    pair subgraph) -> keep the min-id doc per group, reporting group
+    size. This is the full corpus-dedup artifact a training pipeline
+    consumes. Rows-only check (xxhash-dependent via LSH); the exact
+    twin of each stage is oracle-checked (l03-recall in pytest, l20)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(docs, threshold=0.1, num_hashes=64, bands=32)
+    groups = D.dedup_groups(docs, pairs)
+    return (
+        groups.groupBy("group_id")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("group_id").alias("kept_doc_id"),
+            F.col("n_docs"),
+        )
+    )
