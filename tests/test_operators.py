@@ -405,3 +405,29 @@ def test_pack_sequences_invariants(spark):
             assert r.tok_offset == cum
             assert r.pack_id == cum // 30
             cum += r.n_tokens
+
+
+def test_embedding_dup_pairs_plan_shape(spark):
+    """Perf contract: pair scoring runs in the grouped Arrow UDF, never
+    in a nested-loop join condition (which evaluates interpreted)."""
+    from ekati_spark.operators.dedup import embedding_dup_pairs
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    plan = embedding_dup_pairs(df, 0.9)._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_pairs_plan_has_no_interpreted_transform(spark):
+    """Perf contract: the shingle pipeline is explode+window, no lambda
+    HOFs (transform/aggregate) anywhere in the pair plan."""
+    from ekati_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string"
+    )
+    plan = ngram_jaccard_pairs(df, 0.1)._jdf.queryExecution().toString()
+    assert "lambdafunction" not in plan
