@@ -129,3 +129,44 @@ def sample_frames(
         )
         .select(id_col, "frame_ms", "media")
     )
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    fake: bool = True,
+    batch_col: str = "content",
+) -> DataFrame:
+    """Resize plumbing: content binary -> resized binary + updated typed
+    metadata (media.width/height reflect the target size).
+
+    mapInPandas with the real Arrow batch shape; the pixel work is the
+    container-stub (deterministic size-proportional truncate/pad when
+    ``fake``, NotImplementedError otherwise — a deployment drops in
+    PIL/cv2 here without touching the Spark plumbing). Per-row
+    independent, so it scales linearly with partitions at 100 TB.
+    """
+    out_schema = df.schema
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(1, (width * height) // 64)
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resizing needs an image library absent "
+                    "from this environment; pass fake=True for the "
+                    "deterministic stub"
+                )
+            out = pdf.copy()
+            out[batch_col] = [
+                (b or b"")[:target].ljust(target, b"\0")
+                for b in pdf[batch_col]
+            ]
+            out["media"] = [
+                {**(m or {}), "width": width, "height": height}
+                for m in pdf["media"]
+            ]
+            yield out
+
+    return df.mapInPandas(op, schema=out_schema)

@@ -431,3 +431,27 @@ def test_ngram_pairs_plan_has_no_interpreted_transform(spark):
     )
     plan = ngram_jaccard_pairs(df, 0.1)._jdf.queryExecution().toString()
     assert "lambdafunction" not in plan
+
+
+def test_resize_images_updates_bytes_and_metadata(spark):
+    from ekati_spark.operators.multimodal import resize_images
+
+    df = spark.createDataFrame(
+        [(1, b"x" * 500), (2, b"y" * 10)], "doc_id long, payload binary"
+    )
+    mm = with_media_columns(df, "payload").withColumn(
+        "media",
+        F.struct(
+            F.lit("image/fake").alias("mime"),
+            F.lit(640).cast("int").alias("width"),
+            F.lit(480).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ),
+    )
+    out = {r.doc_id: r for r in resize_images(mm, 64, 64).collect()}
+    assert all(len(r.content) == 64 for r in out.values())
+    assert all(
+        (r.media.width, r.media.height) == (64, 64) for r in out.values()
+    )
+    assert out[2].content.endswith(b"\0")
