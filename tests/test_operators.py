@@ -455,3 +455,26 @@ def test_resize_images_updates_bytes_and_metadata(spark):
         (r.media.width, r.media.height) == (64, 64) for r in out.values()
     )
     assert out[2].content.endswith(b"\0")
+
+
+def test_hll_sketch_rollup_error_bound(spark, sf_dir):
+    """Merged-sketch estimates stay within 5% of exact distinct counts."""
+    import ekati_spark.queries.relational as R
+    from ekati_spark.queries import REGISTRY
+
+    est = {
+        r.n_regionkey: r.approx_customers
+        for r in REGISTRY["r47_hll_sketch_rollup"].fn(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    exact = {
+        r.n_regionkey: r.ex
+        for r in cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("ex"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, ex in exact.items():
+        assert abs(est[k] - ex) <= max(1, 0.05 * ex)
