@@ -284,3 +284,34 @@ def personalized_page_rank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+    """The k-core: the maximal subgraph where every node has degree ≥ k
+    (undirected, dedup-ed edges). Iterative peeling: drop nodes with
+    degree < k, recompute degrees on the induced subgraph, repeat to
+    fixpoint — the standard distributed formulation; rounds ≤ the
+    degeneracy ordering depth, each round one degree aggregation + two
+    semi-joins on the shrinking edge set.
+
+    Returns ``(node_id, degree)`` for surviving nodes with their
+    within-core degree. Reference analog: none (Astn/ekati has no
+    analytics kernels); part of the graph-analytics extension.
+    """
+    e = _symmetrize(edges).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = e.groupBy("u").agg(F.count("*").alias("degree"))
+        keep = deg.filter(F.col("degree") >= k).select("u")
+        e2 = (
+            e.join(keep, "u")
+            .join(keep.withColumnRenamed("u", "v"), "v")
+            .select("u", "v")
+            .localCheckpoint(eager=True)
+        )
+        n_before, n_after = e.count(), e2.count()
+        e = e2
+        if n_after == n_before or n_after == 0:
+            break
+    return e.groupBy(F.col("u").alias("node_id")).agg(
+        F.count("*").alias("degree")
+    )

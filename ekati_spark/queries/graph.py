@@ -661,3 +661,25 @@ def g19_connected_components_star(spark, sf_dir):
     g = _graph(spark, sf_dir)
     geo = g.edges.filter(F.col("label").isin("in_nation", "in_region"))
     return connected_components_star(geo)
+
+
+@register("g20_kcore")
+def g20_kcore(spark, sf_dir):
+    """k-core (k=3) of the part↔supplier co-occurrence graph from
+    lineitem: iterative degree peeling to fixpoint
+    (graph/algorithms.k_core). Rows-only check — the peel-to-fixpoint
+    loop needs aggregates in the recursive step, which SQL recursive
+    CTEs forbid; exact semantics are pinned by the known-graph pytest
+    (tests/test_algorithms.py::test_k_core_known_graph)."""
+    from ekati_spark.graph.algorithms import k_core
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("part:"), F.col("l_partkey").cast("string")).alias(
+            "src"
+        ),
+        F.concat(F.lit("supp:"), F.col("l_suppkey").cast("string")).alias(
+            "dst"
+        ),
+    ).distinct()
+    return k_core(edges, k=3)

@@ -164,3 +164,19 @@ def test_personalized_pagerank_locality(spark):
     assert pr["a"] > pr["b"] > 0
     # conservation: total mass stays 1 on a dangling-free subgraph
     assert abs(pr["a"] + pr["b"] - 1.0) < 1e-9
+
+
+def test_k_core_known_graph(spark):
+    """Triangle a-b-c (2-core) plus pendant chain d-e hanging off a:
+    the 2-core is exactly the triangle; the 1-core is everything."""
+    from ekati_spark.graph.algorithms import k_core
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    core2 = {r.node_id: r.degree for r in k_core(edges, 2).collect()}
+    assert core2 == {"a": 2, "b": 2, "c": 2}
+    core1 = {r.node_id for r in k_core(edges, 1).collect()}
+    assert core1 == {"a", "b", "c", "d", "e"}
+    assert k_core(edges, 3).count() == 0
