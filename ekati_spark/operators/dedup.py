@@ -1,16 +1,25 @@
 """Deduplication operators for training-data pipelines.
 
-Five strategies, all fully distributed (no driver-side pair loops):
+Seven strategies plus group resolution, all fully distributed (no
+driver-side pair loops):
 
 - ``exact_dedup``            hash-groupBy on a normalized text digest
-- ``ngram_jaccard_pairs``    exact n-gram Jaccard via shingle self-join
+- ``ngram_jaccard_pairs``    exact n-gram Jaccard via shingle inverted-
+                             index self-join (explode+window shingles)
 - ``minhash_signatures`` / ``minhash_lsh_pairs``
                              MinHash + banded LSH: candidate pairs meet in
                              band buckets (shuffle on band hash), then are
                              verified with exact Jaccard — the 100 TB path,
                              cost ∝ candidates, not ∝ n².
 - ``simhash`` (Pandas UDF)   64-bit SimHash for hamming-distance dedup
-- ``embedding_dup_pairs``    cosine near-duplicates over an embedding col
+- ``embedding_dup_pairs``    cosine near-duplicates: block-grid triangle
+                             partitioning + one vectorized Arrow UDF per
+                             cell (bit-identical to the SQL left-fold)
+- ``dedup_groups``           pair edges → transitive clusters (star CC)
+                             → min-id group labels, strategy-agnostic
+
+(Fuzzy Levenshtein pairs live in the query layer — l17 — since both
+engines share the classic definition.)
 
 Determinism: every hash is a fixed-seed arithmetic function of
 ``xxhash64`` (Spark's deterministic 64-bit hash); no RNG at runtime.
