@@ -763,3 +763,50 @@ def l26_dedup_keep_one(spark, sf_dir):
             F.col("n_docs"),
         )
     )
+
+
+@register(
+    "l27_unigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+    lp AS (
+      SELECT t.doc_id, round(ln(f.c / total.n), 6) AS lp
+      FROM toks t JOIN freq f ON t.tok = f.tok, total
+    )
+    SELECT doc_id,
+           CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(lp)
+             AS avg_logprob,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM lp GROUP BY doc_id
+    """,
+)
+def l27_unigram_logprob(spark, sf_dir):
+    """Corpus-trained unigram log-probability quality score (the
+    perplexity-filter shape): pass 1 builds the unigram table, pass 2
+    scores every token and decimal-averages per doc. Each ln() is
+    rounded to 6 before aggregation so the score is independent of
+    summation order and libm ulp differences across engines. At scale:
+    two token-keyed shuffles, freq table broadcast-joinable when the
+    vocabulary is bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
+    total = float(
+        freq.agg(F.sum("c").cast("double").alias("n")).first().n
+    )
+    lp = toks.join(F.broadcast(freq), "tok").select(
+        "doc_id", F.round(F.log(F.col("c") / F.lit(total)), 6).alias("lp")
+    )
+    from ekati_spark.queries.base import dsum
+
+    return lp.groupBy("doc_id").agg(
+        (dsum("lp", 6) / F.count("lp")).alias("avg_logprob"),
+        F.count("*").cast("long").alias("n_tokens"),
+    )
