@@ -1326,3 +1326,34 @@ def r47_hll_sketch_rollup(spark, sf_dir):
             F.hll_sketch_estimate("sk").cast("long").alias("approx_customers"),
         )
     )
+
+
+@register(
+    "r48_salted_join",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, suppkey, s_name
+    FROM (SELECT l_suppkey AS suppkey, l_orderkey, l_linenumber, l_quantity
+          FROM lineitem WHERE l_quantity = 50) big
+    JOIN (SELECT s_suppkey AS suppkey, s_name FROM supplier) small
+      USING (suppkey)
+    """,
+)
+def r48_salted_join(spark, sf_dir):
+    """Skew-resistant salted join, oracle-checked against the plain SQL
+    join: the salt spreads each (possibly hot) key over n_salts tasks
+    while the result stays row-identical (operators/skew.salted_join).
+    At 100 TB this is the fallback when AQE skew splitting can't help
+    (single hot key, replicable small side)."""
+    from ekati_spark.operators.skew import salted_join
+
+    li, supp = _t(spark, sf_dir, "lineitem", "supplier")
+    big = li.filter(F.col("l_quantity") == 50).select(
+        F.col("l_suppkey").alias("suppkey"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+    )
+    small = supp.select(F.col("s_suppkey").alias("suppkey"), "s_name")
+    return salted_join(big, small, "suppkey", n_salts=8).select(
+        "l_orderkey", "l_linenumber", "suppkey", "s_name"
+    )
