@@ -28,11 +28,13 @@ HEADLINE = [
     "g03_follow_any_range",
     "l01_dedup_exact",
     "l03_minhash_lsh_pairs",
+    "l05_embedding_dup_pairs",
     "l06_knn_bruteforce",
     "l08_text_stats",
     "l20_dedup_groups",
     "l23_repetition_stats",
     "l25_pack_sequences",
+    "l27_unigram_logprob",
     "st01_tumbling_window",
     "st03_session_window",
 ]
