@@ -1357,3 +1357,56 @@ def r48_salted_join(spark, sf_dir):
     return salted_join(big, small, "suppkey", n_salts=8).select(
         "l_orderkey", "l_linenumber", "suppkey", "s_name"
     )
+
+
+@register(
+    "r49_data_quality_audit",
+    oracle="""
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+        AS orphan_lineitems,
+      (SELECT CAST(count(*) AS BIGINT) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey))
+        AS orphan_orders,
+      (SELECT CAST(count(*) AS BIGINT) FROM
+        (SELECT o_orderkey FROM orders GROUP BY o_orderkey
+         HAVING count(*) > 1)) AS dup_orderkeys,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+        WHERE l_quantity IS NULL OR l_extendedprice IS NULL)
+        AS null_measures,
+      (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate < o.o_orderdate)
+        AS ship_before_order_violations
+      FROM (SELECT 1) one
+    """,
+)
+def r49_data_quality_audit(spark, sf_dir):
+    """Pipeline data-quality audit in one pass-per-check: FK orphans
+    (anti-joins), duplicate business keys, null measures, and a
+    cross-table temporal invariant (ship date >= order date). The shape
+    every ingestion pipeline runs before publishing a snapshot; each
+    check is an independent aggregate so Spark runs them as parallel
+    jobs of one cached scan at scale."""
+    li, ords, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
+    orphan_li = li.join(ords, li.l_orderkey == ords.o_orderkey, "left_anti").count()
+    orphan_o = ords.join(cust, ords.o_custkey == cust.c_custkey, "left_anti").count()
+    dups = (
+        ords.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+    )
+    nulls = li.filter(
+        F.col("l_quantity").isNull() | F.col("l_extendedprice").isNull()
+    ).count()
+    viol = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .count()
+    )
+    return spark.createDataFrame(
+        [(orphan_li, orphan_o, dups, nulls, viol)],
+        "orphan_lineitems long, orphan_orders long, dup_orderkeys long, "
+        "null_measures long, ship_before_order_violations long",
+    )

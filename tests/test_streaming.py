@@ -134,3 +134,25 @@ def test_stream_curation_equals_batch(spark, sf_dir):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_stream_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """writeStream to a real parquet sink with checkpointing, then read
+    the sink back — batch-equivalent results (the memory sink tests
+    cover semantics; this covers the durable-sink path)."""
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sdf = ops.curation_map(ops.documents_stream(spark, sf_dir))
+    q = (
+        sdf.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    batch = ops.curation_map(load_table(spark, sf_dir, "documents"))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
