@@ -1410,3 +1410,52 @@ def r49_data_quality_audit(spark, sf_dir):
         "orphan_lineitems long, orphan_orders long, dup_orderkeys long, "
         "null_measures long, ship_before_order_violations long",
     )
+
+
+@register(
+    "r50_time_weighted_avg",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, value, epoch(ts) AS sec,
+             lead(epoch(ts)) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS next_sec
+      FROM events
+    )
+    SELECT user_id,
+           round({sql_dsum('value * (next_sec - sec)', 6)} /
+                 {sql_dsum('next_sec - sec', 6)}, 6) AS twap,
+           CAST(count(*) AS BIGINT) AS n_intervals
+    FROM seq WHERE next_sec IS NOT NULL
+    GROUP BY user_id
+    HAVING {sql_dsum('next_sec - sec', 6)} > 0
+    """,
+)
+def r50_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average (TWAP): each value weighted by the
+    seconds until the user's next event. Window ``lead`` and its
+    validity computed in the SAME projection (the window-after-filter
+    trap), decimal-accumulated sums for order independence."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("double")
+    seq = ev.select(
+        "user_id",
+        "value",
+        sec.alias("sec"),
+        F.lead(sec).over(w).alias("next_sec"),
+    ).filter(F.col("next_sec").isNotNull())
+    weight = F.col("next_sec") - F.col("sec")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.round(
+                dsum(F.col("value") * weight, 6) / dsum(weight, 6), 6
+            ).alias("twap"),
+            F.count("*").cast("long").alias("n_intervals"),
+            dsum(weight, 6).alias("__tw"),
+        )
+        .filter(F.col("__tw") > 0)
+        .select("user_id", "twap", "n_intervals")
+    )
