@@ -286,20 +286,24 @@ def personalized_page_rank(
     return ranks
 
 
-def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
+def k_core(edges: DataFrame, k: int, max_iter: int = 200) -> DataFrame:
     """The k-core: the maximal subgraph where every node has degree ≥ k
     (undirected, dedup-ed edges). Iterative peeling: drop nodes with
     degree < k, recompute degrees on the induced subgraph, repeat to
-    fixpoint — the standard distributed formulation; rounds ≤ the
-    degeneracy ordering depth, each round one degree aggregation + two
-    semi-joins on the shrinking edge set.
+    fixpoint. Peel rounds are bounded by the peeling DEPTH of the graph
+    (O(n) worst case on path-shaped graphs — NOT by the degeneracy), so
+    non-convergence within ``max_iter`` raises rather than silently
+    returning a subgraph that still contains low-degree nodes.
 
     Returns ``(node_id, degree)`` for surviving nodes with their
     within-core degree. Reference analog: none (Astn/ekati has no
     analytics kernels); part of the graph-analytics extension.
     """
     e = _symmetrize(edges).localCheckpoint(eager=True)
+    n_edges = e.count()
     for _ in range(max_iter):
+        if n_edges == 0:
+            break
         deg = e.groupBy("u").agg(F.count("*").alias("degree"))
         keep = deg.filter(F.col("degree") >= k).select("u")
         e2 = (
@@ -308,10 +312,15 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 50) -> DataFrame:
             .select("u", "v")
             .localCheckpoint(eager=True)
         )
-        n_before, n_after = e.count(), e2.count()
-        e = e2
-        if n_after == n_before or n_after == 0:
+        n_after = e2.count()
+        converged = n_after == n_edges
+        e, n_edges = e2, n_after
+        if converged:
             break
+    else:
+        raise RuntimeError(
+            f"k_core did not converge within {max_iter} peeling rounds"
+        )
     return e.groupBy(F.col("u").alias("node_id")).agg(
         F.count("*").alias("degree")
     )

@@ -797,10 +797,16 @@ def l27_unigram_logprob(spark, sf_dir):
     toks = docs.select(
         "doc_id", F.explode(X.tokens(F.col("text"))).alias("tok")
     )
-    freq = toks.groupBy("tok").agg(F.count("*").alias("c"))
-    total = float(
-        freq.agg(F.sum("c").cast("double").alias("n")).first().n
+    # materialize the unigram table once: it feeds both the total and
+    # the scoring join (otherwise the tokenize+aggregate pass reruns)
+    freq = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint(eager=True)
     )
+    row = freq.agg(F.sum("c").cast("double").alias("n")).first()
+    # empty corpus: total is NULL; any placeholder works — lp is empty
+    total = float(row.n) if row and row.n is not None else 1.0
     lp = toks.join(F.broadcast(freq), "tok").select(
         "doc_id", F.round(F.log(F.col("c") / F.lit(total)), 6).alias("lp")
     )

@@ -1385,30 +1385,41 @@ def r48_salted_join(spark, sf_dir):
     """,
 )
 def r49_data_quality_audit(spark, sf_dir):
-    """Pipeline data-quality audit in one pass-per-check: FK orphans
-    (anti-joins), duplicate business keys, null measures, and a
-    cross-table temporal invariant (ship date >= order date). The shape
-    every ingestion pipeline runs before publishing a snapshot; each
-    check is an independent aggregate so Spark runs them as parallel
-    jobs of one cached scan at scale."""
+    """Pipeline data-quality audit: FK orphans (anti-joins), duplicate
+    business keys, null measures, and a cross-table temporal invariant
+    (ship date >= order date). The shape every ingestion pipeline runs
+    before publishing a snapshot. Fully LAZY — five independent 1-row
+    aggregates combined by cross products into one plan, so nothing
+    executes at query-construction time and the checks parallelize as
+    one job tree at scale."""
     li, ords, cust = _t(spark, sf_dir, "lineitem", "orders", "customer")
-    orphan_li = li.join(ords, li.l_orderkey == ords.o_orderkey, "left_anti").count()
-    orphan_o = ords.join(cust, ords.o_custkey == cust.c_custkey, "left_anti").count()
+    orphan_li = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey, "left_anti")
+        .agg(F.count("*").alias("orphan_lineitems"))
+    )
+    orphan_o = (
+        ords.join(cust, ords.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count("*").alias("orphan_orders"))
+    )
     dups = (
-        ords.groupBy("o_orderkey").count().filter(F.col("count") > 1).count()
+        ords.groupBy("o_orderkey")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("dup_orderkeys"))
     )
     nulls = li.filter(
         F.col("l_quantity").isNull() | F.col("l_extendedprice").isNull()
-    ).count()
+    ).agg(F.count("*").alias("null_measures"))
     viol = (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
         .filter(F.col("l_shipdate") < F.col("o_orderdate"))
-        .count()
+        .agg(F.count("*").alias("ship_before_order_violations"))
     )
-    return spark.createDataFrame(
-        [(orphan_li, orphan_o, dups, nulls, viol)],
-        "orphan_lineitems long, orphan_orders long, dup_orderkeys long, "
-        "null_measures long, ship_before_order_violations long",
+    return (
+        orphan_li.crossJoin(orphan_o)
+        .crossJoin(dups)
+        .crossJoin(nulls)
+        .crossJoin(viol)
     )
 
 

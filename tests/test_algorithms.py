@@ -180,3 +180,14 @@ def test_k_core_known_graph(spark):
     core1 = {r.node_id for r in k_core(edges, 1).collect()}
     assert core1 == {"a", "b", "c", "d", "e"}
     assert k_core(edges, 3).count() == 0
+
+
+def test_k_core_deep_peel_path_graph(spark):
+    """A 60-node path peels two endpoints per round (~30 rounds): the
+    fixpoint loop must keep going, and the 2-core of a path is empty."""
+    from ekati_spark.graph.algorithms import k_core
+
+    edges = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(59)], "src string, dst string"
+    )
+    assert k_core(edges, 2).count() == 0

@@ -459,7 +459,6 @@ def test_resize_images_updates_bytes_and_metadata(spark):
 
 def test_hll_sketch_rollup_error_bound(spark, sf_dir):
     """Merged-sketch estimates stay within 5% of exact distinct counts."""
-    import ekati_spark.queries.relational as R
     from ekati_spark.queries import REGISTRY
 
     est = {
