@@ -537,3 +537,86 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def duplicate_ngram_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate-substring spans: maximal runs of token positions
+    whose ``n``-gram occurs at least ``min_count`` times corpus-wide —
+    the distributed reformulation of suffix-array substring dedup (the
+    "dedup training data" recipe): any duplicated substring of length
+    >= n tokens is exactly the union of duplicated n-gram occurrences,
+    so spans fall out of an island analysis over duplicated positions.
+
+    Plan shape (all whole-stage codegen, no lambda HOFs): posexplode
+    tokens -> window ``lead`` builds every n-gram occurrence ``(id, pos,
+    g)`` -> global ``groupBy(g)`` keeps grams with >= min_count
+    occurrences (map-side partial agg first, so the shuffle carries one
+    row per distinct gram per partition) -> semi-join occurrences back
+    -> per-doc island grouping (``pos - row_number``) -> one aggregate
+    per span. Three shuffles total (window, gram count, island window);
+    the gram-count shuffle dominates at 100 TB — shuffle bytes shrink
+    ~8x by pre-hashing grams to xxhash64 before the exchange, at the
+    cost of exactness under collisions, so the string form stays the
+    default and the hash form is the opt-in scale path. Ultra-hot grams
+    (boilerplate) skew the count shuffle; AQE skew-join splitting and
+    the partial aggregation both cap the damage.
+
+    Returns ``(doc_id, span_start, span_end, span_tokens,
+    n_dup_ngrams)`` with 0-based inclusive token positions. Reference
+    analog: none (part of the LLM-data extension).
+    """
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
+    # gram + tail-validity in ONE projection (window-after-filter trap)
+    occ = (
+        toks.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("g"),
+            parts[-1].alias("last"),
+        )
+        .filter(F.col("last").isNotNull())
+        .select("id", "pos", "g")
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("g")
+    )
+    hits = occ.join(dup, "g", "left_semi").select("id", "pos")
+    w2 = W.partitionBy("id").orderBy("pos")
+    runs = hits.select(
+        "id", "pos", (F.col("pos") - F.row_number().over(w2)).alias("grp")
+    )
+    return (
+        runs.groupBy("id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(n - 1)).alias("span_end"),
+            F.count("*").alias("n_dup_ngrams"),
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+            "n_dup_ngrams",
+        )
+    )

@@ -816,3 +816,45 @@ def l27_unigram_logprob(spark, sf_dir):
         (dsum("lp", 6) / F.count("lp")).alias("avg_logprob"),
         F.count("*").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "l28_duplicate_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok,
+             generate_subscripts(string_split_regex(trim(lower(text)), ' +'), 1) - 1
+               AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING), ' ') AS g,
+             count(*) OVER (PARTITION BY doc_id) AS n_toks
+      FROM toks
+    ),
+    valid AS (SELECT doc_id, pos, g FROM grams WHERE pos + 8 <= n_toks),
+    dup AS (SELECT g FROM valid GROUP BY g HAVING count(*) >= 2),
+    hits AS (SELECT v.doc_id, v.pos FROM valid v JOIN dup USING (g)),
+    runs AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM hits
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           MAX(pos) + 7 AS span_end,
+           MAX(pos) + 8 - MIN(pos) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_ngrams
+    FROM runs GROUP BY doc_id, grp
+    """,
+)
+def l28_duplicate_spans(spark, sf_dir):
+    """Exact duplicate-substring spans (suffix-array dedup reformulated
+    as duplicated-8-gram island analysis): per doc, the maximal token
+    ranges whose every 8-gram occurs >= 2 times corpus-wide — the spans
+    an exact-substring dedup pass would cut before training."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.duplicate_ngram_spans(docs, n=8, min_count=2)

@@ -186,3 +186,45 @@ def test_embedding_dup_pairs_tolerates_null_and_ragged(spark):
     )
     pairs = {(r.id_a, r.id_b) for r in D.embedding_dup_pairs(df, 0.99).collect()}
     assert pairs == {(1, 2)}
+
+
+def test_duplicate_ngram_spans_known_corpus(spark):
+    """Two docs share one 6-token substring; with n=4 the duplicated
+    4-gram positions form a single island per doc covering exactly the
+    shared substring. A third doc with no repeats yields no spans."""
+    shared = "the quick brown fox jumps high"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"{shared} zeta eta theta iota"),
+            (3, "completely unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    spans = {
+        r.doc_id: r
+        for r in D.duplicate_ngram_spans(docs, n=4).collect()
+    }
+    assert set(spans) == {1, 2}
+    # doc 1: shared substring spans tokens 2..7 (0-based)
+    assert (spans[1].span_start, spans[1].span_end) == (2, 7)
+    assert spans[1].span_tokens == 6
+    assert spans[1].n_dup_ngrams == 3  # 6 tokens -> 3 four-grams
+    # doc 2: shared substring at the head, tokens 0..5
+    assert (spans[2].span_start, spans[2].span_end) == (0, 5)
+    assert spans[2].span_tokens == 6
+
+
+def test_duplicate_ngram_spans_within_doc_repeat(spark):
+    """A doc repeating its own phrase is self-duplicated: both
+    occurrences come back as separate spans of the same length."""
+    docs = spark.createDataFrame(
+        [(7, "one two three four END one two three four")],
+        "doc_id long, text string",
+    )
+    spans = D.duplicate_ngram_spans(docs, n=4).collect()
+    assert len(spans) == 2
+    assert sorted((s.span_start, s.span_end) for s in spans) == [
+        (0, 3),
+        (5, 8),
+    ]
