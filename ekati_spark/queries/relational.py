@@ -1470,3 +1470,81 @@ def r50_time_weighted_avg(spark, sf_dir):
         .filter(F.col("__tw") > 0)
         .select("user_id", "twap", "n_intervals")
     )
+
+
+@register(
+    "r51_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(epoch_us(ts)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(v.t_view) AS BIGINT) AS n_view_users,
+           CAST(count(c.t_click) AS BIGINT) AS n_click_users,
+           CAST(count(p.t_purchase) AS BIGINT) AS n_purchase_users,
+           CAST(sum(c.t_click - v.t_view) AS DOUBLE) / count(c.t_click)
+             AS avg_view_to_click_us,
+           CAST(sum(p.t_purchase - c.t_click) AS DOUBLE) / count(p.t_purchase)
+             AS avg_click_to_purchase_us
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def r51_funnel(spark, sf_dir):
+    """Ordered conversion funnel over the event stream: first view ->
+    first click strictly after it -> first purchase strictly after
+    that, per user; one-row summary of stage populations and mean
+    inter-stage latency. Timestamps compared as exact microsecond
+    epochs (``unix_micros``), so the strictly-after semantics and the
+    averages (exact BIGINT sums / exact counts, one double division)
+    are bit-identical across engines. Each stage is one filtered
+    aggregate + one equi-join on user_id — at scale all three stages
+    shuffle on the same key, so the plan co-partitions; no windows, no
+    cross products."""
+    (ev,) = _t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(us > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(us > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t_purchase"))
+    )
+    joined = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    return joined.agg(
+        F.count("t_view").alias("n_view_users"),
+        F.count("t_click").alias("n_click_users"),
+        F.count("t_purchase").alias("n_purchase_users"),
+        (
+            F.sum(F.col("t_click") - F.col("t_view")).cast("double")
+            / F.count("t_click")
+        ).alias("avg_view_to_click_us"),
+        (
+            F.sum(F.col("t_purchase") - F.col("t_click")).cast("double")
+            / F.count("t_purchase")
+        ).alias("avg_click_to_purchase_us"),
+    )
