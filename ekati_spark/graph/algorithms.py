@@ -324,3 +324,47 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 200) -> DataFrame:
     return e.groupBy(F.col("u").alias("node_id")).agg(
         F.count("*").alias("degree")
     )
+
+
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007) made deterministic: each superstep every node adopts
+    the most frequent label among its neighbors, ties broken by the
+    lexicographically smallest label (the usual random tie-break would
+    not be oracle-checkable). Undirected via ``_symmetrize``, so every
+    node votes and is voted for; a fixed ``iterations`` keeps the
+    result well-defined (synchronous LPA can oscillate on bipartite
+    structures rather than converge).
+
+    Per superstep: one shuffle join (neighbor labels), one partial-agg
+    count shuffle, one window for the arg-max — all on node keys, so a
+    1000-executor run co-partitions each stage; per-step state is
+    O(|V|) and eagerly checkpointed to cut lineage. Reference analog:
+    none (Astn/ekati has no analytics kernels).
+
+    Returns ``(node_id, community)``.
+    """
+    from pyspark.sql import Window as W
+
+    e = _symmetrize(edges).localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("u").alias("node_id"))
+        .distinct()
+        .select("node_id", F.col("node_id").alias("community"))
+    )
+    for _ in range(iterations):
+        votes = (
+            e.join(labels, e["v"] == labels["node_id"])
+            .groupBy(e["u"], "community")
+            .agg(F.count("*").alias("c"))
+        )
+        w = W.partitionBy("u").orderBy(F.desc("c"), F.asc("community"))
+        labels = (
+            votes.select(
+                "u", "community", F.row_number().over(w).alias("rn")
+            )
+            .filter(F.col("rn") == 1)
+            .select(F.col("u").alias("node_id"), "community")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -683,3 +683,53 @@ def g20_kcore(spark, sf_dir):
         ),
     ).distinct()
     return k_core(edges, k=3)
+
+
+_LPA_STEP_SQL = """
+    l{k} AS (
+      SELECT node_id, community FROM (
+        SELECT e.u AS node_id, l.community,
+               row_number() OVER (PARTITION BY e.u
+                 ORDER BY count(*) DESC, l.community) AS rn
+        FROM e JOIN l{j} l ON e.v = l.node_id
+        GROUP BY e.u, l.community
+      ) WHERE rn = 1
+    )"""
+
+
+@register(
+    "g21_label_propagation",
+    oracle="""
+    WITH e0 AS (
+      SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS src,
+             'nation:' || CAST(c_nationkey AS VARCHAR) AS dst FROM customer
+      UNION ALL
+      SELECT 'supplier:' || CAST(s_suppkey AS VARCHAR),
+             'nation:' || CAST(s_nationkey AS VARCHAR) FROM supplier
+      UNION ALL
+      SELECT 'nation:' || CAST(n_nationkey AS VARCHAR),
+             'region:' || CAST(n_regionkey AS VARCHAR) FROM nation
+    ),
+    e AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM e0
+        UNION ALL SELECT dst, src FROM e0
+      ) both_dirs WHERE u <> v
+    ),
+    l0 AS (SELECT DISTINCT u AS node_id, u AS community FROM e),
+    """
+    + ",".join(_LPA_STEP_SQL.format(k=k, j=k - 1) for k in (1, 2, 3))
+    + """
+    SELECT node_id, community FROM l3
+    """,
+)
+def g21_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 supersteps,
+    min-label tie-break) over the geography subgraph; the oracle
+    unrolls the same three supersteps as chained SQL CTEs, exactly as
+    g13 does for PageRank."""
+    from ekati_spark.graph.algorithms import label_propagation
+
+    g = _graph(spark, sf_dir)
+    geo = g.edges.filter(F.col("label").isin("in_nation", "in_region"))
+    return label_propagation(geo, iterations=3)

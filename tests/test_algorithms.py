@@ -191,3 +191,19 @@ def test_k_core_deep_peel_path_graph(spark):
         [(f"n{i}", f"n{i+1}") for i in range(59)], "src string, dst string"
     )
     assert k_core(edges, 2).count() == 0
+
+
+def test_label_propagation_two_triangles(spark):
+    """Two disjoint triangles each converge to their min node label
+    within 3 synchronous supersteps."""
+    from ekati_spark.graph.algorithms import label_propagation
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"),
+         ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    got = {r.node_id: r.community
+           for r in label_propagation(edges, iterations=3).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "z": "x"}
