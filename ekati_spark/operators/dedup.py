@@ -620,3 +620,44 @@ def duplicate_ngram_spans(
             "n_dup_ngrams",
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact all-pairs n-gram CONTAINMENT >= threshold (id_a < id_b),
+    where containment = |A∩B| / min(|A|,|B|) over distinct-shingle
+    sets. The asymmetric near-dup metric: a short doc quoted inside a
+    long one scores high containment but near-zero Jaccard, so this is
+    the quote/subsumption detector Jaccard misses. Same
+    shingle-inverted-index self-join as ``ngram_jaccard_pairs`` (cost
+    ∝ Σ shared-shingle bucket², not n²); at 100 TB the scale path is
+    the LSH candidate generator feeding this as the verifier."""
+    rows = shingle_rows(docs, n, text_col, id_col).localCheckpoint(
+        eager=True
+    )
+    sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
+    ex = rows.join(sz, "id")
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    cont = F.col("n_shared") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.withColumn("containment", F.round(cont, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )

@@ -858,3 +858,32 @@ def l28_duplicate_spans(spark, sf_dir):
     an exact-substring dedup pass would cut before training."""
     docs = load_table(spark, sf_dir, "documents")
     return D.duplicate_ngram_spans(docs, n=8, min_count=2)
+
+
+@register(
+    "l29_containment_pairs",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), ' +')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), ' +')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+2]
+             )) AS sh
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                 least(len(a.sh), len(b.sh)), 6) AS containment
+    FROM sh a JOIN sh b ON a.id < b.id
+    WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+          least(len(a.sh), len(b.sh)), 6) >= 0.05
+    """,
+)
+def l29_containment_pairs(spark, sf_dir):
+    """Exact 3-gram containment pairs (>= 0.05) on a doc subset — the
+    asymmetric quote/subsumption near-dup metric (|A∩B| / min set
+    size), complementing l02's Jaccard."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    return D.containment_pairs(docs, threshold=0.05)

@@ -228,3 +228,20 @@ def test_duplicate_ngram_spans_within_doc_repeat(spark):
         (0, 3),
         (5, 8),
     ]
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """A short doc quoted verbatim inside a long one: containment is
+    1.0 while Jaccard stays below the usual near-dup thresholds."""
+    quote = "to be or not to be that is the question"
+    filler = " ".join(f"w{i}" for i in range(80))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, f"{filler} {quote}")],
+        "doc_id long, text string",
+    )
+    cont = D.containment_pairs(docs, threshold=0.5).collect()
+    assert len(cont) == 1
+    assert cont[0].id_a == 1 and cont[0].id_b == 2
+    assert cont[0].containment == 1.0
+    jac = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []
