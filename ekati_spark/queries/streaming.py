@@ -151,3 +151,31 @@ def st07_stream_curation(spark, sf_dir):
     oracle checks the batch run."""
     docs = load_table(spark, sf_dir, "documents")
     return ops.curation_map(docs)
+
+
+@register(
+    "st08_trending_topk",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(floor(epoch(ts)/900) AS BIGINT) AS wslot,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), r AS (
+      SELECT wslot, event_type, n,
+             row_number() OVER (PARTITION BY wslot
+               ORDER BY n DESC, event_type) AS rnk
+      FROM agg
+    )
+    SELECT make_timestamp(wslot*900*1000000) AS window_start,
+           make_timestamp((wslot+1)*900*1000000) AS window_end,
+           event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+    """,
+)
+def st08_trending_topk(spark, sf_dir):
+    """Trending top-3 event types per 15-minute tumbling window:
+    streaming-safe windowed counts + deterministic downstream rank
+    (the continuously-updated-leaderboard pattern; the rank stage runs
+    over the sink under streaming — tests/test_streaming.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.trending_topk(ev)

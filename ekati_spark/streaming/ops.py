@@ -261,3 +261,48 @@ def curation_map(docs: DataFrame) -> DataFrame:
             F.md5(X.redact_pii(t)).alias("redacted_md5"),
         )
     )
+
+
+def windowed_type_counts(
+    events: DataFrame, width: str = "15 minutes"
+) -> DataFrame:
+    """Streaming-safe stage of trending top-k: tumbling counts per
+    event type. Runs identically under readStream (complete/update
+    mode); state is ∝ open windows × event types."""
+    return events.groupBy(
+        F.window("ts", width).alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+
+
+def rank_topk(agg: DataFrame, k: int = 3) -> DataFrame:
+    """Ranking stage of trending top-k. Window functions can't run on a
+    live streaming aggregation, so under streaming this applies
+    downstream of the sink (or per-batch in foreachBatch) — the
+    standard continuously-updated-leaderboard pattern; in batch it
+    composes directly. Deterministic: count desc, event_type asc."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("w").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        agg.select(
+            "w",
+            "event_type",
+            "n",
+            F.row_number().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "rnk",
+        )
+    )
+
+
+def trending_topk(
+    events: DataFrame, k: int = 3, width: str = "15 minutes"
+) -> DataFrame:
+    """Top-k trending event types per tumbling window."""
+    return rank_topk(windowed_type_counts(events, width), k)

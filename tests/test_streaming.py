@@ -156,3 +156,20 @@ def test_stream_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_trending_topk_stream_equals_batch(spark, ev_batch, ev_stream):
+    """Windowed counts run as a real stream (complete mode); the rank
+    stage applies over the sink table and must match the batch plan."""
+    batch = {
+        (r.window_start, r.rnk): (r.event_type, r.n)
+        for r in ops.trending_topk(ev_batch).collect()
+    }
+    sink = _run(
+        spark, ops.windowed_type_counts(ev_stream), "t_topk", "complete"
+    )
+    stream = {
+        (r.window_start, r.rnk): (r.event_type, r.n)
+        for r in ops.rank_topk(sink).collect()
+    }
+    assert stream == batch
