@@ -733,3 +733,55 @@ def g21_label_propagation(spark, sf_dir):
     g = _graph(spark, sf_dir)
     geo = g.edges.filter(F.col("label").isin("in_nation", "in_region"))
     return label_propagation(geo, iterations=3)
+
+
+# Shared by the Spark query and the DuckDB oracle: Spark 4 supports
+# SQL:1999 WITH RECURSIVE (UNION ALL + depth guard), so the text is
+# identical in both engines. The trade graph is sparsified to each
+# nation's top-3 export partners so the BFS has non-trivial depth.
+_TRADE_REACH_SQL = """
+    WITH RECURSIVE
+    pair AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst)
+                 AS rk
+        FROM pair) t
+      WHERE rk <= 3
+    ),
+    reach(nation, depth) AS (
+      SELECT CAST(0 AS INTEGER) AS nation, 0 AS depth
+      UNION ALL
+      SELECT e.dst, r.depth + 1
+      FROM reach r JOIN edges e ON e.src = r.nation
+      WHERE r.depth < 4
+    )
+    SELECT nation, CAST(min(depth) AS BIGINT) AS hops
+    FROM reach GROUP BY nation
+"""
+
+
+@register("g22_trade_reachability", oracle=_TRADE_REACH_SQL)
+def g22_trade_reachability(spark, sf_dir):
+    """Bounded BFS reachability over the nation trade graph via SQL
+    WITH RECURSIVE (reference analog: `follow * 4` over a derived edge
+    set, FileStore.fs traversal loop). Edge rule: nation A -> B if B is
+    among A's top-3 customer nations by lineitem count (deterministic
+    tie-break on dst). The recursion enumerates paths (out-degree <= 3,
+    depth <= 4 => <= 121 rows from one seed) and the outer aggregate
+    takes min depth — the UNION ALL + guard pattern both Spark 4 and
+    DuckDB execute identically. At scale the heavy part is the `pair`
+    aggregation (one shuffle over lineitem); the recursion itself runs
+    on a 25-node edge list."""
+    for t in ("lineitem", "supplier", "orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_TRADE_REACH_SQL)

@@ -1548,3 +1548,30 @@ def r51_funnel(spark, sf_dir):
             / F.count("t_purchase")
         ).alias("avg_click_to_purchase_us"),
     )
+
+
+# Shared by the Spark query and the DuckDB oracle: both engines support
+# SQL:2016 correlated LATERAL derived tables, so the text is identical.
+_LATERAL_TOPK_SQL = """
+    SELECT n.n_name, s.c_custkey, s.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_custkey, c_acctbal
+                  FROM customer c
+                  WHERE c.c_nationkey = n.n_nationkey
+                  ORDER BY c.c_acctbal DESC, c.c_custkey
+                  LIMIT 2) s
+"""
+
+
+@register("r52_lateral_topk", oracle=_LATERAL_TOPK_SQL)
+def r52_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL derived table: top-2 customers by balance per
+    nation, written as a lateral subquery rather than a window. Catalyst
+    decorrelates the lateral into a join + per-group ranking, so the
+    physical plan is the same shuffle-once shape as r17 — no per-row
+    re-execution (the naive lateral reading) and no driver loop. Ties
+    broken by c_custkey; identical SQL text runs on DuckDB as the
+    oracle."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_TOPK_SQL)
