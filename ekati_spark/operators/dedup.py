@@ -661,3 +661,33 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("id_a", "id_b", "containment")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-decontamination hits: ``(doc_id, n_hit_ngrams)`` for
+    every corpus document sharing at least one word ``n``-gram with any
+    benchmark document (the pre-training eval-leakage check).
+
+    The benchmark gram set is dimension-sized next to the training
+    corpus (eval suites are MBs against a 100 TB corpus), so it is
+    deduplicated and broadcast: the corpus side is one codegen
+    shingle pass (``shingle_rows`` — explode + lead, no interpreted
+    array-HOF lambdas) followed by a broadcast-hash semi-ish join and a
+    per-doc count; the only corpus shuffle is the final per-doc
+    aggregate, carrying hit rows only (rare by construction).
+    """
+    bench = (
+        shingle_rows(benchmark, n, text_col, id_col).select("g").distinct()
+    )
+    return (
+        shingle_rows(corpus, n, text_col, id_col)
+        .join(F.broadcast(bench), "g")
+        .groupBy(F.col("id").alias(id_col))
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )

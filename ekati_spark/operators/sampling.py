@@ -112,3 +112,60 @@ def train_val_test_split(
         .otherwise(F.lit("train"))
     )
     return df.withColumn("split", split)
+
+
+def domain_mix(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    weights: dict[str, float],
+    default_weight: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Rebalance a corpus toward target domain *weights* by deterministic
+    per-domain downsampling (the pre-training "data mixing" step).
+
+    Keep rate per domain: ``rate_d = (w_d / n_d) / max_e(w_e / n_e)`` —
+    the domain with the highest weight-per-row keeps everything and all
+    others downsample proportionally, so the *expected* output mix is
+    ``weights`` (up to domains too small to supply their share). Rates
+    are data-dependent, so unlike ``stratified_sample`` they can't be
+    literals: one tiny count aggregate per domain is broadcast back and
+    the row predicate compares the md5 prefix against the domain's
+    computed hex threshold. Scale shape: a domain-cardinality shuffle
+    (#domains rows) + a broadcast join; the per-row filter stays in the
+    scan stage.
+
+    Float determinism: the rate arithmetic is double division + floor
+    only (no accumulation order), so Spark and an oracle engine compute
+    bit-identical thresholds from identical counts.
+    """
+    w = F.lit(float(default_weight))
+    for value, wt in sorted(weights.items()):
+        w = F.when(F.col(domain_col) == value, F.lit(float(wt))).otherwise(w)
+    per = (
+        df.groupBy(domain_col)
+        .agg(F.count("*").alias("n"))
+        .select(domain_col, (w / F.col("n")).alias("wn"))
+    )
+    mx = per.agg(F.max("wn").alias("mx"))
+    thr = (
+        per.crossJoin(F.broadcast(mx))
+        .select(domain_col, (F.col("wn") / F.col("mx")).alias("rate"))
+        .select(
+            domain_col,
+            F.when(F.col("rate") >= 1.0, F.lit("g"))
+            .otherwise(
+                F.format_string(
+                    "%08x",
+                    F.floor(F.col("rate") * F.lit(float(_SPACE))).cast(
+                        "bigint"
+                    ),
+                )
+            )
+            .alias("thr"),
+        )
+    )
+    return df.join(F.broadcast(thr), domain_col).filter(
+        _hex_prefix(F.col(key_col), salt) < F.col("thr")
+    )

@@ -887,3 +887,81 @@ def l29_containment_pairs(spark, sf_dir):
     size), complementing l02's Jaccard."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
     return D.containment_pairs(docs, threshold=0.05)
+
+
+@register(
+    "l30_decontaminate",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
+               i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+                    t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]
+             ))) AS g
+      FROM tk
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+    SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_ngrams
+    FROM grams c JOIN bench b USING (g)
+    WHERE c.doc_id % 10 <> 0
+    GROUP BY c.doc_id
+    """,
+)
+def l30_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word 8-gram with a held-out benchmark set (here: every 10th doc),
+    reporting how many distinct benchmark 8-grams each contaminated doc
+    contains. The benchmark gram set is dimension-sized (eval suites are
+    tiny next to a 100 TB corpus) so it broadcasts: the corpus side is
+    one codegen scan + shingle pass with no shuffle before the per-doc
+    count. Shingling reuses the explode+lead shape (dedup.shingle_rows)
+    — no interpreted array-HOF lambdas."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_pred = F.col("doc_id") % 10 == 0
+    return D.decontaminate(
+        docs.filter(~bench_pred), docs.filter(bench_pred), n=8
+    )
+
+
+@register(
+    "l31_domain_mix",
+    oracle="""
+    WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    per AS (
+      SELECT source,
+             CASE WHEN source IN ('src0','src1','src2','src3','src4')
+                  THEN CAST(0.06 AS DOUBLE) ELSE CAST(0.02 AS DOUBLE) END
+               / n AS wn
+      FROM cnt
+    ),
+    thr AS (
+      SELECT source,
+             CASE WHEN wn / max(wn) OVER () >= 1.0 THEN 'g'
+                  ELSE printf('%08x', CAST(floor(
+                         wn / max(wn) OVER () * 4294967296.0) AS BIGINT))
+             END AS thr
+      FROM per
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN thr USING (source)
+    WHERE substr(md5('mix' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.thr
+    """,
+)
+def l31_domain_mix(spark, sf_dir):
+    """Pre-training domain mixing: deterministically downsample each
+    `source` toward target weights (src0-4 get 3x the weight of the
+    tail), rates derived from the observed per-domain counts
+    (operators/sampling.py::domain_mix). Expected output mix equals the
+    weights; the draw is the salted md5-prefix, reproducible across
+    engines and appends."""
+    from ekati_spark.operators.sampling import domain_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {f"src{i}": 0.06 for i in range(5)}
+    return domain_mix(
+        docs, "doc_id", "source", weights, default_weight=0.02
+    ).select("doc_id", "source")

@@ -245,3 +245,17 @@ def test_containment_vs_jaccard_asymmetry(spark):
     assert cont[0].containment == 1.0
     jac = D.ngram_jaccard_pairs(docs, threshold=0.5).collect()
     assert jac == []
+
+
+def test_decontaminate_planted_overlap(spark):
+    bench_text = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    clean = "one two three four five six seven eight nine ten eleven"
+    # doc 1 quotes an 8-gram from the benchmark (tokens 1..8 and 2..9 =>
+    # two distinct shared 8-grams); doc 2 shares nothing.
+    contaminated = "XX " + bench_text + " YY"
+    corpus = spark.createDataFrame(
+        [(1, contaminated), (2, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {r.doc_id: r.n_hit_ngrams for r in D.decontaminate(corpus, bench).collect()}
+    assert got == {1: 2}

@@ -76,3 +76,30 @@ def test_out_of_range_rate_raises_everywhere(spark, docs):
         S.hash_sample(docs, "doc_id", 1.5).count()
     with pytest.raises(ValueError):
         S.sample_predicate(F.col("doc_id"), -0.1)
+
+
+def test_domain_mix_hits_target_weights(spark):
+    rows = (
+        [(i, "a") for i in range(8000)]
+        + [(8000 + i, "b") for i in range(1000)]
+        + [(9000 + i, "c") for i in range(1000)]
+    )
+    df = spark.createDataFrame(rows, "k long, dom string")
+    out = S.domain_mix(df, "k", "dom", {"a": 1.0, "b": 1.0, "c": 2.0})
+    got = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count("*").alias("n")).collect()}
+    # c has the max weight-per-row => keeps everything
+    assert got["c"] == 1000
+    # a and b target 500 each (rates 1/16 and 1/2)
+    assert abs(got["a"] - 500) < 75
+    assert abs(got["b"] - 500) < 75
+    # deterministic: same rows on rerun
+    again = S.domain_mix(df, "k", "dom", {"a": 1.0, "b": 1.0, "c": 2.0})
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_domain_mix_default_weight_drops_unlisted(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "x") for i in range(100)], "k long, dom string"
+    )
+    out = S.domain_mix(df, "k", "dom", {"a": 1.0})  # default weight 0.0
+    assert {r.dom for r in out.select("dom").distinct().collect()} == {"a"}
