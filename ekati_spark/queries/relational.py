@@ -1575,3 +1575,49 @@ def r52_lateral_topk(spark, sf_dir):
     for t in ("nation", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_LATERAL_TOPK_SQL)
+
+
+@register(
+    "r53_sliding_distinct_users",
+    oracle="""
+    SELECT make_timestamp((CAST(floor(epoch(ts)/86400) AS BIGINT) - t.i)
+             *86400*1000000) AS window_start,
+           make_timestamp((CAST(floor(epoch(ts)/86400) AS BIGINT) - t.i + 7)
+             *86400*1000000) AS window_end,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events, range(0, 7) t(i)
+    GROUP BY 1, 2
+    """,
+)
+def r53_sliding_distinct_users(spark, sf_dir):
+    """Rolling 7-day active users, sliding by 1 day (the WAU/MAU shape).
+
+    Two-level plan instead of the naive `window(ts,'7d','1d')` +
+    count_distinct: first reduce to distinct (day, user) pairs — one
+    shuffle over the raw events that shrinks them to at most
+    |users| x |days| rows — and only then explode each pair into the 7
+    windows it covers and count distinct users per window. At 100 TB
+    the 7x row duplication happens on the reduced pair set, not the
+    raw event stream; the naive plan duplicates every event 7 ways
+    before any reduction. (Fully incremental variant: keep per-day HLL
+    sketches and merge 7 per window — r47 shows the sketch path.)"""
+    (ev,) = _t(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86400000000)).cast("long")
+    pairs = ev.select(day.alias("slot"), "user_id").distinct()
+    win = pairs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        "slot",
+        "user_id",
+    ).select((F.col("slot") - F.col("i")).alias("d"), "user_id")
+    us = F.col("d") * F.lit(86400000000)
+    return (
+        win.groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .select(
+            F.timestamp_micros(us).alias("window_start"),
+            F.timestamp_micros(us + F.lit(7 * 86400000000)).alias(
+                "window_end"
+            ),
+            "n_users",
+        )
+    )
