@@ -169,3 +169,65 @@ def domain_mix(
     return df.join(F.broadcast(thr), domain_col).filter(
         _hex_prefix(F.col(key_col), salt) < F.col("thr")
     )
+
+
+def global_shuffle(
+    df: DataFrame,
+    key_col: str,
+    salt: str = "shuf",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic global shuffle: every row gets a stable 1-based
+    ``pos`` in the order of ``md5(salt || key)`` (ties broken by key) —
+    the "shuffle the corpus before training" step, reproducible across
+    reruns and engines because the permutation is a hash order, not RNG.
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` collapses
+    into ONE window partition. Instead: range-repartition + sort by the
+    hash (Spark's distributed sort), count rows per partition (a
+    #partitions-row aggregate), broadcast the cumulative offsets, and
+    assign ``pos = offset + local index`` in a single Arrow pass. The
+    sorted frame is persisted so the count job and the assignment job
+    see identical partition boundaries (range sampling is otherwise
+    re-drawn per job; a deployment would checkpoint instead).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    rng = (
+        df.withColumn("_h", h)
+        .repartitionByRange(n, "_h", key_col)
+        .sortWithinPartitions("_h", key_col)
+        .persist()
+    )
+    cnt = {
+        r["pid"]: r["n"]
+        for r in rng.groupBy(F.spark_partition_id().alias("pid"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in range(n):
+        offsets[pid] = acc
+        acc += cnt.get(pid, 0)
+    boff = df.sparkSession.sparkContext.broadcast(offsets)
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("pos", LongType(), False)]
+    )
+
+    def assign(batches):
+        start = boff.value.get(TaskContext.get().partitionId(), 0)
+        for pdf in batches:
+            k = len(pdf)
+            pdf = pdf.drop(columns=["_h"])
+            pdf["pos"] = range(start + 1, start + 1 + k)
+            start += k
+            yield pdf
+
+    return rng.mapInPandas(assign, schema=out_schema)

@@ -965,3 +965,25 @@ def l31_domain_mix(spark, sf_dir):
     return domain_mix(
         docs, "doc_id", "source", weights, default_weight=0.02
     ).select("doc_id", "source")
+
+
+@register(
+    "l32_global_shuffle",
+    oracle="""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)), doc_id)
+           AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def l32_global_shuffle(spark, sf_dir):
+    """Deterministic corpus shuffle for training-batch assembly: stable
+    global position in md5-hash order, assigned distributedly
+    (operators/sampling.py::global_shuffle — range-partitioned sort +
+    broadcast offsets + one Arrow pass, never a single-partition
+    window)."""
+    from ekati_spark.operators.sampling import global_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return global_shuffle(docs, "doc_id").select("doc_id", "pos")

@@ -477,3 +477,24 @@ def test_hll_sketch_rollup_error_bound(spark, sf_dir):
     assert set(est) == set(exact)
     for k, ex in exact.items():
         assert abs(est[k] - ex) <= max(1, 0.05 * ex)
+
+
+def test_sliding_distinct_plan_explodes_after_distinct(spark, sf_dir):
+    """Perf contract (r53): the 7x window explode runs on the reduced
+    (day, user) pair set, i.e. the Generate sits above a shuffle-backed
+    aggregate, never directly on the raw scan."""
+    from ekati_spark.queries import REGISTRY
+
+    plan = (
+        REGISTRY["r53_sliding_distinct_users"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .toString()
+    )
+    lines = plan.splitlines()
+    gen = next(i for i, l in enumerate(lines) if "Generate" in l)
+    scan = next(
+        i for i, l in enumerate(lines) if "Scan parquet" in l or "FileScan" in l
+    )
+    between = "\n".join(lines[gen:scan])
+    assert "Exchange" in between, between

@@ -103,3 +103,16 @@ def test_domain_mix_default_weight_drops_unlisted(spark):
     )
     out = S.domain_mix(df, "k", "dom", {"a": 1.0})  # default weight 0.0
     assert {r.dom for r in out.select("dom").distinct().collect()} == {"a"}
+
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    df = spark.createDataFrame([(i,) for i in range(5000)], "k long")
+    out1 = S.global_shuffle(df, "k", num_partitions=8)
+    rows = out1.collect()
+    assert sorted(r.pos for r in rows) == list(range(1, 5001))
+    m1 = {r.k: r.pos for r in rows}
+    m2 = {r.k: r.pos for r in S.global_shuffle(df, "k", num_partitions=8).collect()}
+    assert m1 == m2
+    # a different salt draws a different permutation
+    m3 = {r.k: r.pos for r in S.global_shuffle(df, "k", salt="other", num_partitions=8).collect()}
+    assert m3 != m1
