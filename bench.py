@@ -35,6 +35,9 @@ HEADLINE = [
     "l23_repetition_stats",
     "l25_pack_sequences",
     "l27_unigram_logprob",
+    "l30_decontaminate",
+    "l32_global_shuffle",
+    "r53_sliding_distinct_users",
     "st01_tumbling_window",
     "st03_session_window",
 ]

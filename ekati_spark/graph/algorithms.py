@@ -368,3 +368,56 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels
+
+
+def weighted_shortest_paths(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Bounded multi-source Bellman-Ford: ``(node_id, cost)`` with the
+    minimum total edge cost over paths of at most ``max_hops`` edges
+    from any seed (seeds at cost 0). ``edges`` is ``(src, dst, cost)``.
+
+    Frontier-pruned relaxation: each round propagates only nodes whose
+    distance improved last round (a node's unchanged distance was
+    already propagated the round after it last improved, so pruning
+    preserves the round-k invariant dist_k = min cost over <= k-edge
+    paths). Per-round state is O(|V|) and eagerly checkpointed, same
+    discipline as ``shortest_hops``; costs stay integral (long), so
+    min() is exact — no float path-sum ordering issues.
+    """
+    dist = (
+        seeds.select("node_id")
+        .distinct()
+        .withColumn("cost", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for _ in range(max_hops):
+        f, e = frontier.alias("f"), edges.alias("e")
+        relaxed = (
+            f.join(e, F.col("f.node_id") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node_id"),
+                (F.col("f.cost") + F.col("e.cost")).alias("cost"),
+            )
+            .groupBy("node_id")
+            .agg(F.min("cost").alias("cost"))
+        )
+        improved = (
+            relaxed.join(
+                dist.withColumnRenamed("cost", "old"), "node_id", "left"
+            )
+            .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
+            .select("node_id", "cost")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node_id")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return dist

@@ -785,3 +785,78 @@ def g22_trade_reachability(spark, sf_dir):
     for t in ("lineitem", "supplier", "orders", "customer"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_TRADE_REACH_SQL)
+
+
+@register(
+    "g23_cheapest_trade_route",
+    oracle="""
+    WITH pair AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst, count(*) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    e AS (
+      SELECT src, dst, CAST(rk AS BIGINT) AS cost FROM (
+        SELECT src, dst,
+               row_number() OVER (PARTITION BY src ORDER BY w DESC, dst)
+                 AS rk
+        FROM pair) t
+      WHERE rk <= 3
+    ),
+    p1 AS (SELECT dst, cost FROM e WHERE src = 0),
+    p2 AS (SELECT e.dst, p1.cost + e.cost AS cost
+           FROM p1 JOIN e ON e.src = p1.dst),
+    p3 AS (SELECT e.dst, p2.cost + e.cost AS cost
+           FROM p2 JOIN e ON e.src = p2.dst),
+    allp AS (
+      SELECT CAST(0 AS INTEGER) AS dst, CAST(0 AS BIGINT) AS cost
+      UNION ALL SELECT dst, cost FROM p1
+      UNION ALL SELECT dst, cost FROM p2
+      UNION ALL SELECT dst, cost FROM p3
+    )
+    SELECT dst AS nation, min(cost) AS cost FROM allp GROUP BY dst
+    """,
+)
+def g23_cheapest_trade_route(spark, sf_dir):
+    """Min-cost trade route from nation 0 within 3 hops (bounded
+    multi-source Bellman-Ford, graph/algorithms.py::
+    weighted_shortest_paths) over the top-3-partner trade graph of g22,
+    edge cost = partner rank 1..3. The oracle enumerates all <= 3-edge
+    paths (out-degree <= 3 keeps that exact enumeration tiny) and takes
+    the min — the kernel must match it exactly because costs are
+    integral."""
+    from pyspark.sql import Window as W
+
+    from ekati_spark.graph.algorithms import weighted_shortest_paths
+
+    li, su, od, cu = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "supplier", "orders", "customer")
+    )
+    pair = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    edges = (
+        pair.select("src", "dst", rk.alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .select("src", "dst", F.col("rk").cast("long").alias("cost"))
+    )
+    seeds = spark.createDataFrame([(0,)], "node_id int")
+    return weighted_shortest_paths(edges, seeds, max_hops=3).select(
+        F.col("node_id").alias("nation"), "cost"
+    )

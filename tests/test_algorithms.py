@@ -207,3 +207,35 @@ def test_label_propagation_two_triangles(spark):
            for r in label_propagation(edges, iterations=3).collect()}
     assert got == {"a": "a", "b": "a", "c": "a",
                    "x": "x", "y": "x", "z": "x"}
+
+
+def test_weighted_shortest_paths_small_graph(spark):
+    """Cheaper 2-hop route must beat the direct expensive edge, and the
+    hop bound must exclude longer paths."""
+    from ekati_spark.graph.algorithms import weighted_shortest_paths
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 10),
+            ("a", "c", 1),
+            ("c", "b", 2),
+            ("b", "d", 1),
+            ("d", "e", 1),
+        ],
+        "src string, dst string, cost long",
+    )
+    seeds = spark.createDataFrame([("a",)], "node_id string")
+    got = {
+        r.node_id: r.cost
+        for r in weighted_shortest_paths(edges, seeds, max_hops=3).collect()
+    }
+    # a->c->b (3) beats a->b (10); d via a->c->b->d (4) beats a->b->d
+    # (11); e only via the expensive direct edge within 3 hops (12) —
+    # the cheap route a->c->b->d->e needs 4.
+    assert got == {"a": 0, "c": 1, "b": 3, "d": 4, "e": 12}
+
+    got2 = {
+        r.node_id: r.cost
+        for r in weighted_shortest_paths(edges, seeds, max_hops=1).collect()
+    }
+    assert got2 == {"a": 0, "b": 10, "c": 1}
