@@ -860,3 +860,39 @@ def g23_cheapest_trade_route(spark, sf_dir):
     return weighted_shortest_paths(edges, seeds, max_hops=3).select(
         F.col("node_id").alias("nation"), "cost"
     )
+
+
+@register(
+    "g24_cosupplier_graph",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem)
+    SELECT a.s AS supp_a, b.s AS supp_b,
+           CAST(count(*) AS BIGINT) AS shared_parts
+    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    GROUP BY 1, 2
+    HAVING count(*) >= 3
+    """,
+)
+def g24_cosupplier_graph(spark, sf_dir):
+    """Bipartite projection: the supplier co-supply graph (suppliers
+    linked by >= 3 shared parts). One distinct pass over lineitem, one
+    self-equi-join on the part key (canonical a < b orientation so each
+    pair counts once), one count aggregate. Scale note: projection cost
+    is sum over parts of (suppliers-per-part)^2 — hub parts dominate;
+    at 100 TB cap or sample each part's supplier list (or switch to the
+    MinHash path, l03) before the self-join. The s<t predicate rides on
+    the equi-join on p, so no nested-loop pair enumeration happens."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    a, b = ps.alias("a"), ps.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(
+            F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b")
+        )
+        .agg(F.count("*").alias("shared_parts"))
+        .filter(F.col("shared_parts") >= 3)
+    )
