@@ -129,6 +129,60 @@ def brute_force_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-``k`` most cosine-similar corpus vectors with a DIFFERENT label
+    (the near-miss negatives that matter for metric learning).
+
+    Same plan as ``brute_force_topk`` — pre-joined norms, broadcast
+    queries, scoring outside any join condition, 6-decimal rounding
+    before the deterministic rank — plus the label-mismatch predicate,
+    which rides on the broadcast join (a cheap comparison, not a scored
+    expression). Scale path: restrict the corpus side per query via LSH
+    or IVF buckets first (ann_lsh_buckets / ann_ivf), then re-rank
+    negatives exactly.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_label_col).alias("query_label"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    ).withColumn("nq", norm(F.col("qv")))
+    cos = F.try_divide(
+        dot(F.col("qv"), F.col("v")), F.col("nq") * F.col("nv")
+    )
+    scored = (
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_label") != F.col("query_label")),
+        )
+        .withColumn("cosine", F.round(cos, 6))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (driver-side)."""
     rng = np.random.default_rng(seed)

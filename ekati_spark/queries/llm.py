@@ -987,3 +987,36 @@ def l32_global_shuffle(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     return global_shuffle(docs, "doc_id").select("doc_id", "pos")
+
+
+@register(
+    "l33_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id,
+                  round(list_cosine_similarity(q.qv,
+                        CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+           FROM embeddings e JOIN q
+             ON e.vec_id <> q.query_id AND e.label <> q.query_label
+         )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def l33_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: top-3 most-similar different-label vectors
+    per query (operators/similarity.py::hard_negative_topk) — the
+    contrastive-training data op; exact scoring with the l06 plan plus
+    the label-mismatch predicate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return S.hard_negative_topk(emb, q, k=3)

@@ -124,3 +124,20 @@ def test_ivf_empty_corpus_returns_empty(spark):
         [(1, [1.0, 0.0])], "query_id long, query_vec array<float>"
     )
     assert ivf_topk(empty, q, k=3).count() == 0
+
+
+def test_hard_negatives_exclude_same_label_and_self(spark, sf_dir):
+    from ekati_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = hard_negative_topk(emb, q, k=3)
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    for r in out.collect():
+        assert r.neighbor_id != r.query_id
+        assert labels[r.neighbor_id] != labels[r.query_id]
+        assert 1 <= r.rank <= 3
