@@ -77,12 +77,21 @@ def main() -> None:
     import shutil
     import tempfile
 
-    from tools.ingest_bench import run as ingest_run
+    from tools.ingest_bench import FRAGMENTS_PER_NODE, run as ingest_run
 
     tmp = tempfile.mkdtemp(prefix="ekati_bench_ingest_")
     try:
         ingest_run(spark, 100_000, tmp + "/warm")
-        ingest = ingest_run(spark, 500_000, tmp + "/main")
+        # median of 3: single-run wall-clock swings up to ~4x with page
+        # cache / machine load; the median is the stable capability.
+        runs = sorted(
+            ingest_run(spark, 500_000, f"{tmp}/main{i}")["wall_s"]
+            for i in range(3)
+        )
+        ingest = {
+            "wall_s": runs[1],
+            "fragments_per_s": round(500_000 * FRAGMENTS_PER_NODE / runs[1]),
+        }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     times["ingest_4m_fragments"] = ingest["wall_s"]

@@ -735,6 +735,36 @@ def g21_label_propagation(spark, sf_dir):
     return label_propagation(geo, iterations=3)
 
 
+def _trade_partners(spark, sf_dir, top: int = 3):
+    """Ranked nation trade edges: (src, dst, rk) where dst is among
+    src's top-``top`` customer nations by lineitem count (deterministic
+    tie-break on dst). One aggregation shuffle over lineitem; the
+    result is nation-cardinality-sized."""
+    from pyspark.sql import Window as W
+
+    li, su, od, cu = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "supplier", "orders", "customer")
+    )
+    pair = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
+    )
+    return pair.select("src", "dst", rk.alias("rk")).filter(
+        F.col("rk") <= top
+    )
+
+
 # Shared by the Spark query and the DuckDB oracle: Spark 4 supports
 # SQL:1999 WITH RECURSIVE (UNION ALL + depth guard), so the text is
 # identical in both engines. The trade graph is sparsified to each
@@ -781,10 +811,26 @@ def g22_trade_reachability(spark, sf_dir):
     takes min depth — the UNION ALL + guard pattern both Spark 4 and
     DuckDB execute identically. At scale the heavy part is the `pair`
     aggregation (one shuffle over lineitem); the recursion itself runs
-    on a 25-node edge list."""
-    for t in ("lineitem", "supplier", "orders", "customer"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_TRADE_REACH_SQL)
+    on a 25-node edge list, which the Spark side materializes
+    (persist + temp view) so the recursive loop re-reads a cached
+    25-row relation instead of re-running the 4-way join every
+    iteration — the oracle keeps the single-statement form."""
+    edges = _trade_partners(spark, sf_dir).select("src", "dst").persist()
+    edges.createOrReplaceTempView("trade_edges")
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        reach(nation, depth) AS (
+          SELECT CAST(0 AS INTEGER) AS nation, 0 AS depth
+          UNION ALL
+          SELECT e.dst, r.depth + 1
+          FROM reach r JOIN trade_edges e ON e.src = r.nation
+          WHERE r.depth < 4
+        )
+        SELECT nation, CAST(min(depth) AS BIGINT) AS hops
+        FROM reach GROUP BY nation
+        """
+    )
 
 
 @register(
@@ -829,32 +875,10 @@ def g23_cheapest_trade_route(spark, sf_dir):
     paths (out-degree <= 3 keeps that exact enumeration tiny) and takes
     the min — the kernel must match it exactly because costs are
     integral."""
-    from pyspark.sql import Window as W
-
     from ekati_spark.graph.algorithms import weighted_shortest_paths
 
-    li, su, od, cu = (
-        load_table(spark, sf_dir, t)
-        for t in ("lineitem", "supplier", "orders", "customer")
-    )
-    pair = (
-        li.join(su, li.l_suppkey == su.s_suppkey)
-        .join(od, li.l_orderkey == od.o_orderkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
-        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
-        .groupBy(
-            F.col("s_nationkey").alias("src"),
-            F.col("c_nationkey").alias("dst"),
-        )
-        .agg(F.count("*").alias("w"))
-    )
-    rk = F.row_number().over(
-        W.partitionBy("src").orderBy(F.desc("w"), F.asc("dst"))
-    )
-    edges = (
-        pair.select("src", "dst", rk.alias("rk"))
-        .filter(F.col("rk") <= 3)
-        .select("src", "dst", F.col("rk").cast("long").alias("cost"))
+    edges = _trade_partners(spark, sf_dir).select(
+        "src", "dst", F.col("rk").cast("long").alias("cost")
     )
     seeds = spark.createDataFrame([(0,)], "node_id int")
     return weighted_shortest_paths(edges, seeds, max_hops=3).select(
