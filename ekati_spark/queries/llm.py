@@ -729,10 +729,10 @@ def l24_pii_redact(spark, sf_dir):
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
                 / 2048) AS BIGINT) AS pack_id,
            n_tokens,
-           coalesce(sum(n_tokens) OVER (
+           CAST(coalesce(sum(n_tokens) OVER (
              PARTITION BY bucket ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-             AS tok_offset
+           AS BIGINT) AS tok_offset
     FROM nt
     """,
 )
@@ -844,9 +844,9 @@ def l27_unigram_logprob(spark, sf_dir):
       FROM hits
     )
     SELECT doc_id,
-           MIN(pos) AS span_start,
-           MAX(pos) + 7 AS span_end,
-           MAX(pos) + 8 - MIN(pos) AS span_tokens,
+           CAST(MIN(pos) AS INTEGER) AS span_start,
+           CAST(MAX(pos) + 7 AS INTEGER) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS INTEGER) AS span_tokens,
            CAST(count(*) AS BIGINT) AS n_dup_ngrams
     FROM runs GROUP BY doc_id, grp
     """,
@@ -1020,3 +1020,56 @@ def l33_hard_negatives(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     return S.hard_negative_topk(emb, q, k=3)
+
+
+@register(
+    "l34_vocab_coverage",
+    oracle="""
+    WITH w AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ),
+    c AS (SELECT tok, count(*) AS n FROM w GROUP BY tok),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM c),
+    r AS (
+      SELECT tok, n,
+             row_number() OVER (ORDER BY n DESC, tok) AS rk,
+             sum(n) OVER (ORDER BY n DESC, tok
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM c
+    )
+    SELECT tok, CAST(n AS BIGINT) AS n, CAST(rk AS INTEGER) AS rk,
+           round(cum / (SELECT t FROM tot), 6) AS cum_share
+    FROM r WHERE rk <= 200
+    """,
+)
+def l34_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocab construction: top-200 tokens by corpus frequency
+    with cumulative coverage share (what fraction of all token
+    occurrences a vocab prefix explains). Counts and the running sum
+    are exact integers — one double division at the end, so no float
+    accumulation issues. The ranking window runs over the VOCABULARY
+    (post-aggregation), not the corpus; at 100 TB prefilter with a
+    distributed top-K on counts (TakeOrdered) before the single-
+    partition rank — ordering by count is unaffected."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias("tok")
+    )
+    c = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = c.agg(F.sum("n").cast("double").alias("t"))
+    w = W.orderBy(F.desc("n"), F.asc("tok"))
+    r = c.select(
+        "tok",
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    ).filter(F.col("rk") <= 200)
+    return r.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        "n",
+        "rk",
+        F.round(F.col("cum") / F.col("t"), 6).alias("cum_share"),
+    )

@@ -168,7 +168,7 @@ def st07_stream_curation(spark, sf_dir):
     )
     SELECT make_timestamp(wslot*900*1000000) AS window_start,
            make_timestamp((wslot+1)*900*1000000) AS window_end,
-           event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS BIGINT) AS rnk
+           event_type, CAST(n AS BIGINT) AS n, CAST(rnk AS INTEGER) AS rnk
     FROM r WHERE rnk <= 3
     """,
 )
