@@ -95,3 +95,37 @@ def test_bucketed_table_join_avoids_shuffle(spark, sf_dir, tmp_path):
         assert j.count() == li.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
+def test_compact_reduces_file_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    from ekati_spark.sources.maintenance import compact, layout_stats
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    frag = str(tmp_path / "frag")
+    li.repartition(64).write.parquet(frag)  # simulate append explosion
+    assert layout_stats(frag)["n_files"] == 64
+
+    out = str(tmp_path / "compact")
+    res = compact(spark, frag, out, target_file_bytes=1 << 30)
+    assert res["after"]["n_files"] == 1
+    assert res["after"]["total_bytes"] < res["before"]["total_bytes"]
+
+    got = spark.read.parquet(out)
+    assert got.count() == li.count()
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, li.collect()))
+
+
+def test_compact_sorted_clusters_for_pruning(spark, sf_dir, tmp_path):
+    from ekati_spark.sources.maintenance import compact
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    frag = str(tmp_path / "frag2")
+    li.repartition(16).write.parquet(frag)
+    out = str(tmp_path / "sorted")
+    compact(spark, frag, out, target_file_bytes=50_000, sort_cols=["l_orderkey"])
+    # clustered layout: each output file covers a disjoint key range, so
+    # a point-range scan prunes row groups; cheap proxy — rows survive
+    got = spark.read.parquet(out)
+    assert got.count() == li.count()
