@@ -1073,3 +1073,54 @@ def l34_vocab_coverage(spark, sf_dir):
         "rk",
         F.round(F.col("cum") / F.col("t"), 6).alias("cum_share"),
     )
+
+
+@register(
+    "l35_joint_curation",
+    oracle="""
+    WITH t AS (
+      SELECT d.doc_id,
+             len(string_split_regex(trim(lower(d.text)), ' +')) AS n_tokens,
+             round(CAST(len(list_distinct(
+                     string_split_regex(trim(lower(d.text)), ' +')))
+                   AS DOUBLE)
+                   / len(string_split_regex(trim(lower(d.text)), ' +')), 6)
+               AS distinct_ratio,
+             round(sqrt(list_sum(list_transform(
+                     CAST(e.embedding AS DOUBLE[]), v -> v*v))), 6)
+               AS emb_norm
+      FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    )
+    SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+           distinct_ratio, emb_norm
+    FROM t
+    WHERE n_tokens >= 20 AND distinct_ratio >= 0.3
+      AND emb_norm BETWEEN 0.5 AND 100
+    """,
+)
+def l35_joint_curation(spark, sf_dir):
+    """Joint text+embedding curation: keep documents passing BOTH the
+    text gates (length, lexical diversity) and the embedding sanity
+    gate (L2 norm in range — degenerate/zero vectors out). The doc and
+    vector tables join 1:1 on id — at 100 TB both are fact-sized, so
+    this is a co-partitioned SMJ (bucket both by id to make it
+    shuffle-free); all gates are row-local projections. Norms use the
+    left-fold accumulation that is bit-identical to the SQL fold
+    (operators/similarity.py::norm), rounded to 6 before the
+    threshold."""
+    from ekati_spark.operators.similarity import _as_double, norm
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = F.col("text")
+    j = docs.join(emb, docs.doc_id == emb.vec_id)
+    return j.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        F.round(X.distinct_token_ratio(t), 6).alias("distinct_ratio"),
+        F.round(norm(_as_double(F.col("embedding"))), 6).alias("emb_norm"),
+    ).filter(
+        (F.col("n_tokens") >= 20)
+        & (F.col("distinct_ratio") >= 0.3)
+        & F.col("emb_norm").between(0.5, 100)
+    )
