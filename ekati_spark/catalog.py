@@ -64,6 +64,27 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize events.ts to TimestampType regardless of how the parquet
+    stores it. Generated testdata has shipped both TIMESTAMP(NANOS) (read
+    as long nanos under spark.sql.legacy.parquet.nanosAsLong) and
+    timestamp[us] (read as timestamp_ntz) — branch on the observed dtype
+    instead of assuming either:
+
+    - bigint        → nanos; truncate to micros with integer division
+                      (double division loses precision above 2^53 ns) —
+                      the same truncation DuckDB applies to TIMESTAMP_NS.
+    - timestamp_ntz → value-preserving cast (session timeZone is UTC).
+    - timestamp     → already normalized.
+    """
+    dtype = dict(df.dtypes).get("ts")
+    if dtype == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype is not None and dtype != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     key = (session_key(spark), sf_dir, name)
     hit = _table_cache.get(key)
@@ -72,11 +93,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file (read as long nanos via
-        # spark.sql.legacy.parquet.nanosAsLong); truncate to micros —
-        # the same truncation DuckDB applies reading TIMESTAMP_NS.
-        # integer division — double division loses precision above 2^53 ns
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        df = normalize_events_ts(df)
     _table_cache[key] = df
     return df
 

@@ -27,6 +27,7 @@ Determinism: every hash is a fixed-seed arithmetic function of
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
@@ -351,25 +352,29 @@ def dedup_groups(
 def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-batched Pandas UDF —
     the documented slow path; bit-vote accumulation doesn't decompose into
-    built-in HOFs cleanly). Token hash = md5 (stable across workers)."""
+    built-in HOFs cleanly). Token hash = md5 (stable across workers).
+
+    Bit votes are a numpy matrix op (unpackbits → column sums), not a
+    per-token/per-bit Python loop; only the per-token md5 stays Python.
+    Bit convention (unchanged from the scalar version): result bit j
+    votes on bit j of the big-endian uint64 read of md5[:8]."""
     import hashlib
 
-    out = []
-    for text in texts:
-        votes = [0] * 64
-        for tok in (text or "").lower().split():
-            h = int.from_bytes(
-                hashlib.md5(tok.encode()).digest()[:8], "big", signed=False
-            )
-            for j in range(64):
-                votes[j] += 1 if (h >> j) & 1 else -1
-        v = 0
-        for j in range(64):
-            if votes[j] > 0:
-                v |= 1 << j
-        # to signed 64-bit
-        out.append(v - (1 << 64) if v >= (1 << 63) else v)
-    return pd.Series(out, dtype="int64")
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for i, text in enumerate(texts):
+        toks = (text or "").lower().split()
+        if not toks:
+            continue
+        digests = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
+        # (n_tok, 64) 0/1 matrix; column k = bit 63-k of each token hash
+        bits = np.unpackbits(
+            np.frombuffer(digests, dtype=np.uint8).reshape(-1, 8), axis=1
+        )
+        ones = bits.sum(axis=0, dtype=np.int64)
+        # votes_k = ones_k - zeros_k > 0  <=>  2*ones_k > n_tok
+        majority = 2 * ones > len(toks)
+        out[i] = int.from_bytes(np.packbits(majority).tobytes(), "big")
+    return pd.Series(out.view(np.int64))
 
 
 def simhash_pairs(

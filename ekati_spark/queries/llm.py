@@ -382,24 +382,53 @@ def l15_knn_ivf(spark, sf_dir):
     return S.ivf_topk(emb, q, k=5, n_lists=16, n_probe=6, kmeans_iters=2)
 
 
-@register("l16_grouped_normalize")
+@register(
+    "l16_grouped_normalize",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             CAST(SUM(n_chars) AS DOUBLE) AS s,
+             CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sxx,
+             count(*) AS n
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang,
+           (d.n_chars - g.s / g.n)
+             / (CASE WHEN sqrt(greatest(g.sxx / g.n - (g.s / g.n) * (g.s / g.n),
+                                        0.0)) = 0
+                     THEN 1.0
+                     ELSE sqrt(greatest(g.sxx / g.n - (g.s / g.n) * (g.s / g.n),
+                                        0.0)) END)
+             AS z_len
+    FROM documents d JOIN g USING (lang)
+    """,
+)
 def l16_grouped_normalize(spark, sf_dir):
     """Grouped-map applyInPandas (the UDTF shape): per-language z-score
     normalization of document lengths — each group arrives as one pandas
-    DataFrame (Arrow batch). Rows-only check (pandas float reduction
-    order differs from SQL's); value properties asserted in pytest."""
+    DataFrame (Arrow batch). Oracle-checked bit-exactly: mean/variance
+    come from EXACT integer sums (Python bigints here, HUGEINT sums in
+    DuckDB), then the same fixed IEEE op order on both sides
+    (mu = S/n; var = Sxx/n - mu*mu clamped at 0; z = (x-mu)/sd), so the
+    doubles agree to the last bit regardless of row order."""
+    import math
+
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["n_chars"].mean()
-        sd = pdf["n_chars"].std(ddof=0) or 1.0
+        xs = [int(v) for v in pdf["n_chars"]]
+        n = len(xs)
+        s, sxx = sum(xs), sum(x * x for x in xs)
+        mu = float(s) / n
+        var = max(float(sxx) / n - mu * mu, 0.0)
+        sd = math.sqrt(var) or 1.0
         return pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
                 "lang": pdf["lang"],
-                "z_len": (pdf["n_chars"] - mu) / sd,
+                "z_len": [(x - mu) / sd for x in xs],
             }
         )
 
@@ -427,30 +456,40 @@ def l16_grouped_normalize(spark, sf_dir):
     """,
 )
 def l17_fuzzy_dedup_pairs(spark, sf_dir):
-    """Fuzzy (edit-distance) near-dup pairs: length-difference blocking,
-    then Levenshtein over the first 80 chars ≤ 20. Both engines implement
-    classic Levenshtein, so this is oracle-checked exactly. Length
-    blocking bounds the pair space (|len_a - len_b| ≤ 20 is a lower bound
-    on edit distance — no true pair is lost)."""
+    """Fuzzy (edit-distance) near-dup pairs: length-bucket blocking, then
+    Levenshtein over the first 80 chars ≤ 20. Both engines implement
+    classic Levenshtein, so this is oracle-checked exactly.
+
+    Scale note: the blocking key is ``len div 20``; the left side explodes
+    each doc into its own + adjacent buckets, so the join is an EQUI-join
+    (hash-partitionable shuffle, no BroadcastNestedLoopJoin). Lossless for
+    the predicate |len_a - len_b| <= 20 — a qualifying partner's bucket is
+    always within ±1 — and a pair can meet in at most one bucket key
+    (the right doc's bucket is fixed). |len_a-len_b| <= 20 is a lower
+    bound on edit distance, so no true pair is lost. Asserted BNLJ-free
+    in tests."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     d = docs.select(
         "doc_id", D.normalized(F.col("text")).alias("t")
     ).withColumn("len", F.length("t"))
+    bkt = F.expr("len div 20")
     a = d.select(
         F.col("doc_id").alias("id_a"),
         F.col("t").alias("t_a"),
         F.col("len").alias("len_a"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bucket"),
     )
     b = d.select(
         F.col("doc_id").alias("id_b"),
         F.col("t").alias("t_b"),
         F.col("len").alias("len_b"),
+        bkt.alias("bucket"),
     )
     return (
-        a.join(
-            b,
+        a.join(b, "bucket")
+        .filter(
             (F.col("id_a") < F.col("id_b"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= 20),
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 20)
         )
         .withColumn(
             "edit80",

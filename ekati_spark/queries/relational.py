@@ -1301,30 +1301,51 @@ def r46_string_agg(spark, sf_dir):
     )
 
 
-@register("r47_hll_sketch_rollup")
+@register(
+    "r47_hll_sketch_rollup",
+    oracle="""
+    SELECT n.n_regionkey,
+           CAST(count(DISTINCT c.c_custkey) AS BIGINT) AS exact_customers,
+           TRUE AS est_ok
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_regionkey
+    """,
+)
 def r47_hll_sketch_rollup(spark, sf_dir):
     """Mergeable-sketch rollup (Apache DataSketches HLL): per-nation
     customer sketches union-merged to region level, then estimated —
     the pre-aggregation pattern that makes distinct counts re-rollable
-    at 100 TB (sketch tables merge; exact distincts don't). Rows-only
-    check: sparse-mode sketches are exact at small SF but estimates
-    diverge ~1-2% once groups exceed ~3k distincts (measured at sf0.1);
-    the ≤5% error bound vs exact is asserted in pytest."""
+    at 100 TB (sketch tables merge; exact distincts don't). The sketch
+    estimate itself isn't portable to DuckDB (different HLL impls), so
+    the checkable contract is: exact distinct per region (hash-matched)
+    plus ``est_ok`` = sketch estimate within 5% of exact (the oracle
+    states TRUE; a broken sketch flips it). The tighter estimate-error
+    distribution is asserted in pytest."""
     cust, nation = _t(spark, sf_dir, "customer", "nation")
-    per_nation = (
-        cust.join(
-            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
-        )
-        .groupBy("n_regionkey", "n_nationkey")
-        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     )
-    return (
+    per_nation = joined.groupBy("n_regionkey", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    approx = (
         per_nation.groupBy("n_regionkey")
         .agg(F.hll_union_agg("sk").alias("sk"))
         .select(
             "n_regionkey",
             F.hll_sketch_estimate("sk").cast("long").alias("approx_customers"),
         )
+    )
+    exact = joined.groupBy("n_regionkey").agg(
+        F.count_distinct("c_custkey").alias("exact_customers")
+    )
+    return exact.join(approx, "n_regionkey").select(
+        "n_regionkey",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers") - F.col("exact_customers"))
+            <= 0.05 * F.col("exact_customers")
+        ).alias("est_ok"),
     )
 
 

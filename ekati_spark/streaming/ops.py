@@ -22,30 +22,25 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos (nanosAsLong)
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events table as a file stream (parquet source, one-file dir)."""
-    from ekati_spark.catalog import ensure_session_confs
+    """The events table as a file stream (parquet source, one-file dir).
+
+    readStream needs a declared schema; probe it from a batch read of the
+    same file (one footer read) instead of hard-coding the ts dtype — the
+    generated testdata has shipped ts as both long-nanos and timestamp[us]
+    across rounds, and ``normalize_events_ts`` branches on what it finds.
+    """
+    from ekati_spark.catalog import ensure_session_confs, normalize_events_ts
 
     ensure_session_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = (
         spark.readStream.format("parquet")
-        .schema(EVENTS_RAW_SCHEMA)
+        .schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(raw)
 
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:

