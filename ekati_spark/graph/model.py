@@ -122,13 +122,21 @@ class PropertyGraph:
     def stats(self) -> DataFrame:
         """Engine-stats parity (``GetStats``/``ListStats`` RPCs,
         ``types.proto:235-238``): corpus-level counts as a one-row
-        DataFrame (node/edge/attribute-row totals). Execution telemetry
-        itself is Spark's own UI/metrics/SparkListener surface."""
-        return self.props.agg(
+        DataFrame (node/edge/attribute-row totals plus label
+        cardinality). Edge counts come from ``self.edges`` so both graph
+        shapes agree (put-ingest graphs derive edges from dtype='ref'
+        prop rows; ``from_relational`` holds them separately). Execution
+        telemetry itself is Spark's own UI/metrics/SparkListener
+        surface."""
+        ps = self.props.agg(
             F.countDistinct("node_id").alias("n_nodes"),
             F.count("*").alias("n_attr_rows"),
-            F.sum((F.col("dtype") == "ref").cast("long")).alias("n_edges"),
         )
+        es = self.edges.agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("label").alias("n_edge_labels"),
+        )
+        return ps.crossJoin(es)
 
     # -- persistence (the Parquet replacement of the reference's FASTER
     # log + checkpoints, SURVEY §4) ---------------------------------------

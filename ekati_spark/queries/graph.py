@@ -663,13 +663,52 @@ def g19_connected_components_star(spark, sf_dir):
     return connected_components_star(geo)
 
 
-@register("g20_kcore")
+@register(
+    "g20_kcore",
+    oracle="""
+    WITH RECURSIVE base AS (
+      SELECT DISTINCT 'part:' || CAST(l_partkey AS VARCHAR) AS src,
+                      'supp:' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem
+    ),
+    sym AS (
+      SELECT DISTINCT u, v FROM (
+        SELECT src AS u, dst AS v FROM base
+        UNION ALL
+        SELECT dst AS u, src AS v FROM base
+      ) WHERE u <> v
+    ),
+    -- peel to fixpoint: each iteration re-emits the FULL surviving edge
+    -- set; the EXISTS guard stops recursion once no node is below k, so
+    -- the max-iter rows are the fixpoint. (Valid when the k-core is
+    -- nonempty, which holds for this graph; the empty-core edge case is
+    -- pinned by the known-graph pytest on the Spark side.)
+    core(iter, u, v) AS (
+      SELECT 0, u, v FROM sym
+      UNION ALL
+      SELECT c.iter + 1, c.u, c.v
+      FROM core c
+      JOIN (SELECT u FROM core GROUP BY u HAVING count(*) >= 3) ku
+        ON c.u = ku.u
+      JOIN (SELECT u AS v FROM core GROUP BY u HAVING count(*) >= 3) kv
+        ON c.v = kv.v
+      WHERE c.iter < 60
+        AND EXISTS (SELECT 1 FROM core GROUP BY u HAVING count(*) < 3)
+    ),
+    last AS (
+      SELECT u, v FROM core WHERE iter = (SELECT max(iter) FROM core)
+    )
+    SELECT u AS node_id, CAST(count(*) AS BIGINT) AS degree
+    FROM last GROUP BY u
+    """,
+)
 def g20_kcore(spark, sf_dir):
     """k-core (k=3) of the part↔supplier co-occurrence graph from
     lineitem: iterative degree peeling to fixpoint
-    (graph/algorithms.k_core). Rows-only check — the peel-to-fixpoint
-    loop needs aggregates in the recursive step, which SQL recursive
-    CTEs forbid; exact semantics are pinned by the known-graph pytest
+    (graph/algorithms.k_core). Oracle: DuckDB WITH RECURSIVE replay of
+    the peel — each round re-emits the surviving edge set and stops at
+    the no-low-degree-node fixpoint; exact empty-core semantics are
+    pinned by the known-graph pytest
     (tests/test_algorithms.py::test_k_core_known_graph)."""
     from ekati_spark.graph.algorithms import k_core
 
@@ -989,3 +1028,32 @@ def g25_personalized_pagerank(spark, sf_dir):
         pr.select("node_id", F.round("rank", 6).alias("rank"))
         .filter(F.col("rank") > 0)
     )
+
+
+@register(
+    "g26_graph_stats",
+    oracle="""
+    SELECT
+      CAST((SELECT count(*) FROM customer) + (SELECT count(*) FROM orders)
+         + (SELECT count(*) FROM supplier) + (SELECT count(*) FROM nation)
+         + (SELECT count(*) FROM region) AS BIGINT) AS n_nodes,
+      CAST(4 * (SELECT count(*) FROM customer)
+         + 4 * (SELECT count(*) FROM orders)
+         + 2 * (SELECT count(*) FROM supplier)
+         + 2 * (SELECT count(*) FROM nation)
+         + 2 * (SELECT count(*) FROM region) AS BIGINT) AS n_attr_rows,
+      CAST((SELECT count(*) FROM orders) + 3 * (SELECT count(*) FROM lineitem)
+         + (SELECT count(*) FROM customer) + (SELECT count(*) FROM supplier)
+         + (SELECT count(*) FROM nation) AS BIGINT) AS n_edges,
+      CAST(6 AS BIGINT) AS n_edge_labels
+    """,
+)
+def g26_graph_stats(spark, sf_dir):
+    """Engine stats surface (``GetStats``/``ListStats`` RPC parity,
+    reference ``types.proto:235-238``, ``src/core/Metrics.fs``): one-row
+    corpus totals from ``PropertyGraph.stats()`` over the FK graph. The
+    oracle derives the same totals from the base tables: props exist for
+    customer/orders/supplier/nation/region (4/4/2/2/2 attrs each); edges
+    are placed + 3 per lineitem (contains/of_part/from_supplier) +
+    customer/supplier in_nation + nation in_region, 6 labels total."""
+    return _graph(spark, sf_dir).stats()

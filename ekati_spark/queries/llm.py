@@ -73,10 +73,42 @@ def l03_minhash_lsh_pairs(spark, sf_dir):
     return D.minhash_lsh_pairs(docs, threshold=0.1, num_hashes=64, bands=32)
 
 
-@register("l04_simhash_pairs")
+# SimHash is deterministic (md5 token hashes, majority bit votes), so the
+# oracle replays it in pure SQL: one CASE-vote term per bit, generated here
+# rather than hand-written 64 times. Bit j of the hash = bit j of the
+# big-endian uint64 read of md5(token)[:8] — '0x'||hex-prefix cast in DuckDB.
+_SIMHASH_VOTE_TERMS = " + ".join(
+    f"(CASE WHEN SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+    f" THEN CAST({1 << j} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END)"
+    for j in range(64)
+)
+
+
+@register(
+    "l04_simhash_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+      FROM documents WHERE doc_id < 150
+    ),
+    h AS (
+      SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 16)) AS UBIGINT) AS hv
+      FROM tok WHERE t <> ''
+    ),
+    sim AS (
+      SELECT doc_id, ({_SIMHASH_VOTE_TERMS}) AS sim FROM h GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b
+      ON (a.sim >> 60) = (b.sim >> 60) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= 8
+    """,
+)
 def l04_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (hamming ≤ 8) via Pandas-UDF signature +
-    prefix blocking. Rows-only check; properties tested in pytest."""
+    prefix blocking. Oracle-checked exactly: simhash64 is deterministic,
+    and the DuckDB oracle recomputes the same md5 bit votes in SQL."""
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return D.simhash_pairs(docs, max_hamming=8, prefix_bits=4)
 

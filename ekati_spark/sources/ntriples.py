@@ -19,7 +19,12 @@ partitioning (grouping is implicit in the long format).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+import time
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 # subject: IRI or blank; predicate: IRI; object: IRI | blank | literal
 _TRIPLE = (
@@ -32,6 +37,34 @@ _TRIPLE = (
     r"(?:\^\^<([^>]*)>|@([A-Za-z0-9-]+))?"  # 7 type iri | 8 lang
     r")\s*\.\s*$"
 )
+
+
+@F.pandas_udf(T.StringType())
+def _decode_unicode_escapes(s: pd.Series) -> pd.Series:
+    """Decode ``\\uXXXX`` / ``\\UXXXXXXXX`` escapes (surrogate pairs
+    first, so emoji round-trip). Runs only on rows that still contain the
+    pattern — the rlike gate keeps the common path JVM-side."""
+    import re
+
+    pair = re.compile(r"\\u([Dd][89ABab][0-9A-Fa-f]{2})\\u([Dd][C-Fc-f][0-9A-Fa-f]{2})")
+    single = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
+
+    def dec(v):
+        if v is None:
+            return None
+        v = pair.sub(
+            lambda m: chr(
+                0x10000
+                + ((int(m.group(1), 16) - 0xD800) << 10)
+                + (int(m.group(2), 16) - 0xDC00)
+            ),
+            v,
+        )
+        return single.sub(
+            lambda m: chr(int(m.group(1) or m.group(2), 16)), v
+        )
+
+    return s.map(dec)
 
 
 def load_ntriples(
@@ -65,7 +98,9 @@ def load_ntriples(
     )
     # Escape-sequence order matters: protect escaped backslashes behind a
     # sentinel FIRST, or '\\n' (backslash + letter n) decodes as a
-    # newline. \uXXXX escapes are left verbatim (documented limitation).
+    # newline. \uXXXX decoding happens while real backslashes are still
+    # sentineled (so '\\\\u0041' stays literal), via an Arrow UDF gated to
+    # the rare rows that actually contain the pattern.
     sentinel = "\ue000"  # private-use char, cannot occur in valid N-Triples
     unescape = F.col("o_lit")
     for pat, rep in (
@@ -74,9 +109,12 @@ def load_ntriples(
         (r"\\n", "\n"),
         (r"\\t", "\t"),
         (r"\\r", "\r"),
-        (sentinel, "\\\\"),
     ):
         unescape = F.regexp_replace(unescape, pat, rep)
+    unescape = F.when(
+        unescape.rlike(r"\\[uU]"), _decode_unicode_escapes(unescape)
+    ).otherwise(unescape)
+    unescape = F.regexp_replace(unescape, sentinel, "\\\\")
     return parsed.select(
         subj.alias("node_id"),
         F.lit("").alias("remote"),
@@ -92,3 +130,76 @@ def load_ntriples(
         F.when(F.col("o_type") != "", F.col("o_type")).alias("meta_type"),
         F.when(F.col("o_lang") != "", F.col("o_lang")).alias("meta_lang"),
     )
+
+
+def load_ntriples_url(
+    spark: SparkSession,
+    url: str,
+    run_id: str = "run",
+    ts: int = 0,
+    progress: Callable[[dict], None] | None = None,
+    chunk_bytes: int = 81920,
+    progress_interval_s: float = 1.0,
+    spool_dir: str | None = None,
+) -> DataFrame:
+    """Streaming NT ingest from a URL with a progress surface (reference
+    ``src/server/Services/WatService.cs:97-300``: HTTP source, 81920-byte
+    chunked reads, >=1 s progress responses).
+
+    Spark-first split of responsibilities: the *fetch* is a driver-side
+    chunked spool to a local file (the only part that is inherently
+    sequential — one socket), emitting ``progress({"bytes_read", "total_bytes",
+    "elapsed_s", "done"})`` callbacks at ``progress_interval_s``; the
+    *parse* is the fully distributed ``load_ntriples`` over the spooled
+    file. For data already in a shared filesystem / object store, call
+    ``load_ntriples`` directly — the spool is only for single-URL pulls.
+    Supports any urllib scheme (http/https/file — file:// is the test
+    path; the container has no network)."""
+    import os
+    import tempfile
+    import urllib.request
+
+    t0 = time.monotonic()
+    last_emit = t0
+    bytes_read = 0
+    fd, spool = tempfile.mkstemp(suffix=".nt", dir=spool_dir)
+    try:
+        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
+            total = resp.headers.get("Content-Length") if resp.headers else None
+            total_bytes = int(total) if total else None
+            while True:
+                chunk = resp.read(chunk_bytes)
+                if not chunk:
+                    break
+                out.write(chunk)
+                bytes_read += len(chunk)
+                now = time.monotonic()
+                if progress and now - last_emit >= progress_interval_s:
+                    last_emit = now
+                    progress(
+                        {
+                            "bytes_read": bytes_read,
+                            "total_bytes": total_bytes,
+                            "elapsed_s": now - t0,
+                            "done": False,
+                        }
+                    )
+        if progress:
+            progress(
+                {
+                    "bytes_read": bytes_read,
+                    "total_bytes": total_bytes,
+                    "elapsed_s": time.monotonic() - t0,
+                    "done": True,
+                }
+            )
+        df = load_ntriples(spark, spool, run_id=run_id, ts=ts)
+        # the spool must outlive the returned (lazy) DataFrame's first
+        # action: materialize eagerly, then the file can go.
+        df = df.localCheckpoint(eager=True)
+        return df
+    finally:
+        try:
+            os.unlink(spool)
+        except OSError:
+            pass

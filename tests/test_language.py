@@ -390,3 +390,50 @@ def test_ntriples_escape_sequences(spark, tmp_path):
     assert rows["http://e/p"] == "a\\nb"   # backslash + letter n preserved
     assert rows["http://e/q"] == "x\ty"
     assert rows["http://e/r"] == "n\nl"
+
+
+def test_ntriples_unicode_escapes(spark, tmp_path):
+    nt = tmp_path / "uni.nt"
+    nt.write_text(
+        '<http://e/s> <http://e/a> "caf\\u00e9" .\n'          # BMP char
+        '<http://e/s> <http://e/b> "hi \\uD83D\\uDE00" .\n'   # surrogate pair
+        '<http://e/s> <http://e/c> "big \\U0001F680" .\n'     # 8-digit form
+        '<http://e/s> <http://e/d> "lit \\\\u0041" .\n'       # escaped backslash: verbatim
+    )
+    rows = {r.key: r.str for r in load_ntriples(spark, str(nt)).collect()}
+    assert rows["http://e/a"] == "café"
+    assert rows["http://e/b"] == "hi \U0001F600"
+    assert rows["http://e/c"] == "big \U0001F680"
+    assert rows["http://e/d"] == "lit \\u0041"
+
+
+def test_ntriples_url_ingest_with_progress(spark, tmp_path):
+    """file:// URL pull: chunked spool emits progress events, spool file
+    is deleted after the eager parse, and the triples survive it."""
+    import os
+
+    from ekati_spark.sources.ntriples import load_ntriples_url
+
+    nt = tmp_path / "feed.nt"
+    nt.write_text(
+        "".join(
+            f'<http://e/s{i}> <http://e/p> "v{i}" .\n' for i in range(500)
+        )
+    )
+    events = []
+    df = load_ntriples_url(
+        spark,
+        nt.as_uri(),
+        progress=events.append,
+        chunk_bytes=256,
+        progress_interval_s=0.0,  # emit every chunk for the test
+        spool_dir=str(tmp_path),
+    )
+    assert df.count() == 500
+    assert events and events[-1]["done"]
+    assert events[-1]["bytes_read"] == nt.stat().st_size
+    assert [e["bytes_read"] for e in events] == sorted(
+        e["bytes_read"] for e in events
+    )
+    leftovers = [p for p in os.listdir(tmp_path) if p.endswith(".nt") and p != "feed.nt"]
+    assert leftovers == []
