@@ -294,6 +294,171 @@ def ann_lsh_buckets(
     )
 
 
+def _nearest(A: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    # argmin_j ||a - c_j||²; the ||a||² term is constant per row, so
+    # -2aC^T + ||c||² suffices. First-min tie-break = lowest list_id.
+    d = -2.0 * (A @ C.T) + (C * C).sum(axis=1)
+    return np.argmin(d, axis=1)
+
+
+def _lloyd_step(c: DataFrame, cents: list[list[float]]) -> list[list[float]]:
+    """One Lloyd step as a single job: per-partition partial sums (count +
+    vector sum per list) via mapInPandas over column ``v`` — the
+    tree-aggregate shape; k×dim scalars reach the driver, never data.
+    (The crossJoin+min_by formulation put the distance expression above a
+    CartesianProduct, where it evaluates interpreted — no codegen.)"""
+    C = np.asarray(cents, dtype=np.float64)
+
+    def partials(batches):
+        cnt = np.zeros(len(C), dtype=np.int64)
+        sums = np.zeros_like(C)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            lbl = _nearest(A, C)
+            np.add.at(cnt, lbl, 1)
+            np.add.at(sums, lbl, A)
+        if not seen:
+            return
+        yield pd.DataFrame(
+            {
+                "list_id": np.arange(len(C), dtype=np.int64),
+                "cnt": cnt,
+                "sums": list(sums),
+            }
+        )
+
+    rows = c.select("v").mapInPandas(
+        partials, "list_id long, cnt long, sums array<double>"
+    ).collect()
+    cnt = np.zeros(len(C), dtype=np.int64)
+    sums = np.zeros_like(C)
+    for r in rows:
+        cnt[r.list_id] += r.cnt
+        sums[r.list_id] += np.asarray(r.sums)
+    return [
+        (sums[i] / cnt[i]).tolist() if cnt[i] else cents[i]
+        for i in range(len(C))
+    ]
+
+
+def _assign_lists(
+    c: DataFrame, cents: list[list[float]], out_schema: str
+) -> DataFrame:
+    """Tag every row with its nearest-centroid ``list_id`` (one
+    mapInPandas pass; centroids ride in the closure as a numpy matrix).
+    ``out_schema`` = the input columns (which must include ``v``) plus
+    ``list_id long``."""
+    C = np.asarray(cents, dtype=np.float64)
+    keep = [f.split()[0] for f in out_schema.split(",")]
+    keep = [k for k in keep if k != "list_id"]
+
+    def assign_map(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            out = pdf[keep].copy()
+            out["list_id"] = _nearest(A, C)
+            yield out
+
+    return c.mapInPandas(assign_map, out_schema)
+
+
+def _seed_centroids(
+    c: DataFrame, n_lists: int, seed: int, id_col: str
+) -> list[list[float]]:
+    """Deterministic k-means init: the n_lists corpus vectors with the
+    smallest seeded xxhash of their id — stable across partitionings."""
+    init = (
+        c.select(
+            "v",
+            F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)).alias("h"),
+        )
+        .orderBy("h")
+        .limit(n_lists)
+        .collect()
+    )
+    return [list(r.v) for r in init]
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    kmeans_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): k-means-cluster the embeddings, then inside each cluster
+    drop every vector that has a lower-id neighbor with cosine >=
+    ``threshold``. Returns ``(vec_id, list_id, kept)`` for every valid
+    input vector — the keep-list plus which cluster each doc landed in.
+
+    Scale shape: the pair comparison is confined to clusters (equi-join
+    on ``list_id``, hash-partitionable; cost ∝ Σ cluster², never corpus²)
+    — the SemDeDup trade: cross-cluster near-dups are missed by design.
+    The cosine is computed in a PROJECTION after the equi-join, not in
+    the join condition, so it stays in whole-stage codegen. Keep rule =
+    "no lower-id neighbor", a deterministic representative per near-dup
+    neighborhood (left_anti join, no driver loop).
+    """
+    dim = _infer_dim(emb, vec_col)
+    c = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nv"),
+    )
+    cents = _seed_centroids(c, n_lists, seed, "id")
+    for _ in range(kmeans_iters):
+        cents = _lloyd_step(c, cents)
+    assigned = _assign_lists(
+        c, cents, "id long, v array<float>, nv double, list_id long"
+    ).localCheckpoint(eager=True)  # consumed 3x (both join sides + output)
+
+    a = assigned.select(
+        "list_id",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("v_a"),
+        F.col("nv").alias("nv_a"),
+    )
+    b = assigned.select(
+        "list_id",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("v_b"),
+        F.col("nv").alias("nv_b"),
+    )
+    cos = F.try_divide(
+        dot(F.col("v_a"), F.col("v_b"), dim), F.col("nv_a") * F.col("nv_b")
+    )
+    dropped = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "id", "left_anti").select(
+        F.col("id").alias(id_col),
+        "list_id",
+        F.lit(True).alias("kept"),
+    ).unionByName(
+        assigned.join(dropped, "id", "left_semi").select(
+            F.col("id").alias(id_col),
+            "list_id",
+            F.lit(False).alias("kept"),
+        )
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -360,91 +525,18 @@ def ivf_topk(
             )
         )
 
-    # deterministic init: the n_lists (valid) corpus vectors with
-    # smallest seeded xxhash of their id -- stable across partitionings;
-    # drawn from the filtered side so a NULL vector can't seed a centroid
-    init = (
-        c.select(
-            "v",
-            F.xxhash64(F.col("neighbor_id").cast("string"), F.lit(seed)).alias(
-                "h"
-            ),
-        )
-        .orderBy("h")
-        .limit(n_lists)
-        .collect()
-    )
-    centroids = [list(r.v) for r in init]
+    # deterministic init drawn from the filtered side, so a NULL vector
+    # can't seed a centroid
+    centroids = _seed_centroids(c, n_lists, seed, "neighbor_id")
     # a corpus smaller than n_lists yields fewer seed centroids
     n_lists = len(centroids)
     n_probe = min(n_probe, n_lists)
 
-    def _nearest(A: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
-        # argmin_j ||a - c_j||²; the ||a||² term is constant per row, so
-        # -2aC^T + ||c||² suffices. First-min tie-break = lowest list_id.
-        d = -2.0 * (A @ C.T) + (C * C).sum(axis=1)
-        return np.argmin(d, axis=1)
-
-    def refine(cents: list[list[float]]):
-        """One Lloyd step as a single job: per-partition partial sums
-        (count + vector sum per list) via mapInPandas — the
-        tree-aggregate shape; k×dim scalars reach the driver, never
-        data. (The crossJoin+min_by formulation put the distance
-        expression above a CartesianProduct, where it evaluates
-        interpreted — no codegen.)"""
-        C = np.asarray(cents, dtype=np.float64)
-
-        def partials(batches):
-            cnt = np.zeros(len(C), dtype=np.int64)
-            sums = np.zeros_like(C)
-            seen = False
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                seen = True
-                A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                lbl = _nearest(A, C)
-                np.add.at(cnt, lbl, 1)
-                np.add.at(sums, lbl, A)
-            if not seen:
-                return
-            yield pd.DataFrame(
-                {
-                    "list_id": np.arange(len(C), dtype=np.int64),
-                    "cnt": cnt,
-                    "sums": list(sums),
-                }
-            )
-
-        rows = c.select("v").mapInPandas(
-            partials, "list_id long, cnt long, sums array<double>"
-        ).collect()
-        cnt = np.zeros(len(C), dtype=np.int64)
-        sums = np.zeros_like(C)
-        for r in rows:
-            cnt[r.list_id] += r.cnt
-            sums[r.list_id] += np.asarray(r.sums)
-        return [
-            (sums[i] / cnt[i]).tolist() if cnt[i] else cents[i]
-            for i in range(len(C))
-        ]
-
     for _ in range(kmeans_iters):
-        centroids = refine(centroids)
+        centroids = _lloyd_step(c, centroids)
 
-    Cfinal = np.asarray(centroids, dtype=np.float64)
-
-    def assign_map(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-            out = pdf[["neighbor_id", "v", "nv"]].copy()
-            out["list_id"] = _nearest(A, Cfinal)
-            yield out
-
-    assigned = c.mapInPandas(
-        assign_map, "neighbor_id long, v array<float>, nv double, list_id long"
+    assigned = _assign_lists(
+        c, centroids, "neighbor_id long, v array<float>, nv double, list_id long"
     )
 
     # query -> its n_probe nearest lists (same crossJoin shape; queries

@@ -1195,3 +1195,71 @@ def l35_joint_curation(spark, sf_dir):
         & (F.col("distinct_ratio") >= 0.3)
         & F.col("emb_norm").between(0.5, 100)
     )
+
+
+@register(
+    "l36_source_token_report",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang,
+             CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    g AS (
+      SELECT source, lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+      FROM d GROUP BY source, lang
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE) / n_docs AS avg_tokens,
+           CAST(total_tokens AS DOUBLE)
+             / (SELECT CAST(SUM(total_tokens) AS DOUBLE) FROM g)
+             AS corpus_share
+    FROM g
+    """,
+)
+def l36_source_token_report(spark, sf_dir):
+    """Data-mixture token accounting: per (source, lang) doc counts,
+    whitespace-token totals, and each cell's share of the corpus token
+    budget — the report a training-data pipeline reads before setting
+    sampling weights (the input to l31_domain_mix). One hash-shuffle
+    groupBy; the corpus total re-aggregates the per-cell aggregate (a
+    cells-sized frame, not a second scan). All doubles are single
+    divisions of exact integer sums, so Spark and DuckDB agree
+    bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "source", "lang", X.token_count(F.col("text")).cast("long").alias("n_tokens")
+    ).groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    total = g.agg(
+        F.sum("total_tokens").cast("double").alias("__corpus_tokens")
+    )
+    return g.crossJoin(F.broadcast(total)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "total_tokens",
+        (F.col("total_tokens").cast("double") / F.col("n_docs")).alias(
+            "avg_tokens"
+        ),
+        (F.col("total_tokens").cast("double") / F.col("__corpus_tokens")).alias(
+            "corpus_share"
+        ),
+    )
+
+
+@register("l37_semantic_dedup")
+def l37_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup over the embeddings table: k-means
+    clustering confines the cosine comparison to clusters (cost ∝
+    Σ cluster², never corpus²); within a cluster, any vector with a
+    lower-id neighbor at cosine ≥ 0.85 is dropped. Rows-only check
+    (k-means floats aren't portable to DuckDB); planted-duplicate
+    behavior is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.85, n_lists=16, kmeans_iters=2)

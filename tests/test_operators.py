@@ -511,3 +511,28 @@ def test_sliding_distinct_plan_explodes_after_distinct(spark, sf_dir):
     )
     between = "\n".join(lines[gen:scan])
     assert "Exchange" in between, between
+
+
+def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
+    """Scale audit over the driver-graded 50: no query may plan a
+    CartesianProduct or BroadcastNestedLoopJoin. Sole exception:
+    l06_knn_bruteforce, where BNLJ *is* the intended plan — the tiny
+    query set (10 rows) broadcasts against the embedding scan; that is
+    the documented |Q|*n exact baseline the ANN paths are judged
+    against."""
+    from ekati_spark.queries import REGISTRY
+
+    allowed = {"l06_knn_bruteforce"}
+    flagged = {}
+    for name in list(REGISTRY)[:50]:
+        if name in allowed:
+            continue
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        hits = [
+            k
+            for k in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if k in plan
+        ]
+        if hits:
+            flagged[name] = hits
+    assert not flagged, flagged

@@ -141,3 +141,27 @@ def test_hard_negatives_exclude_same_label_and_self(spark, sf_dir):
         assert r.neighbor_id != r.query_id
         assert labels[r.neighbor_id] != labels[r.query_id]
         assert 1 <= r.rank <= 3
+
+
+def test_semantic_dedup_drops_planted_near_dupes(spark):
+    """Planted exact+near duplicates are dropped (kept=False), originals
+    and distinct vectors survive, and every input id appears exactly
+    once."""
+    import random
+
+    from ekati_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    # 100: exact copy of 0; 101: tiny perturbation of 1 (cos ~ 1)
+    rows.append((100, [float(x) for x in base[0]]))
+    rows.append((101, [float(x * 1.001) for x in base[1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.kept for r in semantic_dedup(
+        df, threshold=0.99, n_lists=4, kmeans_iters=2
+    ).collect()}
+    assert len(out) == 42
+    assert out[0] and out[1]
+    assert not out[100]
+    assert not out[101]
