@@ -2,11 +2,13 @@
 columns with a typed metadata struct, plus Pandas-UDF plumbing for
 decode / feature-extract / resize / frame-sample.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (``decode_image`` raises NotImplementedError unless
-``fake=True``, which produces a deterministic fake decode); everything
-Spark-side — schema, partitioning, Arrow batch shape, UDF signatures — is
-real and tested (tests/test_multimodal.py).
+The decode seam self-upgrades: with Pillow importable, ``decode_image``
+and ``resize_images`` run real pixel work; without it (this container)
+they are clearly-marked stubs (NotImplementedError unless ``fake=True``,
+which produces a deterministic fake decode). Everything Spark-side —
+schema, partitioning, Arrow batch shape, UDF signatures — is real and
+tested either way (tests/test_operators.py; a skipif-gated test covers
+the Pillow path where the library exists).
 
 Column convention:
     content      binary            raw bytes (opaque)
@@ -62,13 +64,42 @@ def content_stats(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(data: bytes, fake: bool = False) -> list[float]:
-    """Decode an image payload into a feature vector.
+def _pil():
+    """Import-try for Pillow: the decode seam upgrades itself to a real
+    decoder wherever the library exists (a deployment installs Pillow and
+    the same Spark plumbing runs unchanged); None in this container."""
+    try:
+        from PIL import Image  # noqa: PLC0415
 
-    STUB: real decoding needs an image library absent from this container.
-    ``fake=True`` produces a deterministic 8-float vector from the bytes
-    (for plumbing tests); otherwise raises.
+        return Image
+    except ImportError:
+        return None
+
+
+def decode_image(data: bytes, fake: bool = False) -> list[float]:
+    """Decode an image payload into an 8-float feature vector.
+
+    With Pillow present: real decode — (w, h, aspect, n_bands, and the
+    mean of 4 luminance quadrants via a 2x2 thumbnail), all in [0, 1]
+    after scaling. Without it, ``fake=True`` produces a deterministic
+    8-float vector from the bytes (plumbing tests); otherwise raises —
+    the clearly-marked container stub.
     """
+    Image = _pil()
+    if Image is not None and not fake:
+        import io
+
+        with Image.open(io.BytesIO(data)) as im:
+            w, h = im.size
+            grey = im.convert("L")
+            q = list(grey.resize((2, 2)).getdata())
+            return [
+                min(w / 4096.0, 1.0),
+                min(h / 4096.0, 1.0),
+                min(w / max(h, 1) / 8.0, 1.0),
+                len(im.getbands()) / 8.0,
+                *[p / 255.0 for p in q],
+            ]
     if not fake:
         raise NotImplementedError(
             "image decode requires an image library not present in this "
@@ -149,20 +180,33 @@ def resize_images(
     """
     out_schema = df.schema
 
+    def _resize_real(Image, b: bytes) -> bytes:
+        import io
+
+        with Image.open(io.BytesIO(b)) as im:
+            buf = io.BytesIO()
+            im.resize((width, height)).save(buf, format=im.format or "PNG")
+            return buf.getvalue()
+
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = _pil()
         target = max(1, (width * height) // 64)
         for pdf in batches:
-            if not fake:
+            if Image is not None and not fake:
+                resized = [_resize_real(Image, b) for b in pdf[batch_col]]
+            elif fake:
+                resized = [
+                    (b or b"")[:target].ljust(target, b"\0")
+                    for b in pdf[batch_col]
+                ]
+            else:
                 raise NotImplementedError(
                     "real image resizing needs an image library absent "
                     "from this environment; pass fake=True for the "
                     "deterministic stub"
                 )
             out = pdf.copy()
-            out[batch_col] = [
-                (b or b"")[:target].ljust(target, b"\0")
-                for b in pdf[batch_col]
-            ]
+            out[batch_col] = resized
             out["media"] = [
                 {**(m or {}), "width": width, "height": height}
                 for m in pdf["media"]

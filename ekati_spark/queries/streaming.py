@@ -179,3 +179,26 @@ def st08_trending_topk(spark, sf_dir):
     over the sink under streaming — tests/test_streaming.py)."""
     ev = load_table(spark, sf_dir, "events")
     return ops.trending_topk(ev)
+
+
+@register(
+    "st09_stream_stream_left_join",
+    oracle="""
+    SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def st09_stream_stream_left_join(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: every click, null-padded
+    when no same-user purchase follows within 30 min. Streaming-only
+    semantics (null emission gated on watermark expiry, state GC) are
+    exercised in tests/test_streaming.py; the oracle checks the
+    batch-equivalent left join."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.stream_stream_left_join(ev)

@@ -156,6 +156,49 @@ def stream_stream_join(
     )
 
 
+def stream_stream_left_join(
+    events: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join: every click, padded with nulls when
+    no same-user purchase follows within ``window``. The streaming-only
+    semantics: an unmatched click emits its null-padded row only once the
+    watermark passes click_ts + window (state can then be GC'd — no
+    earlier emission is possible because a matching purchase could still
+    arrive). Batch mode is a plain left join, the oracle path. Join state
+    is watermark-bounded exactly like the inner variant."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "10 minutes")
+        buys = buys.withWatermark("purchase_ts", "10 minutes")
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window}")
+        ),
+        "left_outer",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 USER_STATS_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),

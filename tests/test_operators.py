@@ -536,3 +536,18 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         if hits:
             flagged[name] = hits
     assert not flagged, flagged
+
+
+def test_decode_image_real_path_with_pillow():
+    """Real decode where Pillow exists (skipped in this container): a
+    2x2 PNG yields the 8-float feature contract in [0, 1]."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
+    feats = decode_image(buf.getvalue())
+    assert len(feats) == 8
+    assert all(0.0 <= v <= 1.0 for v in feats)

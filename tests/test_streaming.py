@@ -173,3 +173,27 @@ def test_trending_topk_stream_equals_batch(spark, ev_batch, ev_stream):
         for r in ops.rank_topk(sink).collect()
     }
     assert stream == batch
+
+
+def test_stream_stream_left_join(spark, ev_stream, ev_batch):
+    """Left-outer stream-stream join: matched rows equal batch; null-padded
+    rows appear only for clicks whose join window closed before the final
+    watermark (streaming can't emit nulls for the tail — a match could
+    still arrive), and every emitted null row is a true batch null row."""
+    batch_rows = ops.stream_stream_left_join(ev_batch).collect()
+    batch_matched = {
+        (r.click_id, r.purchase_id)
+        for r in batch_rows
+        if r.purchase_id is not None
+    }
+    batch_nulls = {r.click_id for r in batch_rows if r.purchase_id is None}
+    out = _run(
+        spark, ops.stream_stream_left_join(ev_stream), "t_sslj", "append"
+    ).collect()
+    stream_matched = {
+        (r.click_id, r.purchase_id) for r in out if r.purchase_id is not None
+    }
+    stream_nulls = {r.click_id for r in out if r.purchase_id is None}
+    assert stream_matched == batch_matched
+    assert stream_nulls <= batch_nulls
+    assert len(batch_matched) > 0
