@@ -50,11 +50,12 @@ _GRADED_FIRST = [
 
 
 def _curate_order() -> None:
-    assert len(_GRADED_FIRST) == 50, len(_GRADED_FIRST)
-    missing = [n for n in _GRADED_FIRST if n not in REGISTRY]
-    assert not missing, f"graded-first names not registered: {missing}"
-    rest = [n for n in REGISTRY if n not in set(_GRADED_FIRST)]
-    ordered = {n: REGISTRY[n] for n in [*_GRADED_FIRST, *rest]}
+    # Defensive, not assertive: a stale name here must cost that one slot,
+    # never the whole driver import (everything flows through this module).
+    # tests/test_schema_canary.py pins the 50/zero-missing invariant.
+    front = [n for n in _GRADED_FIRST if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(front)]
+    ordered = {n: REGISTRY[n] for n in [*front, *rest]}
     REGISTRY.clear()
     REGISTRY.update(ordered)
 

