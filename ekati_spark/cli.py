@@ -53,14 +53,27 @@ def main(argv: list[str] | None = None) -> int:
     from ekati_spark.graph.model import PropertyGraph
     from ekati_spark.session import get_spark
 
+    def show_progress(p: dict) -> None:
+        # the reference server streams >=1 s progress frames during URL
+        # ingest; the REPL analog is a stderr line per frame
+        total = f"/{p['total_bytes']}" if p.get("total_bytes") else ""
+        state = "done" if p.get("done") else "…"
+        print(
+            f"  ingest {p['bytes_read']}{total} bytes "
+            f"({p['elapsed_s']:.1f}s) {state}",
+            file=sys.stderr,
+        )
+
     spark = get_spark("ekati_cli")
     if argv:
         engine = QueryEngine(
-            spark, PropertyGraph.from_relational(spark, argv[0])
+            spark,
+            PropertyGraph.from_relational(spark, argv[0]),
+            on_progress=show_progress,
         )
         print(f"loaded FK graph from {argv[0]}")
     else:
-        engine = QueryEngine(spark)
+        engine = QueryEngine(spark, on_progress=show_progress)
     print("ekati_spark REPL — :quit to exit, :stats for counts")
     while True:
         try:

@@ -36,11 +36,19 @@ class QueryEngine:
     GraphML / N-Triples files.
     """
 
-    def __init__(self, spark: SparkSession, graph: PropertyGraph | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        graph: PropertyGraph | None = None,
+        on_progress=None,
+    ):
         self.spark = spark
         self.graph = graph or PropertyGraph(
             spark.createDataFrame([], PROPS_SCHEMA)
         )
+        # ingest-progress sink for URL loads (reference: the >=1 s
+        # progress responses the server streams back); None = silent
+        self.on_progress = on_progress
 
     # -- public API -------------------------------------------------------
 
@@ -263,9 +271,19 @@ class QueryEngine:
 
             new = load_graphml(self.spark, cmd.path)
         elif cmd.kind == "nt":
-            from ekati_spark.sources.ntriples import load_ntriples
+            # `load nt "<file-or-url>"` (reference WatService.cs:97-300):
+            # URLs spool through the chunked progress fetch; plain paths
+            # read distributed directly.
+            if "://" in cmd.path:
+                from ekati_spark.sources.ntriples import load_ntriples_url
 
-            new = load_ntriples(self.spark, cmd.path)
+                new = load_ntriples_url(
+                    self.spark, cmd.path, progress=self.on_progress
+                )
+            else:
+                from ekati_spark.sources.ntriples import load_ntriples
+
+                new = load_ntriples(self.spark, cmd.path)
         else:
             raise ValueError(f"unknown load type {cmd.kind!r}")
         self.graph = PropertyGraph(self.graph.props.unionByName(new))

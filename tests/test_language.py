@@ -437,3 +437,18 @@ def test_ntriples_url_ingest_with_progress(spark, tmp_path):
     )
     leftovers = [p for p in os.listdir(tmp_path) if p.endswith(".nt") and p != "feed.nt"]
     assert leftovers == []
+
+
+def test_load_nt_url_through_language(spark, tmp_path):
+    """`load nt "<url>"` routes through the chunked URL fetch with
+    progress events and lands triples in the graph."""
+    from ekati_spark.graph.compiler import QueryEngine
+
+    nt = tmp_path / "lang.nt"
+    nt.write_text('<http://e/a> <http://e/knows> <http://e/b> .\n')
+    events = []
+    eng = QueryEngine(spark, on_progress=events.append)
+    eng.execute(f'load nt "{nt.as_uri()}"')
+    rows = eng.execute('get "http://e/a"').collect()
+    assert any(r.key == "http://e/knows" and r.ref == "http://e/b" for r in rows)
+    assert events and events[-1]["done"]
