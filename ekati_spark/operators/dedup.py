@@ -403,7 +403,8 @@ def simhash_pairs(
         F.col(id_col).alias("id"), simhash64(F.col(text_col)).alias("sim")
     ).withColumn("block", block)
     a, b = sh.alias("a"), sh.alias("b")
-    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    # long, matching SQL engines' BIGINT bit_count (audit_types parity)
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).cast("long")
     return (
         a.join(
             b,
@@ -695,4 +696,75 @@ def decontaminate(
         .join(F.broadcast(bench), "g")
         .groupBy(F.col("id").alias(id_col))
         .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+
+
+def chunk_dedup_rewrite(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Chunk-level dedup REWRITE: segment each doc into fixed-width token
+    chunks, keep only the globally-first occurrence of each distinct
+    chunk (ordered by (doc_id, chunk_idx)), and emit the cleaned
+    document fingerprint — the "apply" counterpart of
+    ``duplicate_ngram_spans`` (which only reports): boilerplate and
+    copied passages are cut once corpus-wide, the pass RefinedWeb/C4-
+    style pipelines run before training.
+
+    Shape: one explode (ceil(n/chunk) rows/doc), one window over the
+    chunk hash (shuffle ∝ corpus tokens / chunk), one groupBy back to
+    docs. The keep rule is a deterministic total order, so output is
+    partition-independent. Returns (id, n_chunks, n_removed,
+    cleaned_md5).
+    """
+    from pyspark.sql import Window as W
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    n_chunks = F.ceil(F.size("toks") / F.lit(chunk_tokens)).cast("int")
+    chunks = (
+        docs.select(F.col(id_col).alias("id"), toks.alias("toks"))
+        .select(
+            "id",
+            "toks",
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx", "_i"
+            ),
+        )
+        .select(
+            "id",
+            "chunk_idx",
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.col("chunk_idx") * chunk_tokens + 1,
+                    chunk_tokens,
+                ),
+                " ",
+            ).alias("chunk"),
+        )
+    )
+    w = W.partitionBy(F.md5("chunk")).orderBy("id", "chunk_idx")
+    marked = chunks.withColumn("rn", F.row_number().over(w))
+    kept_sorted = F.array_sort(
+        F.collect_list(
+            F.when(F.col("rn") == 1, F.struct("chunk_idx", "chunk"))
+        )
+    )
+    return (
+        marked.groupBy("id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_removed"),
+            # struct sort = chunk order; tiny per-doc arrays, HOF fine
+            F.md5(
+                F.array_join(
+                    F.transform(kept_sorted, lambda s: s["chunk"]), " "
+                )
+            ).alias("cleaned_md5"),
+        )
+        .select(
+            F.col("id").alias(id_col), "n_chunks", "n_removed", "cleaned_md5"
+        )
     )

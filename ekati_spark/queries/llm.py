@@ -1263,3 +1263,47 @@ def l37_semantic_dedup(spark, sf_dir):
     behavior is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.semantic_dedup(emb, threshold=0.85, n_lists=16, kmeans_iters=2)
+
+
+@register(
+    "l38_chunk_dedup_rewrite",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS toks
+      FROM documents
+    ),
+    ix AS (
+      SELECT doc_id, toks,
+             unnest(range(CAST(ceil(len(toks)/20.0) AS BIGINT))) AS chunk_idx
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, chunk_idx,
+             array_to_string(toks[chunk_idx*20+1 : chunk_idx*20+20], ' ')
+               AS chunk
+      FROM ix
+    ),
+    k AS (
+      SELECT doc_id, chunk_idx, chunk,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+                                   ORDER BY chunk_idx), '')) AS cleaned_md5
+    FROM k GROUP BY doc_id
+    """,
+)
+def l38_chunk_dedup_rewrite(spark, sf_dir):
+    """Chunk-level dedup REWRITE (the apply counterpart of l28's span
+    report): 20-token chunks, keep only the globally-first occurrence of
+    each distinct chunk (ordered by doc_id, chunk_idx), emit per-doc
+    removed-chunk counts + the cleaned-text fingerprint — the
+    boilerplate/copied-passage cut a RefinedWeb/C4-style pipeline applies
+    before training. One explode + one chunk-hash window + one groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.chunk_dedup_rewrite(docs, chunk_tokens=20)

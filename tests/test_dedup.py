@@ -259,3 +259,26 @@ def test_decontaminate_planted_overlap(spark):
     bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
     got = {r.doc_id: r.n_hit_ngrams for r in D.decontaminate(corpus, bench).collect()}
     assert got == {1: 2}
+
+
+def test_chunk_dedup_rewrite_cuts_planted_copies(spark):
+    """A doc repeating another doc's chunk loses exactly that chunk; the
+    first occurrence (lowest doc_id, chunk_idx) survives; unique docs
+    are untouched."""
+    a = " ".join(f"a{i}" for i in range(20))      # chunk A
+    b = " ".join(f"b{i}" for i in range(20))      # chunk B
+    c = " ".join(f"c{i}" for i in range(20))      # chunk C
+    df = spark.createDataFrame(
+        [(1, f"{a} {b}"), (2, f"{a} {c}"), (3, c)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.chunk_dedup_rewrite(df, 20).collect()}
+    assert out[1].n_chunks == 2 and out[1].n_removed == 0
+    # doc 2 repeats chunk A (first seen in doc 1) -> removed
+    assert out[2].n_chunks == 2 and out[2].n_removed == 1
+    # doc 3's chunk C already appeared in doc 2 -> fully removed
+    assert out[3].n_chunks == 1 and out[3].n_removed == 1
+    import hashlib
+
+    assert out[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
+    assert out[2].cleaned_md5 == hashlib.md5(c.encode()).hexdigest()
