@@ -1642,3 +1642,67 @@ def r53_sliding_distinct_users(spark, sf_dir):
             "n_users",
         )
     )
+
+
+@register(
+    "r54_merge_upsert",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey,
+             o_totalprice + 1000.0 AS new_total,
+             'P' AS new_status
+      FROM orders WHERE o_orderkey % 7 = 0
+      UNION ALL
+      SELECT -o_orderkey AS o_orderkey,
+             o_totalprice AS new_total,
+             'N' AS new_status
+      FROM orders WHERE o_orderkey % 1000 = 1
+    )
+    SELECT coalesce(u.o_orderkey, t.o_orderkey) AS o_orderkey,
+           coalesce(u.new_total, t.o_totalprice) AS o_totalprice,
+           coalesce(u.new_status, t.o_orderstatus) AS o_orderstatus,
+           CASE WHEN t.o_orderkey IS NULL THEN 'insert'
+                WHEN u.o_orderkey IS NULL THEN 'keep'
+                ELSE 'update' END AS merge_action
+    FROM orders t FULL OUTER JOIN updates u USING (o_orderkey)
+    """,
+)
+def r54_merge_upsert(spark, sf_dir):
+    """CDC upsert (SCD-type-1 MERGE) expressed Spark-first: target FULL
+    OUTER JOIN the update feed on the key, coalesce updated columns,
+    tag each row insert/update/keep. On a Delta/Iceberg table this is
+    ``MERGE INTO`` (a transactional rewrite of matched files); the plan
+    shape — one key-partitioned shuffle join, no driver loop — is
+    identical, which is what matters at 100 TB. The synthetic feed
+    updates every 7th order (+1000.00, an IEEE-exact double add — no
+    rounding-mode divergence, status P) and inserts negated keys as new
+    rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    updates = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + 1000.0).alias("new_total"),
+        F.lit("P").alias("new_status"),
+    ).unionByName(
+        orders.filter(F.col("o_orderkey") % 1000 == 1).select(
+            (-F.col("o_orderkey")).alias("o_orderkey"),
+            F.col("o_totalprice").alias("new_total"),
+            F.lit("N").alias("new_status"),
+        )
+    )
+    t = orders.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).alias("t")
+    u = updates.alias("u")
+    return t.join(u, "o_orderkey", "full_outer").select(
+        F.col("o_orderkey"),
+        F.coalesce(F.col("new_total"), F.col("t.o_totalprice")).alias(
+            "o_totalprice"
+        ),
+        F.coalesce(F.col("new_status"), F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(F.col("t.o_totalprice").isNull(), "insert")
+        .when(F.col("new_total").isNull(), "keep")
+        .otherwise("update")
+        .alias("merge_action"),
+    )
