@@ -344,3 +344,98 @@ def trending_topk(
 ) -> DataFrame:
     """Top-k trending event types per tumbling window."""
     return rank_topk(windowed_type_counts(events, width), k)
+
+
+SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), False),
+        T.StructField("last_us", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("total", T.DoubleType(), False),
+    ]
+)
+_GAP_US = 30 * 60 * 1_000_000
+
+
+def _us(ts) -> int:
+    return int(pd.Timestamp(ts).value // 1_000)
+
+
+def _sessionize_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Event-time-timeout sessionizer: fold events into gap-separated
+    sessions; the open session lives in state and is flushed by the
+    timeout once the watermark passes last_event + gap."""
+    (user_id,) = key
+    out = []
+
+    def emit(s0: int, last: int, n: int, tot: float) -> None:
+        out.append(
+            (
+                user_id,
+                pd.Timestamp(s0, unit="us"),
+                pd.Timestamp(last + _GAP_US, unit="us"),
+                n,
+                tot,
+            )
+        )
+
+    if state.hasTimedOut:
+        if state.exists:
+            emit(*state.get)
+            state.remove()
+    else:
+        ev = pd.concat(list(pdfs), ignore_index=True)
+        ev = ev.sort_values("ts")
+        cur = list(state.get) if state.exists else None
+        for ts, value in zip(ev["ts"], ev["value"]):
+            t = _us(ts)
+            v = float(value)
+            if cur is None:
+                cur = [t, t, 1, v]
+            elif t - cur[1] >= _GAP_US:
+                emit(*cur)
+                cur = [t, t, 1, v]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += v
+        state.update(tuple(cur))
+        # flush when the event-time watermark passes last + gap
+        state.setTimeoutTimestamp((cur[1] + _GAP_US) // 1000)
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "session_start", "session_end", "n_events", "total"],
+    )
+
+
+def sessionize_with_state(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful sessionization (applyInPandasWithState +
+    EventTimeTimeout) — the timeout-driven flavor of st03's built-in
+    session_window, and the full custom-stateful-operator surface the
+    reference's WASM plugin seam would host: per-key mutable state,
+    watermark-driven timers, exactly-once session emission, state GC on
+    close. State per user = one open session tuple."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

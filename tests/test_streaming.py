@@ -197,3 +197,29 @@ def test_stream_stream_left_join(spark, ev_stream, ev_batch):
     assert stream_matched == batch_matched
     assert stream_nulls <= batch_nulls
     assert len(batch_matched) > 0
+
+
+def test_sessionize_with_state_matches_batch_sessions(spark, ev_stream, ev_batch):
+    """The EventTimeTimeout sessionizer emits exactly the batch session
+    set (st03's session_window semantics) for sessions closed before the
+    final watermark; later sessions stay open in state (a real stream
+    would flush them as the watermark advances)."""
+    batch = {
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in ops.session_counts(ev_batch).collect()
+    }
+    out = _run(
+        spark, ops.sessionize_with_state(ev_stream), "t_state_sess", "append"
+    ).collect()
+    got = {
+        (r.user_id, r.session_start, r.session_end, r.n_events) for r in out
+    }
+    assert got, "no sessions flushed — event-time timeout never fired"
+    assert got <= batch, sorted(got - batch)[:3]
+    # the un-emitted remainder must be exactly the watermark tail
+    max_ts = max(r.session_end for r in out)
+    missing = batch - got
+    closed_missing = {
+        s for s in missing if s[2] < max_ts
+    }
+    assert not closed_missing, sorted(closed_missing)[:3]
