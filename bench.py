@@ -37,6 +37,8 @@ HEADLINE = [
     "l27_unigram_logprob",
     "l30_decontaminate",
     "l32_global_shuffle",
+    "l36_source_token_report",
+    "l38_chunk_dedup_rewrite",
     "r53_sliding_distinct_users",
     "st01_tumbling_window",
     "st03_session_window",
