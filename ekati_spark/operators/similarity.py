@@ -500,30 +500,7 @@ def ivf_topk(
         F.col(vec_col).alias("v"),
         norm(F.col(vec_col), dim).alias("nv"),
     )
-    q = queries.filter(
-        F.col(query_vec_col).isNotNull()
-        & (F.size(F.col(query_vec_col)) == dim)
-    ).select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qv"),
-        norm(F.col(query_vec_col), dim).alias("nq"),
-    )
-
-    def sq_l2(a: Column, b: Column) -> Column:
-        # unrolled codegen form; operands are materialized columns
-        # (post-join rows / broadcast centroids), never HOF expressions
-        return _fold_sum(
-            (_el(a, k) - _el(b, k)) * (_el(a, k) - _el(b, k))
-            for k in range(1, dim + 1)
-        )
-
-    def cents_df(cents: list[list[float]]):
-        return F.broadcast(
-            spark.createDataFrame(
-                [(i, [float(x) for x in cent]) for i, cent in enumerate(cents)],
-                "list_id int, cent array<double>",
-            )
-        )
+    q = _norm_queries(queries, dim, query_id_col, query_vec_col)
 
     # deterministic init drawn from the filtered side, so a NULL vector
     # can't seed a centroid
@@ -538,18 +515,56 @@ def ivf_topk(
     assigned = _assign_lists(
         c, centroids, "neighbor_id long, v array<float>, nv double, list_id long"
     )
+    qp = _probe_lists(q, centroids, min(n_probe, len(centroids)), spark, dim)
+    return _score_probed(assigned, qp, dim, k)
 
-    # query -> its n_probe nearest lists (same crossJoin shape; queries
-    # are few, centroids broadcast)
+
+def _norm_queries(
+    queries: DataFrame, dim: int, query_id_col: str, query_vec_col: str
+) -> DataFrame:
+    return queries.filter(
+        F.col(query_vec_col).isNotNull()
+        & (F.size(F.col(query_vec_col)) == dim)
+    ).select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+        norm(F.col(query_vec_col), dim).alias("nq"),
+    )
+
+
+def _sq_l2(a: Column, b: Column, dim: int) -> Column:
+    # unrolled codegen form; operands are materialized columns
+    # (post-join rows / broadcast centroids), never HOF expressions
+    return _fold_sum(
+        (_el(a, k) - _el(b, k)) * (_el(a, k) - _el(b, k))
+        for k in range(1, dim + 1)
+    )
+
+
+def _probe_lists(
+    q: DataFrame, centroids: list[list[float]], n_probe: int, spark, dim: int
+) -> DataFrame:
+    """query -> its n_probe nearest lists (crossJoin shape; queries are
+    few, centroids broadcast). Returns (query_id, qv, nq, list_id)."""
+    cents = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in cent]) for i, cent in enumerate(centroids)],
+            "list_id int, cent array<double>",
+        )
+    )
     wq = W.partitionBy("query_id").orderBy("d", "list_id")
-    qp = (
-        q.crossJoin(cents_df(centroids))
-        .withColumn("d", sq_l2(F.col("qv"), F.col("cent")))
+    return (
+        q.crossJoin(cents)
+        .withColumn("d", _sq_l2(F.col("qv"), F.col("cent"), dim))
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= n_probe)
         .select("query_id", "qv", "nq", "list_id")
     )
 
+
+def _score_probed(assigned: DataFrame, qp: DataFrame, dim: int, k: int) -> DataFrame:
+    """Score each query against its probed lists' candidates; exact
+    cosine + deterministic top-k."""
     cand = (
         assigned.join(
             F.broadcast(qp),
@@ -570,3 +585,77 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    kmeans_iters: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Persist an IVF index: fit centroids, assign every vector to its
+    list, and write the corpus LIST-PARTITIONED to ``path`` — the 100 TB
+    layout where a probe is parquet partition pruning, not a scan.
+
+    Layout: ``path/lists/list_id=N/*.parquet`` (neighbor_id, v, nv) and
+    ``path/centroids`` (list_id, cent). Build once, probe many — the
+    index-build cost (k-means + one full shuffle on list_id) amortizes
+    across every subsequent query batch. Returns the number of lists.
+    """
+    spark = corpus.sparkSession
+    dim = _infer_dim(corpus, vec_col)
+    c = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nv"),
+    )
+    centroids = _seed_centroids(c, n_lists, seed, "neighbor_id")
+    for _ in range(kmeans_iters):
+        centroids = _lloyd_step(c, centroids)
+    assigned = _assign_lists(
+        c, centroids, "neighbor_id long, v array<float>, nv double, list_id long"
+    )
+    assigned.write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{path}/lists"
+    )
+    spark.createDataFrame(
+        [(i, [float(x) for x in cent]) for i, cent in enumerate(centroids)],
+        "list_id int, cent array<double>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return len(centroids)
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a persisted IVF index (``build_ivf_index``): load the
+    k-sized centroid table, pick each query's n_probe nearest lists, and
+    read ONLY those list partitions — the probed list ids become a
+    literal ``isin`` filter on the partition column, so the scan prunes
+    to |probed lists| / n_lists of the corpus (PartitionFilters, asserted
+    in tests). Scoring is identical to ``ivf_topk``."""
+    cent_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    )
+    centroids = [list(r.cent) for r in cent_rows]
+    dim = len(centroids[0])
+    q = _norm_queries(queries, dim, query_id_col, query_vec_col)
+    qp = _probe_lists(
+        q, centroids, min(n_probe, len(centroids)), spark, dim
+    ).localCheckpoint(eager=True)  # consumed twice: probed-list collect + join
+    probed = [r.list_id for r in qp.select("list_id").distinct().collect()]
+    assigned = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probed)
+    )
+    return _score_probed(assigned, qp, dim, k)

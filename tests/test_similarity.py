@@ -165,3 +165,39 @@ def test_semantic_dedup_drops_planted_near_dupes(spark):
     assert out[0] and out[1]
     assert not out[100]
     assert not out[101]
+
+
+def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
+    """A persisted IVF index returns exactly the inline ivf_topk results
+    (same seed/algorithm => same centroids), and the probe scan prunes
+    to the probed list partitions (PartitionFilters on list_id)."""
+    from ekati_spark.catalog import load_table
+    from ekati_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_topk,
+        ivf_topk_from_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(
+            emb, q, k=3, n_lists=8, n_probe=3, kmeans_iters=2
+        ).collect()
+    }
+    idx = str(tmp_path / "ivf")
+    n = build_ivf_index(emb, idx, n_lists=8, kmeans_iters=2)
+    assert n == 8
+    out = ivf_topk_from_index(spark, idx, q, k=3, n_probe=3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine) for r in out.collect()
+    }
+    assert got == inline
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list_id" in plan or "list_id#" in plan.split(
+        "PartitionFilters: ["
+    )[1][:40], plan[plan.find("PartitionFilters"):][:200]
