@@ -1307,3 +1307,42 @@ def l38_chunk_dedup_rewrite(spark, sf_dir):
     before training. One explode + one chunk-hash window + one groupBy."""
     docs = load_table(spark, sf_dir, "documents")
     return D.chunk_dedup_rewrite(docs, chunk_tokens=20)
+
+
+@register(
+    "l39_matryoshka_truncation",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             (CAST(embedding AS DOUBLE[]))[1:16] AS tv
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(sqrt(list_sum(list_transform(v, x -> x*x))), 6) AS full_norm,
+           round(sqrt(list_sum(list_transform(tv, x -> x*x))), 6) AS trunc_norm,
+           round(sqrt(list_sum(list_transform(tv, x -> x*x)))
+                 / sqrt(list_sum(list_transform(v, x -> x*x))), 6)
+             AS energy_retention
+    FROM t
+    """,
+)
+def l39_matryoshka_truncation(spark, sf_dir):
+    """Matryoshka-style embedding truncation audit: per vector, the L2
+    norm of the full 64-dim embedding, of its first-16-dim prefix, and
+    the energy retention (prefix norm / full norm) — the metric that
+    decides how far a pipeline can truncate stored embeddings (storage
+    /4, ANN speedup) before recall collapses. Row-local projections
+    (scan-only, no shuffle); fold-sum norms match DuckDB's list_sum
+    bit-for-bit under 6-decimal rounding (same contract as l35)."""
+    from ekati_spark.operators.similarity import _as_double, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = _as_double(F.col("embedding"))
+    tv = _as_double(F.slice(F.col("embedding"), 1, 16))
+    return emb.select(
+        "vec_id",
+        F.round(norm(v), 6).alias("full_norm"),
+        F.round(norm(tv), 6).alias("trunc_norm"),
+        F.round(norm(tv) / norm(v), 6).alias("energy_retention"),
+    )

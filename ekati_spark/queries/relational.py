@@ -1706,3 +1706,38 @@ def r54_merge_upsert(spark, sf_dir):
         .otherwise("update")
         .alias("merge_action"),
     )
+
+
+@register(
+    "r55_locf_gapfill",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
+    """,
+)
+def r55_locf_gapfill(spark, sf_dir):
+    """Last-observation-carried-forward: every event carries the user's
+    most recent purchase value (NULL until the first purchase) — the
+    ignore-nulls window primitive (distinct from r40's dense-grid
+    resample: no grid join, one partition-ordered window, scales as one
+    shuffle on user_id). Tie-broken by event_id for a total order."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    purchase_val = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(purchase_val, ignorenulls=True).over(w).alias(
+            "last_purchase_value"
+        ),
+    )
