@@ -1346,3 +1346,46 @@ def l39_matryoshka_truncation(spark, sf_dir):
         F.round(norm(tv), 6).alias("trunc_norm"),
         F.round(norm(tv) / norm(v), 6).alias("energy_retention"),
     )
+
+
+@register(
+    "l40_leakage_safe_split",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             min(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                    '\\s+', ' ', 'g')))
+             ) AS group_rep
+      FROM documents
+    )
+    SELECT doc_id, group_rep,
+           CASE WHEN substr(md5('split' || CAST(group_rep AS VARCHAR)), 1, 8)
+                     < '0ccccccc' THEN 'val'
+                WHEN substr(md5('split' || CAST(group_rep AS VARCHAR)), 1, 8)
+                     < '19999999' THEN 'test'
+                ELSE 'train' END AS split
+    FROM g
+    """,
+)
+def l40_leakage_safe_split(spark, sf_dir):
+    """Leakage-safe train/val/test split (90/5/5): the split key is the
+    doc's DEDUP-GROUP representative (min doc_id per exact-dup digest),
+    so exact duplicates can never straddle train and eval — the
+    contamination a naive per-doc split silently permits (l22 is the
+    per-doc baseline). One digest window + the same salted md5-prefix
+    assignment; with LSH near-dup groups (l20) swapped in as the key it
+    generalizes to near-dup-safe splits (not oracle-expressible, so the
+    exact-digest flavor is the graded contract)."""
+    from pyspark.sql import Window as PW
+
+    from ekati_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = F.min("doc_id").over(
+        PW.partitionBy(F.md5(D.normalized(F.col("text"))))
+    )
+    with_rep = docs.select("doc_id", rep.alias("group_rep"))
+    return train_val_test_split(with_rep, "group_rep", 0.05, 0.05).select(
+        "doc_id", "group_rep", "split"
+    )

@@ -116,3 +116,21 @@ def test_global_shuffle_is_deterministic_permutation(spark):
     # a different salt draws a different permutation
     m3 = {r.k: r.pos for r in S.global_shuffle(df, "k", salt="other", num_partitions=8).collect()}
     assert m3 != m1
+
+
+def test_leakage_safe_split_is_group_atomic(spark, sf_dir):
+    """Exact-duplicate documents always land in the same split (the
+    leakage guarantee l22's per-doc split does not give)."""
+    from ekati_spark.queries import REGISTRY
+
+    out = REGISTRY["l40_leakage_safe_split"].fn(spark, sf_dir)
+    n_bad = (
+        out.groupBy("group_rep")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert n_bad == 0
+    assert {r.split for r in out.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
