@@ -129,3 +129,24 @@ def test_compact_sorted_clusters_for_pruning(spark, sf_dir, tmp_path):
     # a point-range scan prunes row groups; cheap proxy — rows survive
     got = spark.read.parquet(out)
     assert got.count() == li.count()
+
+
+def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC source/sink: schema + values round-trip, and predicates push
+    into the ORC scan like parquet (searchArgument / PushedFilters)."""
+    src = _nation(spark, sf_dir).select("n_nationkey", "n_name", "n_regionkey")
+    out = str(tmp_path / "nation_orc")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, src.collect())
+    )
+    plan = (
+        back.filter(F.col("n_regionkey") == 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan
+    assert "n_regionkey" in plan.split("PushedFilters")[1][:160]
