@@ -202,3 +202,35 @@ def st09_stream_stream_left_join(spark, sf_dir):
     batch-equivalent left join."""
     ev = load_table(spark, sf_dir, "events")
     return ops.stream_stream_left_join(ev)
+
+
+@register(
+    "st10_anomaly_windows",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(floor(epoch(ts)/900) AS BIGINT) AS wslot, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    base AS (
+      SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) / count(*) AS expected_n
+      FROM agg GROUP BY event_type
+    )
+    SELECT make_timestamp(wslot*900*1000000) AS window_start,
+           make_timestamp((wslot+1)*900*1000000) AS window_end,
+           a.event_type, a.n, b.expected_n,
+           a.n >= 2.0 * b.expected_n AS is_anomaly
+    FROM agg a JOIN base b USING (event_type)
+    """,
+)
+def st10_anomaly_windows(spark, sf_dir):
+    """Alerting: 15-minute per-type counts vs a trained static baseline
+    (mean window count per type), windows >= 2x expected flagged. The
+    windowed-count stage + stream-static broadcast join run identically
+    under readStream (the baseline is the static side); batch mode here
+    is the oracle path. Expected counts are exact integer-ratio doubles
+    (sum/count) so both engines agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    baseline = ops.type_window_baseline(ev)
+    return ops.anomaly_windows(ev, baseline)

@@ -439,3 +439,38 @@ def sessionize_with_state(events: DataFrame, watermark: str = "10 minutes") -> D
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def anomaly_windows(
+    events: DataFrame,
+    baseline: DataFrame,
+    width: str = "15 minutes",
+    factor: float = 2.0,
+) -> DataFrame:
+    """Stream-vs-baseline alerting: tumbling per-type counts joined to a
+    STATIC baseline (expected count per event_type per window), flagging
+    windows at >= ``factor`` x expected. Streaming-safe by construction —
+    windowed agg + stream-static broadcast join; the baseline table is a
+    dimension (one row per event_type) refreshed out-of-band, exactly how
+    a production alerting job consumes its trained thresholds."""
+    counts = windowed_type_counts(events, width)
+    return (
+        counts.join(F.broadcast(baseline), "event_type")
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "expected_n",
+            (F.col("n") >= factor * F.col("expected_n")).alias("is_anomaly"),
+        )
+    )
+
+
+def type_window_baseline(events: DataFrame, width: str = "15 minutes") -> DataFrame:
+    """Train the baseline from history: mean per-window count per type,
+    as an exact ratio of two counts (bit-identical in any engine)."""
+    counts = windowed_type_counts(events, width)
+    return counts.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count("*")).alias("expected_n")
+    )

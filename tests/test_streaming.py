@@ -223,3 +223,24 @@ def test_sessionize_with_state_matches_batch_sessions(spark, ev_stream, ev_batch
         s for s in missing if s[2] < max_ts
     }
     assert not closed_missing, sorted(closed_missing)[:3]
+
+
+def test_anomaly_windows_stream_equals_batch(spark, ev_stream, ev_batch):
+    """The alerting pipeline (windowed counts + stream-static broadcast
+    baseline join) produces identical rows batch vs readStream."""
+    baseline = ops.type_window_baseline(ev_batch)
+    batch = {
+        (r.window_start, r.event_type, r.n, r.is_anomaly)
+        for r in ops.anomaly_windows(ev_batch, baseline).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type, r.n, r.is_anomaly)
+        for r in _run(
+            spark,
+            ops.anomaly_windows(ev_stream, baseline),
+            "t_anom",
+            "complete",
+        ).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0
