@@ -1389,3 +1389,52 @@ def l40_leakage_safe_split(spark, sf_dir):
     return train_val_test_split(with_rep, "group_rep", 0.05, 0.05).select(
         "doc_id", "group_rep", "split"
     )
+
+
+@register(
+    "l41_perplexity_buckets",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+    lp AS (
+      SELECT t.doc_id, round(ln(f.c / total.n), 6) AS lp
+      FROM toks t JOIN freq f ON t.tok = f.tok, total
+    ),
+    doc AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(lp)
+               AS avg_logprob
+      FROM lp GROUP BY doc_id
+    )
+    SELECT doc_id, avg_logprob,
+           CAST(ntile(10) OVER (ORDER BY avg_logprob DESC, doc_id)
+                AS INTEGER) AS decile,
+           ntile(10) OVER (ORDER BY avg_logprob DESC, doc_id) <= 8 AS kept
+    FROM doc
+    """,
+)
+def l41_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing: rank documents by unigram
+    avg-logprob (decile 1 = most fluent under the corpus LM), keep the
+    top 8 deciles, drop the worst 2 — the head/middle/tail LM filter
+    applied before training. Ordering ties break on doc_id so deciles
+    are a total order; avg_logprob is the decimal-accumulated double of
+    l27, identical in both engines, so the split is stable. The global
+    ntile is one narrow (doc_id, score) shuffle — at 100 TB, compute
+    per-partition histograms and assign cutoffs instead (the documented
+    scale path; identical output for fixed cutpoints)."""
+    from pyspark.sql import Window as PW
+
+    lp = l27_unigram_logprob(spark, sf_dir).select("doc_id", "avg_logprob")
+    w = PW.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    decile = F.ntile(10).over(w)
+    return lp.select(
+        "doc_id",
+        "avg_logprob",
+        decile.alias("decile"),
+        (decile <= 8).alias("kept"),
+    )
