@@ -286,5 +286,13 @@ class QueryEngine:
                 new = load_ntriples(self.spark, cmd.path)
         else:
             raise ValueError(f"unknown load type {cmd.kind!r}")
-        self.graph = PropertyGraph(self.graph.props.unionByName(new))
+        # Union edges explicitly: a from_relational graph holds its FK
+        # edges in a SEPARATE frame (they are not dtype='ref' prop rows),
+        # so rebuilding from the props union alone would silently drop
+        # them. Deriving the new edges from the new props only keeps the
+        # put-shape invariant (edges == ref-rows of props) intact too.
+        self.graph = PropertyGraph(
+            self.graph.props.unionByName(new),
+            self.graph.edges.unionByName(PropertyGraph(new).edges),
+        )
         return new

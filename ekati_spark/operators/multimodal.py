@@ -125,8 +125,22 @@ def extract_features(
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def safe(b):
+            # null/corrupt payloads yield null features instead of
+            # failing the whole Arrow batch (the production decoder
+            # contract); the stub path still raises loudly when PIL is
+            # absent and fake=False, so misconfiguration stays visible
+            if b is None:
+                return None
+            try:
+                return decode_image(b, fake=fake)
+            except NotImplementedError:
+                raise
+            except Exception:  # noqa: BLE001 — undecodable payload
+                return None
+
         for pdf in batches:
-            feats = [decode_image(b, fake=fake) for b in pdf[batch_col]]
+            feats = [safe(b) for b in pdf[batch_col]]
             out = pdf.drop(columns=[batch_col])
             out["features"] = feats
             yield out
@@ -180,7 +194,11 @@ def resize_images(
     """
     out_schema = df.schema
 
-    def _resize_real(Image, b: bytes) -> bytes:
+    def _resize_real(Image, b: bytes) -> bytes | None:
+        # null in, null out — the stub path tolerates None via (b or b"")
+        # and the real path must not fail the Arrow batch on one bad row
+        if not b:
+            return None
         import io
 
         with Image.open(io.BytesIO(b)) as im:

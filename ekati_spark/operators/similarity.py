@@ -515,7 +515,7 @@ def ivf_topk(
     assigned = _assign_lists(
         c, centroids, "neighbor_id long, v array<float>, nv double, list_id long"
     )
-    qp = _probe_lists(q, centroids, min(n_probe, len(centroids)), spark, dim)
+    qp = _probe_lists(q, centroids, n_probe, spark, dim)
     return _score_probed(assigned, qp, dim, k)
 
 
@@ -649,6 +649,12 @@ def ivf_topk_from_index(
         spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
     )
     centroids = [list(r.cent) for r in cent_rows]
+    if not centroids:
+        # index built from an empty / all-invalid corpus: empty result
+        # with the contract schema, matching ivf_topk's behavior
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
+        )
     dim = len(centroids[0])
     q = _norm_queries(queries, dim, query_id_col, query_vec_col)
     qp = _probe_lists(

@@ -39,32 +39,39 @@ _TRIPLE = (
 )
 
 
+_SENTINEL = "\ue000"  # stands in for escaped backslashes mid-unescape
+
+
 @F.pandas_udf(T.StringType())
 def _decode_unicode_escapes(s: pd.Series) -> pd.Series:
     """Decode ``\\uXXXX`` / ``\\UXXXXXXXX`` escapes (surrogate pairs
-    first, so emoji round-trip). Runs only on rows that still contain the
-    pattern — the rlike gate keeps the common path JVM-side."""
+    first, so emoji round-trip) AND restore sentineled backslashes, in
+    ONE left-to-right pass — a decoded char is never reprocessed, so a
+    literal ``\\uE000`` (which decodes to the sentinel code point) comes
+    through intact instead of being rewritten to a backslash. Runs only
+    on rows that still contain an escape — the rlike gate keeps the
+    common path JVM-side."""
     import re
 
-    pair = re.compile(r"\\u([Dd][89ABab][0-9A-Fa-f]{2})\\u([Dd][C-Fc-f][0-9A-Fa-f]{2})")
-    single = re.compile(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})")
+    pat = re.compile(
+        r"(\ue000)"
+        r"|\\u([Dd][89ABab][0-9A-Fa-f]{2})\\u([Dd][C-Fc-f][0-9A-Fa-f]{2})"
+        r"|\\u([0-9A-Fa-f]{4})"
+        r"|\\U([0-9A-Fa-f]{8})"
+    )
 
-    def dec(v):
-        if v is None:
-            return None
-        v = pair.sub(
-            lambda m: chr(
+    def sub(m: "re.Match") -> str:
+        if m.group(1):
+            return "\\"
+        if m.group(2):
+            return chr(
                 0x10000
-                + ((int(m.group(1), 16) - 0xD800) << 10)
-                + (int(m.group(2), 16) - 0xDC00)
-            ),
-            v,
-        )
-        return single.sub(
-            lambda m: chr(int(m.group(1) or m.group(2), 16)), v
-        )
+                + ((int(m.group(2), 16) - 0xD800) << 10)
+                + (int(m.group(3), 16) - 0xDC00)
+            )
+        return chr(int(m.group(4) or m.group(5), 16))
 
-    return s.map(dec)
+    return s.map(lambda v: None if v is None else pat.sub(sub, v))
 
 
 def load_ntriples(
@@ -111,10 +118,12 @@ def load_ntriples(
         (r"\\r", "\r"),
     ):
         unescape = F.regexp_replace(unescape, pat, rep)
+    # the UDF branch decodes escapes AND restores sentinels in one pass
+    # (a second restore would corrupt a decoded U+E000); the plain branch
+    # only needs the restore
     unescape = F.when(
         unescape.rlike(r"\\[uU]"), _decode_unicode_escapes(unescape)
-    ).otherwise(unescape)
-    unescape = F.regexp_replace(unescape, sentinel, "\\\\")
+    ).otherwise(F.regexp_replace(unescape, sentinel, "\\\\"))
     return parsed.select(
         subj.alias("node_id"),
         F.lit("").alias("remote"),
@@ -164,7 +173,9 @@ def load_ntriples_url(
     bytes_read = 0
     fd, spool = tempfile.mkstemp(suffix=".nt", dir=spool_dir)
     try:
-        with urllib.request.urlopen(url) as resp, os.fdopen(fd, "wb") as out:
+        # claim the fd under a context manager BEFORE the fallible
+        # urlopen, or a connection error leaks the descriptor
+        with os.fdopen(fd, "wb") as out, urllib.request.urlopen(url) as resp:
             total = resp.headers.get("Content-Length") if resp.headers else None
             total_bytes = int(total) if total else None
             while True:

@@ -409,6 +409,9 @@ def _sessionize_fn(
                 emit(*cur)
                 cur = [t, t, 1, v]
             else:
+                # a late-but-within-watermark event can precede the open
+                # session's start — extend backward like session_window
+                cur[0] = min(cur[0], t)
                 cur[1] = max(cur[1], t)
                 cur[2] += 1
                 cur[3] += v
