@@ -108,10 +108,9 @@ def load_ntriples(
     # newline. \uXXXX decoding happens while real backslashes are still
     # sentineled (so '\\\\u0041' stays literal), via an Arrow UDF gated to
     # the rare rows that actually contain the pattern.
-    sentinel = "\ue000"  # private-use char, cannot occur in valid N-Triples
     unescape = F.col("o_lit")
     for pat, rep in (
-        (r"\\\\", sentinel),
+        (r"\\\\", _SENTINEL),
         (r'\\"', '"'),
         (r"\\n", "\n"),
         (r"\\t", "\t"),
@@ -123,7 +122,7 @@ def load_ntriples(
     # only needs the restore
     unescape = F.when(
         unescape.rlike(r"\\[uU]"), _decode_unicode_escapes(unescape)
-    ).otherwise(F.regexp_replace(unescape, sentinel, "\\\\"))
+    ).otherwise(F.regexp_replace(unescape, _SENTINEL, "\\\\"))
     return parsed.select(
         subj.alias("node_id"),
         F.lit("").alias("remote"),

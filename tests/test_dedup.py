@@ -282,3 +282,26 @@ def test_chunk_dedup_rewrite_cuts_planted_copies(spark):
 
     assert out[3].cleaned_md5 == hashlib.md5(b"").hexdigest()
     assert out[2].cleaned_md5 == hashlib.md5(c.encode()).hexdigest()
+
+
+def test_chunk_dedup_rewrite_properties(spark):
+    """Invariants: chunk totals are conserved (sum n_chunks ==
+    ceil(tokens/20) per doc), a duplicate-free corpus loses nothing, and
+    n_removed never exceeds n_chunks."""
+    import math
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(30):
+        n_tok = rng.randint(1, 65)
+        # globally unique tokens => no two chunks can collide
+        rows.append((i, " ".join(f"t{i}_{j}" for j in range(n_tok))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in D.chunk_dedup_rewrite(df, 20).collect()}
+    assert set(out) == set(range(30))
+    for i, text in rows:
+        expect = math.ceil(len(text.split()) / 20)
+        assert out[i].n_chunks == expect, (i, out[i].n_chunks, expect)
+        assert out[i].n_removed == 0
+        assert 0 <= out[i].n_removed <= out[i].n_chunks
