@@ -1443,3 +1443,55 @@ def l41_perplexity_buckets(spark, sf_dir):
         decile.alias("decile"),
         (decile <= 8).alias("kept"),
     )
+
+
+@register(
+    "l42_dataset_card",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)
+               AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest
+      FROM documents
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) - count(DISTINCT digest) AS BIGINT)
+             AS exact_dup_docs,
+           CAST(count(*) - count(DISTINCT digest) AS DOUBLE) / count(*)
+             AS dup_rate,
+           CAST(SUM(n_tokens) AS DOUBLE) / count(*) AS avg_doc_tokens
+    FROM d
+    """,
+)
+def l42_dataset_card(spark, sf_dir):
+    """One-row dataset card: corpus totals (docs, whitespace tokens),
+    language/source cardinalities, exact-duplicate count and rate, and
+    mean tokens per doc — the summary artifact a curation run publishes
+    next to the data. One scan with parallel aggregates; the ratios are
+    single divisions of exact integer counts (bit-identical in DuckDB).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        "source",
+        X.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.md5(D.normalized(F.col("text"))).alias("digest"),
+    )
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        (F.count("*") - F.count_distinct("digest")).alias("exact_dup_docs"),
+        (
+            (F.count("*") - F.count_distinct("digest")).cast("double")
+            / F.count("*")
+        ).alias("dup_rate"),
+        (F.sum("n_tokens").cast("double") / F.count("*")).alias(
+            "avg_doc_tokens"
+        ),
+    )
