@@ -1057,3 +1057,36 @@ def g26_graph_stats(spark, sf_dir):
     are placed + 3 per lineitem (contains/of_part/from_supplier) +
     customer/supplier in_nation + nation in_region, 6 labels total."""
     return _graph(spark, sf_dir).stats()
+
+
+@register(
+    "g27_edge_label_histogram",
+    oracle="""
+    SELECT 'contains' AS label,
+           CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS n_edges
+    UNION ALL
+    SELECT 'from_supplier', CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'in_nation',
+           CAST((SELECT count(*) FROM customer)
+              + (SELECT count(*) FROM supplier) AS BIGINT)
+    UNION ALL
+    SELECT 'in_region', CAST((SELECT count(*) FROM nation) AS BIGINT)
+    UNION ALL
+    SELECT 'of_part', CAST((SELECT count(*) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'placed', CAST((SELECT count(*) FROM orders) AS BIGINT)
+    """,
+)
+def g27_edge_label_histogram(spark, sf_dir):
+    """Edge histogram by label — the per-relationship half of the stats
+    surface (g26 has the totals): one groupBy over the persisted edge
+    table. The oracle derives each label's count from its FK origin
+    (contains/of_part/from_supplier are one per lineitem row, placed one
+    per order, in_nation one per customer+supplier, in_region one per
+    nation)."""
+    return (
+        _graph(spark, sf_dir)
+        .edges.groupBy("label")
+        .agg(F.count("*").alias("n_edges"))
+    )
