@@ -18,34 +18,36 @@ from ekati_spark.queries import llm  # noqa: F401
 from ekati_spark.queries import streaming  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. Front-load a curated 50 spanning every family
-# (18 relational / 13 graph / 14 LLM-pipeline / 5 streaming), all of
-# which pass the local differential harness (tools/verify_local.py) at
-# sf0.01; the rest stay registered behind them in module order.
+# order IS the graded set. Rounds 1-3 attested r01-r50 plus the round-3
+# curated core; this round rotates the window onto 40 names with only
+# local (verify_local.py) evidence so far, keeping a 10-query sentinel
+# core spanning every family to detect drift against prior rounds.
 _GRADED_FIRST = [
-    # relational: scans, aggs, joins, windows, subqueries, time-series
-    "r01_scan_count", "r03_pricing_summary", "r06_rollup",
-    "r09_join_broadcast_dims", "r10_shipping_priority",
-    "r17_window_topk_per_group",
-    "r24_set_ops", "r26_date_funcs", "r29_json_extract",
-    "r31_higher_order_funcs", "r35_pivot", "r37_asof_join",
-    "r38_range_join", "r40_resample_gapfill", "r43_sessionize_batch",
-    "r47_hll_sketch_rollup", "r48_salted_join", "r50_time_weighted_avg",
-    # graph: traversal, projection, degrees, snapshots, recursion, stats
-    "g01_follow_one_hop", "g02_follow_two_hop", "g03_follow_any_range",
-    "g04_follow_label_windows", "g05_filter_then_follow",
-    "g06_fields_projection", "g07_skip_limit", "g08_reverse_traversal",
-    "g09_degrees", "g10_cycle_dedup", "g18_asof_snapshot",
-    "g22_trade_reachability", "g26_graph_stats",
-    # LLM pipeline: dedup, similarity, text analysis, curation
-    "l01_dedup_exact", "l02_ngram_jaccard_pairs", "l05_embedding_dup_pairs",
-    "l06_knn_bruteforce", "l08_text_stats", "l09_lang_id",
-    "l10_quality_filter", "l13_tfidf_top_terms", "l16_grouped_normalize",
-    "l17_fuzzy_dedup_pairs", "l20_dedup_groups", "l24_pii_redact",
-    "l28_duplicate_spans", "l30_decontaminate",
-    # streaming (batch-mode oracle path of the unified API)
-    "st01_tumbling_window", "st02_sliding_window", "st03_session_window",
-    "st04_stream_static_join", "st09_stream_stream_left_join",
+    # sentinel core: re-attested every round (green in r3's window)
+    "r01_scan_count", "r03_pricing_summary", "r37_asof_join",
+    "g01_follow_one_hop", "g10_cycle_dedup",
+    "l01_dedup_exact", "l06_knn_bruteforce", "l20_dedup_groups",
+    "st01_tumbling_window", "st04_stream_static_join",
+    # relational: never driver-attested aggs/joins/subqueries/time-series
+    "r05_count_distinct", "r08_grouping_sets", "r13_join_full_outer",
+    "r20_window_rank_ntile", "r34_correlated_exists",
+    "r39_percentiles", "r52_lateral_topk", "r54_merge_upsert",
+    # graph analytics kernels: first driver attestation
+    "g11_latest_version", "g12_multi_valued_keys", "g13_pagerank",
+    "g14_connected_components", "g15_shortest_hops",
+    "g16_motif_supply_path", "g17_triangle_count", "g20_kcore",
+    "g21_label_propagation", "g23_cheapest_trade_route",
+    "g24_cosupplier_graph", "g25_personalized_pagerank",
+    "g27_edge_label_histogram",
+    # LLM pipeline: dedup/ANN/curation entries with only local evidence
+    "l03_minhash_lsh_pairs", "l04_simhash_pairs", "l07_knn_lsh",
+    "l11_multimodal_content", "l14_top_bigrams", "l15_knn_ivf",
+    "l18_token_budget", "l21_stratified_sample", "l22_train_split",
+    "l26_dedup_keep_one", "l31_domain_mix", "l37_semantic_dedup",
+    "l38_chunk_dedup_rewrite", "l40_leakage_safe_split",
+    # streaming: stateful/stream-stream entries not yet attested
+    "st05_stateful_dedup", "st06_stream_stream_join",
+    "st07_stream_curation", "st08_trending_topk", "st10_anomaly_windows",
 ]
 
 

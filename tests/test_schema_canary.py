@@ -119,8 +119,10 @@ def test_normalize_events_ts_passthrough(spark):
 
 def test_graded_first_window_is_complete():
     """The driver grades the first 50 registered queries: the curated
-    list must name exactly 50 real, oracle-backed entries (import stays
-    defensive — this test is where a drifted name fails loudly)."""
+    list must name exactly 50 real entries (import stays defensive —
+    this test is where a drifted name fails loudly). Rows-only entries
+    (non-SQL-expressible ops, driver records a weaker check) are pinned
+    explicitly so one can't slip into the window unnoticed."""
     from ekati_spark.queries import REGISTRY, oracle_sql
     from ekati_spark.queries import _GRADED_FIRST
 
@@ -128,5 +130,8 @@ def test_graded_first_window_is_complete():
     missing = [n for n in _GRADED_FIRST if n not in REGISTRY]
     assert not missing, missing
     assert list(REGISTRY)[:50] == _GRADED_FIRST
-    no_oracle = [n for n in _GRADED_FIRST if n not in oracle_sql()]
-    assert not no_oracle, no_oracle
+    rows_only = sorted(n for n in _GRADED_FIRST if n not in oracle_sql())
+    assert rows_only == [
+        "l03_minhash_lsh_pairs", "l07_knn_lsh", "l15_knn_ivf",
+        "l26_dedup_keep_one", "l37_semantic_dedup",
+    ], rows_only
