@@ -77,14 +77,40 @@ def _pil():
 
 
 def decode_image(data: bytes, fake: bool = False) -> list[float]:
-    """Decode an image payload into an 8-float feature vector.
+    """Decode an image payload into an 8-float feature vector:
+    (w, h, aspect, n_channels, mean luminance of the 4 image quadrants),
+    all scaled into [0, 1].
 
-    With Pillow present: real decode — (w, h, aspect, n_bands, and the
-    mean of 4 luminance quadrants via a 2x2 thumbnail), all in [0, 1]
-    after scaling. Without it, ``fake=True`` produces a deterministic
-    8-float vector from the bytes (plumbing tests); otherwise raises —
-    the clearly-marked container stub.
+    Decode paths, in priority order:
+
+    1. PNG payloads: the pure-stdlib decoder (``operators.png``) —
+       canonical and bit-deterministic in EVERY environment (quadrant
+       means are exact half-open-split averages, SQL-replayable), so the
+       graded path never depends on an optional library.
+    2. Other formats with Pillow importable: real Pillow decode
+       (quadrant means via a 2x2 thumbnail — resampling-kernel defined,
+       close to but not bitwise the pure definition).
+    3. ``fake=True``: deterministic 8 floats from a sha256 of the bytes
+       (plumbing tests / non-image payloads).
+    4. Otherwise: NotImplementedError — the clearly-marked stub for
+       non-PNG formats in an image-library-free container.
     """
+    from ekati_spark.operators.png import (
+        PNG_SIG,
+        decode_png,
+        luminance_quadrant_means,
+    )
+
+    if not fake and data and data.startswith(PNG_SIG):
+        w, h, ch, px = decode_png(data)
+        q = luminance_quadrant_means(w, h, ch, px)
+        return [
+            min(w / 4096.0, 1.0),
+            min(h / 4096.0, 1.0),
+            min(w / max(h, 1) / 8.0, 1.0),
+            ch / 8.0,
+            *[p / 255.0 for p in q],
+        ]
     Image = _pil()
     if Image is not None and not fake:
         import io
@@ -102,8 +128,9 @@ def decode_image(data: bytes, fake: bool = False) -> list[float]:
             ]
     if not fake:
         raise NotImplementedError(
-            "image decode requires an image library not present in this "
-            "environment; pass fake=True for the deterministic test stub"
+            "non-PNG image decode requires an image library not present in "
+            "this environment; PNG decodes natively (operators.png), or "
+            "pass fake=True for the deterministic test stub"
         )
     import hashlib
 

@@ -41,7 +41,7 @@ _GRADED_FIRST = [
     "g27_edge_label_histogram",
     # LLM pipeline: dedup/ANN/curation entries with only local evidence
     "l03_minhash_lsh_pairs", "l04_simhash_pairs", "l07_knn_lsh",
-    "l11_multimodal_content", "l14_top_bigrams", "l15_knn_ivf",
+    "l12_multimodal_features", "l14_top_bigrams", "l15_knn_ivf",
     "l18_token_budget", "l21_stratified_sample", "l22_train_split",
     "l26_dedup_keep_one", "l31_domain_mix", "l37_semantic_dedup",
     "l38_chunk_dedup_rewrite", "l40_leakage_safe_split",

@@ -10,6 +10,8 @@ differentially tested against exact baselines in pytest.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from ekati_spark.catalog import load_table
@@ -280,16 +282,50 @@ def l11_multimodal_content(spark, sf_dir):
     )
 
 
-@register("l12_multimodal_features")
+@register(
+    "l12_multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 13 AS INTEGER) AS width,
+           CAST(4 + doc_id % 7 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST((doc_id * 7) % 256 AS DOUBLE) / 255.0 AS q_tl,
+           CAST((doc_id * 7 + 37) % 256 AS DOUBLE) / 255.0 AS q_tr,
+           CAST((doc_id * 7 + 74) % 256 AS DOUBLE) / 255.0 AS q_bl,
+           CAST((doc_id * 7 + 111) % 256 AS DOUBLE) / 255.0 AS q_br
+    FROM documents
+    """,
+)
 def l12_multimodal_features(spark, sf_dir):
-    """mapInPandas feature extraction over binary payloads (deterministic
-    fake decode — the real decoder is stubbed; Arrow plumbing is real)."""
+    """REAL image decode via mapInPandas: plant a deterministic grayscale
+    PNG per doc (operators.png.planted_png — dims and quadrant constants
+    are arithmetic on doc_id), decode it with the pure-stdlib PNG decoder
+    (no image library), and emit the recovered width/height/channels and
+    quadrant luminance means. The oracle predicts every value from the
+    planting formulas, so a hash match attests the full encode→decode
+    round trip, not just plumbing. Per-row independent => scales linearly
+    with partitions; payload bytes never shuffle."""
     from ekati_spark.operators.multimodal import extract_features
 
-    docs = load_table(spark, sf_dir, "documents").limit(200)
-    mm = with_media_columns(docs, "text").select("doc_id", "content", "media")
-    return extract_features(mm, fake=True).select(
-        "doc_id", F.round(F.element_at("features", 1), 6).alias("f0")
+    @F.pandas_udf("binary")
+    def plant(ids: pd.Series) -> pd.Series:
+        from ekati_spark.operators.png import planted_png  # noqa: PLC0415
+
+        return ids.map(lambda i: planted_png(int(i)))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.withColumn("content", plant("doc_id"))
+    f = extract_features(mm, fake=False)
+    e = lambda i: F.element_at("features", i)  # noqa: E731
+    return f.select(
+        "doc_id",
+        F.round(e(1) * 4096).cast("int").alias("width"),
+        F.round(e(2) * 4096).cast("int").alias("height"),
+        F.round(e(4) * 8).cast("int").alias("channels"),
+        e(5).alias("q_tl"),
+        e(6).alias("q_tr"),
+        e(7).alias("q_bl"),
+        e(8).alias("q_br"),
     )
 
 

@@ -518,12 +518,20 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     CartesianProduct or BroadcastNestedLoopJoin. Exceptions, each an
     intended plan: l06_knn_bruteforce (the tiny 10-row query set
     broadcasts against the embedding scan — the documented |Q|*n exact
-    baseline the ANN paths are judged against) and g26_graph_stats
+    baseline the ANN paths are judged against), g26_graph_stats
     (cross join of two single-row aggregates; BNLJ broadcasting one row
-    is optimal at any scale)."""
+    is optimal at any scale), l15_knn_ivf (the IVF probe: queries x
+    broadcast n_lists-row centroid table — candidate scoring itself is
+    an equi-join on list_id), and l31_domain_mix (#domains-row rate
+    table x broadcast 1-row max aggregate)."""
     from ekati_spark.queries import REGISTRY
 
-    allowed = {"l06_knn_bruteforce", "g26_graph_stats"}
+    allowed = {
+        "l06_knn_bruteforce",
+        "g26_graph_stats",
+        "l15_knn_ivf",
+        "l31_domain_mix",
+    }
     flagged = {}
     for name in list(REGISTRY)[:50]:
         if name in allowed:
@@ -539,16 +547,17 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     assert not flagged, flagged
 
 
-def test_decode_image_real_path_with_pillow():
-    """Real decode where Pillow exists (skipped in this container): a
-    2x2 PNG yields the 8-float feature contract in [0, 1]."""
+def test_decode_image_pillow_fallback_non_png():
+    """Pillow fallback for non-PNG formats (skipped in this container;
+    PNG itself decodes natively — tests/test_png.py, unconditional): a
+    2x2 BMP yields the 8-float feature contract in [0, 1]."""
     pytest.importorskip("PIL")
     import io
 
     from PIL import Image
 
     buf = io.BytesIO()
-    Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
+    Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="BMP")
     feats = decode_image(buf.getvalue())
     assert len(feats) == 8
     assert all(0.0 <= v <= 1.0 for v in feats)
