@@ -108,15 +108,15 @@ _SIMHASH_VOTE_TERMS = " + ".join(
     """,
 )
 def l04_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 8) via Pandas-UDF signature +
-    prefix blocking. Oracle-checked exactly: simhash64 is deterministic,
-    and the DuckDB oracle recomputes the same md5 bit votes in SQL.
-    Token-less (empty/whitespace) docs are excluded on BOTH sides — the
-    oracle's tokenizer drops them implicitly, and a sim=0 pile-up pair
-    would be meaningless anyway."""
-    docs = load_table(spark, sf_dir, "documents").filter(
-        (F.col("doc_id") < 150) & (F.trim(F.col("text")) != "")
-    )
+    """SimHash near-dup pairs (hamming ≤ 8) with prefix blocking.
+    Oracle-checked exactly: the DuckDB oracle replays the same md5 bit
+    votes in SQL. Uses the measured-fastest arrow engine (the JVM
+    formulation is bit-identical — tests/test_dedup.py — but 4x slower;
+    benchmark matrix in operators/dedup.py::simhash64). Token-less docs
+    are excluded by the operator's any-whitespace tokenizer on BOTH
+    engines, matching the oracle's implicit drop (the round-3 ADVICE
+    trim-vs-\\s+ item)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
     return D.simhash_pairs(docs, max_hamming=8, prefix_bits=4)
 
 
