@@ -3,11 +3,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec, ...}, "sf": ...}.
 
-Each query is executed to completion (collect/count) once after a session
-warm-up; times are wall-clock per query. The set spans every operator
-family: scan-agg, multi-join, window, as-of, traversal, dedup (exact +
-MinHash-LSH + transitive group resolution), similarity top-k, text stats,
-repetition quality filters, sequence packing, streaming-shaped windows.
+Each query is executed to completion (count) THREE times after a session
+warm-up and reports the MEDIAN wall-clock (round-3 verdict: single-run
+timings left three sub-2s entries unexplainably 1.5-2x noisier across
+rounds; machine-load variance can double a single wall-clock). The set
+spans every operator family: scan-agg, multi-join, window, as-of,
+traversal, dedup (exact + MinHash-LSH + SimHash + transitive group
+resolution), similarity top-k, text stats, repetition quality filters,
+sequence packing, real PNG decode, streaming-shaped windows.
 """
 
 from __future__ import annotations
@@ -28,9 +31,11 @@ HEADLINE = [
     "g03_follow_any_range",
     "l01_dedup_exact",
     "l03_minhash_lsh_pairs",
+    "l04_simhash_pairs",
     "l05_embedding_dup_pairs",
     "l06_knn_bruteforce",
     "l08_text_stats",
+    "l12_multimodal_features",
     "l20_dedup_groups",
     "l23_repetition_stats",
     "l25_pack_sequences",
@@ -68,11 +73,18 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.REGISTRY[name].fn
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        times[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {times[name]:.3f}s ({n} rows)", file=sys.stderr)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(sorted(runs)[1], 3)
+        print(
+            f"# {name}: median {times[name]:.3f}s of "
+            f"{[round(r, 3) for r in runs]} ({n} rows)",
+            file=sys.stderr,
+        )
 
     # ingest throughput — the reference's own headline metric
     # (129,038 fragments/s, BASELINE.md); 1M nodes × 8 fragments
