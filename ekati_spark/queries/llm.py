@@ -856,17 +856,59 @@ def l25_pack_sequences(spark, sf_dir):
     return X.pack_sequences(docs, budget=2048, n_buckets=64)
 
 
-@register("l26_dedup_keep_one")
+@register(
+    "l26_dedup_keep_one",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id < 50
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), ' +')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), ' +')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+2]
+             ))) AS sh
+      FROM corpus
+    )
+    SELECT min(doc_id) AS kept_doc_id, CAST(count(*) AS BIGINT) AS n_docs
+    FROM sh WHERE len(sh) > 0 GROUP BY sh
+    UNION ALL
+    SELECT doc_id AS kept_doc_id, CAST(1 AS BIGINT) AS n_docs
+    FROM sh WHERE coalesce(len(sh), 0) = 0
+    """,
+)
 def l26_dedup_keep_one(spark, sf_dir):
     """End-to-end SCALE-PATH dedup: MinHash-LSH candidate pairs (cost ∝
     candidates, not n²) -> transitive group resolution (star CC over the
     pair subgraph) -> keep the min-id doc per group, reporting group
-    size. This is the full corpus-dedup artifact a training pipeline
-    consumes. Rows-only check (xxhash-dependent via LSH); the exact
-    twin of each stage is oracle-checked (l03-recall in pytest, l20)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = D.minhash_lsh_pairs(docs, threshold=0.1, num_hashes=64, bands=32)
-    groups = D.dedup_groups(docs, pairs)
+    size — the full corpus-dedup artifact a training pipeline consumes.
+
+    Oracle-checked EXACTLY (was rows-only through round 3) by running
+    the pipeline in its provable-recall configuration: 50 planted
+    duplicate docs (relabeled copies) and verification threshold 1.0.
+    Jaccard-1.0 pairs have identical shingle sets, hence identical
+    MinHash signatures, hence collide in EVERY band — LSH recall is
+    exactly 1 by construction, and equality of shingle sets is
+    transitive, so CC groups are precisely the shingle-set equivalence
+    classes the SQL oracle computes by grouping on the sorted distinct
+    shingle list (short/token-less docs are singletons on both sides).
+    The sub-1.0-threshold behavior stays covered by l03 (rows-only +
+    recall-vs-exact pytest) and l20 (oracle-checked grouping)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pairs = D.minhash_lsh_pairs(
+        corpus, threshold=1.0, num_hashes=64, bands=32
+    )
+    groups = D.dedup_groups(corpus, pairs)
     return (
         groups.groupBy("group_id")
         .agg(F.count("*").alias("n_docs"))

@@ -133,5 +133,5 @@ def test_graded_first_window_is_complete():
     rows_only = sorted(n for n in _GRADED_FIRST if n not in oracle_sql())
     assert rows_only == [
         "l03_minhash_lsh_pairs", "l07_knn_lsh", "l15_knn_ivf",
-        "l26_dedup_keep_one", "l37_semantic_dedup",
+        "l37_semantic_dedup",
     ], rows_only
