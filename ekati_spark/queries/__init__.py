@@ -16,6 +16,7 @@ from ekati_spark.queries import relational  # noqa: F401
 from ekati_spark.queries import graph  # noqa: F401
 from ekati_spark.queries import llm  # noqa: F401
 from ekati_spark.queries import streaming  # noqa: F401
+from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
 # order IS the graded set. Rounds 1-3 attested r01-r50 plus the round-3

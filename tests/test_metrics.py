@@ -1,0 +1,91 @@
+"""Engine-telemetry surface: stage/executor/per-query metrics are real,
+queryable, and move when work runs (SURVEY §2.1 row 10; the reference's
+GetMetrics/GetStats RPCs)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ekati_spark.metrics import (
+    executor_metrics,
+    query_metrics,
+    run_with_metrics,
+    stage_metrics,
+)
+
+
+def _shuffle_write_total(spark) -> int:
+    return (
+        stage_metrics(spark)
+        .agg(F.sum("shuffle_write_bytes").alias("b"))
+        .first()
+        .b
+        or 0
+    )
+
+
+def test_stage_counters_move_when_a_shuffle_runs(spark):
+    before = _shuffle_write_total(spark)
+    spark.range(0, 200_000).groupBy((F.col("id") % 13).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    after = _shuffle_write_total(spark)
+    assert after > before
+
+    st = stage_metrics(spark)
+    assert st.filter(F.col("num_complete_tasks") > 0).count() > 0
+    assert st.filter(F.col("peak_execution_memory") > 0).count() > 0
+
+
+def test_executor_metrics_present(spark):
+    rows = executor_metrics(spark).collect()
+    assert len(rows) >= 1
+    assert any(r.total_tasks > 0 for r in rows)
+    assert all(r.max_memory > 0 for r in rows)
+
+
+def test_query_metrics_match_actual_output(spark):
+    df = spark.range(0, 50_000).groupBy((F.col("id") % 7).alias("k")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    n, qm = run_with_metrics(df)
+    assert n == 7
+    m = qm.collect()
+    assert len(m) > 10
+    # the final aggregate's numOutputRows equals the query's result size
+    agg_rows = [
+        r.value
+        for r in m
+        if r.node == "HashAggregate" and r.metric == "numOutputRows"
+    ]
+    assert n in agg_rows
+    # the exchange reports shuffle bytes for a real shuffle
+    assert any(
+        r.metric == "shuffleBytesWritten" and r.value > 0 for r in m
+    )
+    # source rows are accounted
+    assert any(
+        r.node == "Range" and r.metric == "numOutputRows"
+        and r.value == 50_000
+        for r in m
+    )
+
+
+def test_query_metrics_unexecuted_plan_is_zero(spark):
+    df = spark.range(0, 1000).groupBy((F.col("id") % 3).alias("k")).count()
+    qm = query_metrics(df)  # not executed: metrics legitimately zero
+    assert qm.filter(
+        (F.col("metric") == "numOutputRows") & (F.col("value") > 0)
+    ).count() == 0
+
+
+def test_g28_contract(spark, sf_dir):
+    from ekati_spark.queries import REGISTRY
+
+    row = REGISTRY["g28_engine_metrics"].fn(spark, sf_dir).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.probe_rows >= 1
+    assert r.plan_metric_rows > 0
+    assert r.executors >= 1
+    assert r.tasks_completed > 0
