@@ -96,12 +96,19 @@ def _emits_zero(spec) -> bool:
     return _emits_zero(spec.left) or _emits_zero(spec.right)
 
 
+class FrontierOverflow(RuntimeError):
+    """A traversal hop produced more frontier nodes than ``max_frontier``
+    allows (adversarial fan-out guard; see ``follow``)."""
+
+
 def follow(
     edges: DataFrame,
     seeds: DataFrame,
     spec,
     dedup: bool = True,
     with_hop: bool = False,
+    max_frontier: int | None = None,
+    on_overflow: str = "error",
 ) -> DataFrame:
     """Traverse ``edges(src, label, dst, ...)`` from ``seeds(node_id)``.
 
@@ -117,7 +124,21 @@ def follow(
     pushes the label predicate into the scan (constant-folding prunes
     union branches -- only the tables a hop can reach are read). AQE
     broadcasts the checkpointed frontier when it is small.
+
+    ``max_frontier`` guards against adversarial fan-out (a super-node
+    exploding a hop into a frontier that swamps the next join). When a
+    hop's frontier exceeds it: ``on_overflow="error"`` (default) raises
+    ``FrontierOverflow`` LOUDLY — a traversal that cannot honor its
+    semantics within budget should fail, not silently degrade; pass
+    ``on_overflow="truncate"`` to instead keep the ``max_frontier``
+    lowest node_ids (deterministic total order) and continue — emitted
+    results are then a documented UNDER-approximation, the shape a
+    bounded interactive explorer wants. The per-hop count this costs
+    reads the already-checkpointed frontier, not the edge table; with
+    ``max_frontier=None`` (default) no count job runs.
     """
+    if on_overflow not in ("error", "truncate"):
+        raise ValueError(f"on_overflow must be error|truncate: {on_overflow}")
     seeds = seeds.select("node_id").distinct()
     max_hop = _max_hops(spec)
 
@@ -143,6 +164,19 @@ def follow(
             # materialize: consumed by >=3 downstream plans (next join,
             # visited, emit); the last hop is consumed once -- stay lazy.
             step = step.localCheckpoint(eager=True)
+            if max_frontier is not None and step.count() > max_frontier:
+                if on_overflow == "error":
+                    raise FrontierOverflow(
+                        f"follow hop {hop} frontier exceeds "
+                        f"max_frontier={max_frontier}"
+                    )
+                # __emit in the sort key: with dedup=False node_id rows
+                # repeat and the order must stay total for determinism
+                step = (
+                    step.orderBy("node_id", "__emit")
+                    .limit(max_frontier)
+                    .localCheckpoint(eager=True)
+                )
         new_frontier = step.select("node_id")
         emitted.append(
             step.filter(F.col("__emit")).select("node_id").withColumn(

@@ -107,3 +107,30 @@ def test_fragment_accumulation(spark):
     merged = g.props.filter(F.col("node_id") == "TESTID")
     assert merged.count() == 5
     assert g.latest().filter(F.col("node_id") == "TESTID").count() == 5
+
+
+def test_follow_frontier_cap_star_graph(spark):
+    """Adversarial fan-out guard: a 400-leaf star explodes hop 1; with
+    max_frontier=25 the default errors loudly, truncate mode keeps the
+    25 lowest node_ids (deterministic) and continues through hop 2."""
+    from ekati_spark.graph.traverse import FrontierOverflow
+
+    rows = [("hub", "fan", f"leaf{i:04d}") for i in range(400)]
+    # every leaf links onward to one shared sink, so hop 2 exists
+    rows += [(f"leaf{i:04d}", "fan", "sink") for i in range(400)]
+    edges = spark.createDataFrame(rows, "src string, label string, dst string")
+    seeds = spark.createDataFrame([("hub",)], "node_id string")
+
+    with pytest.raises(FrontierOverflow, match="hop 1"):
+        follow(edges, seeds, Any(1, 2), max_frontier=25).collect()
+
+    out = follow(
+        edges, seeds, Any(1, 2), max_frontier=25, on_overflow="truncate",
+        with_hop=True,
+    ).collect()
+    hop1 = sorted(r.node_id for r in out if r.hop == 1)
+    assert hop1 == [f"leaf{i:04d}" for i in range(25)]  # lowest ids kept
+    assert [r.node_id for r in out if r.hop == 2] == ["sink"]
+
+    # uncapped the same traversal reaches all 400 leaves
+    assert follow(edges, seeds, Any(1, 2)).count() == 401
