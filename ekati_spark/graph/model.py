@@ -101,8 +101,18 @@ class PropertyGraph:
         victims = spark.createDataFrame(
             [(i,) for i in ids], "node_id string"
         )
+        # Filter self.edges rather than re-deriving from props: a
+        # from_relational graph's FK edges exist ONLY in the edges frame
+        # and would silently vanish. Out-edges of a removed node go with
+        # its attribute rows; in-edges (refs held by OTHER nodes) stay
+        # dangling, exactly as the props-derived view behaves.
         return PropertyGraph(
-            self.props.join(victims, "node_id", "left_anti")
+            self.props.join(victims, "node_id", "left_anti"),
+            self.edges.join(
+                victims.select(F.col("node_id").alias("src")),
+                "src",
+                "left_anti",
+            ),
         )
 
     def first(self, predicate) -> DataFrame:
@@ -142,18 +152,27 @@ class PropertyGraph:
     # log + checkpoints, SURVEY §4) ---------------------------------------
 
     def save(self, path: str, mode: str = "overwrite", buckets: int = 0) -> None:
-        """Write the props table to parquet at ``path``. With ``buckets``
-        > 0, writes a bucketed table layout (bucket by node_id) via a
-        repartition so point lookups and traversals co-locate — the
-        100 TB layout; plain parquet otherwise."""
-        df = self.props
+        """Write the graph to ``path`` as two parquet tables
+        (``path/props``, ``path/edges``). Edges are persisted explicitly:
+        a ``from_relational`` graph holds its FK edges only in the edges
+        frame, and deriving them from props on reload would silently
+        drop them (round-3 ADVICE). Materializing the edge table is also
+        the 100 TB layout — every BFS hop reads it. With ``buckets`` > 0
+        both tables are repartitioned on their join key (node_id / src)
+        so point lookups and traversal hops co-locate."""
+        props, edges = self.props, self.edges
         if buckets:
-            df = df.repartition(buckets, "node_id")
-        df.write.mode(mode).parquet(path)
+            props = props.repartition(buckets, "node_id")
+            edges = edges.repartition(buckets, "src")
+        props.write.mode(mode).parquet(f"{path}/props")
+        edges.write.mode(mode).parquet(f"{path}/edges")
 
     @staticmethod
     def load(spark: SparkSession, path: str) -> "PropertyGraph":
-        return PropertyGraph(spark.read.parquet(path))
+        return PropertyGraph(
+            spark.read.parquet(f"{path}/props"),
+            spark.read.parquet(f"{path}/edges"),
+        )
 
     # -- constructors -----------------------------------------------------
 

@@ -22,15 +22,21 @@ from ekati_spark.queries.base import register
 # materializes its edge table once (at 100 TB: a bucketed parquet/Delta
 # table partitioned by src); re-deriving the 7-way union-of-scans per
 # query re-reads lineitem 3× per hop. MEMORY_AND_DISK spills safely.
+# Bounded: switching a session to a new sf_dir unpersists and evicts its
+# previous graph (round-3 ADVICE: the unbounded dict was a slow executor-
+# memory leak in a long-lived service scanning many datasets).
 _graph_cache: dict[tuple[str, str], PropertyGraph] = {}
 
 
 def _graph(spark, sf_dir) -> PropertyGraph:
     from ekati_spark.catalog import session_key
 
-    key = (session_key(spark), sf_dir)
+    sk = session_key(spark)
+    key = (sk, sf_dir)
     g = _graph_cache.get(key)
     if g is None:
+        for old in [k for k in _graph_cache if k[0] == sk]:
+            _graph_cache.pop(old).edges.unpersist()
         g = PropertyGraph.from_relational(spark, sf_dir)
         g.edges = g.edges.persist()
         _graph_cache[key] = g
@@ -971,10 +977,18 @@ _PPR_STEP_SQL = """
     ),
     pr{k} AS (
       SELECT b.node_id,
-             0.15 * b.reset + 0.85 * COALESCE(s{k}.in_sum, 0.0) AS rank
+             (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * b.reset
+               + CAST(0.85 AS DOUBLE) * COALESCE(s{k}.in_sum, 0.0) AS rank
       FROM base b LEFT JOIN s{k} ON b.node_id = s{k}.dst
     )
 """
+# (1.0 - 0.85) under explicit DOUBLE casts, NOT the literal 0.15: the
+# kernel computes its teleport coefficient as IEEE 1.0 - damping
+# (= 0.15000000000000002, one ulp above 0.15), while DuckDB both reads
+# bare 1.0/0.85 literals as DECIMALs and constant-folds their difference
+# exactly. At sf0.001 that ulp lands ranks exactly on the 6th-decimal
+# half boundary (0.85/160) and the two sides rounded apart. Forcing
+# DOUBLE literals replays the kernel's op sequence bit-identically.
 
 
 @register(
@@ -996,8 +1010,8 @@ _PPR_STEP_SQL = """
     """
     + ",".join(_PPR_STEP_SQL.format(k=k, j=k - 1) for k in (1, 2, 3))
     + """
-    SELECT node_id, round(rank, 6) AS rank FROM pr3
-    WHERE round(rank, 6) > 0
+    SELECT node_id, floor(rank * 1000000 + 0.5) / 1000000 AS rank FROM pr3
+    WHERE floor(rank * 1000000 + 0.5) / 1000000 > 0
     """,
 )
 def g25_personalized_pagerank(spark, sf_dir):
@@ -1008,12 +1022,12 @@ def g25_personalized_pagerank(spark, sf_dir):
     sides round to 6 decimals and keep only touched nodes (rank > 0 —
     unreached nodes are exactly 0.0 in both engines, no float
     ambiguity). Contribution sums use decimal accumulation (dsum
-    policy) so in_sum is partition-order independent. Known caveat: on
-    degenerate tiny graphs (sf0.001) a rank whose shortest decimal
-    repr terminates exactly at the 6th-decimal half boundary (e.g.
-    0.85/160 = 0.0053125) rounds HALF_UP in Spark but half-to-even in
-    DuckDB; real-size graphs (sf >= 0.01, the graded SF) produce no
-    such terminating rationals and hash-match exactly."""
+    policy) so in_sum is partition-order independent. Rounding is the
+    explicit floor(x*1e6 + 0.5)/1e6 on BOTH sides — engine round()
+    tie policies differ (Spark HALF_UP vs DuckDB half-even) and tiny
+    graphs (sf0.001) produce terminating rationals that land exactly
+    on the 6th-decimal half boundary (0.85/160 = 0.0053125); the same
+    IEEE op sequence is bit-identical wherever the double lands."""
     from ekati_spark.graph.algorithms import personalized_page_rank
 
     g = _graph(spark, sf_dir)
@@ -1024,8 +1038,9 @@ def g25_personalized_pagerank(spark, sf_dir):
         )
     )
     pr = personalized_page_rank(g.edges, seeds, iterations=3, damping=0.85)
+    rank6 = F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000
     return (
-        pr.select("node_id", F.round("rank", 6).alias("rank"))
+        pr.select("node_id", rank6.alias("rank"))
         .filter(F.col("rank") > 0)
     )
 

@@ -69,7 +69,15 @@ def _decode_unicode_escapes(s: pd.Series) -> pd.Series:
                 + ((int(m.group(2), 16) - 0xD800) << 10)
                 + (int(m.group(3), 16) - 0xDC00)
             )
-        return chr(int(m.group(4) or m.group(5), 16))
+        cp = int(m.group(4) or m.group(5), 16)
+        # an UNPAIRED surrogate escape (\uD800 with no low half — the
+        # pair branch above didn't match) would chr() into a lone
+        # surrogate that Arrow's UTF-8 serializer rejects, crashing the
+        # whole load on one malformed literal; map it to U+FFFD like
+        # every tolerant decoder does
+        if 0xD800 <= cp <= 0xDFFF:
+            return "�"
+        return chr(cp)
 
     return s.map(lambda v: None if v is None else pat.sub(sub, v))
 
@@ -162,10 +170,25 @@ def load_ntriples_url(
     file. For data already in a shared filesystem / object store, call
     ``load_ntriples`` directly — the spool is only for single-URL pulls.
     Supports any urllib scheme (http/https/file — file:// is the test
-    path; the container has no network)."""
+    path; the container has no network).
+
+    CLUSTER CONSTRAINT: the spool target must be readable by the
+    EXECUTORS. With the default ``spool_dir=None`` it lands in the
+    driver's local tempdir — correct only for ``local[*]`` masters, so
+    any other master raises unless ``spool_dir`` points at a shared
+    filesystem (NFS/HDFS-fuse/object-store mount) all executors see.
+    """
     import os
     import tempfile
     import urllib.request
+
+    master = spark.conf.get("spark.master", "")
+    if spool_dir is None and not master.startswith("local"):
+        raise ValueError(
+            "load_ntriples_url with spool_dir=None spools to the "
+            f"driver-local tempdir, which executors on master={master!r} "
+            "cannot read; pass spool_dir on a shared filesystem"
+        )
 
     t0 = time.monotonic()
     last_emit = t0

@@ -280,6 +280,24 @@ def test_remove_nodes(engine):
     # b's dangling edge row survives (the reference also leaves dangling
     # refs; readers resolve-or-skip)
     assert g2.props.filter(F.col("dtype") == "ref").count() == 1
+    assert [(r.src, r.dst) for r in g2.edges.collect()] == [("b", "a")]
+
+
+def test_remove_nodes_keeps_separate_edges(spark, sf_dir):
+    """A from_relational graph's FK edges live ONLY in the edges frame;
+    remove_nodes must filter them, not re-derive from props (round-3
+    ADVICE — the old path silently dropped every FK edge)."""
+    from ekati_spark.graph.model import PropertyGraph
+
+    g = PropertyGraph.from_relational(spark, sf_dir)
+    victim = "customer:1"
+    before = g.edges.count()
+    out_deg = g.edges.filter(F.col("src") == victim).count()
+    g2 = g.remove_nodes([victim])
+    assert out_deg > 0
+    assert g2.edges.count() == before - out_deg
+    # in-edges to the victim dangle (reference behavior), out-edges go
+    assert g2.edges.filter(F.col("src") == victim).count() == 0
 
 
 def test_first_predicate(engine):
@@ -331,6 +349,43 @@ def test_graph_save_load_roundtrip(engine, tmp_path):
     orig = sorted(map(tuple, engine.execute('get "pa" |> follow "e" 1').collect()))
     back = sorted(map(tuple, reloaded.execute('get "pa" |> follow "e" 1').collect()))
     assert orig == back and len(back) == 1
+
+
+def test_graph_cache_evicts_on_new_sf_dir(spark, sf_dir):
+    """The per-(session, sf_dir) FK-graph cache is bounded: pointing the
+    same session at a new sf_dir unpersists and evicts the old graph
+    (round-3 ADVICE: unbounded persist = slow leak in a long service)."""
+    from ekati_spark.catalog import session_key
+    from ekati_spark.queries.graph import _graph, _graph_cache
+
+    g1 = _graph(spark, sf_dir)
+    assert g1.edges.is_cached
+    g2 = _graph(spark, "/root/testdata/sf0.01")
+    sk = session_key(spark)
+    assert [k for k in _graph_cache if k[0] == sk] == [
+        (sk, "/root/testdata/sf0.01")
+    ]
+    assert not g1.edges.is_cached
+    assert g2.edges.is_cached
+    # leave the suite's usual graph warm for whoever runs next
+    _graph(spark, sf_dir)
+
+
+def test_save_load_preserves_fk_edges(spark, sf_dir, tmp_path):
+    """save()/load() round-trips the SEPARATE edges frame: FK edges of a
+    from_relational graph aren't derivable from props, and stats()/
+    traversal on the reloaded graph must see them (round-3 ADVICE)."""
+    from ekati_spark.graph.model import PropertyGraph
+
+    g = PropertyGraph.from_relational(spark, sf_dir)
+    out = str(tmp_path / "fk_graph")
+    g.save(out, buckets=4)
+    back = PropertyGraph.load(spark, out)
+    n_edges = g.edges.count()
+    assert n_edges > 0
+    assert back.edges.count() == n_edges
+    s0, s1 = g.stats().first(), back.stats().first()
+    assert (s0.n_edges, s0.n_edge_labels) == (s1.n_edges, s1.n_edge_labels)
 
 
 def test_repl_end_to_end(spark, monkeypatch, capsys):
@@ -405,6 +460,22 @@ def test_ntriples_unicode_escapes(spark, tmp_path):
     assert rows["http://e/b"] == "hi \U0001F600"
     assert rows["http://e/c"] == "big \U0001F680"
     assert rows["http://e/d"] == "lit \\u0041"
+
+
+def test_ntriples_unpaired_surrogate_is_replaced(spark, tmp_path):
+    """An unpaired surrogate escape decodes to U+FFFD instead of a lone
+    surrogate str that crashes Arrow serialization for the whole load
+    (round-3 ADVICE)."""
+    nt = tmp_path / "lone.nt"
+    nt.write_text(
+        '<http://e/s> <http://e/a> "bad \\uD800 end" .\n'
+        '<http://e/s> <http://e/b> "tail \\uDC00" .\n'
+        '<http://e/s> <http://e/c> "ok \\uD83D\\uDE00" .\n'
+    )
+    rows = {r.key: r.str for r in load_ntriples(spark, str(nt)).collect()}
+    assert rows["http://e/a"] == "bad � end"
+    assert rows["http://e/b"] == "tail �"
+    assert rows["http://e/c"] == "ok \U0001F600"  # real pairs unaffected
 
 
 def test_ntriples_url_ingest_with_progress(spark, tmp_path):
