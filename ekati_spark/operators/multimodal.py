@@ -210,15 +210,19 @@ def resize_images(
     fake: bool = True,
     batch_col: str = "content",
 ) -> DataFrame:
-    """Resize plumbing: content binary -> resized binary + updated typed
-    metadata (media.width/height reflect the target size).
+    """Resize: content binary -> resized binary + updated typed metadata
+    (media.width/height reflect the target size).
 
-    mapInPandas with the real Arrow batch shape; the pixel work is the
-    container-stub (deterministic size-proportional truncate/pad when
-    ``fake``, NotImplementedError otherwise — a deployment drops in
-    PIL/cv2 here without touching the Spark plumbing). Per-row
-    independent, so it scales linearly with partitions at 100 TB.
+    Pixel paths mirror ``decode_image``: PNG payloads resize for REAL
+    with no image library (``operators.png.resize_png``, deterministic
+    nearest-neighbor); other formats use Pillow where importable; the
+    ``fake`` stub (size-proportional truncate/pad) remains for opaque
+    payloads in plumbing tests. A malformed PNG degrades to a null
+    payload rather than failing the Arrow batch. Per-row independent,
+    so it scales linearly with partitions at 100 TB.
     """
+    from ekati_spark.operators.png import PNG_SIG, resize_png
+
     out_schema = df.schema
 
     def _resize_real(Image, b: bytes) -> bytes | None:
@@ -226,6 +230,17 @@ def resize_images(
         # and the real path must not fail the Arrow batch on one bad row
         if not b:
             return None
+        if b.startswith(PNG_SIG):
+            try:
+                return resize_png(b, width, height)
+            except ValueError:
+                return None
+        if Image is None:
+            raise NotImplementedError(
+                "real resizing of non-PNG formats needs an image library "
+                "absent from this environment; PNG resizes natively, or "
+                "pass fake=True for the deterministic stub"
+            )
         import io
 
         with Image.open(io.BytesIO(b)) as im:
@@ -237,19 +252,13 @@ def resize_images(
         Image = _pil()
         target = max(1, (width * height) // 64)
         for pdf in batches:
-            if Image is not None and not fake:
-                resized = [_resize_real(Image, b) for b in pdf[batch_col]]
-            elif fake:
+            if fake:
                 resized = [
                     (b or b"")[:target].ljust(target, b"\0")
                     for b in pdf[batch_col]
                 ]
             else:
-                raise NotImplementedError(
-                    "real image resizing needs an image library absent "
-                    "from this environment; pass fake=True for the "
-                    "deterministic stub"
-                )
+                resized = [_resize_real(Image, b) for b in pdf[batch_col]]
             out = pdf.copy()
             out[batch_col] = resized
             out["media"] = [

@@ -220,6 +220,25 @@ def planted_png(doc_id: int) -> bytes:
     return encode_png(w, h, bytes(px), channels=1)
 
 
+def resize_png(data: bytes, width: int, height: int) -> bytes:
+    """Nearest-neighbor resize of a PNG, pure stdlib: decode → index-map
+    resample (src index = (dst * src_size) // dst_size, pure integer
+    arithmetic, deterministic everywhere) → re-encode. Palette images
+    come back expanded (RGB), matching ``decode_png``."""
+    w0, h0, ch, px = decode_png(data)
+    out = bytearray(width * height * ch)
+    for y in range(height):
+        sy = (y * h0) // height
+        src_row = sy * w0 * ch
+        dst_row = y * width * ch
+        for x in range(width):
+            sx = (x * w0) // width
+            s = src_row + sx * ch
+            d = dst_row + x * ch
+            out[d : d + ch] = px[s : s + ch]
+    return encode_png(width, height, bytes(out), channels=ch)
+
+
 def luminance_quadrant_means(
     width: int, height: int, channels: int, pixels: bytes
 ) -> list[float]:

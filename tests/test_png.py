@@ -121,3 +121,47 @@ def test_extract_features_real_decode(spark):
     for did in (7, 9):
         assert rows[did][0] == (4 + did % 13) / 4096.0
         assert rows[did][4] == ((did * 7) % 256) / 255.0
+
+
+def test_resize_png_nearest_neighbor():
+    """Deterministic index-map resample: a 2x2 quadrant image scaled to
+    4x4 repeats each quadrant pixel in a 2x2 block; downscale picks the
+    mapped source pixel exactly."""
+    from ekati_spark.operators.png import resize_png
+
+    px = bytes([10, 20, 30, 40])  # 2x2 grayscale
+    up = decode_png(resize_png(encode_png(2, 2, px, 1), 4, 4))
+    assert (up[0], up[1], up[2]) == (4, 4, 1)
+    assert bytes(up[3]) == bytes(
+        [10, 10, 20, 20, 10, 10, 20, 20, 30, 30, 40, 40, 30, 30, 40, 40]
+    )
+    down = decode_png(resize_png(encode_png(4, 4, bytes(up[3]), 1), 2, 2))
+    assert bytes(down[3]) == px
+
+
+def test_resize_images_real_png(spark):
+    """fake=False resize runs for real in-container on PNG payloads;
+    metadata tracks the target size; corrupt PNGs degrade to null."""
+    from ekati_spark.operators.multimodal import (
+        resize_images,
+        with_media_columns,
+    )
+    from ekati_spark.operators.png import resize_png
+
+    df = with_media_columns(
+        spark.createDataFrame(
+            [(7, planted_png(7)), (1, PNG_SIG + b"junk")],
+            "doc_id long, payload binary",
+        ),
+        "payload",
+        mime="image/png",
+    ).select("doc_id", "content", "media")
+    rows = {
+        r.doc_id: r for r in resize_images(df, 6, 6, fake=False).collect()
+    }
+    assert rows[1].content is None
+    got = rows[7].content
+    assert bytes(got) == resize_png(planted_png(7), 6, 6)
+    w, h, ch, _ = decode_png(bytes(got))
+    assert (w, h, ch) == (6, 6, 1)
+    assert (rows[7].media.width, rows[7].media.height) == (6, 6)
