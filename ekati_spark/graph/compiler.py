@@ -145,6 +145,13 @@ class QueryEngine:
             return stream.orderBy("remote", "node_id").limit(step.n)
         if isinstance(step, ir.FieldsStep):
             return stream  # applied at materialization
+        if isinstance(step, ir.TransformStep):
+            # user query-operator plugin by name (the reference's WASM
+            # seam, ekati_spark/plugins.py): gets the node stream + the
+            # graph, returns a node stream
+            from ekati_spark.plugins import apply_stream_plugin
+
+            return apply_stream_plugin(stream, step.name, self.graph)
         raise TypeError(f"unknown step {step!r}")
 
     def _filter_nodes(self, pred) -> DataFrame:

@@ -112,6 +112,14 @@ class FieldsStep:
 
 
 @dataclass(frozen=True)
+class TransformStep:
+    """User plugin operator by name (the WASM query-operator seam,
+    ekati_spark/plugins.py)."""
+
+    name: str
+
+
+@dataclass(frozen=True)
 class GetQuery:
     seeds: tuple[NodeRef, ...]  # ('*',) wildcard handled via iri='*'
     steps: tuple = ()

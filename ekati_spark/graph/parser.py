@@ -10,7 +10,8 @@ Supported commands:
     load (graphml|nt) "<path>"
 
 pipecmds: follow (* | edge-tree) [a..b] · filter <compare> ·
-          skip/offset N · limit/take N · fields <clude>
+          skip/offset N · limit/take N · fields <clude> ·
+          transform "<plugin-name>" (user operator, ekati_spark/plugins)
 """
 
 from __future__ import annotations
@@ -177,6 +178,12 @@ class Parser:
         if t.text == "fields":
             self.next()
             return ir.FieldsStep(cludes=tuple(self.clude_list()))
+        if t.text == "transform":
+            self.next()
+            name = self.next()
+            return ir.TransformStep(
+                _unquote(name.text) if name.kind == "string" else name.text
+            )
         raise SyntaxError(f"unknown pipe command {t.text!r}")
 
     # -- follow -----------------------------------------------------------
