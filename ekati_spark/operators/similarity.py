@@ -249,13 +249,14 @@ def ann_lsh_buckets(
         F.col(query_vec_col).alias("qv"),
         norm(F.col(query_vec_col), dim).alias("nq"),
     )
-    # bucket assignment as ONE vectorized Arrow UDF: n_tables×n_planes
-    # plane dots per row via numpy matmul. The literal-expression form
-    # (48 zip_with dots per row) is interpreted and was ~10x slower; an
-    # unrolled form is a ~9000-node projection that stalls Catalyst
-    # analysis. Buckets only gate candidate RECALL, so the UDF's
-    # summation order is not correctness-bearing (scoring still uses the
-    # bit-exact JVM path).
+    # bucket assignment as ONE vectorized Arrow UDF. The literal-
+    # expression form (48 zip_with dots per row) is interpreted and was
+    # ~10x slower; an unrolled form is a ~9000-node projection that
+    # stalls Catalyst analysis. Plane dots accumulate PER-DIM in index
+    # order (not einsum/BLAS pairwise): the same left-fold an engine's
+    # sequential list_dot_product computes, so bucket assignment is
+    # bit-deterministic and the DuckDB oracle (l07) replays it exactly —
+    # a sign is only ever "wrong" if the doubles themselves differ.
     P = np.stack(
         [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )  # (n_tables, n_planes, dim)
@@ -265,9 +266,10 @@ def ann_lsh_buckets(
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def bucket_ids(vs: pd.Series) -> pd.Series:
         A = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
-        # (n, n_tables, n_planes) sign bits -> per-table bucket ids
-        s = np.einsum("nd,tpd->ntp", A, P) > 0
-        ids = (s * weights).sum(axis=2) + offs
+        acc = np.zeros((len(A), P.shape[0], P.shape[1]))
+        for d in range(P.shape[2]):  # sequential per-dim left-fold
+            acc += A[:, d, None, None] * P[:, :, d]
+        ids = ((acc > 0) * weights).sum(axis=2) + offs
         return pd.Series(list(ids))
 
     ce = c.withColumn("c_bucket", F.explode(bucket_ids("v")))

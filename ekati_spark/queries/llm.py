@@ -164,10 +164,68 @@ def l06_knn_bruteforce(spark, sf_dir):
     return S.brute_force_topk(emb, q, k=5)
 
 
-@register("l07_knn_lsh")
+# The sign-LSH hyperplanes are seeded and the bucket dots accumulate in
+# strict per-dim order (similarity.py::ann_lsh_buckets), so the whole
+# approximate pipeline is SQL-replayable: inline the planes as DOUBLE
+# literals (repr() round-trips exactly) and let list_dot_product compute
+# the same left-fold. dim is pinned to the testdata contract (64); a
+# drifted dim fails verify loudly rather than silently diverging.
+def _l07_oracle() -> str:
+    import numpy as np  # noqa: PLC0415
+
+    dim, n_planes, n_tables, seed = 64, 6, 8, 42
+    bucket_exprs = {}
+    for side, vcol in (("c", "v"), ("q", "qv")):
+        per_table = []
+        for t in range(n_tables):
+            rng = np.random.default_rng(seed + t)
+            planes = rng.standard_normal((n_planes, dim))
+            bits = " + ".join(
+                f"(CASE WHEN list_dot_product({vcol}, "
+                f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) > 0 "
+                f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+                for p, plane in enumerate(planes)
+            )
+            per_table.append(f"({bits}) + {t << 32}::BIGINT")
+        bucket_exprs[side] = ", ".join(per_table)
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    ),
+    q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings WHERE vec_id < 10
+        AND embedding IS NOT NULL AND len(embedding) = {dim}
+    ),
+    cb AS (SELECT neighbor_id, unnest([{bucket_exprs["c"]}]) AS bucket FROM c),
+    qb AS (SELECT query_id, unnest([{bucket_exprs["q"]}]) AS bucket FROM q),
+    cand AS (
+      SELECT DISTINCT qb.query_id, cb.neighbor_id
+      FROM qb JOIN cb USING (bucket)
+      WHERE cb.neighbor_id <> qb.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+      FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("l07_knn_lsh", oracle=_l07_oracle())
 def l07_knn_lsh(spark, sf_dir):
-    """Approximate top-5 via sign-LSH buckets (scale path). Rows-only;
-    recall vs brute force asserted in tests/test_similarity.py."""
+    """Approximate top-5 via multi-table sign-LSH buckets (scale path).
+    Oracle-checked EXACTLY (was rows-only through round 3): the seeded
+    hyperplanes inline into the SQL as DOUBLE literals and the bucket
+    dots accumulate per-dim in index order on both sides, so DuckDB
+    replays bucket assignment, candidate union, and cosine top-5
+    bit-identically. Recall vs brute force is additionally asserted in
+    tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
