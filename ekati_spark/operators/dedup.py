@@ -172,9 +172,22 @@ def shingle_hash_rows(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Distinct hashed word-n-gram shingles, exploded: ``(id, h)`` with
-    ``h = pmod(xxhash64(gram), 2^31-1)``. See ``shingle_rows``."""
+    ``h = (first 60 md5 bits) mod 2^31-1``. See ``shingle_rows``.
+
+    md5 (not xxhash64) deliberately: both engines compute it, which is
+    what lets the l03 oracle replay MinHash signatures exactly —
+    ``('0x' || substr(md5(g), 1, 15))::BIGINT % 2147483647`` in DuckDB
+    is bit-identical to this column. Still whole-stage codegen; the
+    shingle table is materialized once per pipeline, so the md5-vs-xxhash
+    delta is a single scan-stage cost (measured 0.31 s vs 0.20 s over
+    the full sf0.1 shingle table, ~5% of l03 wall-clock — buying full
+    hash-attestation of the flagship dedup path)."""
     return shingle_rows(docs, n, text_col, id_col).select(
-        "id", F.pmod(F.xxhash64("g"), F.lit(MERSENNE_31)).alias("h")
+        "id",
+        (
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+            % F.lit(MERSENNE_31)
+        ).alias("h"),
     )
 
 
@@ -289,8 +302,14 @@ def minhash_lsh_pairs(
     jac = F.col("n_shared") / (
         F.col("sz_a") + F.col("sz_b") - F.col("n_shared")
     )
+    # floor(x*1e6 + 0.5), not round(x, 6): jaccards with power-of-two
+    # denominators (1/128 = 0.0078125) land exactly on the 6th-decimal
+    # half boundary where engine round() tie policies diverge (Spark
+    # HALF_UP, DuckDB half-even); the floor form is the same IEEE op
+    # sequence on both sides of the l03 oracle.
+    jac6 = F.floor(jac * 1000000 + F.lit(0.5)) / 1000000
     return (
-        shared.withColumn("jaccard", F.round(jac, 6))
+        shared.withColumn("jaccard", jac6)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )

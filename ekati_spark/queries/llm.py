@@ -63,14 +63,83 @@ def l02_ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, threshold=0.1)
 
 
-@register("l03_minhash_lsh_pairs")
+# MinHash is SQL-replayable end-to-end: the base shingle hash is
+# md5-derived (dedup.py::shingle_hash_rows — both engines compute it),
+# permutation mins are order-independent aggregates, and band candidacy
+# is EQUALITY of signature slices (the Spark side's xxhash64 band key
+# is injective on equal slices), so the oracle joins directly on the
+# slice values. Generated, not hand-written 64+32 times.
+def _l03_oracle(num_hashes: int = 64, bands: int = 32) -> str:
+    from ekati_spark.operators.dedup import MERSENNE_31
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        "min(({a} * h + {b}) % {m}) AS m{j}".format(
+            a=(2 * j + 1) * 0x9E3779B1 % MERSENNE_31,
+            b=(j * 0x85EBCA77 + 0xC2B2AE3D) % MERSENNE_31,
+            m=MERSENNE_31,
+            j=j,
+        )
+        for j in range(num_hashes)
+    )
+    band_eq = " OR ".join(
+        "("
+        + " AND ".join(
+            f"a.m{b * rows + r} = b.m{b * rows + r}" for r in range(rows)
+        )
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks
+    ),
+    h AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+               % {MERSENNE_31} AS h
+      FROM sh
+    ),
+    sig AS (SELECT id, count(*) AS sz, {mins} FROM h GROUP BY id),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+      FROM sig a JOIN sig b ON a.id < b.id AND ({band_eq})
+    ),
+    shared AS (
+      SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, count(*) AS n_shared
+      FROM cand c
+      JOIN h ha ON ha.id = c.id_a
+      JOIN h hb ON hb.id = c.id_b AND hb.h = ha.h
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           floor(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM shared
+    WHERE floor(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared)
+                * 1000000 + 0.5) / 1000000 >= 0.1
+    """
+
+
+@register("l03_minhash_lsh_pairs", oracle=_l03_oracle())
 def l03_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates, Jaccard-verified (≥ 0.1).
 
-    No DuckDB oracle: depends on xxhash64. Recall vs the exact
-    baseline is asserted in tests/test_dedup.py. Runs the FULL documents
-    table — LSH cost is ∝ candidates, not n², so unlike the exact-pairs
-    oracle queries it needs no subset cap."""
+    Oracle-checked EXACTLY (was rows-only through round 3): md5-derived
+    shingle hashes, 64 permutation-min aggregates, band candidacy as
+    signature-slice equality, and floor-based 6-decimal rounding replay
+    bit-identically in DuckDB (_l03_oracle). Recall vs the exact
+    baseline additionally asserted in tests/test_dedup.py. Runs the
+    FULL documents table — LSH cost is ∝ candidates, not n², so unlike
+    the exact-pairs oracle queries it needs no subset cap."""
     docs = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs(docs, threshold=0.1, num_hashes=64, bands=32)
 
