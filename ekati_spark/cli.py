@@ -74,7 +74,10 @@ def main(argv: list[str] | None = None) -> int:
         print(f"loaded FK graph from {argv[0]}")
     else:
         engine = QueryEngine(spark, on_progress=show_progress)
-    print("ekati_spark REPL — :quit to exit, :stats for counts")
+    print(
+        "ekati_spark REPL — :quit to exit, :stats for counts, "
+        ":plugins to list user operators"
+    )
     while True:
         try:
             line = input("wat> ").strip()
@@ -87,6 +90,15 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if line == ":stats":
             engine.graph.stats().show(truncate=False)
+            continue
+        if line == ":plugins":
+            from ekati_spark.plugins import list_plugins
+
+            rows = list_plugins()
+            if not rows:
+                print("no plugins registered (ekati_spark.plugins)")
+            for name, kind, doc in rows:
+                print(f"{name:24s} {kind:10s} {doc}")
             continue
         try:
             out = engine.execute(line)

@@ -393,22 +393,34 @@ def test_repl_end_to_end(spark, monkeypatch, capsys):
     loop (input() monkeypatched)."""
     import builtins
 
+    from ekati_spark.plugins import PLUGINS, register_plugin
+
+    @register_plugin("repl_demo", kind="column")
+    def repl_demo(c):
+        """Demo plugin for the REPL listing."""
+        return c
+
     lines = iter([
         'put "r1" {"name": "x", "likes": ^"r2"}',
         'get "r1"',
         "not a command",
         ":stats",
+        ":plugins",
         ":quit",
     ])
     monkeypatch.setattr(builtins, "input", lambda prompt="": next(lines))
     from ekati_spark.cli import main
 
-    assert main([]) == 0
+    try:
+        assert main([]) == 0
+    finally:
+        PLUGINS.pop("repl_demo", None)
     out = capsys.readouterr().out
     assert '"r1" {' in out
     assert '"likes": ^"r2"' in out
     assert "error:" in out  # bad command surfaced, loop continued
     assert "n_nodes" in out
+    assert "repl_demo" in out and "Demo plugin" in out
 
 
 def test_parser_rejects_trailing_garbage():

@@ -82,6 +82,27 @@ def test_post_load_dtypes(spark, sf_dir, table):
 
 
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_embedding_dim_contract(spark, sf_dir):
+    """The l07 oracle inlines 64-dim hyperplanes as SQL literals and l06/
+    l05/l15 unroll 64-element dot products — a drifted embedding dim
+    must fail HERE with a clear message, not as a deep hash mismatch."""
+    from pyspark.sql import functions as F
+
+    dims = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select(F.size("embedding").alias("d"))
+        .distinct()
+        .collect()
+    )
+    assert {r.d for r in dims} == {64}, (
+        f"{sf_dir}: embedding dim drifted to {sorted(r.d for r in dims)} "
+        "— regenerate l07's hyperplane literals (queries/llm.py::_l07_oracle "
+        "dim constant) and re-verify the similarity queries"
+    )
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_ts_values_sane(spark, sf_dir):
     """ts values must land in the generator's era regardless of storage
     dtype — catches a wrong nanos/micros branch (values 1000x off land
