@@ -1,0 +1,182 @@
+"""Thin HTTP/JSON serving layer over the query engine — the reference's
+gRPC service surface (``/root/reference/src/server/Services/WatService.cs``:
+``Get``/``Put``/``Load`` streaming RPCs, ``GetStats``/``GetMetrics``/
+``ListStats``/``ListPolicies``) re-expressed as a stdlib HTTP API.
+
+Spark-first framing: in production the serving seam for a Spark engine
+is Spark Connect / Thrift-server territory; this module is the
+library's own lightweight daemon for the same use the reference's
+server fills — drive the engine from another process without a JVM
+client. stdlib ``http.server`` only (no new dependencies), JSON wire
+format, threaded so the driver stays responsive.
+
+Endpoints:
+
+- ``POST /query``   {"q": "<wat statement>", "limit"?: N} — any query-
+                    language statement; ``get`` returns rows (capped at
+                    ``limit``, default 1000 — the driver must never
+                    buffer an unbounded result; page with skip/limit),
+                    other statements return {"ok": n_rows}.
+- ``GET /stats``    graph totals (GetStats analog).
+- ``GET /metrics``  executor gauges + stage counters (GetMetrics).
+- ``GET /plugins``  registered user operators (ListPolicies-shape).
+- ``POST /load``    {"kind": "nt"|"graphml", "path": ...} — bulk load;
+                    responds with the row count ingested (the streaming
+                    progress the reference's Load RPC emits arrives
+                    buffered in "progress" for URL loads).
+
+SECURITY: binds 127.0.0.1 by default, no auth — a development/sidecar
+seam exactly like Spark's own UI; front it with a real gateway for
+anything shared.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+def _json_safe(v):
+    import datetime
+
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, datetime.datetime):
+        return v.isoformat()
+    # Row check must precede list/tuple: pyspark Row IS a tuple subclass
+    if hasattr(v, "asDict"):
+        return {k: _json_safe(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    return str(v)
+
+
+def _rows(df, limit: int | None = None):
+    collected = df.limit(limit).collect() if limit else df.collect()
+    return [_json_safe(r) for r in collected]
+
+
+class EkatiServer:
+    """Serve a ``QueryEngine`` over HTTP. ``port=0`` picks a free port
+    (read it back from ``.port``)."""
+
+    def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        outer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet: the engine logs enough
+                pass
+
+            def _reply(self, code: int, payload: dict) -> None:
+                body = json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_GET(self):  # noqa: N802 — http.server contract
+                try:
+                    if self.path == "/stats":
+                        self._reply(
+                            200, {"stats": _rows(outer.engine.graph.stats())[0]}
+                        )
+                    elif self.path == "/metrics":
+                        from ekati_spark.metrics import (
+                            executor_metrics,
+                            stage_metrics,
+                        )
+
+                        spark = outer.engine.spark
+                        self._reply(
+                            200,
+                            {
+                                "executors": _rows(executor_metrics(spark)),
+                                "stages": _rows(stage_metrics(spark)),
+                            },
+                        )
+                    elif self.path == "/plugins":
+                        from ekati_spark.plugins import list_plugins
+
+                        self._reply(
+                            200,
+                            {
+                                "plugins": [
+                                    {"name": n, "kind": k, "doc": d}
+                                    for n, k, d in list_plugins()
+                                ]
+                            },
+                        )
+                    else:
+                        self._reply(404, {"error": f"no route {self.path}"})
+                except Exception as e:  # noqa: BLE001 — surface to client
+                    self._reply(500, {"error": str(e)})
+
+            def do_POST(self):  # noqa: N802 — http.server contract
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    req = json.loads(self.rfile.read(n) or b"{}")
+                    if self.path == "/query":
+                        q = req["q"]
+                        out = outer.engine.execute(q)
+                        if q.lstrip().startswith("get"):
+                            limit = int(req.get("limit", 1000))
+                            rows = _rows(out, limit)
+                            self._reply(200, {"rows": rows, "n": len(rows)})
+                        else:
+                            self._reply(200, {"ok": out.count()})
+                    elif self.path == "/load":
+                        # delegate to the engine's own `load` statement
+                        # (URL spool, progress callbacks, edge-preserving
+                        # union all live there, already tested); buffer
+                        # the reference Load RPC's progress stream into
+                        # the response
+                        kind = req["kind"]
+                        path = req.get("path") or req.get("url") or ""
+                        if kind not in ("nt", "graphml"):
+                            self._reply(400, {"error": f"bad kind {kind!r}"})
+                            return
+                        progress: list[dict] = []
+                        saved = outer.engine.on_progress
+                        outer.engine.on_progress = progress.append
+                        try:
+                            df = outer.engine.execute(f'load {kind} "{path}"')
+                        finally:
+                            outer.engine.on_progress = saved
+                        self._reply(
+                            200, {"loaded": df.count(), "progress": progress}
+                        )
+                    else:
+                        self._reply(404, {"error": f"no route {self.path}"})
+                except Exception as e:  # noqa: BLE001 — surface to client
+                    self._reply(500, {"error": str(e)})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self.host = host
+        self.port = self._httpd.server_address[1]
+        self._thread: threading.Thread | None = None
+
+    def start(self) -> "EkatiServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread:
+            self._thread.join(timeout=5)
+
+
+def serve(engine, host: str = "127.0.0.1", port: int = 8765) -> EkatiServer:
+    """Start serving and return the running server (blocking callers use
+    ``server._thread.join()``)."""
+    return EkatiServer(engine, host, port).start()

@@ -1,0 +1,107 @@
+"""HTTP serving layer: query/stats/metrics/plugins/load endpoints over
+a live engine (the reference's WatService RPC surface; buffered
+progress for the Load stream)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+import pytest
+
+from ekati_spark.graph.compiler import QueryEngine
+from ekati_spark.server import EkatiServer
+
+
+@pytest.fixture()
+def served(spark):
+    engine = QueryEngine(spark)
+    engine.execute(
+        'put "s1" {"name": "ada", "likes": ^"s2"}; "s2" {"name": "bob"}'
+    )
+    server = EkatiServer(engine).start()
+    yield server
+    server.stop()
+
+
+def _get(server, path):
+    with urllib.request.urlopen(
+        f"http://{server.host}:{server.port}{path}"
+    ) as r:
+        return json.loads(r.read())
+
+
+def _post(server, path, payload):
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_query_get_and_put(served):
+    code, out = _post(served, "/query", {"q": 'get "s1" |> follow "likes" 1'})
+    assert code == 200
+    ids = {r["node_id"] for r in out["rows"]}
+    assert ids == {"s2"}
+
+    code, out = _post(served, "/query", {"q": 'put "s3" {"name": "eve"}'})
+    assert code == 200 and out["ok"] > 0
+    code, out = _post(served, "/query", {"q": 'get "s3"', "limit": 5})
+    assert code == 200 and out["n"] >= 1
+
+
+def test_stats_metrics_plugins(served):
+    stats = _get(served, "/stats")["stats"]
+    assert stats["n_nodes"] >= 2 and stats["n_edges"] >= 1
+
+    m = _get(served, "/metrics")
+    assert len(m["executors"]) >= 1
+    assert any(s["num_complete_tasks"] > 0 for s in m["stages"])
+
+    from ekati_spark.plugins import PLUGINS, register_plugin
+
+    @register_plugin("srv_demo", kind="dataframe")
+    def srv_demo(df):
+        """Server-visible demo plugin."""
+        return df
+
+    try:
+        names = {p["name"] for p in _get(served, "/plugins")["plugins"]}
+        assert "srv_demo" in names
+    finally:
+        PLUGINS.pop("srv_demo", None)
+
+
+def test_load_nt_with_progress(served, tmp_path):
+    nt = tmp_path / "mini.nt"
+    nt.write_text(
+        '<http://e/a> <http://e/knows> <http://e/b> .\n'
+        '<http://e/a> <http://e/name> "Ada" .\n'
+        '<http://e/b> <http://e/name> "Bee" .\n'
+    )
+    code, out = _post(
+        served, "/load", {"kind": "nt", "url": f"file://{nt}"}
+    )
+    assert code == 200
+    assert out["loaded"] == 3
+    assert out["progress"] and out["progress"][-1]["done"] is True
+
+    code, out = _post(
+        served, "/query", {"q": 'get "http://e/a" |> follow "http://e/knows" 1'}
+    )
+    assert {r["node_id"] for r in out["rows"]} == {"http://e/b"}
+
+
+def test_errors_surface_as_json(served):
+    code, out = _post(served, "/query", {"q": "not a statement"})
+    assert code == 500 and "error" in out
+    code, out = _post(served, "/load", {"kind": "zip", "path": "x"})
+    assert code == 400
+    code, out = _post(served, "/nope", {})
+    assert code == 404
