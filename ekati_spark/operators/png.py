@@ -125,7 +125,15 @@ def decode_png(data: bytes) -> tuple[int, int, int, bytearray]:
         if palette is None:
             raise ValueError("palette PNG missing PLTE")
         rgb = bytearray(width * height * 3)
+        n_entries = len(palette) // 3
         for i, idx in enumerate(pixels):
+            # bounds-check explicitly: a short slice assigned into a
+            # bytearray SHIFTS the buffer (insert semantics) instead of
+            # failing — a malformed index must raise, not corrupt
+            if idx >= n_entries:
+                raise ValueError(
+                    f"palette index {idx} out of range ({n_entries} entries)"
+                )
             rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
         return width, height, 3, rgb
     return width, height, bpp, pixels

@@ -126,7 +126,11 @@ class EkatiServer:
                         q = req["q"]
                         out = outer.engine.execute(q)
                         if q.lstrip().startswith("get"):
-                            limit = int(req.get("limit", 1000))
+                            # clamp: 0/negative must not bypass the cap
+                            # into an unbounded collect on the daemon
+                            limit = min(
+                                max(int(req.get("limit", 1000)), 1), 100_000
+                            )
                             rows = _rows(out, limit)
                             self._reply(200, {"rows": rows, "n": len(rows)})
                         else:

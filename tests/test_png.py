@@ -165,3 +165,20 @@ def test_resize_images_real_png(spark):
     w, h, ch, _ = decode_png(bytes(got))
     assert (w, h, ch) == (6, 6, 1)
     assert (rows[7].media.width, rows[7].media.height) == (6, 6)
+
+
+def test_palette_index_out_of_range_raises():
+    """A malformed palette index must raise, not shift-corrupt the
+    output buffer (bytearray short-slice assignment inserts)."""
+    plte = bytes([255, 0, 0])  # one entry; index 5 is invalid
+    raw = b"\x00" + bytes([5])
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 3, 0, 0, 0)
+    data = (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", plte)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(data)

@@ -105,3 +105,19 @@ def test_errors_surface_as_json(served):
     assert code == 400
     code, out = _post(served, "/nope", {})
     assert code == 404
+
+
+def test_limit_clamped_and_concurrent_queries(served):
+    """limit=0 must not bypass the cap into an unbounded collect, and
+    threaded handlers sharing one session serve parallel queries."""
+    import concurrent.futures
+
+    code, out = _post(served, "/query", {"q": 'get "*"', "limit": 0})
+    assert code == 200 and out["n"] >= 1  # clamped to >=1, not unbounded
+
+    def one(i):
+        return _post(served, "/query", {"q": 'get "s1"'})
+
+    with concurrent.futures.ThreadPoolExecutor(4) as ex:
+        results = list(ex.map(one, range(4)))
+    assert all(code == 200 and out["n"] >= 1 for code, out in results)
