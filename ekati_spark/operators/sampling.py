@@ -24,7 +24,7 @@ the training-pipeline extension (SURVEY §2.3).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
 _SPACE = 16**8
 
@@ -168,6 +168,80 @@ def domain_mix(
     )
     return df.join(F.broadcast(thr), domain_col).filter(
         _hex_prefix(F.col(key_col), salt) < F.col("thr")
+    )
+
+
+def weighted_systematic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic size-proportional sampling (systematic/PPS): lay the
+    rows end-to-end on a weight line in canonical ``key_col`` order and
+    take the ``k`` evenly spaced points ``j·W/k`` (j=0..k-1, W = total
+    weight). A row occupying ``[cum, cum+w)`` is picked
+    ``floor(k·(cum+w)/W) − floor(k·cum/W)`` times — integer arithmetic
+    only, so the draw is exact, reproducible across engines, and the
+    total pick count is exactly ``k``. Heavy rows (w > W/k) are picked
+    multiple times (``n_picks`` is the multiplicity — the caller decides
+    clamp-vs-repeat), which is the correct PPS semantics for building
+    e.g. a token-budget-proportional eval slice.
+
+    Scale shape (the reason this isn't one ``row_number`` window): the
+    prefix sum is two-level — range-repartition by key, per-partition
+    weight totals (a #partitions-row collect), broadcast the partition
+    offsets, and a partition-local window adds the within-partition
+    prefix. No single-partition global window; shuffle is the one range
+    exchange. The sorted frame is persisted so the offset job and the
+    output job see identical range boundaries (same rationale as
+    ``global_shuffle``). Intermediate products ``k·cum`` stay in int64 —
+    safe while ``k·W < 2^63`` (true for any corpus where W counts
+    chars/tokens and k ≤ ~1e5; switch the two products to
+    ``decimal(38,0)`` past that).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    w = F.col(weight_col).cast("bigint")
+    rng = (
+        df.withColumn("_w", w)
+        .repartitionByRange(n, key_col)
+        .sortWithinPartitions(key_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    per = {
+        r["_pid"]: r["s"]
+        for r in rng.groupBy("_pid").agg(F.sum("_w").alias("s")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(n):
+        offsets.append((pid, acc))
+        acc += per.get(pid, 0)
+    total = acc
+    if total <= 0:
+        raise ValueError("total weight must be positive")
+    off = df.sparkSession.createDataFrame(offsets, ["_pid", "_off"])
+    win = (
+        W.partitionBy("_pid")
+        .orderBy(key_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("_w").over(win), F.lit(0)) + F.col("_off")
+    picks = F.expr(f"(({k} * (_cum + _w)) div {total})") - F.expr(
+        f"(({k} * _cum) div {total})"
+    )
+    return (
+        rng.join(F.broadcast(off), "_pid")
+        .withColumn("_cum", cum)
+        .withColumn("n_picks", picks)
+        .filter(F.col("n_picks") > 0)
+        .drop("_w", "_pid", "_off", "_cum")
     )
 
 

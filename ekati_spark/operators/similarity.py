@@ -667,3 +667,88 @@ def ivf_topk_from_index(
         F.col("list_id").isin(probed)
     )
     return _score_probed(assigned, qp, dim, k)
+
+
+def bitext_margin_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019): score a
+    candidate translation pair by its cosine *relative to* the average
+    cosine of each side's k nearest neighbors —
+    ``margin(x,y) = cos(x,y) / ((avgTopK(x→T) + avgTopK(y→S)) / 2)`` —
+    which cancels the hubness that makes raw cosine thresholds useless
+    for cross-lingual alignment mining. Emits each source vector's
+    best-margin target when that margin clears ``margin_threshold``.
+
+    Determinism contract: cosines are rounded to 6 decimals first (the
+    l06 cross-engine precedent), the two top-k sums accumulate those
+    rounded values in DECIMAL (exact, order-free), and the denominator
+    ``(sum_x + sum_y) / (2k)`` is a single correctly-rounded double
+    division — so margins are bit-identical across engines and the
+    per-source argmax is reproducible (ties break by target id).
+
+    Scale shape: this is the exact all-pairs formulation — |S|·|T| dots
+    with the smaller side broadcast, then two pair-sized window ranks
+    (one shuffle each on src/tgt id). At 100 TB you don't run all-pairs:
+    restrict candidates to ANN buckets first (``ann_lsh_buckets`` /
+    ``ivf_topk`` — same margin formula over the candidate set), which
+    this function accepts transparently since the top-k windows only
+    ever see the supplied candidate pairs.
+    """
+    s = src.select(
+        F.col(id_col).alias("src_id"), _as_double(F.col(vec_col)).alias("sv")
+    ).withColumn("ns", norm(F.col("sv")))
+    t = tgt.select(
+        F.col(id_col).alias("tgt_id"), _as_double(F.col(vec_col)).alias("tv")
+    ).withColumn("nt", norm(F.col("tv")))
+    cos = F.try_divide(
+        dot(F.col("sv"), F.col("tv")), F.col("ns") * F.col("nt")
+    )
+    pairs = (
+        s.crossJoin(F.broadcast(t))
+        .withColumn("cosine", F.round(cos, 6))
+        .select("src_id", "tgt_id", "cosine")
+    )
+    ws = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("tgt_id"))
+    wt = W.partitionBy("tgt_id").orderBy(F.desc("cosine"), F.asc("src_id"))
+    ranked = pairs.withColumn("rs", F.row_number().over(ws)).withColumn(
+        "rt", F.row_number().over(wt)
+    )
+    # one pass computes both neighborhood sums; persist so the sum
+    # aggregates and the final pair join reuse the ranked pairs
+    ranked = ranked.localCheckpoint(eager=False)
+    dec = F.col("cosine").cast("decimal(18,6)")
+    sum_s = (
+        ranked.filter(F.col("rs") <= k)
+        .groupBy("src_id")
+        .agg(F.sum(dec).alias("sum_s"))
+    )
+    sum_t = (
+        ranked.filter(F.col("rt") <= k)
+        .groupBy("tgt_id")
+        .agg(F.sum(dec).alias("sum_t"))
+    )
+    denom = (F.col("sum_s") + F.col("sum_t")).cast("double") / F.lit(
+        float(2 * k)
+    )
+    # sums are |S|- / |T|-row frames: not broadcast-annotated — AQE
+    # broadcasts them when small, sort-merges when the sides are big
+    scored = (
+        ranked.join(sum_s, "src_id")
+        .join(sum_t, "tgt_id")
+        .withColumn("margin", F.round(F.col("cosine") / denom, 6))
+    )
+    wbest = W.partitionBy("src_id").orderBy(F.desc("margin"), F.asc("tgt_id"))
+    return (
+        scored.withColumn("best", F.row_number().over(wbest))
+        .filter(
+            (F.col("best") == 1)
+            & (F.col("margin") >= F.lit(float(margin_threshold)))
+        )
+        .select("src_id", "tgt_id", "cosine", "margin")
+    )

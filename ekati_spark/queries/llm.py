@@ -14,8 +14,10 @@ import pandas as pd
 
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window as W
+
 from ekati_spark.catalog import load_table
-from ekati_spark.operators import dedup as D, similarity as S, text as X
+from ekati_spark.operators import dedup as D, sampling as P, similarity as S, text as X
 from ekati_spark.operators.multimodal import content_stats, with_media_columns
 from ekati_spark.queries.base import register
 
@@ -1699,4 +1701,143 @@ def l42_dataset_card(spark, sf_dir):
         (F.sum("n_tokens").cast("double") / F.count("*")).alias(
             "avg_doc_tokens"
         ),
+    )
+
+
+@register(
+    "l43_weighted_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang, source, n_chars,
+             COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumb
+      FROM documents
+    ), t AS (SELECT SUM(n_chars) AS W FROM documents)
+    SELECT doc_id, lang, source, n_chars,
+           CAST((100 * (cumb + n_chars)) // W
+                - (100 * cumb) // W AS BIGINT) AS n_picks
+    FROM w, t
+    WHERE (100 * (cumb + n_chars)) // W - (100 * cumb) // W > 0
+    """,
+)
+def l43_weighted_sample(spark, sf_dir):
+    """Deterministic size-proportional (PPS/systematic) sample of 100
+    picks weighted by ``n_chars`` — the "sample an eval slice
+    proportional to token budget" step. Exact integer arithmetic end to
+    end; the oracle replays the same cumulative-threshold draw with one
+    SQL window. See ``sampling.weighted_systematic_sample`` for the
+    two-level prefix-sum shape that avoids a single-partition window.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    out = P.weighted_systematic_sample(
+        docs, key_col="doc_id", weight_col="n_chars", k=100
+    )
+    return out.select("doc_id", "lang", "source", "n_chars", "n_picks")
+
+
+@register(
+    "l44_bpe_merge_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ), p AS (
+      SELECT z[1] AS tok_a, z[2] AS tok_b
+      FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+            FROM t WHERE len(t) >= 2)
+    ), c AS (
+      SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS pair_cnt
+      FROM p GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, pair_cnt, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY pair_cnt DESC,
+                    tok_a, tok_b) AS rn FROM c)
+    WHERE rn <= 30
+    """,
+)
+def l44_bpe_merge_pairs(spark, sf_dir):
+    """Top-30 BPE merge candidates: corpus-wide adjacent-token-pair
+    counts (the inner loop of byte-pair-encoding tokenizer training,
+    which at 100 TB is exactly this distributed count per iteration).
+    Pair explosion is a JVM-side ``transform(sequence)`` (no Python);
+    the count is one hash-partial-aggregated shuffle on (tok_a, tok_b),
+    and the top-30 is a TakeOrderedAndProject over a window rank with a
+    total tie order. Exact integer counts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), " +").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS tok_a, "
+                "element_at(t, i + 1) AS tok_b))"
+            )
+        ).alias("z")
+    ).select("z.tok_a", "z.tok_b")
+    cnt = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("pair_cnt"))
+    w = W.orderBy(F.desc("pair_cnt"), F.asc("tok_a"), F.asc("tok_b"))
+    return (
+        cnt.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 30)
+    )
+
+
+def _l45_oracle(k: int = 4, threshold: float = 1.05) -> str:
+    return f"""
+    WITH s AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+               FROM embeddings WHERE label = 0),
+         t AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+               FROM embeddings WHERE label = 1),
+         pairs AS (
+           SELECT src_id, tgt_id,
+                  round(list_cosine_similarity(sv, tv), 6) AS cosine
+           FROM s CROSS JOIN t
+         ),
+         ranked AS (
+           SELECT *,
+                  row_number() OVER (PARTITION BY src_id
+                    ORDER BY cosine DESC, tgt_id) AS rs,
+                  row_number() OVER (PARTITION BY tgt_id
+                    ORDER BY cosine DESC, src_id) AS rt
+           FROM pairs
+         ),
+         ss AS (SELECT src_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sum_s
+                FROM ranked WHERE rs <= {k} GROUP BY 1),
+         st AS (SELECT tgt_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sum_t
+                FROM ranked WHERE rt <= {k} GROUP BY 1),
+         scored AS (
+           SELECT r.src_id, r.tgt_id, r.cosine,
+                  round(r.cosine /
+                        (CAST(sum_s + sum_t AS DOUBLE) / {2 * k}), 6)
+                    AS margin
+           FROM ranked r JOIN ss USING (src_id) JOIN st USING (tgt_id)
+         )
+    SELECT src_id, tgt_id, cosine, margin
+    FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS best FROM scored)
+    WHERE best = 1 AND margin >= {threshold}
+    """
+
+
+@register("l45_bitext_margin_pairs", oracle=_l45_oracle())
+def l45_bitext_margin_pairs(spark, sf_dir):
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
+    label-0 and label-1 embedding clusters standing in for two language
+    sides: each source vector's best-margin target where
+    ``cos/((avgTop4(src)+avgTop4(tgt))/2) ≥ 1.05``. Decimal-stabilized
+    margins are bit-identical across engines; the oracle replays the
+    full formula brute-force. Scale path: same scoring over ANN
+    candidate pairs instead of the cross join (see
+    ``similarity.bitext_margin_pairs`` docstring).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.bitext_margin_pairs(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        k=4,
+        margin_threshold=1.05,
     )

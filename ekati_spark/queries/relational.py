@@ -1741,3 +1741,69 @@ def r55_locf_gapfill(spark, sf_dir):
             "last_purchase_value"
         ),
     )
+
+
+@register(
+    "r56_incremental_mv",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(count(*) AS BIGINT) AS order_cnt,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def r56_incremental_mv(spark, sf_dir):
+    """Incremental materialized-view maintenance: a pre-computed base
+    aggregate (orders with ``o_orderkey % 10 != 0``) is refreshed by
+    merging a CDC delta batch's aggregate (the ``% 10 == 0`` keys) via a
+    full-outer join + coalesced partial merge — count adds, decimal sums
+    add — and the merged view is proven equal to a from-scratch
+    recompute (the oracle aggregates the whole table directly). The
+    point at 100 TB: the refresh shuffles only delta-sized data plus the
+    (group-cardinality-sized) view, never the base fact table, which is
+    the standard view-maintenance contract (self-maintainable SUM/COUNT
+    aggregates under inserts). Decimal accumulation makes base+delta
+    merge order bit-identical to the one-shot aggregate.
+    """
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority", "order_month"]
+
+    def agg(df):
+        return (
+            df.withColumn(
+                "order_month", F.date_trunc("month", "o_orderdate").cast("date")
+            )
+            .groupBy(*keys)
+            .agg(
+                F.count("*").alias("order_cnt"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,4)")).alias(
+                    "_sum_price"
+                ),
+            )
+        )
+
+    base = agg(orders.filter(F.col("o_orderkey") % 10 != 0))
+    delta = agg(orders.filter(F.col("o_orderkey") % 10 == 0))
+    merged = base.alias("b").join(
+        delta.alias("d"),
+        on=[F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys],
+        how="full_outer",
+    )
+    pick = lambda k: F.coalesce(F.col(f"b.{k}"), F.col(f"d.{k}"))  # noqa: E731
+    zero = F.lit(0).cast("decimal(25,4)")
+    return merged.select(
+        pick("o_orderpriority").alias("o_orderpriority"),
+        pick("order_month").alias("order_month"),
+        (
+            F.coalesce(F.col("b.order_cnt"), F.lit(0))
+            + F.coalesce(F.col("d.order_cnt"), F.lit(0))
+        ).alias("order_cnt"),
+        (
+            F.coalesce(F.col("b._sum_price"), zero)
+            + F.coalesce(F.col("d._sum_price"), zero)
+        )
+        .cast("double")
+        .alias("total_price"),
+    )

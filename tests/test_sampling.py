@@ -134,3 +134,37 @@ def test_leakage_safe_split_is_group_atomic(spark, sf_dir):
     assert {r.split for r in out.select("split").distinct().collect()} <= {
         "train", "val", "test"
     }
+
+
+def test_weighted_systematic_sample_exact_k_and_partition_invariant(spark):
+    """Total multiplicity is exactly k, the draw is identical across
+    partition counts (the two-level prefix sum is physical-layout
+    independent), and a row heavier than W/k is picked multiple times."""
+    rows = [(i, 10) for i in range(100)] + [(100, 5000)]  # W = 6000
+    df = spark.createDataFrame(rows, ["k", "w"])
+    out = {
+        r.k: r.n_picks
+        for r in S.weighted_systematic_sample(
+            df, "k", "w", k=12, num_partitions=5
+        ).collect()
+    }
+    assert sum(out.values()) == 12
+    # heavy row holds 5000/6000 of the line -> 10 of 12 picks
+    assert out[100] == 10
+    out7 = {
+        r.k: r.n_picks
+        for r in S.weighted_systematic_sample(
+            df, "k", "w", k=12, num_partitions=7
+        ).collect()
+    }
+    assert out == out7
+
+
+def test_weighted_systematic_sample_validates(spark):
+    df = spark.createDataFrame([(1, 1)], ["k", "w"])
+    with pytest.raises(ValueError):
+        S.weighted_systematic_sample(df, "k", "w", k=0)
+    with pytest.raises(ValueError):
+        S.weighted_systematic_sample(
+            df.select("k", (F.col("w") - 1).alias("w")), "k", "w", k=3
+        )

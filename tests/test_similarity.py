@@ -201,3 +201,34 @@ def test_ivf_index_roundtrip_matches_inline(spark, tmp_path):
     assert "PartitionFilters: [list_id" in plan or "list_id#" in plan.split(
         "PartitionFilters: ["
     )[1][:40], plan[plan.find("PartitionFilters"):][:200]
+
+
+def test_bitext_margin_mines_planted_pair(spark):
+    """A planted near-identical cross-side pair wins its source's argmax
+    with a margin above threshold; an isotropic decoy does not pair with
+    everything (margin normalization suppresses hub matches)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(6, dim))
+    src = [(int(i), [float(x) for x in base[i]]) for i in range(3)]
+    # tgt 10 is a slightly-perturbed copy of src 0 (the true translation);
+    # tgt 11/12 are unrelated
+    tgt = [
+        (10, [float(x) for x in base[0] + 0.01 * rng.normal(size=dim)]),
+        (11, [float(x) for x in base[4]]),
+        (12, [float(x) for x in base[5]]),
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = S.bitext_margin_pairs(
+        mk(src), mk(tgt), k=2, margin_threshold=1.05
+    ).collect()
+    mined = {r.src_id: (r.tgt_id, r.margin) for r in out}
+    assert 0 in mined and mined[0][0] == 10
+    assert mined[0][1] >= 1.05
+    # every emitted pair clears the threshold and is unique per source
+    assert len(out) == len(mined)
+    assert all(r.margin >= 1.05 for r in out)
