@@ -477,3 +477,52 @@ def type_window_baseline(events: DataFrame, width: str = "15 minutes") -> DataFr
     return counts.groupBy("event_type").agg(
         (F.sum("n").cast("double") / F.count("*")).alias("expected_n")
     )
+
+
+def idempotent_batch_sink(base_path: str):
+    """Exactly-once ``foreachBatch`` sink: the transactional pattern that
+    makes Structured Streaming's at-least-once batch replay safe against
+    a non-transactional store. Each micro-batch writes to its own
+    ``batch_id=<n>`` directory (mode=overwrite — a re-run of a partially
+    written batch replaces, never appends) and then drops a commit
+    marker; a replayed batch whose marker exists is skipped entirely.
+    The (epoch, write, commit) protocol is the same one Delta's
+    ``txnAppId``/``txnVersion`` and the Kafka sink's epoch dedup encode.
+
+    ``base_path`` must be on storage shared by driver and executors
+    (object store / HDFS in deployment — foreachBatch bodies run on the
+    driver, so the marker check is a driver-side metadata read, never a
+    data read). Read the sink with ``read_committed_batches``: it lists
+    marker files (tiny, driver-side) and reads ONLY committed batch
+    directories, so a crash between data write and marker write exposes
+    nothing (write-ahead ordering).
+    """
+    import os
+
+    def sink(df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(base_path, f"_committed_{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed epoch: already committed, exactly-once skip
+        df.write.mode("overwrite").parquet(
+            os.path.join(base_path, f"batch_id={batch_id}")
+        )
+        with open(marker, "w"):
+            pass
+
+    return sink
+
+
+def read_committed_batches(spark: SparkSession, base_path: str) -> DataFrame:
+    """Read only the committed batch directories of an
+    ``idempotent_batch_sink`` output (uncommitted/partial batches are
+    invisible). Returns an empty-schema-less error only if nothing has
+    committed yet — callers should gate on at least one marker."""
+    import os
+
+    ids = sorted(
+        int(f.rsplit("_", 1)[1])
+        for f in os.listdir(base_path)
+        if f.startswith("_committed_")
+    )
+    paths = [os.path.join(base_path, f"batch_id={i}") for i in ids]
+    return spark.read.parquet(*paths)

@@ -150,3 +150,50 @@ def test_orc_roundtrip_with_pushdown(spark, sf_dir, tmp_path):
     )
     assert "PushedFilters: [" in plan
     assert "n_regionkey" in plan.split("PushedFilters")[1][:160]
+
+
+def test_zorder_compact_clusters_both_dims(spark, tmp_path):
+    """Z-order vs single-key sort on a 64x64 uniform grid: the z-ordered
+    layout's per-file bounding boxes are tight in BOTH dims (so min/max
+    row-group stats prune filters on either column), while the
+    single-key sort leaves the second dim's per-file range at ~full
+    domain. Row fidelity preserved."""
+    from ekati_spark.sources.maintenance import compact, zorder_compact
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("bigint").alias("y"),
+        F.col("id").alias("payload"),
+    )
+    frag = str(tmp_path / "grid")
+    grid.repartition(8).write.parquet(frag)
+    # ~16 output files either way (equal byte budget)
+    from ekati_spark.sources.maintenance import layout_stats
+
+    budget = max(1, layout_stats(frag)["total_bytes"] // 16)
+    zout = str(tmp_path / "zord")
+    sout = str(tmp_path / "sorted")
+    zorder_compact(spark, frag, zout, cols=["x", "y"], target_file_bytes=budget)
+    compact(spark, frag, sout, target_file_bytes=budget, sort_cols=["x"])
+
+    def avg_ranges(path):
+        per = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("rx"),
+                (F.max("y") - F.min("y")).alias("ry"),
+            )
+            .agg(F.avg("rx").alias("rx"), F.avg("ry").alias("ry"))
+            .first()
+        )
+        return per.rx, per.ry
+
+    zx, zy = avg_ranges(zout)
+    sx, sy = avg_ranges(sout)
+    assert zy < 0.5 * 63, (zy, sy)        # z-order bounds the 2nd dim
+    assert sy > 0.9 * 63                  # single-key sort does not
+    assert zx + zy < sx + sy              # tighter total bounding box
+    got = spark.read.parquet(zout)
+    assert got.count() == 64 * 64
+    assert got.agg(F.sum("payload")).first()[0] == (64 * 64) * (64 * 64 - 1) // 2

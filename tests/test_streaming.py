@@ -244,3 +244,49 @@ def test_anomaly_windows_stream_equals_batch(spark, ev_stream, ev_batch):
     }
     assert stream == batch
     assert len(batch) > 0
+
+
+def test_idempotent_sink_survives_batch_replay(spark, ev_stream, ev_batch, tmp_path):
+    """Exactly-once under at-least-once replay: every micro-batch is
+    delivered to the sink TWICE (simulating a post-write/pre-checkpoint
+    crash retry); the committed output still equals the batch-exact
+    result with zero duplicate rows."""
+    base = str(tmp_path / "xopsink")
+    import os
+
+    os.makedirs(base, exist_ok=True)
+    inner = ops.idempotent_batch_sink(base)
+    deliveries = []
+
+    def replaying(df, batch_id):
+        df.persist()
+        inner(df, batch_id)
+        inner(df, batch_id)  # replay of an already-committed epoch
+        deliveries.append(batch_id)
+        df.unpersist()
+
+    q = (
+        ops.curation_map(ev_stream.selectExpr(
+            "event_id AS doc_id",
+            "concat(event_type, ' ', repeat('tok ', 40)) AS text",
+            "'en' AS lang", "'ev' AS source",
+            "length(event_type) AS n_chars",
+        ))
+        .writeStream.outputMode("append")
+        .foreachBatch(replaying)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert deliveries, "no micro-batches delivered"
+    got = ops.read_committed_batches(spark, base)
+    expected = ops.curation_map(ev_batch.selectExpr(
+        "event_id AS doc_id",
+        "concat(event_type, ' ', repeat('tok ', 40)) AS text",
+        "'en' AS lang", "'ev' AS source",
+        "length(event_type) AS n_chars",
+    ))
+    # no duplicates despite double delivery, and content matches batch
+    assert got.count() == expected.count()
+    assert got.select("doc_id").distinct().count() == got.count()
