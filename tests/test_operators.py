@@ -514,7 +514,7 @@ def test_sliding_distinct_plan_explodes_after_distinct(spark, sf_dir):
 
 
 def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
-    """Scale audit over the driver-graded 50: no query may plan a
+    """Scale audit over the FULL registry: no query may plan a
     CartesianProduct or BroadcastNestedLoopJoin. Exceptions, each an
     intended plan: l06_knn_bruteforce (the tiny 10-row query set
     broadcasts against the embedding scan — the documented |Q|*n exact
@@ -522,8 +522,16 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     (cross join of two single-row aggregates; BNLJ broadcasting one row
     is optimal at any scale), l15_knn_ivf (the IVF probe: queries x
     broadcast n_lists-row centroid table — candidate scoring itself is
-    an equi-join on list_id), and l31_domain_mix (#domains-row rate
-    table x broadcast 1-row max aggregate)."""
+    an equi-join on list_id), l31_domain_mix (#domains-row rate
+    table x broadcast 1-row max aggregate), l45_bitext_margin_pairs
+    (the exact all-pairs mining baseline — the production path feeds
+    ANN candidate pairs into the same margin scoring),
+    l33_hard_negatives (the l06 shape: 10-row broadcast query side,
+    non-equi label-mismatch predicate — the exact mining baseline),
+    l34_vocab_coverage / l36_source_token_report (1-row corpus-total
+    cross joins for share-of-total columns), r49_data_quality_audit
+    (five 1-row audit aggregates cross-joined into one lazy plan), and
+    g28_engine_metrics (driver-side telemetry frames, O(stages) rows)."""
     from ekati_spark.queries import REGISTRY
 
     allowed = {
@@ -531,9 +539,15 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "g26_graph_stats",
         "l15_knn_ivf",
         "l31_domain_mix",
+        "l45_bitext_margin_pairs",
+        "l33_hard_negatives",
+        "l34_vocab_coverage",
+        "l36_source_token_report",
+        "r49_data_quality_audit",
+        "g28_engine_metrics",
     }
     flagged = {}
-    for name in list(REGISTRY)[:50]:
+    for name in list(REGISTRY):
         if name in allowed:
             continue
         plan = _plan(REGISTRY[name].fn(spark, sf_dir))
