@@ -1841,3 +1841,152 @@ def l45_bitext_margin_pairs(spark, sf_dir):
         k=4,
         margin_threshold=1.05,
     )
+
+
+@register(
+    "l46_incremental_dedup",
+    oracle="""
+    WITH old AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS digest
+      FROM documents WHERE doc_id % 5 <> 0
+    ), batch AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS digest
+      FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT b.doc_id, b.digest,
+           (o.digest IS NOT NULL) AS dup_of_corpus,
+           (b.doc_id = min(b.doc_id) OVER (PARTITION BY b.digest))
+             AS first_in_batch,
+           (o.digest IS NULL
+            AND b.doc_id = min(b.doc_id) OVER (PARTITION BY b.digest))
+             AS keep
+    FROM batch b LEFT JOIN old o ON b.digest = o.digest
+    """,
+)
+def l46_incremental_dedup(spark, sf_dir):
+    """Incremental (cross-snapshot) dedup: the production shape where a
+    NEW ingest batch (`doc_id % 5 = 0` stands in for it) dedups against
+    the EXISTING corpus without rescanning it — plus within-batch
+    first-wins. Verdict columns: `dup_of_corpus` (digest already
+    published), `first_in_batch` (min-doc_id winner inside the batch),
+    `keep` (their conjunction). At 100 TB the old side is the corpus's
+    persisted DIGEST INDEX (one md5 per doc, bucketable on digest), so
+    the refresh is a delta-sized shuffle joined against an index scan —
+    text bytes of the old corpus are never re-read; here the index is
+    derived inline from the same table for oracle parity.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    digest = F.md5(D.normalized(F.col("text"))).alias("digest")
+    old = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(digest)
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    batch = docs.filter(F.col("doc_id") % 5 == 0).select("doc_id", digest)
+    wb = W.partitionBy("digest")
+    joined = batch.join(old, "digest", "left")
+    first = F.col("doc_id") == F.min("doc_id").over(wb)
+    return joined.select(
+        "doc_id",
+        "digest",
+        F.col("_hit").isNotNull().alias("dup_of_corpus"),
+        first.alias("first_in_batch"),
+        (F.col("_hit").isNull() & first).alias("keep"),
+    )
+
+
+@register(
+    "l47_token_waterfill",
+    oracle="""
+    WITH sup AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS supply
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT (SUM(supply) * 6) // 10 AS budget, COUNT(*) AS n FROM sup
+    ), ranked AS (
+      SELECT source, supply,
+             row_number() OVER (ORDER BY supply, source) AS i,
+             COALESCE(SUM(supply) OVER (ORDER BY supply, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS pre_cum
+      FROM sup
+    ), caps AS (
+      SELECT r.*, tot.budget, tot.n,
+             (tot.budget - r.pre_cum) // (tot.n - r.i + 1) AS c_i
+      FROM ranked r, tot
+    ), the_cap AS (
+      -- the binding level is the FIRST violator in ascending supply
+      -- order (arg-min by i): rows after it were computed against
+      -- pre_cum that already spent capped sources' full supplies and
+      -- are meaningless (can go negative)
+      SELECT COALESCE(arg_min(c_i, i) FILTER (WHERE supply > c_i),
+                      9223372036854775807) AS cap
+      FROM caps
+    )
+    SELECT c.source, c.supply,
+           CAST(LEAST(c.supply, t.cap) AS BIGINT) AS allocation,
+           (c.supply > t.cap) AS capped
+    FROM caps c, the_cap t
+    """,
+)
+def l47_token_waterfill(spark, sf_dir):
+    """Token-budget water-filling: allocate a global training budget
+    (60% of corpus tokens) across sources so small sources keep their
+    full supply and the surplus is levelled across the big ones — the
+    max-min-fair allocation behind "cap the dominant crawl, keep the
+    tail" mixing policies. Closed form, no iteration: sort sources by
+    supply ascending; the binding cap is the first level
+    ``(budget − cum_below) div remaining`` that the next source
+    overflows. Exact integer arithmetic end to end (sub-cap remainder
+    of at most #sources−1 tokens is deliberately left unassigned).
+    Scale shape: everything after the per-source token aggregate
+    operates on #sources rows — the corpus is scanned once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sup = docs.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text")).cast("long")).alias("supply")
+    )
+    tot = sup.agg(
+        ((F.sum("supply") * 6) / 10).cast("bigint").alias("budget"),
+        F.count("*").alias("n"),
+    )
+    wr = W.orderBy("supply", "source")
+    ranked = sup.select(
+        "source",
+        "supply",
+        F.row_number().over(wr).alias("i"),
+        F.coalesce(
+            F.sum("supply").over(wr.rowsBetween(W.unboundedPreceding, -1)),
+            F.lit(0),
+        ).alias("pre_cum"),
+    )
+    caps = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "c_i",
+        F.expr("(budget - pre_cum) div (n - i + 1)"),
+    )
+    # binding level = c_i of the FIRST violator ascending (arg-min by
+    # rank): once capping starts, later rows' levels are computed
+    # against overspent pre_cum and are meaningless. The property test
+    # (test_token_waterfill_is_max_min_fair) guards this choice at an
+    # sf where the budget binds hard.
+    the_cap = (
+        caps.filter(F.col("supply") > F.col("c_i"))
+        .agg(F.min_by("c_i", "i").alias("cap"))
+        .select(
+            F.coalesce(F.col("cap"), F.lit(9223372036854775807)).alias("cap")
+        )
+    )
+    return caps.crossJoin(F.broadcast(the_cap)).select(
+        "source",
+        "supply",
+        F.least(F.col("supply"), F.col("cap")).cast("bigint").alias(
+            "allocation"
+        ),
+        (F.col("supply") > F.col("cap")).alias("capped"),
+    )

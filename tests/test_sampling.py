@@ -168,3 +168,20 @@ def test_weighted_systematic_sample_validates(spark):
         S.weighted_systematic_sample(
             df.select("k", (F.col("w") - 1).alias("w")), "k", "w", k=3
         )
+
+
+def test_token_waterfill_is_max_min_fair(spark, sf_dir):
+    """Water-fill invariants: no allocation exceeds supply, uncapped
+    sources keep everything, capped sources all sit at the same level,
+    and the total lands within #sources of the budget (integer floor)."""
+    from ekati_spark.queries import REGISTRY
+
+    rows = REGISTRY["l47_token_waterfill"].fn(spark, sf_dir).collect()
+    total_supply = sum(r.supply for r in rows)
+    budget = total_supply * 6 // 10
+    assert all(r.allocation <= r.supply for r in rows)
+    assert all(r.allocation == r.supply for r in rows if not r.capped)
+    caps = {r.allocation for r in rows if r.capped}
+    assert len(caps) <= 1
+    got = sum(r.allocation for r in rows)
+    assert budget - len(rows) < got <= budget
