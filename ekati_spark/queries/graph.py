@@ -1105,3 +1105,71 @@ def g27_edge_label_histogram(spark, sf_dir):
         .edges.groupBy("label")
         .agg(F.count("*").alias("n_edges"))
     )
+
+
+@register(
+    "g29_follow_asof",
+    oracle="""
+    WITH agg AS (
+      SELECT o_custkey, min(o_orderkey) AS mn, max(o_orderkey) AS mx
+      FROM orders WHERE o_custkey <= 100 GROUP BY o_custkey
+    )
+    SELECT CAST(1 AS BIGINT) AS as_of,
+           'order:' || CAST(mn AS VARCHAR) AS node_id FROM agg
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), 'order:' || CAST(mx AS VARCHAR) FROM agg
+    """,
+)
+def g29_follow_asof(spark, sf_dir):
+    """Temporal traversal: `follow` over the graph AS OF a timestamp —
+    the composition of the reference's versioned-attribute axis
+    (`TMD.Timestamp`, SURVEY §1.4 / `Types.fs`) with its traversal
+    operator (`FileStore.fs:166-220`): the edge set an as-of-T hop sees
+    is the last-write-wins view of ts ≤ T ref attributes. Each
+    customer's `latest_order` edge has two versions (ts=1 → first
+    order, ts=2 → latest order); traversing at T=1 must reach the
+    first-order nodes, at T=2 the retargeted ones. The snapshot filter
+    is a partition-local window over (node, key) — at 100 TB the same
+    one shuffle `latest()` already costs; the traversal itself is
+    unchanged `follow` machinery (per-hop checkpoint, pushdown, AQE
+    frontier broadcast).
+    """
+    ords = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") <= 100)
+    agg = ords.groupBy("o_custkey").agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    )
+    cust_id = F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+
+    def ver(ts: int, target) -> DataFrame:
+        return agg.select(
+            cust_id.alias("node_id"),
+            F.lit("").alias("remote"),
+            F.lit("latest_order").alias("key"),
+            F.lit(ts).cast("long").alias("ts"),
+            F.lit("ref").alias("dtype"),
+            F.lit(None).cast("string").alias("str"),
+            F.lit(None).cast("long").alias("i64"),
+            F.lit(None).cast("double").alias("dbl"),
+            F.lit(None).cast("boolean").alias("bool"),
+            F.concat(F.lit("order:"), target.cast("string")).alias("ref"),
+            F.lit(None).cast("binary").alias("bytes"),
+            F.lit(None).cast("string").alias("meta_type"),
+            F.lit(None).cast("string").alias("meta_lang"),
+        )
+
+    props = ver(1, F.col("mn")).unionByName(ver(2, F.col("mx")))
+    seeds = agg.select(cust_id.alias("node_id"))
+    out = None
+    for t in (1, 2):
+        snap = PropertyGraph(props.filter(F.col("ts") <= t)).latest()
+        edges = snap.filter(F.col("dtype") == "ref").select(
+            F.col("node_id").alias("src"),
+            F.col("key").alias("label"),
+            F.col("ref").alias("dst"),
+            F.col("ts"),
+        )
+        reached = follow(edges, seeds, Edge("latest_order", 1, 1)).select(
+            F.lit(t).cast("long").alias("as_of"), "node_id"
+        )
+        out = reached if out is None else out.unionByName(reached)
+    return out
