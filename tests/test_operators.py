@@ -530,7 +530,9 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     non-equi label-mismatch predicate — the exact mining baseline),
     l34_vocab_coverage / l36_source_token_report (1-row corpus-total
     cross joins for share-of-total columns), r49_data_quality_audit
-    (five 1-row audit aggregates cross-joined into one lazy plan), and
+    (five 1-row audit aggregates cross-joined into one lazy plan),
+    l47_token_waterfill (1-row budget + 1-row binding-cap aggregates
+    cross-joined onto the #sources-row frame), and
     g28_engine_metrics (driver-side telemetry frames, O(stages) rows)."""
     from ekati_spark.queries import REGISTRY
 
@@ -544,6 +546,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l34_vocab_coverage",
         "l36_source_token_report",
         "r49_data_quality_audit",
+        "l47_token_waterfill",
         "g28_engine_metrics",
     }
     flagged = {}

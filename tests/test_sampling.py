@@ -185,3 +185,23 @@ def test_token_waterfill_is_max_min_fair(spark, sf_dir):
     assert len(caps) <= 1
     got = sum(r.allocation for r in rows)
     assert budget - len(rows) < got <= budget
+
+
+def test_weighted_sample_total_is_k_across_weight_shapes(spark):
+    """The systematic draw's total multiplicity is exactly k for any
+    positive weight profile (uniform, skewed, singleton, ramp)."""
+    shapes = {
+        "uniform": [7] * 40,
+        "skew": [1] * 30 + [1000] * 3,
+        "one": [5],
+        "ramp": list(range(1, 30)),
+    }
+    for name, weights in shapes.items():
+        df = spark.createDataFrame(
+            [(i, w) for i, w in enumerate(weights)], ["k", "w"]
+        )
+        for k in (1, 5, 17):
+            out = S.weighted_systematic_sample(
+                df, "k", "w", k=k, num_partitions=4
+            ).collect()
+            assert sum(r.n_picks for r in out) == k, (name, k)
