@@ -106,6 +106,74 @@ def text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --- Hashed linear quality classifier (fastText-style scoring) ---------
+
+CLASSIFIER_DIM = 4096  # hashing-trick feature dimension
+_W_MULT = 2654435761  # Knuth multiplicative constant: bucket -> weight seed
+_W_OFFSET = 12345
+
+
+def hashed_token_weight_milli(token: Column, dim: int = CLASSIFIER_DIM) -> Column:
+    """Integer milli-weight of one token under the frozen hashed-BoW
+    linear model (long in ``[-1000, 1000]``; real weight = this / 1000).
+
+    Hashing trick: token -> md5-derived 60-bit integer -> bucket in
+    ``[0, dim)``; the frozen weight vector is itself derived from the
+    bucket (multiplicative hash into [-1000, +1000]), so the "model"
+    ships as two integer constants instead of an array — every engine
+    (and the DuckDB oracle) can replay it exactly. Kept in INTEGER
+    milli-units so document sums are exact and merge-order-independent
+    (no decimal rescue needed). Max intermediate is
+    ``(dim-1) * _W_MULT + _W_OFFSET`` ≈ 1.1e13, well inside int64.
+    """
+    h = F.conv(F.substring(F.md5(token), 1, 15), 16, 10).cast("long")
+    return ((h % dim) * F.lit(_W_MULT) + F.lit(_W_OFFSET)) % 2001 - 1000
+
+
+def classifier_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = ("lang",),
+    dim: int = CLASSIFIER_DIM,
+) -> DataFrame:
+    """Score every document under the frozen hashed-BoW linear model:
+    logit = mean token weight; keep = logit > 0 (no sigmoid — ``exp()``
+    is libm-dependent across engines and thresholding the logit is the
+    same decision).
+
+    Shape: explode tokens -> codegen integer weight -> hash-aggregate
+    by document. NOT array HOFs — Spark evaluates ``transform``/
+    ``aggregate`` lambdas interpreted row-at-a-time (the per-token md5
+    would leave codegen); exploded rows keep every expression inside
+    WholeStageCodegen. A document's tokens land in one input partition,
+    so the partial (map-side) aggregate collapses them to one row per
+    doc BEFORE the exchange: shuffle ∝ documents, not tokens. The
+    integer milli-weight sum is exact, so the single final division is
+    bit-identical regardless of merge order or reducer count.
+    """
+    t = F.col(text_col)
+    exploded = docs.select(
+        id_col, *carry_cols, F.explode(tokens(t)).alias("tok")
+    ).select(
+        id_col,
+        *carry_cols,
+        hashed_token_weight_milli(F.col("tok"), dim).alias("w"),
+    )
+    return exploded.groupBy(id_col, *carry_cols).agg(
+        F.count("*").cast("int").alias("n_tok"),
+        F.sum("w").alias("w_sum"),
+    ).select(
+        id_col,
+        *carry_cols,
+        "n_tok",
+        (F.col("w_sum").cast("double") / (F.col("n_tok") * 1000.0)).alias(
+            "logit"
+        ),
+        (F.col("w_sum") > 0).alias("keep"),
+    )
+
+
 BPE_ISH_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+"
 
 

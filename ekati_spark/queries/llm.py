@@ -1990,3 +1990,42 @@ def l47_token_waterfill(spark, sf_dir):
         ),
         (F.col("supply") > F.col("cap")).alias("capped"),
     )
+
+
+@register(
+    "l48_quality_classifier",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             (CAST(('0x' || substr(md5(unnest(
+                string_split_regex(trim(lower(text)), ' +'))), 1, 15))
+                AS BIGINT) % 4096) * 2654435761 % 2001 AS seed_mod
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, lang,
+             CAST(count(*) AS INT) AS n_tok,
+             CAST(SUM((seed_mod + 12345) % 2001 - 1000) AS BIGINT) AS w_sum
+      FROM w GROUP BY doc_id, lang
+    )
+    SELECT doc_id, lang, n_tok,
+           CAST(w_sum AS DOUBLE) / (n_tok * CAST(1000.0 AS DOUBLE)) AS logit,
+           (w_sum > 0) AS keep
+    FROM agg
+    """,
+)
+def l48_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring: a frozen hashed-bag-of-words linear
+    classifier (fastText-style — the GPT-3/LLaMA/RefinedWeb "quality
+    classifier" pipeline stage), distinct from l10's hand-written
+    heuristics: this is the *apply a trained model to every document*
+    shape. The hashing trick (token -> md5 bucket in [0,4096) -> frozen
+    integer milli-weight) means no weight table is shipped at all;
+    scoring is explode -> codegen weight -> hash-agg, with map-side
+    combine collapsing each doc's tokens before the exchange (shuffle ∝
+    documents, not tokens — text.py::classifier_scores documents the
+    shape). Integer weight sums are exact, so the logit is bit-identical
+    under any merge order and the DuckDB oracle hash-attests it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return X.classifier_scores(docs)

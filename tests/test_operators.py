@@ -578,3 +578,57 @@ def test_decode_image_pillow_fallback_non_png():
     feats = decode_image(buf.getvalue())
     assert len(feats) == 8
     assert all(0.0 <= v <= 1.0 for v in feats)
+
+
+# -- hashed linear quality classifier (l48) --------------------------------
+
+
+def test_classifier_scores_match_hand_computation(spark):
+    """Replay the hashing trick by hand for a two-token doc: md5 bucket ->
+    frozen integer milli-weight -> exact mean. Guards the constants and
+    the explode/agg shape."""
+    import hashlib
+
+    from ekati_spark.operators.text import (
+        CLASSIFIER_DIM, _W_MULT, _W_OFFSET, classifier_scores,
+    )
+
+    def milli(tok: str) -> int:
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return ((h % CLASSIFIER_DIM) * _W_MULT + _W_OFFSET) % 2001 - 1000
+
+    df = spark.createDataFrame([(7, "en", "alpha beta")], ["doc_id", "lang", "text"])
+    row = classifier_scores(df).collect()[0]
+    want_sum = milli("alpha") + milli("beta")
+    assert row.n_tok == 2
+    assert row.logit == want_sum / 2000.0
+    assert row.keep == (want_sum > 0)
+
+
+def test_classifier_plan_is_codegen_partial_agg(spark):
+    """Scale shape: per-token weight must be codegen (no interpreted array
+    HOFs, no Python), and the doc aggregate must have a map-side partial
+    (two HashAggregates around one Exchange) so shuffle ∝ docs."""
+    from ekati_spark.operators.text import classifier_scores
+
+    df = classifier_scores(
+        spark.createDataFrame([(1, "en", "a b c")], ["doc_id", "lang", "text"])
+    )
+    plan = _plan(df)
+    assert "Python" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "transform(" not in plan and "aggregate(" not in plan
+
+
+def test_classifier_keep_rate_is_balanced(spark, sf_dir):
+    """Zero-mean weight prior => the keep decision splits the corpus
+    roughly in half (sanity that the logit isn't degenerate/constant)."""
+    import ekati_spark.queries as Q
+
+    rows = Q.REGISTRY["l48_quality_classifier"].fn(spark, sf_dir)
+    agg = rows.agg(
+        F.avg(F.col("keep").cast("double")).alias("rate"),
+        F.countDistinct(F.round("logit", 6)).alias("n_distinct"),
+    ).collect()[0]
+    assert 0.05 < agg.rate < 0.95
+    assert agg.n_distinct > 100
