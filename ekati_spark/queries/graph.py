@@ -1173,3 +1173,96 @@ def g29_follow_asof(spark, sf_dir):
         )
         out = reached if out is None else out.unionByName(reached)
     return out
+
+
+@register(
+    "g30_link_prediction",
+    oracle="""
+    WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT u AS z, CAST(count(*) AS BIGINT) AS deg
+            FROM und GROUP BY u),
+    undw AS (SELECT und.u AS z, und.v AS n, 1000000000 // deg.deg AS w
+             FROM und JOIN deg ON und.u = deg.z),
+    cand AS (
+      SELECT a.n AS cust_a, b.n AS cust_b,
+             CAST(count(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM(a.w) AS BIGINT) AS ra_nano
+      FROM undw a JOIN undw b ON a.z = b.z AND a.n < b.n
+      GROUP BY 1, 2
+    )
+    SELECT c.cust_a, c.cust_b, c.common_neighbors, c.ra_nano
+    FROM cand c
+    WHERE NOT EXISTS (SELECT 1 FROM e
+                      WHERE e.u = c.cust_a AND e.v = c.cust_b)
+    ORDER BY c.ra_nano DESC, c.cust_a, c.cust_b
+    LIMIT 100
+    """,
+)
+def g30_link_prediction(spark, sf_dir):
+    """Link prediction over the customer co-purchase graph (customers
+    adjacent when they bought >= 4 common parts): score non-adjacent
+    pairs by the Resource-Allocation index (Zhou/Lu/Zhang 2009) —
+    RA(a,b) = sum over common neighbors z of 1/deg(z) — and rank the
+    top 100 predicted links. RA is Adamic-Adar\'s rational cousin,
+    chosen deliberately: the per-neighbor weight is exact integer
+    fixed-point (``1e9 div deg``, a bigint), so scores are
+    merge-order-independent and bit-identical across engines with no
+    decimal rescue and no libm ``log`` divergence. (The co-supplier
+    graph g24 is complete at test SFs — every pair adjacent, nothing
+    to predict — so the substrate here is the sparser bipartite
+    customer-part projection.)
+
+    Shape: degree joins BEFORE the pair join (the weight rides the
+    same shuffle key, no second pass), candidate pairs meet on the
+    shared-neighbor key (cost sum of deg(z)^2 — at 100 TB cap or
+    sample hub neighborhoods first, same note as g24), existing edges
+    removed with a left-anti join, top-100 under a total order
+    (ra desc, a, b) -> TakeOrderedAndProject, no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # reused 3x: und(x2) + anti join
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("z")).agg(F.count("*").alias("deg"))
+    undw = und.join(deg, und.u == deg.z).select(
+        "z", F.col("v").alias("n"), F.expr("1000000000L div deg").alias("w")
+    )
+    wa, wb = undw.alias("wa"), undw.alias("wb")
+    cand = (
+        wa.join(wb, (F.col("wa.z") == F.col("wb.z")) & (F.col("wa.n") < F.col("wb.n")))
+        .groupBy(
+            F.col("wa.n").alias("cust_a"), F.col("wb.n").alias("cust_b")
+        )
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(F.col("wa.w")).alias("ra_nano"),
+        )
+    )
+    pred = cand.join(
+        e,
+        (cand.cust_a == e.u) & (cand.cust_b == e.v),
+        "left_anti",
+    )
+    return pred.orderBy(
+        F.col("ra_nano").desc(), "cust_a", "cust_b"
+    ).limit(100)

@@ -239,3 +239,42 @@ def test_weighted_shortest_paths_small_graph(spark):
         for r in weighted_shortest_paths(edges, seeds, max_hops=1).collect()
     }
     assert got2 == {"a": 0, "b": 10, "c": 1}
+
+
+def test_link_prediction_ra_planted_path(spark):
+    """Path graph a-b-c-d: the only candidate pairs are (a,c),(b,d)
+    via middle nodes of degree 2, and (a,d) has no common neighbor.
+    RA = 1/2 => ra_nano = 500_000_000; existing edges excluded."""
+    import ekati_spark.queries as Q
+
+    # Build the substrate the query derives: orders/lineitem rows whose
+    # co-purchase projection (>= 4 shared parts) is exactly a-b-c-d.
+    # Each adjacent customer pair shares parts {edge*10 .. edge*10+3}.
+    orders, items = [], []
+    ok = 0
+    for edge, (u, v) in enumerate([(1, 2), (2, 3), (3, 4)]):
+        for part in range(edge * 10, edge * 10 + 4):
+            for cust in (u, v):
+                ok += 1
+                orders.append((ok, cust))
+                items.append((ok, part))
+    odf = spark.createDataFrame(orders, ["o_orderkey", "o_custkey"])
+    ldf = spark.createDataFrame(items, ["l_orderkey", "l_partkey"])
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        odf.write.parquet(f"{d}/orders.parquet")
+        ldf.write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            (r.cust_a, r.cust_b): (r.common_neighbors, r.ra_nano)
+            for r in Q.REGISTRY["g30_link_prediction"].fn(spark, d).collect()
+        }
+    assert got == {(1, 3): (1, 500_000_000), (2, 4): (1, 500_000_000)}
+
+
+def test_link_prediction_topk_avoids_global_sort(spark, sf_dir):
+    import ekati_spark.queries as Q
+
+    df = Q.REGISTRY["g30_link_prediction"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
