@@ -2029,3 +2029,90 @@ def l48_quality_classifier(spark, sf_dir):
     """
     docs = load_table(spark, sf_dir, "documents")
     return X.classifier_scores(docs)
+
+
+@register(
+    "l49_dsir_importance",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ),
+    freq AS (
+      SELECT tok,
+             CAST(count(*) AS BIGINT) AS c_r,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_t
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_r) AS BIGINT) AS n_r,
+             CAST(SUM(c_t) AS BIGINT) AS n_t,
+             CAST(count(*) AS BIGINT) AS v
+      FROM freq
+    ),
+    w AS (
+      SELECT tok,
+             round(ln((c_t + 1) / CAST(n_t + v AS DOUBLE))
+                   - ln((c_r + 1) / CAST(n_r + v AS DOUBLE)), 6) AS w
+      FROM freq, tot
+    )
+    SELECT t.doc_id, t.lang,
+           CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(SUM(CAST(w.w AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+             AS avg_log_ratio
+    FROM toks t JOIN w ON t.tok = w.tok
+    GROUP BY t.doc_id, t.lang
+    """,
+)
+def l49_dsir_importance(spark, sf_dir):
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by the average per-token log-ratio of a target unigram
+    distribution (here: the ``lang='en'`` slice as the quality-domain
+    stand-in) against the raw-corpus distribution, with add-one
+    smoothing so unseen-in-target tokens score finitely. Feeds
+    importance resampling via the deterministic samplers (l21/l43).
+
+    Portability contract (same as l27): smoothed probabilities are
+    ratios of exact integers (identical doubles in both engines), the
+    single ``ln`` per distinct token matches libm bit-for-bit, each
+    per-token weight is rounded to 6 decimals, and per-document sums
+    accumulate in DECIMAL(25,6) — merge-order-independent, so the
+    score is hash-attested. Scale shape: weights live on the DISTINCT
+    vocabulary (computed once, shuffle on tok), documents re-join the
+    weight table on tok and aggregate by doc — two shuffles total, no
+    Python, no driver-side state beyond nothing (the 1-row totals ride
+    a broadcast cross-join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(
+        F.count("*").alias("c_r"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("c_t"),
+    )
+    tot = freq.agg(
+        F.sum("c_r").alias("n_r"),
+        F.sum("c_t").alias("n_t"),
+        F.count("*").alias("v"),
+    )
+    w = freq.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c_t") + 1) / (F.col("n_t") + F.col("v")).cast("double"))
+            - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.col("v")).cast("double")),
+            6,
+        ).alias("w"),
+    )
+    return (
+        toks.join(w, "tok")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_tok"),
+            (
+                F.sum(F.col("w").cast("decimal(25,6)")).cast("double")
+                / F.count("*")
+            ).alias("avg_log_ratio"),
+        )
+    )

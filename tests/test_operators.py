@@ -632,3 +632,31 @@ def test_classifier_keep_rate_is_balanced(spark, sf_dir):
     ).collect()[0]
     assert 0.05 < agg.rate < 0.95
     assert agg.n_distinct > 100
+
+
+def test_dsir_importance_separates_target_tokens(spark):
+    """Planted DSIR check: docs made of target-only tokens must score
+    positive (more likely under target than raw), raw-only docs
+    negative, and a doc drawn from the raw marginal ~0."""
+    import tempfile
+
+    import ekati_spark.queries as Q
+
+    rows = [
+        # target slice (lang=en) uses tokens {aa bb}
+        (1, "en", "aa bb aa bb"),
+        (2, "en", "bb aa bb aa"),
+        # raw-only slice uses tokens {cc dd}
+        (3, "de", "cc dd cc dd"),
+        (4, "de", "dd cc dd cc"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: r.avg_log_ratio
+            for r in Q.REGISTRY["l49_dsir_importance"].fn(spark, d).collect()
+        }
+    assert got[1] > 0 and got[2] > 0, "target-domain docs must score up"
+    assert got[3] < 0 and got[4] < 0, "out-of-target docs must score down"
+    assert got[1] > got[3]
