@@ -1807,3 +1807,129 @@ def r56_incremental_mv(spark, sf_dir):
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "r57_max_concurrency",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM gaps
+    ),
+    ival AS (
+      SELECT min(ts) AS s, max(ts) AS e
+      FROM sess GROUP BY user_id, session_no
+    ),
+    b AS (
+      SELECT CAST(date_trunc('day', s) AS TIMESTAMP) AS day, s AS t,
+             1 AS delta FROM ival
+      UNION ALL
+      SELECT CAST(date_trunc('day', e) AS TIMESTAMP), e, -1 FROM ival
+    ),
+    bb AS (
+      SELECT day, t, delta FROM b
+      UNION ALL
+      SELECT DISTINCT day, day, 0 FROM b
+    ),
+    dt AS (SELECT day, SUM(delta) AS tot FROM bb GROUP BY day),
+    carry AS (
+      SELECT day,
+             COALESCE(SUM(tot) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+      FROM dt
+    ),
+    runs AS (
+      SELECT bb.day, bb.t,
+             SUM(bb.delta) OVER (PARTITION BY bb.day
+               ORDER BY bb.t, bb.delta DESC ROWS UNBOUNDED PRECEDING)
+               + carry.c AS conc
+      FROM bb JOIN carry ON bb.day = carry.day
+    ),
+    peaked AS (
+      SELECT day, t, conc, MAX(conc) OVER (PARTITION BY day) AS peak
+      FROM runs
+    )
+    SELECT day, CAST(peak AS BIGINT) AS peak_concurrency,
+           MIN(t) AS at_ts
+    FROM peaked WHERE conc = peak GROUP BY day, peak
+    """,
+)
+def r57_max_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day (the classic interval sweep):
+    sessionize per user (r43's 30-min-gap sessions, closed intervals),
+    emit +1/-1 boundary events, prefix-sum them in time order, and
+    report each day's maximum concurrency with the earliest instant
+    attaining it.
+
+    Scale shape — the naive sweep is ONE global ordered prefix sum
+    (a single-task window at any size); this is the two-level form:
+    the running sum partitions by day (embarrassingly parallel), and
+    cross-day state is recovered by adding each day's carry = sum of
+    all prior days' boundary deltas — a #days-row window, driver-free
+    and broadcast back onto the boundary stream. Determinism: ties at
+    one instant permute partial sums of equal increments, so the set
+    of prefix values (hence the max and its earliest instant) is
+    order-independent; starts sort before ends at the same instant
+    (closed intervals — a touching end/start pair counts concurrent,
+    and single-event sessions still count themselves). A delta-0 row at
+    each active day's midnight makes carried-over concurrency from a
+    midnight-spanning session observable even when the day's first real
+    boundary is an end event (the day's peak can BE the carry)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_start = F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    wc = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = ev.select(
+        "user_id", "ts", F.sum(is_start).over(wc).alias("session_no")
+    )
+    ival = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    b = (
+        ival.select(F.col("s").alias("t"), F.lit(1).alias("delta"))
+        .unionByName(ival.select(F.col("e").alias("t"), F.lit(-1).alias("delta")))
+        .withColumn("day", F.date_trunc("day", F.col("t")))
+    )
+    b = b.unionByName(
+        b.select("day").distinct().select(
+            F.col("day").alias("t"), F.lit(0).alias("delta"), "day"
+        )
+    )
+    day_tot = b.groupBy("day").agg(F.sum("delta").alias("tot"))
+    wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
+    carry = day_tot.select(
+        "day", F.coalesce(F.sum("tot").over(wd), F.lit(0)).alias("c")
+    )
+    wrun = (
+        W.partitionBy("day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    runs = b.join(F.broadcast(carry), "day").select(
+        "day", "t", (F.sum("delta").over(wrun) + F.col("c")).alias("conc")
+    )
+    peaked = runs.select(
+        "day", "t", "conc", F.max("conc").over(W.partitionBy("day")).alias("peak")
+    )
+    return (
+        peaked.filter(F.col("conc") == F.col("peak"))
+        .groupBy("day", "peak")
+        .agg(F.min("t").alias("at_ts"))
+        .select("day", F.col("peak").alias("peak_concurrency"), "at_ts")
+    )

@@ -660,3 +660,33 @@ def test_dsir_importance_separates_target_tokens(spark):
     assert got[1] > 0 and got[2] > 0, "target-domain docs must score up"
     assert got[3] < 0 and got[4] < 0, "out-of-target docs must score down"
     assert got[1] > got[3]
+
+
+def test_max_concurrency_carries_over_midnight(spark):
+    """A session spanning midnight must surface as next-day concurrency
+    even though the next day's only real boundary is its end event:
+    day2's peak is the carry, attained at the injected midnight row."""
+    import datetime as dt
+    import tempfile
+
+    import ekati_spark.queries as Q
+
+    D1 = dt.datetime(2024, 3, 1)
+    rows = [
+        # user 1: 23:50 -> 00:10 next day, one session across midnight
+        (1, D1 + dt.timedelta(hours=23, minutes=50), 10, "c", 0.0, "{}"),
+        (2, D1 + dt.timedelta(days=1, minutes=10), 10, "c", 0.0, "{}"),
+        # user 2: point session at 23:55
+        (3, D1 + dt.timedelta(hours=23, minutes=55), 20, "c", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            r.day: (r.peak_concurrency, r.at_ts)
+            for r in Q.REGISTRY["r57_max_concurrency"].fn(spark, d).collect()
+        }
+    assert got[D1] == (2, D1 + dt.timedelta(hours=23, minutes=55))
+    assert got[D1 + dt.timedelta(days=1)] == (1, D1 + dt.timedelta(days=1))
