@@ -2116,3 +2116,101 @@ def l49_dsir_importance(spark, sf_dir):
             ).alias("avg_log_ratio"),
         )
     )
+
+
+@register(
+    "l50_dedup_keep_best",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id < 50
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_sort(list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), ' +')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), ' +')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+2]
+             ))) AS sh
+      FROM corpus
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5(unnest(
+                string_split_regex(trim(lower(text)), ' +'))), 1, 15))
+                AS BIGINT) % 4096) * 2654435761 % 2001 AS seed_mod
+      FROM corpus
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(SUM((seed_mod + 12345) % 2001 - 1000) AS BIGINT) AS w_sum,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM w GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT sh.doc_id, sh.sh,
+             CAST(sc.w_sum AS DOUBLE) / (sc.n_tok * CAST(1000.0 AS DOUBLE))
+               AS logit
+      FROM sh JOIN sc USING (doc_id)
+    ),
+    grouped AS (
+      SELECT doc_id, logit,
+             CAST(count(*) OVER (PARTITION BY sh) AS BIGINT) AS n_docs,
+             row_number() OVER (PARTITION BY sh
+                                ORDER BY logit DESC, doc_id) AS rn
+      FROM scored WHERE len(sh) > 0
+    )
+    SELECT doc_id AS kept_doc_id, n_docs, logit AS kept_logit
+    FROM grouped WHERE rn = 1
+    UNION ALL
+    SELECT doc_id, CAST(1 AS BIGINT), logit
+    FROM scored WHERE coalesce(len(sh), 0) = 0
+    """,
+)
+def l50_dedup_keep_best(spark, sf_dir):
+    """Quality-aware dedup: the l26 pipeline (MinHash-LSH pairs at the
+    provable-recall threshold-1.0 configuration -> star-CC groups) but
+    keeping each group's HIGHEST-QUALITY member by the l48 classifier
+    logit (tie-broken by min doc_id) instead of the min id — "dedup,
+    keep the best copy", the rewrite production pipelines actually run.
+    The representative is an argmax via one struct-max aggregate
+    ((logit, -doc_id) lexicographic), so selection adds no extra
+    shuffle beyond the group aggregate. Exact-oracle-able for the same
+    reason as l26 (LSH recall provably 1.0 on identical shingle sets,
+    groups = shingle-set classes) plus the logit's bit-exact integer
+    derivation (l48): the oracle replays groups by sorted shingle list
+    and picks the same argmax deterministically."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    pairs = D.minhash_lsh_pairs(
+        corpus, threshold=1.0, num_hashes=64, bands=32
+    )
+    groups = D.dedup_groups(corpus, pairs)
+    scores = X.classifier_scores(corpus, carry_cols=()).select(
+        "doc_id", "logit"
+    )
+    agg = (
+        groups.join(scores, "doc_id")
+        .groupBy("group_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(
+                F.struct(
+                    F.col("logit").alias("l"),
+                    (-F.col("doc_id")).alias("nid"),
+                )
+            ).alias("b"),
+        )
+    )
+    return agg.select(
+        (-F.col("b.nid")).alias("kept_doc_id"),
+        "n_docs",
+        F.col("b.l").alias("kept_logit"),
+    )

@@ -340,3 +340,44 @@ def test_chunk_dedup_rewrite_properties(spark):
         assert out[i].n_chunks == expect, (i, out[i].n_chunks, expect)
         assert out[i].n_removed == 0
         assert 0 <= out[i].n_removed <= out[i].n_chunks
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark):
+    """Two docs with IDENTICAL shingle sets but different token mixes
+    (so different classifier logits): keep-best must pick the
+    higher-logit doc even though it has the LARGER id (min-id would
+    pick the other). The l26-style corpus doubling adds relabeled
+    copies; ties between a doc and its copy resolve to the smaller id."""
+    import hashlib
+
+    import ekati_spark.queries as Q
+    from ekati_spark.operators.text import CLASSIFIER_DIM, _W_MULT, _W_OFFSET
+
+    def milli(tok):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        return ((h % CLASSIFIER_DIM) * _W_MULT + _W_OFFSET) % 2001 - 1000
+
+    # choose two tokens with distinct weights; hi = the heavier one
+    a, b = "zebra", "quark"
+    if milli(a) == milli(b):
+        b = "gluon"
+    hi, lo = (a, b) if milli(a) > milli(b) else (b, a)
+    # "x y x y x" and "y x y x y" share the shingle set {xyx, yxy}
+    rows = [
+        (1, f"{hi} {lo} {hi} {lo} {hi}"),   # lo-heavy? no: hi×3 lo×2
+        (2, f"{lo} {hi} {lo} {hi} {lo}"),   # lo×3 hi×2 -> lower logit
+    ]
+    # make doc 1 the LOW-quality one so the winner (doc 2) has larger id
+    rows = [(1, rows[1][1]), (2, rows[0][1])]
+    import tempfile
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.kept_doc_id: r.n_docs
+            for r in Q.REGISTRY["l50_dedup_keep_best"].fn(spark, d).collect()
+        }
+    # corpus doubling: group = {1, 2, 100001, 100002}; argmax logit is
+    # doc 2 (and its copy 100002 ties -> min id wins)
+    assert got == {2: 4}
