@@ -1933,3 +1933,53 @@ def r57_max_concurrency(spark, sf_dir):
         .agg(F.min("t").alias("at_ts"))
         .select("day", F.col("peak").alias("peak_concurrency"), "at_ts")
     )
+
+
+@register(
+    "r58_quantile_sketch",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+           TRUE AS est_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def r58_quantile_sketch(spark, sf_dir):
+    """Approximate-quantile path (Greenwald-Khanna via
+    ``percentile_approx``) with a verifiable error contract — the
+    sketch twin of r47's HLL rollup: at 100 TB you pre-aggregate
+    approximate quantiles (single-pass, bounded memory, partial-merge
+    in the aggregate) instead of sorting for exact ones. The GK
+    summary itself isn't portable to DuckDB, so the checkable contract
+    is: exact p50/p95 per group (hash-matched, same formulation as
+    r39) plus ``est_ok`` = the approx answers land within the
+    configured rank error (accuracy=1000 => eps=0.001: the
+    approx-p quantile must sit between the exact (p-3eps) and
+    (p+3eps) quantiles). The oracle states TRUE; a broken sketch
+    flips the row."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+    eps = 0.001
+    lo50, hi50 = 0.5 - 3 * eps, 0.5 + 3 * eps
+    lo95, hi95 = 0.95 - 3 * eps, 0.95 + 3 * eps
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("e50"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("e95"),
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.5, 0.95), 1000)"
+        ).alias("a"),
+        F.expr(
+            f"percentile(l_extendedprice, array({lo50}, {hi50}, {lo95}, {hi95}))"
+        ).alias("bounds"),
+    )
+    return agg.select(
+        "l_returnflag",
+        F.round("e50", 4).alias("p50_exact"),
+        F.round("e95", 4).alias("p95_exact"),
+        (
+            (F.col("a")[0] >= F.col("bounds")[0])
+            & (F.col("a")[0] <= F.col("bounds")[1])
+            & (F.col("a")[1] >= F.col("bounds")[2])
+            & (F.col("a")[1] <= F.col("bounds")[3])
+        ).alias("est_ok"),
+    )
