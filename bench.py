@@ -11,8 +11,10 @@ spans every operator family: scan-agg, multi-join, window, as-of,
 traversal, dedup (exact + MinHash-LSH + SimHash + transitive group
 resolution), similarity top-k, text stats, repetition quality filters,
 sequence packing, real PNG decode, streaming-shaped windows, PPS
-weighted sampling, BPE pair counting, bitext margin mining, and
-incremental MV maintenance.
+weighted sampling, BPE pair counting, bitext margin mining,
+incremental MV maintenance, hashed-classifier quality scoring, DSIR
+importance weighting, the peak-concurrency interval sweep, and the
+GK quantile-sketch path.
 
 Round-over-round note (r3 -> r4): the r3 verdict flagged three sub-2s
 entries as unexplained regressions vs r1 (r03 1.54s, r53 0.92s, l32
@@ -55,7 +57,11 @@ HEADLINE = [
     "l43_weighted_sample",
     "l44_bpe_merge_pairs",
     "l45_bitext_margin_pairs",
+    "l48_quality_classifier",
+    "l49_dsir_importance",
     "r56_incremental_mv",
+    "r57_max_concurrency",
+    "r58_quantile_sketch",
     "r53_sliding_distinct_users",
     "st01_tumbling_window",
     "st03_session_window",

@@ -250,6 +250,7 @@ def global_shuffle(
     key_col: str,
     salt: str = "shuf",
     num_partitions: int | None = None,
+    prefix_col: Column | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle: every row gets a stable 1-based
     ``pos`` in the order of ``md5(salt || key)`` (ties broken by key) —
@@ -270,6 +271,11 @@ def global_shuffle(
     from pyspark.sql.types import LongType, StructField, StructType
 
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    if prefix_col is not None:
+        # Curriculum use: a fixed-width string prefix makes the order
+        # (prefix asc, hash) — deterministic shuffle WITHIN each prefix
+        # stage. Same machinery, same scale shape.
+        h = F.concat(prefix_col, h)
     n = int(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")

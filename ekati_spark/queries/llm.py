@@ -2214,3 +2214,62 @@ def l50_dedup_keep_best(spark, sf_dir):
         "n_docs",
         F.col("b.l").alias("kept_logit"),
     )
+
+
+@register(
+    "l51_curriculum_order",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    total AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+    lp AS (
+      SELECT t.doc_id, round(ln(f.c / total.n), 6) AS lp
+      FROM toks t JOIN freq f ON t.tok = f.tok, total
+    ),
+    doc AS (
+      SELECT doc_id,
+             CAST(SUM(CAST(lp AS DECIMAL(25,6))) AS DOUBLE) / COUNT(lp)
+               AS avg_logprob
+      FROM lp GROUP BY doc_id
+    ),
+    dec AS (
+      SELECT doc_id,
+             CAST(ntile(10) OVER (ORDER BY avg_logprob DESC, doc_id)
+                  AS INTEGER) AS decile
+      FROM doc
+    )
+    SELECT doc_id, decile,
+           CAST(row_number() OVER (
+             ORDER BY lpad(CAST(decile AS VARCHAR), 2, '0')
+                      || md5('cur' || CAST(doc_id AS VARCHAR)),
+                      doc_id) AS BIGINT) AS pos
+    FROM dec WHERE decile <= 8
+    """,
+)
+def l51_curriculum_order(spark, sf_dir):
+    """Curriculum ordering: arrange the kept corpus easy-to-hard by
+    perplexity decile (l41's buckets — decile 1 = most predictable)
+    with a deterministic md5 shuffle WITHIN each decile, emitting each
+    document's global training position — the "curriculum learning with
+    intra-stage shuffling" layout a dataloader consumes directly.
+
+    Position assignment is l32's distributed machinery (range partition
+    on the combined (decile-prefix || hash) key, per-partition counts,
+    broadcast offsets, one Arrow pass) — no global single-task window,
+    reproducible across engines/reruns because the permutation is hash
+    order, not RNG. The decile itself rides l41's ntile (a corpus-sized
+    rank; at 100 TB swap in broadcast quantile boundaries on
+    avg_logprob, r58's sketch pattern, without touching the ordering
+    machinery)."""
+    scored = l41_perplexity_buckets(spark, sf_dir)
+    kept = scored.filter(F.col("kept")).select("doc_id", "decile")
+    pos = P.global_shuffle(
+        kept,
+        "doc_id",
+        salt="cur",
+        prefix_col=F.lpad(F.col("decile").cast("string"), 2, "0"),
+    )
+    return pos.select("doc_id", "decile", "pos")

@@ -532,8 +532,10 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     cross joins for share-of-total columns), r49_data_quality_audit
     (five 1-row audit aggregates cross-joined into one lazy plan),
     l47_token_waterfill (1-row budget + 1-row binding-cap aggregates
-    cross-joined onto the #sources-row frame), and
-    g28_engine_metrics (driver-side telemetry frames, O(stages) rows)."""
+    cross-joined onto the #sources-row frame), l49_dsir_importance
+    (the 1-row smoothing-totals aggregate broadcast onto the
+    vocabulary frame), and g28_engine_metrics (driver-side telemetry
+    frames, O(stages) rows)."""
     from ekati_spark.queries import REGISTRY
 
     allowed = {
@@ -547,6 +549,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l36_source_token_report",
         "r49_data_quality_audit",
         "l47_token_waterfill",
+        "l49_dsir_importance",
         "g28_engine_metrics",
     }
     flagged = {}

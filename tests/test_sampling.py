@@ -205,3 +205,19 @@ def test_weighted_sample_total_is_k_across_weight_shapes(spark):
                 df, "k", "w", k=k, num_partitions=4
             ).collect()
             assert sum(r.n_picks for r in out) == k, (name, k)
+
+
+def test_curriculum_order_stages_then_shuffles(spark, sf_dir):
+    """Curriculum invariants: positions are a contiguous permutation,
+    every earlier decile fully precedes every later one, and the
+    within-decile order is shuffled (not id order)."""
+    import ekati_spark.queries as Q
+
+    rows = Q.REGISTRY["l51_curriculum_order"].fn(spark, sf_dir).collect()
+    pos = sorted(r.pos for r in rows)
+    assert pos == list(range(1, len(rows) + 1))
+    by_pos = sorted(rows, key=lambda r: r.pos)
+    deciles = [r.decile for r in by_pos]
+    assert deciles == sorted(deciles), "stages must not interleave"
+    ids_in_first = [r.doc_id for r in by_pos if r.decile == deciles[0]]
+    assert ids_in_first != sorted(ids_in_first), "intra-stage shuffle"
