@@ -23,6 +23,12 @@ from ekati_spark.queries import stats  # noqa: F401
 # curated core; this round rotates the window onto 40 names with only
 # local (verify_local.py) evidence so far, keeping a 10-query sentinel
 # core spanning every family to detect drift against prior rounds.
+#
+# ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
+# mid-round (the driver grades at round end; a mid-round rotation
+# orphans the current window). Next-round candidates = everything not
+# in the r3 or r4 windows, plus this round's additions (r57, r58, l48,
+# l49, l50, l51, g30, g29, l43-l47, st02, st03, st09, g28 ...).
 _GRADED_FIRST = [
     # sentinel core: re-attested every round (green in r3's window)
     "r01_scan_count", "r03_pricing_summary", "r37_asof_join",
