@@ -1983,3 +1983,72 @@ def r58_quantile_sketch(spark, sf_dir):
             & (F.col("a")[1] <= F.col("bounds")[3])
         ).alias("est_ok"),
     )
+
+
+@register(
+    "r59_scd2_history",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS state
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ordered AS (
+      SELECT user_id, ts, event_id, state,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM src
+    ),
+    changed AS (
+      SELECT user_id, ts, event_id, state
+      FROM ordered
+      WHERE prev IS NULL OR state IS DISTINCT FROM prev
+    )
+    SELECT user_id,
+           CAST(row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS INTEGER)
+             AS version,
+           state,
+           ts AS valid_from,
+           lead(ts) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id) AS valid_to,
+           (lead(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) IS NULL) AS is_current
+    FROM changed
+    """,
+)
+def r59_scd2_history(spark, sf_dir):
+    """SCD Type-2 history build from a CDC stream: each user's
+    'purchase' events version a tracked state (the rounded value);
+    consecutive no-change rows collapse (the real SCD2 subtlety —
+    a CDC feed re-emits unchanged rows and they must NOT open new
+    versions), then each surviving change opens a validity interval
+    [valid_from, valid_to) closed by the next change, with the open
+    interval flagged ``is_current``. The SCD1 twin is r54 (latest
+    state only); this preserves full history for as-of joins.
+
+    Scale shape: both windows partition by the dimension key — no
+    global sort, embarrassingly parallel across keys, one shuffle
+    (the second window reuses the first's partitioning). The
+    change-collapse filter and its lag ride the SAME select (the
+    lead for interval close runs on the filtered frame, as SCD2
+    semantics require)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    src = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("state")
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = src.select(
+        "user_id", "ts", "event_id", "state",
+        F.lag("state").over(w).alias("prev"),
+    )
+    changed = ordered.filter(
+        F.col("prev").isNull() | ~F.col("state").eqNullSafe(F.col("prev"))
+    ).select("user_id", "ts", "event_id", "state")
+    return changed.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -693,3 +693,36 @@ def test_max_concurrency_carries_over_midnight(spark):
         }
     assert got[D1] == (2, D1 + dt.timedelta(hours=23, minutes=55))
     assert got[D1 + dt.timedelta(days=1)] == (1, D1 + dt.timedelta(days=1))
+
+
+def test_scd2_collapses_nochange_cdc_rows(spark):
+    """A CDC feed re-emitting unchanged rows must not open new SCD2
+    versions; intervals chain [from, to) and only the last is current."""
+    import datetime as dt
+    import tempfile
+
+    import ekati_spark.queries as Q
+
+    T = lambda m: dt.datetime(2024, 5, 1, 0, m)  # noqa: E731
+    rows = [
+        (1, T(1), 7, "purchase", 10.0, "{}"),
+        (2, T(2), 7, "purchase", 10.0, "{}"),   # no-change -> collapsed
+        (3, T(3), 7, "purchase", 20.0, "{}"),
+        (4, T(4), 7, "purchase", 20.0, "{}"),   # no-change -> collapsed
+        (5, T(5), 7, "purchase", 10.0, "{}"),   # back to 10: NEW version
+        (6, T(6), 7, "view", 99.0, "{}"),       # other stream, ignored
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = sorted(
+            (r.version, r.state, r.valid_from, r.valid_to, r.is_current)
+            for r in Q.REGISTRY["r59_scd2_history"].fn(spark, d).collect()
+        )
+    assert got == [
+        (1, 10.0, T(1), T(3), False),
+        (2, 20.0, T(3), T(5), False),
+        (3, 10.0, T(5), None, True),
+    ]
