@@ -2273,3 +2273,99 @@ def l51_curriculum_order(spark, sf_dir):
         prefix_col=F.lpad(F.col("decile").cast("string"), 2, "0"),
     )
     return pos.select("doc_id", "decile", "pos")
+
+
+@register(
+    "l52_bigram_interp_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM toks
+    ),
+    bi AS (
+      SELECT doc_id, pos, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM pos
+    ),
+    bir AS (SELECT * FROM bi WHERE prev IS NOT NULL),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c_u FROM pos GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c_u) AS BIGINT) AS n FROM uni),
+    ctx AS (SELECT prev, CAST(count(*) AS BIGINT) AS c_c FROM bir GROUP BY prev),
+    bfreq AS (SELECT prev, tok, CAST(count(*) AS BIGINT) AS c_b
+              FROM bir GROUP BY prev, tok),
+    scored AS (
+      SELECT b.doc_id,
+             round(ln(CAST(0.75 AS DOUBLE) * (f.c_b / c.c_c)
+                      + CAST(0.25 AS DOUBLE) * (u.c_u / t.n)), 6) AS w
+      FROM bir b
+      JOIN bfreq f ON b.prev = f.prev AND b.tok = f.tok
+      JOIN ctx c ON b.prev = c.prev
+      JOIN uni u ON b.tok = u.tok, tot t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CAST(w AS DECIMAL(25,6))) AS DOUBLE) / count(*)
+             AS avg_interp_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def l52_bigram_interp_logprob(spark, sf_dir):
+    """Interpolated bigram LM scoring (the KenLM-style perplexity
+    filter at order 2): train bigram + unigram MLE distributions on
+    the corpus itself and score every document by the mean
+    ``ln(0.75 * p(tok|prev) + 0.25 * p(tok))`` over its bigram
+    positions — the next step up from l27's unigram model (word-order
+    sensitivity: scrambled text scores measurably worse, pinned by the
+    metamorphic pytest). Documents with fewer than two tokens have no
+    bigram positions and drop out (mirrored by the oracle's inner
+    joins).
+
+    Portability: probabilities are ratios of exact integer counts, the
+    interpolation is the same double op tree on both engines (DOUBLE-
+    cast literals — bare DuckDB literals are DECIMALs), per-position
+    logs round to 6 decimals, and per-doc sums accumulate in decimal —
+    hash-attested like l27/l49. Scale shape: model tables live on the
+    distinct bigram/unigram vocabulary; scoring re-joins positions on
+    (prev, tok) — shuffle keys all vocabulary-sized, the one-row
+    corpus total rides a broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    bir = (
+        pos.select("doc_id", "pos", "tok", F.lag("tok").over(wd).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+    )
+    uni = pos.groupBy("tok").agg(F.count("*").alias("c_u"))
+    tot = uni.agg(F.sum("c_u").alias("n"))
+    ctx = bir.groupBy("prev").agg(F.count("*").alias("c_c"))
+    bfreq = bir.groupBy("prev", "tok").agg(F.count("*").alias("c_b"))
+    scored = (
+        bir.join(bfreq, ["prev", "tok"])
+        .join(ctx, "prev")
+        .join(uni, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(0.75) * (F.col("c_b") / F.col("c_c"))
+                    + F.lit(0.25) * (F.col("c_u") / F.col("n"))
+                ),
+                6,
+            ).alias("w"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        (
+            F.sum(F.col("w").cast("decimal(25,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_interp_logprob"),
+    )

@@ -534,8 +534,10 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     l47_token_waterfill (1-row budget + 1-row binding-cap aggregates
     cross-joined onto the #sources-row frame), l49_dsir_importance
     (the 1-row smoothing-totals aggregate broadcast onto the
-    vocabulary frame), and g28_engine_metrics (driver-side telemetry
-    frames, O(stages) rows)."""
+    vocabulary frame), l52_bigram_interp_logprob (the 1-row corpus
+    total broadcast onto the scored-positions frame), and
+    g28_engine_metrics (driver-side telemetry frames, O(stages)
+    rows)."""
     from ekati_spark.queries import REGISTRY
 
     allowed = {
@@ -550,6 +552,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "r49_data_quality_audit",
         "l47_token_waterfill",
         "l49_dsir_importance",
+        "l52_bigram_interp_logprob",
         "g28_engine_metrics",
     }
     flagged = {}
@@ -726,3 +729,28 @@ def test_scd2_collapses_nochange_cdc_rows(spark):
         (2, 20.0, T(3), T(5), False),
         (3, 10.0, T(5), None, True),
     ]
+
+
+def test_bigram_interp_is_word_order_sensitive(spark):
+    """Metamorphic: scrambling word order preserves the unigram model
+    but must lower the interpolated-bigram score for text whose bigrams
+    repeat (the property l27's unigram model cannot see)."""
+    import tempfile
+
+    import ekati_spark.queries as Q
+
+    coherent = "the cat sat on the mat " * 5 + "the cat sat on the mat"
+    toks = coherent.split()
+    scrambled = " ".join(
+        toks[i] for i in sorted(range(len(toks)), key=lambda i: (i * 17) % len(toks))
+    )
+    df = spark.createDataFrame(
+        [(1, coherent), (2, scrambled)], ["doc_id", "text"]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.doc_id: r.avg_interp_logprob
+            for r in Q.REGISTRY["l52_bigram_interp_logprob"].fn(spark, d).collect()
+        }
+    assert got[1] > got[2], got
