@@ -234,3 +234,67 @@ def st10_anomaly_windows(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     baseline = ops.type_window_baseline(ev)
     return ops.anomaly_windows(ev, baseline)
+
+
+@register(
+    "st11_stream_scd2",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS state
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ordered AS (
+      SELECT user_id, ts, event_id, state,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM src
+    ),
+    changed AS (
+      SELECT user_id, ts, event_id, state
+      FROM ordered
+      WHERE prev IS NULL OR state IS DISTINCT FROM prev
+    ),
+    scd AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INTEGER)
+               AS version,
+             state,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changed
+    )
+    SELECT user_id, version, state, valid_from, valid_to
+    FROM scd WHERE valid_to IS NOT NULL
+    """,
+)
+def st11_stream_scd2(spark, sf_dir):
+    """Streaming SCD2 change feed, batch-equivalent form: exactly the
+    CLOSED validity intervals of the r59 history build — the rows
+    `streaming/ops.py::scd2_with_state` emits append-only from its
+    per-key state store as CDC events arrive (the open versions live in
+    state and never stream out). The real applyInPandasWithState path
+    runs under readStream in tests/test_streaming.py and must produce
+    this same set."""
+    ev = load_table(spark, sf_dir, "events")
+    src = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.round("value", 2).alias("state")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = src.select(
+        "user_id", "ts", "event_id", "state",
+        F.lag("state").over(w).alias("prev"),
+    )
+    changed = ordered.filter(
+        F.col("prev").isNull() | ~F.col("state").eqNullSafe(F.col("prev"))
+    ).select("user_id", "ts", "event_id", "state")
+    return changed.select(
+        "user_id",
+        F.row_number().over(w).cast("int").alias("version"),
+        "state",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    ).filter(F.col("valid_to").isNotNull())

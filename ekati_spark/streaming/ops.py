@@ -526,3 +526,87 @@ def read_committed_batches(spark: SparkSession, base_path: str) -> DataFrame:
     )
     paths = [os.path.join(base_path, f"batch_id={i}") for i in ids]
     return spark.read.parquet(*paths)
+
+
+SCD2_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("version", T.IntegerType(), False),
+        T.StructField("state", T.DoubleType(), False),
+        T.StructField("valid_from", T.TimestampType(), False),
+        T.StructField("valid_to", T.TimestampType(), False),
+    ]
+)
+_SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_state", T.DoubleType(), False),
+        T.StructField("from_us", T.LongType(), False),
+        T.StructField("version", T.IntegerType(), False),
+    ]
+)
+
+
+def _scd2_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Streaming SCD2 fold: per-key state = the open version
+    (cur_state, valid_from, version_no). A batch's events apply in
+    (ts, event_id) order; a change of tracked state CLOSES the open
+    version (emitting its validity interval) and opens the next. The
+    open version never leaves state — exactly r59's closed-interval
+    rows stream out incrementally, no timeout needed (nothing expires:
+    a dimension's current version stays open forever)."""
+    (user_id,) = key
+    out = []
+    ev = pd.concat(list(pdfs), ignore_index=True)
+    ev = ev.sort_values(["ts", "event_id"])
+    cur = list(state.get) if state.exists else None
+    for ts, eid, value in zip(ev["ts"], ev["event_id"], ev["value"]):
+        t = _us(ts)
+        s = round(float(value), 2)
+        if cur is None:
+            cur = [s, t, 1]
+        elif s != cur[0]:
+            out.append(
+                (
+                    user_id,
+                    cur[2],
+                    cur[0],
+                    pd.Timestamp(cur[1], unit="us"),
+                    pd.Timestamp(t, unit="us"),
+                )
+            )
+            cur = [s, t, cur[2] + 1]
+    state.update(tuple(cur))
+    yield pd.DataFrame(
+        out, columns=["user_id", "version", "state", "valid_from", "valid_to"]
+    )
+
+
+def scd2_with_state(
+    events: DataFrame, watermark: str = "10 minutes",
+    event_type: str = "purchase",
+) -> DataFrame:
+    """Streaming SCD Type-2 maintenance (applyInPandasWithState): the
+    incremental form of the r59 batch history build — each micro-batch
+    folds CDC events into the per-key open version and emits newly
+    CLOSED validity intervals append-only. A warehouse consumes this as
+    the SCD2 dimension's change feed; the open versions are the state
+    store. In-order processing within the watermark is assumed (same
+    contract as the sessionizer; a late event older than the open
+    version would need a compensating rewrite, which CDC pipelines
+    handle downstream)."""
+    return (
+        events.filter(F.col("event_type") == event_type)
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_fn,
+            outputStructType=SCD2_OUT_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

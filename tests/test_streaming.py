@@ -290,3 +290,20 @@ def test_idempotent_sink_survives_batch_replay(spark, ev_stream, ev_batch, tmp_p
     # no duplicates despite double delivery, and content matches batch
     assert got.count() == expected.count()
     assert got.select("doc_id").distinct().count() == got.count()
+
+
+def test_scd2_with_state_matches_batch_closed_intervals(spark, ev_stream, sf_dir):
+    """The stateful streaming SCD2 fold emits exactly the batch
+    history build's CLOSED intervals (st11's oracle-checked set); open
+    versions stay in the state store."""
+    import ekati_spark.queries as Q
+
+    batch = {
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to)
+        for r in Q.REGISTRY["st11_stream_scd2"].fn(spark, sf_dir).collect()
+    }
+    out = _run(spark, ops.scd2_with_state(ev_stream), "t_scd2", "append").collect()
+    got = {
+        (r.user_id, r.version, r.state, r.valid_from, r.valid_to) for r in out
+    }
+    assert got == batch
