@@ -276,3 +276,38 @@ def luminance_quadrant_means(
             sums[qi] += lum
             counts[qi] += 1
     return [s / c if c else 0.0 for s, c in zip(sums, counts)]
+
+
+def dhash_words(data: bytes) -> tuple[int, int]:
+    """Perceptual difference-hash (dHash) of a PNG, pure stdlib: decode,
+    nearest-neighbor-sample a 9x8 luminance grid (src index =
+    (dst * src) // dst — the same integer resample as ``resize_png``),
+    then 64 horizontal-gradient bits (bit set iff left < right
+    neighbor). Returned as two exact uint32 words (rows 0-3 -> hi,
+    rows 4-7 -> lo; row byte = sum of bit << x) so engines without
+    unsigned 64-bit types can replay the value exactly. Near-identical
+    images (rescales, mild noise) agree on most bits; identical images
+    agree on all — grouping by (hi, lo) is the perceptual-exact bucket,
+    and banding the four row-byte pairs gives a hamming-tolerant
+    blocking key (the simhash trick)."""
+    w0, h0, ch, px = decode_png(data)
+    stride = w0 * ch
+
+    def lum(sx: int, sy: int) -> int:
+        o = sy * stride + sx * ch
+        if ch >= 3:
+            return (299 * px[o] + 587 * px[o + 1] + 114 * px[o + 2]) // 1000
+        return px[o]
+
+    hi = lo = 0
+    for y in range(8):
+        sy = (y * h0) // 8
+        row = 0
+        for x in range(8):
+            if lum((x * w0) // 9, sy) < lum(((x + 1) * w0) // 9, sy):
+                row |= 1 << x
+        if y < 4:
+            hi |= row << (8 * y)
+        else:
+            lo |= row << (8 * (y - 4))
+    return hi, lo

@@ -2369,3 +2369,76 @@ def l52_bigram_interp_logprob(spark, sf_dir):
             / F.count("*")
         ).alias("avg_interp_logprob"),
     )
+
+
+@register(
+    "l53_perceptual_dhash",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w0,
+             4 + doc_id % 7 AS h0,
+             [(doc_id * 7) % 256, (doc_id * 7 + 37) % 256,
+              (doc_id * 7 + 74) % 256, (doc_id * 7 + 111) % 256] AS q
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT doc_id, w0, h0, q, unnest(range(0, 8)) AS y FROM g
+    ),
+    rowbytes AS (
+      SELECT doc_id, y,
+             list_sum(list_transform(range(0, 8), x ->
+               CASE WHEN
+                 q[1 + (CASE WHEN (y * h0) // 8 >= h0 // 2 THEN 2 ELSE 0 END)
+                    + (CASE WHEN (x * w0) // 9 >= w0 // 2 THEN 1 ELSE 0 END)]
+                 <
+                 q[1 + (CASE WHEN (y * h0) // 8 >= h0 // 2 THEN 2 ELSE 0 END)
+                    + (CASE WHEN ((x + 1) * w0) // 9 >= w0 // 2
+                       THEN 1 ELSE 0 END)]
+               THEN 1 << x ELSE 0 END)) AS rb
+      FROM rows_
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN y < 4 THEN rb << (8 * y) ELSE 0 END)
+                  AS BIGINT) AS dhash_hi,
+             CAST(SUM(CASE WHEN y >= 4 THEN rb << (8 * (y - 4)) ELSE 0 END)
+                  AS BIGINT) AS dhash_lo
+      FROM rowbytes GROUP BY doc_id
+    )
+    SELECT dhash_hi, dhash_lo,
+           min(doc_id) AS kept_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM hashes GROUP BY 1, 2
+    """,
+)
+def l53_perceptual_dhash(spark, sf_dir):
+    """Perceptual image dedup via difference-hash over REAL decoded
+    bytes: plant a deterministic PNG per doc (l12's fixtures), decode
+    with the pure-stdlib codec inside an Arrow batch UDF, sample a 9x8
+    luminance grid (the same integer nearest-neighbor resample as
+    resize_png), take 64 horizontal-gradient bits, and bucket images
+    by the hash — visually-identical images collide regardless of
+    their byte encoding (which is the point: content_md5 CANNOT group
+    a re-encoded duplicate; the dHash can). The oracle never touches
+    bytes: it replays the resample + gradient arithmetic closed-form
+    from the planting formulas, so a hash match attests the full
+    decode -> resample -> gradient pipeline. Two exact uint32 words
+    instead of one uint64 keep the value engine-portable. Scale: one
+    Arrow pass per row (payload bytes never shuffle), then a
+    hash-groupBy on the 8-byte key — l01's shape."""
+    from ekati_spark.operators.png import dhash_words, planted_png
+
+    @F.pandas_udf("hi: long, lo: long")
+    def dh(ids: pd.Series) -> pd.DataFrame:
+        vals = [dhash_words(planted_png(int(i))) for i in ids]
+        return pd.DataFrame(vals, columns=["hi", "lo"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashed = docs.withColumn("d", dh("doc_id")).select(
+        "doc_id", F.col("d.hi").alias("dhash_hi"), F.col("d.lo").alias("dhash_lo")
+    )
+    return hashed.groupBy("dhash_hi", "dhash_lo").agg(
+        F.min("doc_id").alias("kept_id"),
+        F.count("*").alias("n_copies"),
+    )

@@ -182,3 +182,27 @@ def test_palette_index_out_of_range_raises():
     )
     with pytest.raises(ValueError, match="palette index"):
         decode_png(data)
+
+
+def test_dhash_survives_reencode_resize():
+    """The perceptual property: a 2x-rescaled re-encode has DIFFERENT
+    bytes (md5 grouping fails) but the IDENTICAL dHash (perceptual
+    grouping works) — decode-path invariance, not byte identity."""
+    import hashlib
+
+    from ekati_spark.operators.png import (
+        decode_png, dhash_words, planted_png, resize_png,
+    )
+
+    for i in (0, 3, 11, 29, 41):
+        img = planted_png(i)
+        w0, h0, _, _ = decode_png(img)
+        up = resize_png(img, w0 * 2, h0 * 2)
+        assert hashlib.md5(img).digest() != hashlib.md5(up).digest()
+        assert dhash_words(img) == dhash_words(up)
+
+
+def test_dhash_distinguishes_distinct_gradients():
+    from ekati_spark.operators.png import dhash_words, planted_png
+
+    assert dhash_words(planted_png(1)) != dhash_words(planted_png(2))
