@@ -752,3 +752,194 @@ def bitext_margin_pairs(
         )
         .select("src_id", "tgt_id", "cosine", "margin")
     )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 4,
+    ksub: int = 16,
+    kmeans_iters: int = 3,
+    seed: int = 42,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Product-quantization ANN (asymmetric distance computation): split
+    the vector into ``m_sub`` subspaces, train a ``ksub``-centroid
+    codebook per subspace (the same seeded Lloyd machinery as IVF, run
+    on subvector slices), encode every corpus vector as ``m_sub`` small
+    codes, and score queries against CODES ONLY — per query a
+    ``m_sub x ksub`` lookup table of exact subspace distances is built
+    driver-side (tiny) and broadcast, so the scan never touches raw
+    corpus vectors. This is the memory-bound regime's standard trick:
+    at 100 TB the encoded corpus is ~dim/(dsub/1 byte) smaller than the
+    raw vectors and the scan is table lookups, not FMAs.
+
+    Scale shape: codebook training = m_sub tree-aggregate jobs; encode
+    = one mapInPandas pass; ADC scan = one mapInPandas pass that keeps
+    a PARTITION-LOCAL top-k per query (numpy argpartition) so the final
+    exact window ranks |Q| x k x n_partitions rows, never |Q| x n.
+    Approx distances are pure functions of (code, LUT) — independent of
+    partitioning; ties break by neighbor_id. Recall < 1 by
+    construction; tested against ``brute_force_topk``.
+
+    ``rerank > 0`` adds the production second stage: keep the PQ
+    top-``rerank`` candidates per query, join their RAW vectors back
+    (an equi-join on id — the only time raw vectors are touched, on
+    |Q| x rerank rows, not the corpus), score exact cosine against the
+    broadcast query side, and return the exact top-k. Quantization
+    error then only costs recall at the candidate boundary, not
+    ranking accuracy (measured here: raw ADC ~0.2 recall@5 on the
+    synthetic near-random embeddings — PQ's worst case — vs ~0.8 with
+    rerank=100)."""
+    spark = corpus.sparkSession
+    dim = _infer_dim(corpus, vec_col)
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    dsub = dim // m_sub
+    raw = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("v"))
+
+    def normalize(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(A, axis=1, keepdims=True)
+            n[n == 0] = 1.0
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "v": list(A / n),
+                }
+            )
+
+    # PQ approximates L2; on UNIT vectors L2 ranking == cosine ranking
+    # (L2^2 = 2 - 2cos), matching the brute-force cosine baseline.
+    c = raw.mapInPandas(normalize, "neighbor_id long, v array<double>")
+
+    codebooks: list[np.ndarray] = []
+    for m in range(m_sub):
+        sub = c.select(
+            "neighbor_id", F.slice("v", m * dsub + 1, dsub).alias("v")
+        )
+        cents = _seed_centroids(sub, ksub, seed + m, "neighbor_id")
+        for _ in range(kmeans_iters):
+            cents = _lloyd_step(sub, cents)
+        codebooks.append(np.asarray(cents, dtype=np.float64))
+    # a corpus smaller than ksub seeds fewer centroids (same guard as IVF)
+    ksub = len(codebooks[0])
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            codes = np.stack(
+                [
+                    _nearest(A[:, m * dsub : (m + 1) * dsub], C)
+                    for m, C in enumerate(codebooks)
+                ],
+                axis=1,
+            )
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "code": list(codes.astype(np.int32)),
+                }
+            )
+
+    encoded = c.mapInPandas(encode, "neighbor_id long, code array<int>")
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    ).collect()  # the query side is small by contract (as in l06/l15)
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, approx_dist double, rank int"
+        )
+    qids = np.asarray([r.query_id for r in qrows])
+    Q = np.stack([np.asarray(r.qv, dtype=np.float64) for r in qrows])
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    qn[qn == 0] = 1.0
+    Q = Q / qn
+    lut = np.zeros((len(qids), m_sub, ksub))
+    for m, C in enumerate(codebooks):
+        qs = Q[:, m * dsub : (m + 1) * dsub]
+        lut[:, m, :] = (
+            (qs * qs).sum(axis=1, keepdims=True)
+            - 2.0 * (qs @ C.T)
+            + (C * C).sum(axis=1)
+        )
+    bq = spark.sparkContext.broadcast((qids, lut))
+
+    keep_n = max(k, rerank)
+
+    def adc(batches):
+        qid, L = bq.value
+        best_d = [np.empty(0)] * len(qid)
+        best_n = [np.empty(0, dtype=np.int64)] * len(qid)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["code"].to_numpy())
+            nb = pdf["neighbor_id"].to_numpy()
+            d = np.zeros((len(qid), len(nb)))
+            for m in range(codes.shape[1]):
+                d += L[:, m, codes[:, m]]
+            for i in range(len(qid)):
+                cd = np.concatenate([best_d[i], d[i]])
+                cn = np.concatenate([best_n[i], nb])
+                if len(cd) > keep_n:
+                    part = np.argpartition(cd, keep_n - 1)[:keep_n]
+                    cd, cn = cd[part], cn[part]
+                best_d[i], best_n[i] = cd, cn
+        out_q, out_n, out_d = [], [], []
+        for i in range(len(qid)):
+            out_q.extend([qid[i]] * len(best_n[i]))
+            out_n.extend(best_n[i].tolist())
+            out_d.extend(best_d[i].tolist())
+        yield pd.DataFrame(
+            {"query_id": out_q, "neighbor_id": out_n, "approx_dist": out_d}
+        )
+
+    scored = encoded.mapInPandas(
+        adc, "query_id long, neighbor_id long, approx_dist double"
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("approx_dist").asc(), F.col("neighbor_id").asc()
+    )
+    ranked = scored.select("*", F.row_number().over(w).alias("rank"))
+    if not rerank:
+        return ranked.filter(F.col("rank") <= k)
+
+    cand = ranked.filter(F.col("rank") <= rerank).select(
+        "query_id", "neighbor_id"
+    )
+    qdf = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        _as_double(F.col(query_vec_col)).alias("qv"),
+    )
+    joined = (
+        cand.join(raw, "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(_as_double(F.col("v")), F.col("qv"), dim).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w2 = W.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return joined.select(
+        "*", F.row_number().over(w2).alias("rank")
+    ).filter(F.col("rank") <= k)

@@ -2442,3 +2442,20 @@ def l53_perceptual_dhash(spark, sf_dir):
         F.min("doc_id").alias("kept_id"),
         F.count("*").alias("n_copies"),
     )
+
+
+@register("l54_knn_pq")
+def l54_knn_pq(spark, sf_dir):
+    """Product-quantization approximate top-5 (ADC): 4 subspaces x 16
+    codes trained with the seeded Lloyd machinery; the ADC scan scores
+    the encoded corpus through broadcast lookup tables (raw vectors
+    untouched), then the top-100 candidates per query re-rank by exact
+    cosine — the memory-bound third leg of the ANN stack beside
+    sign-LSH (l07) and IVF (l15), in its production candidate+rerank
+    shape. Rows-only check (k-means floats aren't portable to DuckDB);
+    recall vs brute force is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.pq_topk(emb, q, k=5, m_sub=4, ksub=16, kmeans_iters=2, rerank=100)

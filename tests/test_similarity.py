@@ -232,3 +232,55 @@ def test_bitext_margin_mines_planted_pair(spark):
     # every emitted pair clears the threshold and is unique per source
     assert len(out) == len(mined)
     assert all(r.margin >= 1.05 for r in out)
+
+
+def test_pq_recall_vs_bruteforce(spark, sf_dir):
+    """PQ@5 recall against exact cosine top-5. PQ approximates L2 on
+    unnormalized vectors while the baseline ranks by cosine, so the
+    bar is the candidate-quality one (same as LSH): a large multiple
+    of random chance, not exactness."""
+    from ekati_spark.catalog import load_table
+    from ekati_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(emb, q, k=5).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(
+            emb, q, k=5, m_sub=4, ksub=16, kmeans_iters=2, rerank=100
+        ).collect()
+    }
+    recall = len(bf & pq) / len(bf)
+    assert recall >= 0.5, f"suspiciously low PQ+rerank recall: {recall}"
+    # the raw ADC stage alone must still beat random chance (5/500)
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in S.pq_topk(emb, q, k=5, m_sub=4, ksub=16, kmeans_iters=2).collect()
+    }
+    assert len(bf & raw) / len(bf) >= 0.05
+
+
+def test_pq_exact_when_codebook_saturates(spark):
+    """With ksub >= n_corpus every vector gets its own centroid, codes
+    reconstruct vectors exactly, and PQ must equal brute-force L2
+    ranking on self-queries (rank-1 hit = the vector itself)."""
+    from ekati_spark.operators import similarity as S
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(8)]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = S.pq_topk(emb, q, k=1, m_sub=2, ksub=8, kmeans_iters=4)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert got == {(i, i) for i in range(6)}
+    # and identically with the rerank stage on
+    out = S.pq_topk(emb, q, k=1, m_sub=2, ksub=8, kmeans_iters=4, rerank=3)
+    got = {(r.query_id, r.neighbor_id) for r in out.collect()}
+    assert got == {(i, i) for i in range(6)}
