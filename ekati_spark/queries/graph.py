@@ -1266,3 +1266,91 @@ def g30_link_prediction(spark, sf_dir):
     return pred.orderBy(
         F.col("ra_nano").desc(), "cust_a", "cust_b"
     ).limit(100)
+
+
+@register(
+    "g31_nation_modularity",
+    oracle="""
+    WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    nat AS (SELECT c_custkey AS c, c_nationkey AS nk FROM customer),
+    lab AS (
+      SELECT e.u, e.v, nu.nk AS nk_u, nv.nk AS nk_v
+      FROM e JOIN nat nu ON e.u = nu.c JOIN nat nv ON e.v = nv.c
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT und.u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY und.u),
+    dsum AS (
+      SELECT nat.nk, CAST(SUM(deg.d) AS BIGINT) AS d_c
+      FROM deg JOIN nat ON deg.u = nat.c GROUP BY nat.nk
+    ),
+    tot AS (
+      SELECT (SELECT CAST(count(*) AS BIGINT) FROM e) AS m,
+             (SELECT CAST(count(*) AS BIGINT) FROM lab
+              WHERE nk_u = nk_v) AS e_intra,
+             (SELECT CAST(SUM(d_c * d_c) AS BIGINT) FROM dsum) AS d_sq
+    )
+    SELECT m, e_intra, d_sq,
+           CAST(4 * m * e_intra - d_sq AS DOUBLE)
+             / CAST(4 * m * m AS DOUBLE) AS modularity
+    FROM tot
+    """,
+)
+def g31_nation_modularity(spark, sf_dir):
+    """Attribute modularity of the co-purchase graph: do same-nation
+    customers co-purchase more than a degree-preserving random graph
+    would predict? Newman modularity with communities = the customer's
+    nation (an exogenous label — no iterative community detection
+    needed): Q = sum_c [e_c/m - (d_c/2m)^2], computed as the single
+    integer expression (4m * e_intra - sum d_c^2) / (4m^2) so every
+    aggregate is an exact bigint and the ONE final division is
+    bit-identical everywhere — no decimal rescue, no float
+    accumulation. Scale shape: the projection self-join is g24/g30's
+    (hub caps apply); everything after is integer aggregates over
+    edges and a 25-row nation rollup; the nation labels broadcast."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # reused: m count, intra join, degrees
+    )
+    nat = cust.select(F.col("c_custkey").alias("c"), F.col("c_nationkey").alias("nk"))
+    lab = (
+        e.join(F.broadcast(nat.withColumnRenamed("c", "u").withColumnRenamed("nk", "nk_u")), "u")
+        .join(F.broadcast(nat.withColumnRenamed("c", "v").withColumnRenamed("nk", "nk_v")), "v")
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    dsum = deg.join(F.broadcast(nat.withColumnRenamed("c", "u")), "u").groupBy(
+        "nk"
+    ).agg(F.sum("d").alias("d_c"))
+    m_df = e.agg(F.count("*").alias("m"))
+    intra = lab.filter(F.col("nk_u") == F.col("nk_v")).agg(
+        F.count("*").alias("e_intra")
+    )
+    dsq = dsum.agg(F.sum(F.col("d_c") * F.col("d_c")).alias("d_sq"))
+    tot = m_df.crossJoin(F.broadcast(intra)).crossJoin(F.broadcast(dsq))
+    return tot.select(
+        "m", "e_intra", "d_sq",
+        (
+            (4 * F.col("m") * F.col("e_intra") - F.col("d_sq")).cast("double")
+            / (4 * F.col("m") * F.col("m")).cast("double")
+        ).alias("modularity"),
+    )

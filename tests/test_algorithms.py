@@ -278,3 +278,34 @@ def test_link_prediction_topk_avoids_global_sort(spark, sf_dir):
     df = Q.REGISTRY["g30_link_prediction"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_nation_modularity_two_cliques(spark):
+    """Two 3-cliques with distinct nations and no cross edges: m=6,
+    e_intra=6, all degrees 2 => d_sq=72, Q=(4*6*6-72)/(4*36)=0.5."""
+    import tempfile
+
+    import ekati_spark.queries as Q
+
+    orders, items, cust = [], [], []
+    ok = 0
+    part = 0
+    for nation, members in ((0, (1, 2, 3)), (1, (4, 5, 6))):
+        for c in members:
+            cust.append((c, nation))
+        for i in members:
+            for j in members:
+                if i < j:
+                    for _ in range(4):  # 4 shared parts per pair
+                        part += 1
+                        for c in (i, j):
+                            ok += 1
+                            orders.append((ok, c))
+                            items.append((ok, part))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(orders, ["o_orderkey", "o_custkey"]).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(items, ["l_orderkey", "l_partkey"]).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(cust, ["c_custkey", "c_nationkey"]).write.parquet(f"{d}/customer.parquet")
+        row = Q.REGISTRY["g31_nation_modularity"].fn(spark, d).collect()[0]
+    assert (row.m, row.e_intra, row.d_sq) == (6, 6, 72)
+    assert row.modularity == 0.5

@@ -535,9 +535,10 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     cross-joined onto the #sources-row frame), l49_dsir_importance
     (the 1-row smoothing-totals aggregate broadcast onto the
     vocabulary frame), l52_bigram_interp_logprob (the 1-row corpus
-    total broadcast onto the scored-positions frame), and
-    g28_engine_metrics (driver-side telemetry frames, O(stages)
-    rows)."""
+    total broadcast onto the scored-positions frame),
+    g31_nation_modularity (three 1-row integer aggregates cross-joined
+    into the final scalar), and g28_engine_metrics (driver-side
+    telemetry frames, O(stages) rows)."""
     from ekati_spark.queries import REGISTRY
 
     allowed = {
@@ -553,6 +554,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l47_token_waterfill",
         "l49_dsir_importance",
         "l52_bigram_interp_logprob",
+        "g31_nation_modularity",
         "g28_engine_metrics",
     }
     flagged = {}
