@@ -268,3 +268,38 @@ def resize_images(
             yield out
 
     return df.mapInPandas(op, schema=out_schema)
+
+
+def load_media_dir(
+    spark, path: str, glob: str = "*.png", mime: str = "image/png"
+) -> DataFrame:
+    """Multimodal file ingestion: read a directory of media files with
+    Spark's built-in ``binaryFile`` source into the standard
+    (content, media) column pair, plus the file path and length. This
+    is the production entry point for image/audio corpora — executors
+    read the files in parallel straight from the object store (no
+    driver-side listing beyond the file index), filters on
+    path/length/modificationTime push down to the file index, and the
+    payload bytes stay columnar Arrow all the way into the decode UDFs
+    (``extract_features`` / ``resize_images`` consume this frame
+    as-is)."""
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select(
+            F.col("path"),
+            F.col("length").alias("n_bytes"),
+            F.col("content"),
+        )
+    )
+    return df.withColumn(
+        "media",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ),
+    )

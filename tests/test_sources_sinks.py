@@ -197,3 +197,32 @@ def test_zorder_compact_clusters_both_dims(spark, tmp_path):
     got = spark.read.parquet(zout)
     assert got.count() == 64 * 64
     assert got.agg(F.sum("payload")).first()[0] == (64 * 64) * (64 * 64 - 1) // 2
+
+
+def test_binary_file_media_ingestion_decodes(spark, tmp_path):
+    """End-to-end multimodal file ingestion: PNG files on disk ->
+    binaryFile source -> (content, media) columns -> REAL pure-stdlib
+    decode recovers each image's planted dimensions."""
+    from ekati_spark.operators.multimodal import extract_features, load_media_dir
+    from ekati_spark.operators.png import planted_png
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for i in (3, 7, 20):
+        (d / f"img_{i:03d}.png").write_bytes(planted_png(i))
+    (d / "ignore.txt").write_text("not an image")
+
+    mm = load_media_dir(spark, str(d))
+    assert mm.count() == 3  # glob filtered the .txt out
+    feats = extract_features(
+        mm.withColumn(
+            "doc_id",
+            F.regexp_extract("path", r"img_(\d+)\.png", 1).cast("long"),
+        ),
+        fake=False,
+    )
+    got = {
+        r.doc_id: (round(r.features[0] * 4096), round(r.features[1] * 4096))
+        for r in feats.collect()
+    }
+    assert got == {i: (4 + i % 13, 4 + i % 7) for i in (3, 7, 20)}
