@@ -1354,3 +1354,106 @@ def g31_nation_modularity(spark, sf_dir):
             / (4 * F.col("m") * F.col("m")).cast("double")
         ).alias("modularity"),
     )
+
+
+@register(
+    "g32_hits",
+    oracle="""
+    WITH w AS (
+      SELECT o.o_custkey AS c, l.l_suppkey AS s, CAST(count(*) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    a0 AS (SELECT s, SUM(w) AS v FROM w GROUP BY s),
+    a0n AS (SELECT s, v * 1000000 // (SELECT MAX(v) FROM a0) AS v FROM a0),
+    h1 AS (SELECT w.c, SUM(w.w * a0n.v) AS v FROM w JOIN a0n ON w.s = a0n.s
+           GROUP BY w.c),
+    h1n AS (SELECT c, v * 1000000 // (SELECT MAX(v) FROM h1) AS v FROM h1),
+    a2 AS (SELECT w.s, SUM(w.w * h1n.v) AS v FROM w JOIN h1n ON w.c = h1n.c
+           GROUP BY w.s),
+    a2n AS (SELECT s, v * 1000000 // (SELECT MAX(v) FROM a2) AS v FROM a2),
+    h2 AS (SELECT w.c, SUM(w.w * a2n.v) AS v FROM w JOIN a2n ON w.s = a2n.s
+           GROUP BY w.c),
+    h2n AS (SELECT c, v * 1000000 // (SELECT MAX(v) FROM h2) AS v FROM h2),
+    ta AS (SELECT 'authority' AS role, CAST(s AS INTEGER) AS entity,
+                  CAST(v AS BIGINT) AS score_ppm
+           FROM a2n ORDER BY v DESC, s LIMIT 20),
+    th AS (SELECT 'hub' AS role, CAST(c AS INTEGER) AS entity,
+                  CAST(v AS BIGINT) AS score_ppm
+           FROM h2n ORDER BY v DESC, c LIMIT 20)
+    SELECT * FROM ta UNION ALL SELECT * FROM th
+    """,
+)
+def g32_hits(spark, sf_dir):
+    """HITS hubs & authorities (Kleinberg) on the directed
+    customer→supplier purchase graph (edge weight = lineitem count):
+    two full mutual-reinforcement rounds, reporting the top-20
+    authorities (suppliers bought from by the broadest heavy buyers)
+    and top-20 hubs (customers concentrating on authoritative
+    suppliers).
+
+    Determinism: the float L2 normalization of textbook HITS only
+    rescales scores by a positive per-round scalar, so rankings are
+    invariant to the norm used — this implementation normalizes by the
+    per-round MAX in parts-per-million **integer fixed point**
+    (``v * 1e6 div max``); every score is a BIGINT, sums are
+    order-independent, and the oracle replays the identical integer
+    ops. Headroom: per-node Σw·1e6 stays < 2^63 until per-node
+    degree·weight mass exceeds ~9e12 (at which point drop to 1e3
+    fixed point).
+
+    Scale shape: the weight table is built once and localCheckpointed
+    (reused by all four propagation joins); each round is one
+    shuffle-on-key join + groupBy (partial aggregation map-side); the
+    per-round max is a scalar collect (one row, not data); top-k is
+    TakeOrderedAndProject. O(rounds) shuffles ∝ edge count — the same
+    shape PageRank (g13) runs at."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    PPM = 1_000_000
+    w = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("w"))
+        .localCheckpoint(eager=True)  # reused by all 4 propagation joins
+    )
+
+    def _norm(df, key):
+        m = int(df.agg(F.max("v")).first()[0])
+        out = df.select(key, F.expr(f"v * {PPM}L div {m}L").alias("v"))
+        # tiny (≤ node count) and consumed by the next join + top-k
+        return out.localCheckpoint(eager=True)
+
+    a = _norm(w.groupBy("s").agg(F.sum("w").alias("v")), "s")
+    for _ in range(1):  # one and a half more rounds: h1 -> a2 -> h2
+        h = _norm(
+            w.join(a, "s").groupBy("c").agg(F.sum(F.col("w") * F.col("v")).alias("v")),
+            "c",
+        )
+        a = _norm(
+            w.join(h, "c").groupBy("s").agg(F.sum(F.col("w") * F.col("v")).alias("v")),
+            "s",
+        )
+    h = _norm(
+        w.join(a, "s").groupBy("c").agg(F.sum(F.col("w") * F.col("v")).alias("v")),
+        "c",
+    )
+    top_a = (
+        a.orderBy(F.col("v").desc(), "s")
+        .limit(20)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").cast("int").alias("entity"),
+            F.col("v").alias("score_ppm"),
+        )
+    )
+    top_h = (
+        h.orderBy(F.col("v").desc(), "c")
+        .limit(20)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("int").alias("entity"),
+            F.col("v").alias("score_ppm"),
+        )
+    )
+    return top_a.unionByName(top_h)

@@ -2052,3 +2052,33 @@ def r59_scd2_history(spark, sf_dir):
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+@register(
+    "r60_heavy_hitters",
+    oracle="""
+    SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1, 2
+    ORDER BY n_events DESC, event_type, user_id LIMIT 20
+    """,
+)
+def r60_heavy_hitters(spark, sf_dir):
+    """Frequent-items sketch: top-20 (event_type, user_id) pairs via
+    per-partition Misra-Gries summaries + an exact re-count of the
+    candidate set (``operators/sketch.py``) — the frequency member of
+    the sketch family (r47 HLL distinct, r58 GK quantiles).
+
+    Oracle-checkable because the second pass is EXACT over candidates
+    and the MG merge bound guarantees the candidate set covers every
+    key with count > N/(capacity+1); at test SFs per-partition
+    distinct keys < capacity so the summaries are lossless outright.
+    Scale shape: the full-cardinality groupBy shuffle is replaced by
+    KB-sized summaries + a broadcast-semi-join-filtered count; ties at
+    the k-boundary break on the (count desc, event_type, user_id)
+    total order."""
+    from ekati_spark.operators import sketch as SK
+
+    (ev,) = _t(spark, sf_dir, "events")
+    return SK.misra_gries_heavy_hitters(
+        ev, ["event_type", "user_id"], k=20, capacity=1024
+    )

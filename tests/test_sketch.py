@@ -1,0 +1,148 @@
+"""Misra-Gries heavy hitters (operators/sketch.py) and the HITS kernel
+(g32): exactness contracts and partitioning invariance."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ekati_spark.operators.sketch import misra_gries_heavy_hitters
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    # 3 heavy keys (600/300/150 rows) over a long uniform tail of 200
+    # singleton keys — the regime the sketch exists for.
+    rows = (
+        [("hot", 1)] * 600
+        + [("hot", 2)] * 300
+        + [("warm", 3)] * 150
+        + [("tail", 1000 + i) for i in range(200)]
+    )
+    return spark.createDataFrame(rows, "kind string, uid long").repartition(8)
+
+
+def _exact_topk(df, k):
+    return (
+        df.groupBy("kind", "uid")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy(F.col("n_events").desc(), "kind", "uid")
+        .limit(k)
+        .collect()
+    )
+
+
+def test_mg_matches_exact_topk(spark, skewed):
+    got = misra_gries_heavy_hitters(skewed, ["kind", "uid"], k=3, capacity=1024)
+    assert got.collect() == _exact_topk(skewed, 3)
+
+
+def test_mg_small_capacity_still_finds_heavy_keys(spark, skewed):
+    # capacity 16 << 203 distinct keys forces batched MG decrements in
+    # every partition; N/(cap+1) = 1250/17 ≈ 74 < the heavy counts, so
+    # the contract guarantees all three heavy keys survive to the exact
+    # re-count and the top-3 is still exact.
+    got = misra_gries_heavy_hitters(skewed, ["kind", "uid"], k=3, capacity=16)
+    assert got.collect() == _exact_topk(skewed, 3)
+
+
+def test_mg_invariant_to_partitioning(spark, skewed):
+    a = misra_gries_heavy_hitters(
+        skewed.repartition(2), ["kind", "uid"], k=3, capacity=16
+    ).collect()
+    b = misra_gries_heavy_hitters(
+        skewed.repartition(13), ["kind", "uid"], k=3, capacity=16
+    ).collect()
+    assert a == b
+
+
+def test_mg_summaries_are_bounded(spark, skewed):
+    # The first pass must emit ≤ capacity rows per partition — the
+    # bounded-memory claim the 100 TB story rests on. Recompute the
+    # summary stage standalone and count rows per partition.
+    keyed = skewed.repartition(4)
+    cap = 16
+    mg_df = keyed.select("kind", "uid").mapInPandas(
+        _summary_fn(["kind", "uid"], cap), schema="kind string, uid long, mg_lb bigint"
+    )
+    per_part = (
+        mg_df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert all(r.n <= cap for r in per_part)
+
+
+def _summary_fn(key_cols, capacity):
+    def mg_summaries(batches):
+        import pandas as pd
+
+        counts = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vc = pdf.groupby(key_cols, sort=False, dropna=True).size()
+            for key, c in vc.items():
+                kt = key if isinstance(key, tuple) else (key,)
+                counts[kt] = counts.get(kt, 0) + int(c)
+            if len(counts) > capacity:
+                d = sorted(counts.values(), reverse=True)[capacity]
+                counts = {kk: v - d for kk, v in counts.items() if v > d}
+        if counts:
+            yield pd.DataFrame(
+                [(*kk, v) for kk, v in counts.items()],
+                columns=[*key_cols, "mg_lb"],
+            )
+
+    return mg_summaries
+
+
+# -- HITS (g32) -------------------------------------------------------------
+
+
+def test_hits_fixed_point_matches_numpy_replay(spark, sf_dir):
+    """g32's integer fixed-point rounds replayed in plain Python on the
+    collected (tiny at sf0.001) edge list must reproduce every score."""
+    from ekati_spark.queries.graph import g32_hits
+
+    got = {(r.role, r.entity): r.score_ppm for r in g32_hits(spark, sf_dir).collect()}
+
+    from ekati_spark.catalog import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    PPM = 1_000_000
+
+    def norm(d):
+        m = max(d.values())
+        return {k: v * PPM // m for k, v in d.items()}
+
+    # Replay exactly the query's schedule: a0 -> h1 -> a2 -> h2.
+    a = {}
+    for r in w:
+        a[r.s] = a.get(r.s, 0) + r.w
+    a = norm(a)
+    h = {}
+    for r in w:
+        h[r.c] = h.get(r.c, 0) + r.w * a[r.s]
+    h = norm(h)
+    a2 = {}
+    for r in w:
+        a2[r.s] = a2.get(r.s, 0) + r.w * h[r.c]
+    a = norm(a2)
+    h = {}
+    for r in w:
+        h[r.c] = h.get(r.c, 0) + r.w * a[r.s]
+    h = norm(h)
+
+    top_a = sorted(a.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    top_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {("authority", k): v for k, v in top_a} | {("hub", k): v for k, v in top_h}
+    assert got == want
