@@ -234,30 +234,19 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_band_candidates(
     docs: DataFrame,
-    threshold: float = 0.5,
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-) -> DataFrame:
-    """Near-duplicate pairs via banded MinHash LSH + exact verification.
-
-    Signature is split into ``bands`` bands of ``num_hashes//bands`` rows;
-    docs sharing any band hash become candidates (shuffle on the band
-    hash), then candidates are verified with exact shingle Jaccard over
-    the hashed-shingle rows (set-join + count, no array ops). With
-    r=4, b=16 the S-curve crosses ~0.5 — tune (bands, num_hashes) per
-    threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
-
-    Shingle rows are consumed 3x (signatures + both sides of the
-    verification join) — materialized once (at 100 TB: a persisted
-    shingle table; locally: localCheckpoint). Doc shingle counts ride
-    along from the signature aggregation through the band join, so
-    verification needs no extra aggregation or size joins.
-    """
+):
+    """The LSH candidate stage of ``minhash_lsh_pairs``, exposed for the
+    recall audit (l55): returns ``(candidates, shingle_rows)`` where
+    candidates = (id_a, id_b, sz_a, sz_b) pairs sharing ≥ 1 band hash
+    (id_a < id_b) and shingle_rows is the eagerly-checkpointed hashed
+    shingle table both stages consume."""
     rows = num_hashes // bands
     sh_rows = shingle_hash_rows(
         docs, shingle_n, text_col, id_col
@@ -291,6 +280,36 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    return cand, sh_rows
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via banded MinHash LSH + exact verification.
+
+    Signature is split into ``bands`` bands of ``num_hashes//bands`` rows;
+    docs sharing any band hash become candidates (shuffle on the band
+    hash), then candidates are verified with exact shingle Jaccard over
+    the hashed-shingle rows (set-join + count, no array ops). With
+    r=4, b=16 the S-curve crosses ~0.5 — tune (bands, num_hashes) per
+    threshold. Returns (id_a, id_b, jaccard) with id_a < id_b.
+
+    Shingle rows are consumed 3x (signatures + both sides of the
+    verification join) — materialized once (at 100 TB: a persisted
+    shingle table; locally: localCheckpoint). Doc shingle counts ride
+    along from the signature aggregation through the band join, so
+    verification needs no extra aggregation or size joins.
+    """
+    cand, sh_rows = minhash_band_candidates(
+        docs, num_hashes, bands, shingle_n, text_col, id_col
+    )
     shared = (
         cand.join(
             sh_rows.select(F.col("id").alias("id_a"), "h"), "id_a"
@@ -312,6 +331,71 @@ def minhash_lsh_pairs(
         shared.withColumn("jaccard", jac6)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_recall_audit(
+    docs: DataFrame,
+    threshold: float = 0.05,
+    num_hashes: int = 64,
+    bands: int = 32,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Empirical recall audit of the banded-LSH candidate generator
+    against exact all-pairs Jaccard, per similarity decile — the
+    S-curve, measured instead of assumed.
+
+    For every exact-Jaccard pair ≥ ``threshold`` (inverted-index
+    all-pairs — run this on a bounded subset), checks whether the
+    MinHash band join would have surfaced it, and reports per Jaccard
+    decile: pair count, caught count, observed recall, and the
+    theoretical collision probability 1-(1-s^r)^b at the decile
+    midpoint. Observed < predicted by more than sampling noise means
+    the signature or banding is broken; the production parameters
+    (l03: 64 hashes × 32 bands) are audited as-is.
+
+    Determinism: recall is one double division; the prediction is an
+    explicit left-associated multiplication chain (no ``pow`` — libm
+    implementations diverge across engines), so every float op
+    replays bit-identically in the oracle."""
+    exact = ngram_jaccard_pairs(docs, threshold, shingle_n)
+    cand, _ = minhash_band_candidates(docs, num_hashes, bands, shingle_n)
+    flagged = exact.join(
+        cand.select("id_a", "id_b", F.lit(1).alias("caught")),
+        ["id_a", "id_b"],
+        "left",
+    )
+    agg = (
+        flagged.withColumn(
+            "j_bucket",
+            F.least(
+                F.floor(F.col("jaccard") * 10), F.lit(9).cast("bigint")
+            ).cast("int"),
+        )
+        .groupBy("j_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.coalesce("caught", F.lit(0))).alias("n_caught"),
+        )
+    )
+    rows = num_hashes // bands
+    s = (F.col("j_bucket").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    sr = s
+    for _ in range(rows - 1):
+        sr = sr * s
+    t = F.lit(1.0) - sr
+    tb = t
+    for _ in range(bands - 1):
+        tb = tb * t
+    floor6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return agg.select(
+        "j_bucket",
+        "n_pairs",
+        "n_caught",
+        floor6(
+            F.col("n_caught").cast("double") / F.col("n_pairs").cast("double")
+        ).alias("recall"),
+        floor6(F.lit(1.0) - tb).alias("predicted"),
     )
 
 

@@ -71,7 +71,10 @@ def l02_ngram_jaccard_pairs(spark, sf_dir):
 # is EQUALITY of signature slices (the Spark side's xxhash64 band key
 # is injective on equal slices), so the oracle joins directly on the
 # slice values. Generated, not hand-written 64+32 times.
-def _l03_oracle(num_hashes: int = 64, bands: int = 32) -> str:
+def _minhash_sql_parts(num_hashes: int, bands: int) -> tuple[str, str]:
+    """(mins, band_eq) SQL fragments for the MinHash signature replay:
+    per-permutation min aggregates named m0..mN, and the band-slice
+    equality disjunction over aliases a/b."""
     from ekati_spark.operators.dedup import MERSENNE_31
 
     rows = num_hashes // bands
@@ -92,6 +95,13 @@ def _l03_oracle(num_hashes: int = 64, bands: int = 32) -> str:
         + ")"
         for b in range(bands)
     )
+    return mins, band_eq
+
+
+def _l03_oracle(num_hashes: int = 64, bands: int = 32) -> str:
+    from ekati_spark.operators.dedup import MERSENNE_31
+
+    mins, band_eq = _minhash_sql_parts(num_hashes, bands)
     return f"""
     WITH toks AS (
       SELECT doc_id AS id,
@@ -2459,3 +2469,107 @@ def l54_knn_pq(spark, sf_dir):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.pq_topk(emb, q, k=5, m_sub=4, ksub=16, kmeans_iters=2, rerank=100)
+
+
+def _l55_oracle(
+    threshold: float = 0.05, num_hashes: int = 64, bands: int = 32
+) -> str:
+    from ekati_spark.operators.dedup import MERSENNE_31
+
+    mins, band_eq = _minhash_sql_parts(num_hashes, bands)
+    rows = num_hashes // bands
+    # s^r and (1-s^r)^bands as explicit LEFT-ASSOCIATED multiplication
+    # chains — identical IEEE op sequence to the Spark side (no pow():
+    # libm implementations diverge across engines).
+    sr = " * ".join(["s"] * rows)
+    tb = " * ".join(["t"] * bands)
+    return f"""
+    WITH sub AS (SELECT doc_id, text FROM documents),
+    shx AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split_regex(trim(lower(text)), ' +')) - 1, 1)),
+               i -> string_split_regex(trim(lower(text)), ' +')[i] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+1] || ' ' ||
+                    string_split_regex(trim(lower(text)), ' +')[i+2]
+             )) AS sh
+      FROM sub
+    ),
+    ex AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+                   (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+               AS jaccard
+      FROM shx a JOIN shx b ON a.id < b.id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+        AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+            >= {threshold}
+    ),
+    toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM sub
+    ),
+    shr AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks
+    ),
+    h AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+               % {MERSENNE_31} AS h
+      FROM shr
+    ),
+    sig AS (SELECT id, {mins} FROM h GROUP BY id),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM sig a JOIN sig b ON a.id < b.id AND ({band_eq})
+    ),
+    fl AS (
+      SELECT e.jaccard,
+             CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS caught
+      FROM ex e LEFT JOIN cand c
+        ON e.id_a = c.id_a AND e.id_b = c.id_b
+    ),
+    agg AS (
+      SELECT CAST(least(floor(jaccard * 10), 9) AS INTEGER) AS j_bucket,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(SUM(caught) AS BIGINT) AS n_caught
+      FROM fl GROUP BY 1
+    ),
+    pr AS (
+      SELECT *,
+             (CAST(j_bucket AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               / CAST(10.0 AS DOUBLE) AS s
+      FROM agg
+    ),
+    pr2 AS (SELECT *, CAST(1.0 AS DOUBLE) - ({sr}) AS t FROM pr)
+    SELECT j_bucket, n_pairs, n_caught,
+           floor(CAST(n_caught AS DOUBLE) / CAST(n_pairs AS DOUBLE)
+                 * 1000000 + 0.5) / 1000000 AS recall,
+           floor((CAST(1.0 AS DOUBLE) - ({tb})) * 1000000 + 0.5) / 1000000
+             AS predicted
+    FROM pr2
+    """
+
+
+@register("l55_lsh_recall_audit", oracle=_l55_oracle(threshold=0.0))
+def l55_lsh_recall_audit(spark, sf_dir):
+    """Recall audit of the production MinHash-LSH candidate generator
+    (l03's 64 hashes × 32 bands) against exact all-pairs 3-gram
+    Jaccard: per Jaccard decile, how many shingle-sharing pairs exist,
+    how many the band join catches, the observed recall, and the
+    theoretical S-curve collision probability 1-(1-s^r)^b at the
+    decile midpoint. On this corpus the report shows both regimes:
+    the low-similarity decile stays mostly un-caught (by design —
+    that's the shuffle volume LSH saves) while the planted
+    near-identical decile is caught completely. The measured
+    counterpart of the recall property test in tests/test_dedup.py —
+    dedup quality as a queryable report, not a code comment. The
+    exact all-pairs side bounds the audit (inverted-index join, cost
+    ∝ Σ shingle-bucket²); at 100 TB run it on a uniform doc sample —
+    recall is a per-decile ratio, unbiased under pair subsampling."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_recall_audit(docs, threshold=0.0, num_hashes=64, bands=32)

@@ -381,3 +381,24 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark):
     # corpus doubling: group = {1, 2, 100001, 100002}; argmax logit is
     # doc 2 (and its copy 100002 ties -> min id wins)
     assert got == {2: 4}
+
+
+def test_lsh_recall_audit_planted_regime(docs_with_dups):
+    """On the planted-dup corpus the audit's top decile (the exact and
+    lightly-edited copies) must be fully caught, and every bucket's
+    counts must be internally consistent (0 ≤ caught ≤ pairs,
+    recall = caught/pairs to 6 decimals)."""
+    from ekati_spark.operators.dedup import lsh_recall_audit
+
+    rows = lsh_recall_audit(
+        docs_with_dups, threshold=0.0, num_hashes=64, bands=32
+    ).collect()
+    by_bucket = {r.j_bucket: r for r in rows}
+    assert 9 in by_bucket, "planted near-identical pairs must populate decile 9"
+    assert by_bucket[9].recall == 1.0
+    import math
+
+    for r in rows:
+        assert 0 <= r.n_caught <= r.n_pairs
+        assert r.recall == math.floor(r.n_caught / r.n_pairs * 1e6 + 0.5) / 1e6
+        assert 0.0 <= r.predicted <= 1.0
