@@ -152,6 +152,42 @@ def shortest_hops(
     return out
 
 
+def multi_source_hops(
+    edges: DataFrame, seeds: DataFrame, max_hops: int
+) -> DataFrame:
+    """Per-seed BFS distances: ``(seed, node_id, hops)`` for every node
+    within ``max_hops`` of each seed (seeds at 0).
+
+    All k seeds ride ONE iterative join — the frontier carries the seed
+    id, so the cost is k× the frontier rows, not k passes over the edge
+    table. This is the sampled-centrality shape (Eppstein-Wang): exact
+    distances from a deterministic seed sample, aggregated downstream
+    into closeness/harmonic estimates, instead of the all-pairs BFS
+    that cannot exist at 100 TB. Frontier/visited discipline matches
+    ``shortest_hops`` (per-seed visited set ⇒ hop order gives min-d)."""
+    s = (
+        seeds.select(F.col("node_id").alias("seed"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = s.withColumn("node_id", F.col("seed"))
+    visited = frontier
+    out = frontier.withColumn("hops", F.lit(0))
+    for hop in range(1, max_hops + 1):
+        frontier = (
+            frontier.join(edges, frontier.node_id == edges.src)
+            .select("seed", F.col("dst").alias("node_id"))
+            .distinct()
+            .join(visited, ["seed", "node_id"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier.withColumn("hops", F.lit(hop)))
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+    return out
+
+
 def _symmetrize(edges: DataFrame) -> DataFrame:
     return (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))

@@ -1457,3 +1457,89 @@ def g32_hits(spark, sf_dir):
         )
     )
     return top_a.unionByName(top_h)
+
+
+@register(
+    "g33_harmonic_centrality",
+    oracle="""
+    WITH RECURSIVE cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    seeds AS (SELECT DISTINCT u AS seed FROM und ORDER BY seed LIMIT 8),
+    bfs AS (
+      SELECT seed, seed AS node, 0 AS d FROM seeds
+      UNION
+      SELECT b.seed, und.v AS node, b.d + 1
+      FROM bfs b JOIN und ON b.node = und.u
+      WHERE b.d < 4
+    ),
+    dist AS (SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY 1, 2)
+    SELECT node AS cust, CAST(SUM(1000000000 // d) AS BIGINT) AS harmonic_nano,
+           CAST(count(*) AS BIGINT) AS n_seeds_reached
+    FROM dist WHERE d > 0
+    GROUP BY node
+    ORDER BY harmonic_nano DESC, cust
+    LIMIT 25
+    """,
+)
+def g33_harmonic_centrality(spark, sf_dir):
+    """Sampled harmonic centrality (Eppstein-Wang estimator shape) on
+    the customer co-purchase graph: exact BFS distances from the 8
+    smallest-id nodes — all seeds riding one iterative multi-source
+    frontier (``algorithms.multi_source_hops``) — then per node the
+    harmonic sum Σ 1/d over reached seeds, in nano integer fixed point
+    (``1e9 div d``: hop distances share tiny denominators, so scores
+    are exact BIGINTs — no float, no merge-order sensitivity), top-25
+    under a total order.
+
+    Scale shape: per-seed BFS cost rides the SAME joins as single
+    -source (frontier rows ×8, one pass per hop over the edge table);
+    at 100 TB centrality sampling is exactly this with a larger seed
+    sample — the all-pairs alternative does not exist. The co-purchase
+    projection (≥ 4 shared parts) is the established sparse substrate
+    (g30/g31). Oracle: WITH RECURSIVE level-deduped walk closure +
+    MIN(d) — bounded by #seeds × #nodes × (max_hops+1) rows."""
+    from ekati_spark.graph.algorithms import multi_source_hops
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # consumed every BFS hop + seed pick
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    seeds = (
+        und.select(F.col("u").alias("node_id"))
+        .distinct()
+        .orderBy("node_id")
+        .limit(8)
+    )
+    hops = multi_source_hops(edges, seeds, max_hops=4)
+    return (
+        hops.filter(F.col("hops") > 0)
+        .groupBy(F.col("node_id").alias("cust"))
+        .agg(
+            F.sum(F.expr("1000000000L div hops")).alias("harmonic_nano"),
+            F.count("*").alias("n_seeds_reached"),
+        )
+        .orderBy(F.col("harmonic_nano").desc(), "cust")
+        .limit(25)
+    )

@@ -146,3 +146,33 @@ def test_hits_fixed_point_matches_numpy_replay(spark, sf_dir):
     top_h = sorted(h.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     want = {("authority", k): v for k, v in top_a} | {("hub", k): v for k, v in top_h}
     assert got == want
+
+
+# -- multi-source BFS (g33 kernel) ------------------------------------------
+
+
+def test_multi_source_hops_matches_per_seed_bfs(spark):
+    """Per-seed distances from the combined frontier must equal running
+    shortest_hops seed-by-seed (the 1-seed reference semantics)."""
+    from ekati_spark.graph.algorithms import multi_source_hops, shortest_hops
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 5), (7, 8)],
+        "src long, dst long",
+    )
+    und = edges.unionByName(
+        edges.selectExpr("dst as src", "src as dst")
+    ).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame([(1,), (7,)], "node_id long")
+    got = {
+        (r.seed, r.node_id): r.hops
+        for r in multi_source_hops(und, seeds, max_hops=4).collect()
+    }
+    want = {}
+    for s in (1, 7):
+        one = spark.createDataFrame([(s,)], "node_id long")
+        for r in shortest_hops(und, one, max_hops=4).collect():
+            want[(s, r.node_id)] = r.hops
+    assert got == want
+    # seed 1 reaches 5 in 3 hops (1-2-6-5), seed 7 only reaches 8
+    assert got[(1, 5)] == 3 and got[(7, 8)] == 1 and (7, 5) not in got
