@@ -132,6 +132,7 @@ def shingle_rows(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    distinct: bool = True,
 ) -> DataFrame:
     """Distinct word-n-gram shingles, exploded: ``(id, g)`` string rows.
 
@@ -157,12 +158,14 @@ def shingle_rows(
     # filter placed between two projections that both contain window
     # expressions makes the second window run over the *filtered* rows
     # (leads then skip the removed tail and produce truncated grams).
-    return (
+    out = (
         toks.select("id", gram.alias("g"), parts[-1].alias("last"))
         .filter(F.col("last").isNotNull())
         .select("id", "g")
-        .distinct()
     )
+    # distinct=False keeps every occurrence (the novelty-curve totals);
+    # default set semantics match ``shingles``'s array_distinct.
+    return out.distinct() if distinct else out
 
 
 def shingle_hash_rows(

@@ -328,3 +328,44 @@ def pack_sequences(
         "n_tokens",
         off.alias("tok_offset"),
     )
+
+
+def ngram_novelty_curve(docs: DataFrame, max_n: int = 5) -> DataFrame:
+    """Corpus n-gram novelty curve: for n = 1..max_n, total word
+    n-gram occurrences, distinct n-grams corpus-wide, and their ratio.
+
+    The standard repetitiveness diagnostic for a training corpus
+    (novelty falling fast with n ⇒ templated/boilerplate text; near 1
+    at high n ⇒ fresh text): one explode+window codegen pipeline per n
+    — both counts ride ONE aggregation over the occurrence stream, so
+    no per-n cross join and shuffle ∝ corpus tokens. Novelty is a
+    single double division from two exact integer counts
+    (order-independent)."""
+    from ekati_spark.operators.dedup import shingle_rows
+
+    parts = []
+    for n in range(1, max_n + 1):
+        g = shingle_rows(docs, n, distinct=False)
+        parts.append(
+            g.agg(
+                F.count("*").alias("total_ngrams"),
+                F.countDistinct("g").alias("distinct_ngrams"),
+            ).select(
+                F.lit(n).alias("n"),
+                "total_ngrams",
+                "distinct_ngrams",
+                (
+                    F.floor(
+                        F.col("distinct_ngrams").cast("double")
+                        / F.col("total_ngrams").cast("double")
+                        * 1000000
+                        + F.lit(0.5)
+                    )
+                    / 1000000
+                ).alias("novelty"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -1543,3 +1543,98 @@ def g33_harmonic_centrality(spark, sf_dir):
         .orderBy(F.col("harmonic_nano").desc(), "cust")
         .limit(25)
     )
+
+
+@register(
+    "g34_diameter_sweep",
+    oracle="""
+    WITH RECURSIVE cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    s1 AS (SELECT min(u) AS seed FROM und),
+    bfs1 AS (
+      SELECT seed AS node, 0 AS d FROM s1
+      UNION
+      SELECT und.v AS node, b.d + 1
+      FROM bfs1 b JOIN und ON b.node = und.u
+      WHERE b.d < 8
+    ),
+    d1 AS (SELECT node, MIN(d) AS d FROM bfs1 GROUP BY node),
+    far AS (SELECT node AS far_node, d AS ecc_seed FROM d1
+            ORDER BY d DESC, node LIMIT 1),
+    bfs2 AS (
+      SELECT far_node AS node, 0 AS d FROM far
+      UNION
+      SELECT und.v AS node, b.d + 1
+      FROM bfs2 b JOIN und ON b.node = und.u
+      WHERE b.d < 8
+    ),
+    d2 AS (SELECT node, MIN(d) AS d FROM bfs2 GROUP BY node)
+    SELECT CAST((SELECT seed FROM s1) AS INTEGER) AS seed,
+           CAST((SELECT far_node FROM far) AS INTEGER) AS far_node,
+           (SELECT CAST(ecc_seed AS INTEGER) FROM far) AS ecc_seed,
+           CAST(MAX(d2.d) AS INTEGER) AS diameter_lb,
+           CAST(count(*) AS BIGINT) AS n_reached
+    FROM d2
+    """,
+)
+def g34_diameter_sweep(spark, sf_dir):
+    """Graph diameter lower bound by the double-BFS sweep (the iFUB /
+    2-sweep heuristic): BFS from the smallest-id node, hop to the
+    farthest node found (ties → smallest id), BFS again — the second
+    eccentricity lower-bounds the true diameter and is exact on trees.
+    One summary row: seed, the far node, both eccentricities, and the
+    reachable-node count, all exact integers (hop cap 8 on both
+    engines).
+
+    Scale shape: two bounded BFS passes over the (checkpointed)
+    co-purchase edge table — identical cost to two `follow *` runs;
+    the only driver-side values are two scalar rows (the far node and
+    the seed's eccentricity) collected between passes. At 100 TB this
+    is THE diameter estimator — the exact alternative is all-pairs."""
+    from ekati_spark.graph.algorithms import shortest_hops
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # consumed by every hop of both sweeps
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    seed = und.agg(F.min("u")).first()[0]
+    d1 = shortest_hops(
+        edges, und.select(F.lit(seed).alias("node_id")).limit(1), max_hops=8
+    )
+    far_row = d1.orderBy(F.col("hops").desc(), "node_id").limit(1).first()
+    far_node, ecc_seed = far_row.node_id, far_row.hops
+    d2 = shortest_hops(
+        edges, und.select(F.lit(far_node).alias("node_id")).limit(1), max_hops=8
+    )
+    return d2.agg(
+        F.max("hops").cast("int").alias("diameter_lb"),
+        F.count("*").alias("n_reached"),
+    ).select(
+        F.lit(seed).alias("seed"),
+        F.lit(far_node).alias("far_node"),
+        F.lit(int(ecc_seed)).cast("int").alias("ecc_seed"),
+        "diameter_lb",
+        "n_reached",
+    )

@@ -2573,3 +2573,38 @@ def l55_lsh_recall_audit(spark, sf_dir):
     recall is a per-decile ratio, unbiased under pair subsampling."""
     docs = load_table(spark, sf_dir, "documents")
     return D.lsh_recall_audit(docs, threshold=0.0, num_hashes=64, bands=32)
+
+
+def _l56_oracle(max_n: int = 5) -> str:
+    subqs = []
+    for n in range(1, max_n + 1):
+        gram = " || ' ' || ".join(f"t[i+{k}]" for k in range(n)).replace(
+            "t[i+0]", "t[i]"
+        )
+        subqs.append(f"""
+    SELECT {n} AS n,
+           CAST(count(*) AS BIGINT) AS total_ngrams,
+           CAST(count(DISTINCT g) AS BIGINT) AS distinct_ngrams,
+           floor(CAST(count(DISTINCT g) AS DOUBLE) /
+                 CAST(count(*) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS novelty
+    FROM (
+      SELECT unnest(list_transform(
+               range(1, greatest(len(t) - {n} + 2, 1)),
+               i -> {gram})) AS g
+      FROM (SELECT string_split_regex(trim(lower(text)), ' +') AS t
+            FROM documents)
+    )""")
+    return " UNION ALL ".join(subqs)
+
+
+@register("l56_ngram_novelty", oracle=_l56_oracle())
+def l56_ngram_novelty(spark, sf_dir):
+    """Corpus n-gram novelty curve (n = 1..5): distinct/total word
+    n-gram ratio — the repetitiveness diagnostic used to spot
+    templated/boilerplate corpora before training (a fast-falling
+    curve means the corpus repeats itself; l23's within-doc repetition
+    stats are the per-document counterpart). Exact integer counts; the
+    ratio is one double division, so the oracle replays bit-identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.ngram_novelty_curve(docs, max_n=5)

@@ -176,3 +176,19 @@ def test_multi_source_hops_matches_per_seed_bfs(spark):
     assert got == want
     # seed 1 reaches 5 in 3 hops (1-2-6-5), seed 7 only reaches 8
     assert got[(1, 5)] == 3 and got[(7, 8)] == 1 and (7, 5) not in got
+
+
+def test_ngram_novelty_curve_tiny_corpus(spark):
+    from ekati_spark.operators.text import ngram_novelty_curve
+
+    docs = spark.createDataFrame(
+        [(1, "a a a"), (2, "a b")], "doc_id long, text string"
+    )
+    got = {r.n: r for r in ngram_novelty_curve(docs, max_n=3).collect()}
+    # unigrams: 5 occurrences (a,a,a,a,b), 2 distinct
+    assert (got[1].total_ngrams, got[1].distinct_ngrams) == (5, 2)
+    # bigrams: "a a","a a","a b" -> 3 occurrences, 2 distinct
+    assert (got[2].total_ngrams, got[2].distinct_ngrams) == (3, 2)
+    # trigrams: only doc 1 is long enough -> 1 occurrence, 1 distinct
+    assert (got[3].total_ngrams, got[3].distinct_ngrams) == (1, 1)
+    assert got[2].novelty == 0.666667  # floor(2/3*1e6+0.5)/1e6
