@@ -13,8 +13,9 @@ resolution), similarity top-k, text stats, repetition quality filters,
 sequence packing, real PNG decode, streaming-shaped windows, PPS
 weighted sampling, BPE pair counting, bitext margin mining,
 incremental MV maintenance, hashed-classifier quality scoring, DSIR
-importance weighting, the peak-concurrency interval sweep, and the
-GK quantile-sketch path.
+importance weighting, the peak-concurrency interval sweep, the GK
+quantile-sketch path, Misra-Gries heavy hitters, fixed-point HITS,
+and multi-source-BFS sampled centrality.
 
 Round-over-round note (r3 -> r4): the r3 verdict flagged three sub-2s
 entries as unexplained regressions vs r1 (r03 1.54s, r53 0.92s, l32
@@ -62,6 +63,11 @@ HEADLINE = [
     "r56_incremental_mv",
     "r57_max_concurrency",
     "r58_quantile_sketch",
+    "r60_heavy_hitters",
+    "g32_hits",
+    # g33 (sampled centrality) shares g30/g31's co-purchase projection
+    # whose pair join dominates (~6s at sf0.1) — representative graph
+    # iteration cost is already covered by g32; g33 stays verify-only.
     "r53_sliding_distinct_users",
     "st01_tumbling_window",
     "st03_session_window",

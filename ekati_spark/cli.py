@@ -76,7 +76,8 @@ def main(argv: list[str] | None = None) -> int:
         engine = QueryEngine(spark, on_progress=show_progress)
     print(
         "ekati_spark REPL — :quit to exit, :stats for counts, "
-        ":plugins to list user operators"
+        ":plugins to list user operators, :explain <query> for the "
+        "physical plan"
     )
     while True:
         try:
@@ -90,6 +91,20 @@ def main(argv: list[str] | None = None) -> int:
             return 0
         if line == ":stats":
             engine.graph.stats().show(truncate=False)
+            continue
+        if line.startswith(":explain "):
+            # Compile-only: show the Catalyst physical plan a `get`
+            # pipeline lowers to (no collect) — the plan introspection
+            # the reference's CLI never had. Restricted to `get`: put/
+            # load/remove execute side effects on compile.
+            q = line[len(":explain "):].strip()
+            if not q.startswith("get"):
+                print("error: :explain takes a get pipeline")
+                continue
+            try:
+                engine.execute(q).explain("formatted")
+            except Exception as e:  # noqa: BLE001 — REPL surfaces everything
+                print(f"error: {e}")
             continue
         if line == ":plugins":
             from ekati_spark.plugins import list_plugins

@@ -406,6 +406,8 @@ def test_repl_end_to_end(spark, monkeypatch, capsys):
         "not a command",
         ":stats",
         ":plugins",
+        ':explain get "r1" |> follow "likes" 1',
+        ":explain put nope",
         ":quit",
     ])
     monkeypatch.setattr(builtins, "input", lambda prompt="": next(lines))
@@ -421,6 +423,8 @@ def test_repl_end_to_end(spark, monkeypatch, capsys):
     assert "error:" in out  # bad command surfaced, loop continued
     assert "n_nodes" in out
     assert "repl_demo" in out and "Demo plugin" in out
+    assert "== Physical Plan ==" in out  # :explain printed a plan
+    assert "error: :explain takes a get pipeline" in out
 
 
 def test_parser_rejects_trailing_garbage():

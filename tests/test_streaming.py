@@ -307,3 +307,34 @@ def test_scd2_with_state_matches_batch_closed_intervals(spark, ev_stream, sf_dir
         (r.user_id, r.version, r.state, r.valid_from, r.valid_to) for r in out
     }
     assert got == batch
+
+
+def test_restart_resumes_from_checkpoint_no_loss_no_dup(spark, tmp_path):
+    """Stop a file-source stream, land new data, restart with the SAME
+    checkpoint: the second run must process only the new files and the
+    sink must equal the batch union exactly once — the recovery
+    contract a long-running 100 TB ingest pipeline depends on."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    a = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    a.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        q = (
+            spark.readStream.schema("id long, v string")
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    b = spark.createDataFrame([(3, "c"), (4, "d")], "id long, v string")
+    b.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+    got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
