@@ -298,3 +298,35 @@ def st11_stream_scd2(spark, sf_dir):
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w).alias("valid_to"),
     ).filter(F.col("valid_to").isNotNull())
+
+
+@register(
+    "st12_dedup_ingest",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS digest,
+           CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def st12_dedup_ingest(spark, sf_dir):
+    """Dedup-on-ingest: a REAL readStream → foreachBatch pipeline that
+    lands only never-seen-before documents (normalized-text digest
+    keep-first — the streaming form of l01's exact dedup). The landed
+    table must equal the batch dedup of the full corpus regardless of
+    how ingestion was micro-batched; the cross-batch stateful path (a
+    later batch's duplicate dropped by the anti-join against the landed
+    digest set, replay idempotence) is exercised in
+    tests/test_streaming.py. State lives in the sink's digest column —
+    nothing driver-side, bucket-prunable at 100 TB."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    tmp = Path(tempfile.mkdtemp(prefix="st12_"))
+    src = tmp / "src"
+    src.mkdir()
+    shutil.copy(Path(sf_dir) / "documents.parquet", src / "part-0.parquet")
+    landed = ops.dedup_ingest(
+        spark, str(src), str(tmp / "out"), str(tmp / "ck")
+    )
+    return landed.select("digest", "doc_id")

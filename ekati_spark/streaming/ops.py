@@ -610,3 +610,60 @@ def scd2_with_state(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+def dedup_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    out_dir: str,
+    ck_dir: str,
+    schema: str = DOC_SCHEMA,
+) -> DataFrame:
+    """Dedup-on-ingest: land only documents whose normalized-text digest
+    has never been seen — the streaming form of ``exact_dedup``, for
+    deduplicating a crawl AS it arrives instead of in a nightly batch
+    pass over the accumulated corpus.
+
+    Per micro-batch (foreachBatch): digest → keep the min-id row per
+    digest WITHIN the batch → left-anti join against the digests already
+    landed in the sink → append survivors. The dedup state IS the sink's
+    digest column (no driver-side set, no state store growth beyond the
+    output itself); at 100 TB the sink is a digest-bucketed table so the
+    anti-join is bucket-pruned. The anti-join also makes the append
+    idempotent under Structured Streaming's at-least-once batch replay:
+    a replayed batch anti-joins against its own landed output and
+    contributes nothing.
+    """
+    from pyspark.sql import Window as W
+
+    from ekati_spark.operators.dedup import normalized
+
+    sdf = spark.readStream.schema(schema).parquet(src_dir)
+
+    def land(batch: DataFrame, _batch_id: int) -> None:
+        sess = batch.sparkSession
+        dig = batch.withColumn("digest", F.md5(normalized(F.col("text"))))
+        w = W.partitionBy("digest").orderBy("doc_id")
+        first = (
+            dig.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        try:
+            seen = sess.read.parquet(out_dir).select("digest")
+            first = first.join(seen, "digest", "left_anti")
+        except Exception:  # first batch: sink doesn't exist yet
+            pass
+        first.write.mode("append").parquet(out_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)

@@ -338,3 +338,27 @@ def test_restart_resumes_from_checkpoint_no_loss_no_dup(spark, tmp_path):
     run_once()
     got = sorted((r.id, r.v) for r in spark.read.parquet(out).collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_dedup_ingest_drops_cross_batch_dups_and_is_replay_safe(spark, tmp_path):
+    """Batch 2's duplicate of a batch-1 document must be dropped by the
+    anti-join against the landed digest set; re-running with the same
+    checkpoint must land nothing new (idempotent replay)."""
+    src, out, ck = (str(tmp_path / d) for d in ("src", "out", "ck"))
+    cols = "doc_id long, text string, lang string, source string, n_chars long"
+    a = spark.createDataFrame(
+        [(1, "alpha  beta", "en", "s0", 10), (2, "Gamma", "en", "s0", 5)], cols
+    )
+    a.coalesce(1).write.mode("append").parquet(src)
+    first = ops.dedup_ingest(spark, src, out, ck)
+    assert first.count() == 2
+    # batch 2: id 3 normalizes identically to id 1 ("alpha beta"); id 4 new
+    b = spark.createDataFrame(
+        [(3, "ALPHA BETA", "en", "s1", 10), (4, "delta", "en", "s1", 5)], cols
+    )
+    b.coalesce(1).write.mode("append").parquet(src)
+    second = ops.dedup_ingest(spark, src, out, ck)
+    got = sorted(r.doc_id for r in second.collect())
+    assert got == [1, 2, 4]  # 3 deduped against batch 1's digest
+    third = ops.dedup_ingest(spark, src, out, ck)  # no new files: no-op
+    assert sorted(r.doc_id for r in third.collect()) == [1, 2, 4]
