@@ -27,8 +27,10 @@ from ekati_spark.queries import stats  # noqa: F401
 # ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
 # mid-round (the driver grades at round end; a mid-round rotation
 # orphans the current window). Next-round candidates = everything not
-# in the r3 or r4 windows, plus this round's additions (r57, r58, l48,
-# l49, l50, l51, g30, g29, l43-l47, st02, st03, st09, g28 ...).
+# in the r3 or r4 windows, plus this round's additions: r56-r60, l41-
+# l56, g29-g34, st02, st03, st09, st11, st12, r02, r49, r55, l09-l11,
+# l13, l16, l19, l23-l25, l27-l30, l32-l36, l39 (keep the same 10-query
+# sentinel core; prefer names that have never had a driver row).
 _GRADED_FIRST = [
     # sentinel core: re-attested every round (green in r3's window)
     "r01_scan_count", "r03_pricing_summary", "r37_asof_join",

@@ -31,6 +31,8 @@ QUERIES = [
     "l48_quality_classifier",
     "l49_dsir_importance",
     "l52_bigram_interp_logprob",
+    "l55_lsh_recall_audit",
+    "l56_ngram_novelty",
 ]
 
 ROWS = [
