@@ -65,6 +65,7 @@ HEADLINE = [
     "r58_quantile_sketch",
     "r60_heavy_hitters",
     "g32_hits",
+    "l57_curation_pipeline",
     # g33 (sampled centrality) shares g30/g31's co-purchase projection
     # whose pair join dominates (~6s at sf0.1) — representative graph
     # iteration cost is already covered by g32; g33 stays verify-only.

@@ -2608,3 +2608,72 @@ def l56_ngram_novelty(spark, sf_dir):
     ratio is one double division, so the oracle replays bit-identically."""
     docs = load_table(spark, sf_dir, "documents")
     return X.ngram_novelty_curve(docs, max_n=5)
+
+
+@register(
+    "l57_curation_pipeline",
+    oracle="""
+    WITH q AS (
+      SELECT * FROM documents
+      WHERE len(string_split_regex(trim(lower(text)), ' +')) BETWEEN 20 AND 400
+        AND CAST(len(list_distinct(string_split_regex(trim(lower(text)), ' +')))
+            AS DOUBLE) / len(string_split_regex(trim(lower(text)), ' +')) > 0.3
+    ),
+    d AS (
+      SELECT *, row_number() OVER (
+          PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+          ORDER BY doc_id) AS rn
+      FROM q
+    ),
+    k AS (SELECT * FROM d WHERE rn = 1),
+    s AS (
+      SELECT source,
+             CASE WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '0ccccccc' THEN 'val'
+                  WHEN substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '19999999' THEN 'test'
+                  ELSE 'train' END AS split,
+             len(regexp_extract_all(text,
+               '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\\s0-9A-Za-z]+'))
+               AS btok
+      FROM k
+    )
+    SELECT split, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(btok) AS BIGINT) AS n_tokens
+    FROM s GROUP BY 1, 2
+    """,
+)
+def l57_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation job as ONE composed DAG — what a user
+    actually runs nightly: quality gate (l10's token band + distinct
+    ratio) → exact dedup keep-first (l01's normalized digest) → salted
+    deterministic train/val/test split (l22) → per-(split, source)
+    document and BPE-ish token budgets (l18's tokenizer). Every stage
+    is individually oracle-checked elsewhere; this entry checks the
+    COMPOSITION (stage ordering, no row loss/duplication at the seams)
+    and measures its one-job cost in the bench headline.
+
+    Scale shape: one corpus scan feeding row-local predicates, one
+    digest window (the dedup shuffle), a shuffle-free split projection,
+    and a final partial-agg groupBy — 2 shuffles total for the whole
+    pipeline; every stage prunes rows before the next."""
+    from pyspark.sql import Window as W
+
+    from ekati_spark.operators.sampling import train_val_test_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    q = docs.filter(
+        X.token_count(t).between(20, 400) & (X.distinct_token_ratio(t) > 0.3)
+    )
+    w = W.partitionBy(F.md5(D.normalized(t))).orderBy("doc_id")
+    kept = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    split = train_val_test_split(kept, "doc_id", 0.05, 0.05)
+    return split.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(X.bpe_ish_token_count(t)).alias("n_tokens"),
+    )
