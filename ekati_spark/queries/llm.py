@@ -2677,3 +2677,174 @@ def l57_curation_pipeline(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum(X.bpe_ish_token_count(t)).alias("n_tokens"),
     )
+
+
+
+
+@register(
+    "l58_sq8_recall_audit",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e, list_min(e) AS mn,
+             greatest((list_max(e) - list_min(e)) / 255.0, 1e-12) AS scale
+      FROM v
+    ),
+    qz AS (
+      SELECT vec_id, mn, scale,
+             list_transform(range(1, 65), i -> round((e[i] - mn) / scale)) AS q
+      FROM s
+    ),
+    qs AS (SELECT vec_id, mn, scale, q, list_sum(q) AS sq FROM qz),
+    qry AS (SELECT vec_id AS query_id, mn AS mnx, scale AS sx, q AS qx,
+                   sq AS sqx
+            FROM qs WHERE vec_id < 10),
+    appr AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             floor((((CAST(64 AS DOUBLE) * mnx) * c.mn
+                     + (mnx * c.scale) * c.sq)
+                    + (c.mn * sx) * sqx
+                    + (sx * c.scale) * list_dot_product(qx, c.q))
+                   * 1000000 + 0.5) / 1000000 AS recon
+      FROM qs c JOIN qry ON c.vec_id <> query_id
+    ),
+    atop AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY recon DESC, neighbor_id) AS rn FROM appr)
+      WHERE rn <= 5
+    ),
+    eq AS (SELECT vec_id AS query_id, e AS ev FROM v WHERE vec_id < 10),
+    escored AS (
+      SELECT query_id, c.vec_id AS neighbor_id,
+             floor(list_dot_product(ev, c.e) * 1000000 + 0.5) / 1000000
+               AS dot
+      FROM v c JOIN eq ON c.vec_id <> query_id
+    ),
+    etop AS (
+      SELECT query_id, neighbor_id
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+               ORDER BY dot DESC, neighbor_id) AS rn FROM escored)
+      WHERE rn <= 5
+    )
+    SELECT q.query_id,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n_overlap
+    FROM (SELECT DISTINCT query_id FROM qry) q
+    LEFT JOIN (
+      SELECT a.query_id, count(*) AS n
+      FROM atop a JOIN etop e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+      GROUP BY a.query_id
+    ) o ON q.query_id = o.query_id
+    """,
+)
+def l58_sq8_recall_audit(spark, sf_dir):
+    """Recall audit of int8 scalar quantization (l19's per-vector
+    min/max codes) as a SEARCH representation: for each of the l06
+    query vectors, overlap@5 between top-5 by the offset-corrected
+    reconstructed dot product and top-5 by the exact dot — the l55
+    pattern (measure the approximation) applied to vector compression.
+    The reconstruction expands dot(mn_x+s_x·q_x, mn_y+s_y·q_y) into
+    d·mn_x·mn_y + mn_x·s_y·Σq_y + mn_y·s_x·Σq_x + s_x·s_y·Σq_x q_y —
+    three precomputable integer sketches per vector (Σq BIGINT, Σq_xq_y
+    integer-valued ≤ 255²·64, exactly representable in a double) plus
+    per-vector float scalars. A naive symmetric Σq·q' WITHOUT the
+    offset terms scores overlap ≈ 0 on this corpus (measured — the
+    affine offset dominates); the corrected form is the honest SQ8
+    search kernel.
+
+    Determinism: the reconstruction is ONE fixed-order float
+    expression (identical IEEE op sequence in the oracle), integer
+    sketches are order-independent; both rankings use (score desc,
+    vec_id) total orders after floor-1e6 rounding; overlap is an
+    integer join count. At 100 TB the corpus scan is 4× smaller and
+    the heavy term is an integer dot — this audit is the recall
+    evidence for that trade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn = F.array_min(e)
+    scale = F.greatest(
+        (F.array_max(e) - F.array_min(e)) / F.lit(255.0), F.lit(1e-12)
+    )
+
+    def seqdot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    floor6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    qs = emb.select(
+        "vec_id",
+        mn.alias("mn"),
+        scale.alias("scale"),
+        F.transform(e, lambda x: F.round((x - mn) / scale, 0)).alias("q"),
+        F.aggregate(
+            F.transform(e, lambda x: F.round((x - mn) / scale, 0)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sq"),
+        F.col("embedding").alias("raw"),
+    ).localCheckpoint(eager=True)  # both sides of the dot joins
+    qry = qs.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("mn").alias("mnx"),
+        F.col("scale").alias("sx"),
+        F.col("q").alias("qx"),
+        F.col("sq").alias("sqx"),
+        F.col("raw").alias("rawx"),
+    )
+    joined = qs.join(F.broadcast(qry), qs.vec_id != qry.query_id)
+    appr = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        floor6(
+            (
+                (
+                    (F.lit(64.0) * F.col("mnx")) * F.col("mn")
+                    + (F.col("mnx") * F.col("scale")) * F.col("sq")
+                )
+                + (F.col("mn") * F.col("sx")) * F.col("sqx")
+            )
+            + (F.col("sx") * F.col("scale")) * seqdot(F.col("qx"), F.col("q"))
+        ).alias("recon"),
+    )
+    from pyspark.sql import Window as W
+
+    wa = W.partitionBy("query_id").orderBy(F.col("recon").desc(), "neighbor_id")
+    atop = (
+        appr.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    ex = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        floor6(
+            seqdot(
+                F.transform(F.col("rawx"), lambda x: x.cast("double")),
+                F.transform(F.col("raw"), lambda x: x.cast("double")),
+            )
+        ).alias("dot"),
+    )
+    we = W.partitionBy("query_id").orderBy(F.col("dot").desc(), "neighbor_id")
+    etop = (
+        ex.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    overlap = (
+        atop.join(etop, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        qry.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_overlap")
+        )
+    )

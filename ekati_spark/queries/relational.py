@@ -2082,3 +2082,48 @@ def r60_heavy_hitters(spark, sf_dir):
     return SK.misra_gries_heavy_hitters(
         ev, ["event_type", "user_id"], k=20, capacity=1024
     )
+
+
+@register(
+    "r61_key_skew_report",
+    oracle="""
+    SELECT 'l_suppkey' AS key_col,
+           CAST(count(*) AS BIGINT) AS n_keys,
+           CAST(max(c) AS BIGINT) AS max_rows,
+           CAST(SUM(c) * 1000000 // count(*) AS BIGINT) AS mean_rows_ppm,
+           CAST(max(c) * count(*) * 1000000 // SUM(c) AS BIGINT) AS skew_ppm
+    FROM (SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1)
+    UNION ALL
+    SELECT 'l_partkey',
+           CAST(count(*) AS BIGINT),
+           CAST(max(c) AS BIGINT),
+           CAST(SUM(c) * 1000000 // count(*) AS BIGINT),
+           CAST(max(c) * count(*) * 1000000 // SUM(c) AS BIGINT)
+    FROM (SELECT l_partkey, count(*) AS c FROM lineitem GROUP BY 1)
+    """,
+)
+def r61_key_skew_report(spark, sf_dir):
+    """Join-key skew diagnosis: per candidate shuffle key, the key
+    cardinality, the heaviest key's row count, the mean rows/key, and
+    the skew factor max/mean — the report that decides whether a join
+    needs r48's salting / AQE skew handling BEFORE it runs at 100 TB.
+    All integer fixed-point (ppm): mean = total*1e6 div n_keys, skew =
+    max*n_keys*1e6 div total — exact and reducer-count invariant. (At
+    extreme scale compute the skew numerator in two divisions to keep
+    max*n_keys*1e6 under 2^63.)
+
+    Scale shape: one partial-aggregated groupBy per key column; the
+    outer aggregate is n_keys rows -> 1. Nothing driver-side."""
+    (li,) = _t(spark, sf_dir, "lineitem")
+
+    def report(col):
+        per_key = li.groupBy(col).agg(F.count("*").alias("c"))
+        return per_key.agg(
+            F.lit(col).alias("key_col"),
+            F.count("*").alias("n_keys"),
+            F.max("c").alias("max_rows"),
+            F.expr("sum(c) * 1000000L div count(*)").alias("mean_rows_ppm"),
+            F.expr("max(c) * count(*) * 1000000L div sum(c)").alias("skew_ppm"),
+        )
+
+    return report("l_suppkey").unionByName(report("l_partkey"))
