@@ -2127,3 +2127,40 @@ def r61_key_skew_report(spark, sf_dir):
         )
 
     return report("l_suppkey").unionByName(report("l_partkey"))
+
+
+@register(
+    "r62_retention_cohorts",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk
+      FROM events
+    ),
+    c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY 1),
+    a AS (SELECT DISTINCT w.user_id, c.cw, w.wk
+          FROM w JOIN c ON w.user_id = c.user_id)
+    SELECT cw AS cohort_week,
+           CAST(date_diff('day', cw, wk) // 7 AS INTEGER) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM a GROUP BY 1, 2
+    """,
+)
+def r62_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted in every subsequent week they were active — the standard
+    product-analytics retention triangle (cohort_week × week_offset →
+    active users). Distinct from r43's sessionization and r51's funnel:
+    this is the cross-period user-level rollup.
+
+    Scale shape: one groupBy(user) for the cohort assignment, one
+    distinct on (user, week) — both shuffle on user_id so AQE reuses
+    the partitioning — then a partial-aggregated count; all integers,
+    reducer-invariant."""
+    (ev,) = _t(spark, sf_dir, "events")
+    w = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk"))
+    c = w.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    a = w.join(c, "user_id").select("user_id", "cw", "wk").distinct()
+    return a.groupBy(
+        F.col("cw").alias("cohort_week"),
+        F.expr("datediff(wk, cw) div 7").cast("int").alias("week_offset"),
+    ).agg(F.count("*").alias("n_users"))
