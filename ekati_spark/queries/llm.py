@@ -2848,3 +2848,104 @@ def l58_sq8_recall_audit(spark, sf_dir):
             "query_id", F.coalesce("n", F.lit(0)).cast("long").alias("n_overlap")
         )
     )
+
+
+@register(
+    "l59_source_overlap_matrix",
+    oracle="""
+    WITH tk AS (
+      SELECT source, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 6, 1)),
+               i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+                    t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]
+             ))) AS g
+      FROM tk
+    ),
+    sz AS (SELECT source, count(*) AS n FROM grams GROUP BY 1),
+    ov AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM grams a JOIN grams b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           floor(CAST(n_shared AS DOUBLE) /
+                 CAST(least(sa.n, sb.n) AS DOUBLE) * 1000000 + 0.5) / 1000000
+             AS containment
+    FROM ov
+    JOIN sz sa ON sa.source = source_a
+    JOIN sz sb ON sb.source = source_b
+    """,
+)
+def l59_source_overlap_matrix(spark, sf_dir):
+    """Cross-source duplication forensics: for every pair of sources
+    sharing at least one word 8-gram, the count of shared distinct
+    8-grams and the containment ratio (shared / smaller source's gram
+    set) — the matrix that answers "which feeds are mirroring each
+    other" before choosing dedup scope or mixture weights. l30
+    (decontamination) is the corpus-vs-benchmark special case; this is
+    the all-pairs-of-sources general form.
+
+    Scale shape: distinct (source, gram) via one explode+window
+    pipeline (codegen) + one aggregation; pairs meet on the shared-gram
+    inverted index (cost ∝ Σ gram-bucket² over sources — bounded by
+    #sources² per gram, and #sources is small by construction). The
+    containment is one double division from exact integer counts."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.posexplode(F.split(F.trim(F.lower(F.col("text"))), " +")).alias(
+            "pos", "tok"
+        ),
+        F.col("doc_id"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, 8)]
+    gram = F.concat_ws(" ", *parts)
+    grams = (
+        toks.select("source", gram.alias("g"), parts[-1].alias("last"))
+        .filter(F.col("last").isNotNull())
+        .select("source", "g")
+        .distinct()
+        .localCheckpoint(eager=True)  # sizes + both sides of the pair join
+    )
+    sz = grams.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    out = ov.join(F.broadcast(sa), "source_a").join(F.broadcast(sb), "source_b")
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        "n_a",
+        "n_b",
+        (
+            F.floor(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+                * 1000000
+                + F.lit(0.5)
+            )
+            / 1000000
+        ).alias("containment"),
+    )
