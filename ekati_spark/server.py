@@ -67,6 +67,7 @@ class EkatiServer:
 
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
         self.engine = engine
+        self._views_sf: str | None = None
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -135,6 +136,27 @@ class EkatiServer:
                             self._reply(200, {"rows": rows, "n": len(rows)})
                         else:
                             self._reply(200, {"ok": out.count()})
+                    elif self.path == "/sql":
+                        # The relational surface over the wire (the
+                        # Thrift-server role): run Spark SQL against the
+                        # standard tables of a dataset directory,
+                        # registered as temp views on first use.
+                        sf_dir = req.get("sf_dir")
+                        if sf_dir:
+                            outer._ensure_views(sf_dir)
+                        out = outer.engine.spark.sql(req["sql"])
+                        limit = min(
+                            max(int(req.get("limit", 1000)), 1), 100_000
+                        )
+                        rows = _rows(out, limit)
+                        self._reply(
+                            200,
+                            {
+                                "columns": out.columns,
+                                "rows": rows,
+                                "n": len(rows),
+                            },
+                        )
                     elif self.path == "/load":
                         # delegate to the engine's own `load` statement
                         # (URL spool, progress callbacks, edge-preserving
@@ -165,6 +187,18 @@ class EkatiServer:
         self.host = host
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
+
+    def _ensure_views(self, sf_dir: str) -> None:
+        """Register the standard tables of ``sf_dir`` as temp views
+        (idempotent per sf_dir; switching directories re-registers —
+        temp views are session-scoped name bindings, not data copies)."""
+        if self._views_sf == sf_dir:
+            return
+        from ekati_spark.catalog import TABLES, load_table
+
+        for t in TABLES:
+            load_table(self.engine.spark, sf_dir, t).createOrReplaceTempView(t)
+        self._views_sf = sf_dir
 
     def start(self) -> "EkatiServer":
         self._thread = threading.Thread(

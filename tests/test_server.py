@@ -121,3 +121,26 @@ def test_limit_clamped_and_concurrent_queries(served):
     with concurrent.futures.ThreadPoolExecutor(4) as ex:
         results = list(ex.map(one, range(4)))
     assert all(code == 200 and out["n"] >= 1 for code, out in results)
+
+
+def test_sql_endpoint_over_registered_views(served, sf_dir):
+    code, out = _post(
+        served,
+        "/sql",
+        {
+            "sql": "SELECT l_returnflag, count(*) AS n FROM lineitem "
+            "GROUP BY 1 ORDER BY 1",
+            "sf_dir": sf_dir,
+        },
+    )
+    assert code == 200
+    assert out["columns"] == ["l_returnflag", "n"]
+    assert out["n"] >= 2 and all(r["n"] > 0 for r in out["rows"])
+    # views persist for the session: second call without sf_dir works
+    code, again = _post(
+        served, "/sql", {"sql": "SELECT count(*) AS c FROM orders"}
+    )
+    assert code == 200 and again["rows"][0]["c"] > 0
+    # bad SQL surfaces as a JSON error, not a crash
+    code, err = _post(served, "/sql", {"sql": "SELEKT 1"})
+    assert code == 500 and "error" in err
