@@ -466,3 +466,59 @@ def weighted_shortest_paths(
         )
         frontier = improved
     return dist
+
+
+def earliest_arrival(
+    edges: DataFrame, seeds: DataFrame, max_rounds: int = 60
+) -> DataFrame:
+    """Earliest-arrival reachability over a TEMPORAL graph (Holme &
+    Saramäki): ``edges`` are ``(src, dst, t)`` contact events, and a
+    path may leave a node only at a strictly later time than it
+    arrived — the time-respecting-path semantics that static
+    reachability (g22) cannot express (u→v at t=5 then v→w at t=3 is
+    NOT a path).
+
+    Label-correcting iteration: per round, expand the improved
+    frontier through time-valid edges, min-merge arrivals, keep only
+    nodes whose best arrival improved. Earliest-arrival dominance
+    (arriving earlier never removes options) makes per-node min a safe
+    prune, so the fixpoint equals the min over the full closure —
+    which is what the oracle computes. State is (node, best_t) —
+    O(|V|), distributed, checkpointed per round; rounds ≤ the longest
+    strictly-time-increasing chain, with ``max_rounds`` as a loud
+    backstop.
+
+    ``seeds``: ``(node_id, t0)`` rows (t0 = just before the horizon of
+    interest). Returns ``(node_id, t)`` earliest arrivals incl. seeds.
+    """
+    best = seeds.select(
+        "node_id", F.col("t0").alias("t")
+    ).localCheckpoint(eager=True)
+    frontier = best
+    for _ in range(max_rounds):
+        nxt = (
+            frontier.alias("f")
+            .join(
+                edges.alias("e"),
+                (F.col("f.node_id") == F.col("e.src"))
+                & (F.col("e.t") > F.col("f.t")),
+            )
+            .groupBy(F.col("e.dst").alias("node_id"))
+            .agg(F.min("e.t").alias("t"))
+        )
+        improved = (
+            nxt.join(best.withColumnRenamed("t", "bt"), "node_id", "left")
+            .filter(F.col("bt").isNull() | (F.col("t") < F.col("bt")))
+            .select("node_id", "t")
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            break
+        best = (
+            best.unionByName(improved)
+            .groupBy("node_id")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    return best

@@ -1638,3 +1638,81 @@ def g34_diameter_sweep(spark, sf_dir):
         "diameter_lb",
         "n_reached",
     )
+
+
+@register(
+    "g35_temporal_reachability",
+    oracle="""
+    WITH RECURSIVE eb AS (
+      SELECT DISTINCT o.o_custkey*2 AS src, l.l_suppkey*2+1 AS dst,
+             date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+               AS t
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      WHERE CAST(o.o_orderdate AS DATE) < DATE '1995-07-01'
+    ),
+    e2 AS (SELECT src, dst, t FROM eb UNION ALL SELECT dst, src, t FROM eb),
+    seed AS (SELECT min(src) AS n FROM eb),
+    arr AS (
+      SELECT n AS node, -1 AS t FROM seed
+      UNION
+      SELECT e2.dst, e2.t FROM arr JOIN e2 ON e2.src = arr.node
+                                          AND e2.t > arr.t
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_type,
+           CAST(node // 2 AS INTEGER) AS entity,
+           CAST(min(t) AS INTEGER) AS earliest_day
+    FROM arr WHERE t >= 0 AND node <> (SELECT n FROM seed) GROUP BY 1, 2
+    """,
+)
+def g35_temporal_reachability(spark, sf_dir):
+    """Time-respecting reachability (earliest arrival) over the
+    bipartite customer↔supplier contact graph: each order line is a
+    contact at its order date; a chain c1→s1→c2→s2… is a path only if
+    dates strictly increase along it — the contagion/information-flow
+    semantics of temporal networks, which the static reachability of
+    g22 cannot express. From the smallest-id customer with orders in
+    the first half-year window, the earliest day every reachable
+    customer/supplier can be "infected".
+
+    Exactness: arrival days are integers (days since epoch), the
+    kernel's pruned fixpoint equals the closure minimum by
+    earliest-arrival dominance (``algorithms.earliest_arrival``
+    docstring), and the oracle IS that closure (WITH RECURSIVE over
+    (node, t) contact states + MIN). The date window bounds chain
+    length on both engines identically.
+
+    Scale shape: per round one equi-join frontier×edges with the time
+    predicate evaluated post-join... actually IN the join condition —
+    acceptable here because the time test is one comparison, not a
+    scoring expression; state O(|V|), checkpointed; converges in a
+    handful of rounds on dense contact graphs."""
+    from ekati_spark.graph.algorithms import earliest_arrival
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    eb = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.to_date("o_orderdate") < F.lit("1995-07-01"))
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("t"),
+        )
+        .distinct()
+    )
+    edges = eb.unionByName(
+        eb.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "t"
+        )
+    ).localCheckpoint(eager=True)  # consumed every round
+    seed = int(eb.agg(F.min("src")).first()[0])
+    seeds = spark.createDataFrame([(seed, -1)], "node_id long, t0 int")
+    best = earliest_arrival(edges, seeds)
+    return best.filter(F.col("t") >= 0).select(
+        F.when(F.col("node_id") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("node_id div 2").cast("int").alias("entity"),
+        F.col("t").cast("int").alias("earliest_day"),
+    )

@@ -192,3 +192,22 @@ def test_ngram_novelty_curve_tiny_corpus(spark):
     # trigrams: only doc 1 is long enough -> 1 occurrence, 1 distinct
     assert (got[3].total_ngrams, got[3].distinct_ngrams) == (1, 1)
     assert got[2].novelty == 0.666667  # floor(2/3*1e6+0.5)/1e6
+
+
+# -- temporal reachability (g35 kernel) -------------------------------------
+
+
+def test_earliest_arrival_respects_time_ordering(spark):
+    """Static reachability says 3 is reachable from 1 (1->2->3); the
+    temporal kernel must refuse it because the 2->3 contact (t=3)
+    happens BEFORE arrival at 2 (t=5), while 2->4 (t=7) is valid."""
+    from ekati_spark.graph.algorithms import earliest_arrival
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 4, 7), (4, 5, 7), (4, 6, 9)],
+        "src long, dst long, t int",
+    ).localCheckpoint(eager=True)
+    seeds = spark.createDataFrame([(1, -1)], "node_id long, t0 int")
+    got = {r.node_id: r.t for r in earliest_arrival(edges, seeds).collect()}
+    # 5 unreachable too: 4->5 at t=7 requires arrival at 4 BEFORE 7
+    assert got == {1: -1, 2: 5, 4: 7, 6: 9}
