@@ -537,8 +537,12 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     vocabulary frame), l52_bigram_interp_logprob (the 1-row corpus
     total broadcast onto the scored-positions frame),
     g31_nation_modularity (three 1-row integer aggregates cross-joined
-    into the final scalar), and g28_engine_metrics (driver-side
-    telemetry frames, O(stages) rows)."""
+    into the final scalar), l58_sq8_recall_audit (the l06/l33 shape
+    twice: 10-row broadcast query side with the vec_id<>query_id
+    self-exclusion as the only non-equi predicate — per-pair scoring
+    stays in the projection, not the join condition), and
+    g28_engine_metrics (driver-side telemetry frames, O(stages)
+    rows)."""
     from ekati_spark.queries import REGISTRY
 
     allowed = {
@@ -555,6 +559,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l49_dsir_importance",
         "l52_bigram_interp_logprob",
         "g31_nation_modularity",
+        "l58_sq8_recall_audit",
         "g28_engine_metrics",
     }
     flagged = {}
