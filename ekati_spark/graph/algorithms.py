@@ -522,3 +522,51 @@ def earliest_arrival(
         )
         frontier = improved
     return best
+
+
+def k_truss(edges: DataFrame, k: int, max_iter: int = 40) -> DataFrame:
+    """k-truss: the maximal subgraph whose every edge closes ≥ k-2
+    triangles WITHIN the subgraph — the edge-granularity community
+    core (Cohen 2008), strictly stronger than k-core's node-degree
+    peel (every k-truss edge sits in a (k-1)-core, not conversely).
+
+    ``edges``: undirected, canonical ``(u, v)`` with u < v. Iterative
+    simultaneous peel: per round, count each edge's triangle support
+    via the common-neighbor self-join over the current survivor set,
+    drop every edge below k-2, repeat to fixpoint (the simultaneous
+    peel converges to the unique maximal truss regardless of order).
+    Returns the surviving ``(u, v)`` edges.
+
+    Scale shape: support counting is the oriented triangle join (cost
+    Σ deg² over the CURRENT set — shrinking every round); survivor
+    state is the edge list, checkpointed per round; the driver sees
+    only the per-round count. Rounds ≤ peel depth (single digits on
+    real graphs)."""
+    e = edges.select("u", "v").localCheckpoint(eager=True)
+    n = e.count()
+    for _ in range(max_iter):
+        sym = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        a, b = sym.alias("a"), sym.alias("b")
+        supported = (
+            e.alias("t")
+            .join(a, F.col("a.u") == F.col("t.u"))
+            .join(
+                b,
+                (F.col("b.u") == F.col("t.v"))
+                & (F.col("b.v") == F.col("a.v")),
+            )
+            .groupBy(F.col("t.u").alias("u"), F.col("t.v").alias("v"))
+            .agg(F.count("*").alias("s"))
+            .filter(F.col("s") >= k - 2)
+            .select("u", "v")
+        )
+        kept = e.join(supported, ["u", "v"], "left_semi").localCheckpoint(
+            eager=True
+        )
+        m = kept.count()
+        if m == n:
+            break
+        e, n = kept, m
+    return e

@@ -1716,3 +1716,85 @@ def g35_temporal_reachability(spark, sf_dir):
         F.expr("node_id div 2").cast("int").alias("entity"),
         F.col("t").cast("int").alias("earliest_day"),
     )
+
+
+_G36_SUPPORT_SUB = """
+        SELECT x.u AS su, x.v AS sv
+        FROM truss x
+        JOIN (SELECT u, v FROM truss UNION ALL SELECT v, u FROM truss) a
+          ON a.u = x.u
+        JOIN (SELECT u, v FROM truss UNION ALL SELECT v, u FROM truss) b
+          ON b.u = x.v AND b.v = a.v
+        GROUP BY x.u, x.v HAVING count(*) >= 2
+"""
+
+
+@register(
+    "g36_ktruss",
+    oracle=f"""
+    WITH RECURSIVE cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    -- simultaneous peel to fixpoint, g20's pattern at EDGE granularity:
+    -- each level re-emits the surviving edge set (edges with triangle
+    -- support >= k-2 within the level); the EXISTS guard stops once no
+    -- edge fails. Valid when the truss is nonempty (holds here; the
+    -- empty-truss case is pinned by the known-graph pytest).
+    truss(iter, u, v) AS (
+      SELECT 0, u, v FROM e
+      UNION ALL
+      SELECT t.iter + 1, t.u, t.v
+      FROM truss t
+      JOIN ({_G36_SUPPORT_SUB}) s ON s.su = t.u AND s.sv = t.v
+      WHERE t.iter < 40
+        AND EXISTS (
+          SELECT 1 FROM truss y WHERE NOT EXISTS (
+            SELECT 1 FROM ({_G36_SUPPORT_SUB}) z
+            WHERE z.su = y.u AND z.sv = y.v))
+    ),
+    last AS (
+      SELECT u, v FROM truss WHERE iter = (SELECT max(iter) FROM truss)
+    ),
+    und AS (SELECT u, v FROM last UNION ALL SELECT v, u FROM last)
+    SELECT u AS cust, CAST(count(*) AS BIGINT) AS truss_degree
+    FROM und GROUP BY u
+    """,
+)
+def g36_ktruss(spark, sf_dir):
+    """4-truss of the customer co-purchase graph: the maximal subgraph
+    whose every edge closes ≥ 2 triangles inside it (Cohen's truss —
+    the EDGE-peeling community core, strictly tighter than g20's
+    node-degree k-core). Per surviving customer, their degree within
+    the truss. Kernel: ``algorithms.k_truss`` simultaneous peel (the
+    unique maximal truss is order-independent); oracle: the g20
+    recursive-peel pattern lifted to edges, with the triangle-support
+    subquery replayed inside each level."""
+    from ekati_spark.graph.algorithms import k_truss
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+    )
+    surv = k_truss(e, k=4)
+    und = surv.unionByName(
+        surv.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    return und.groupBy(F.col("u").alias("cust")).agg(
+        F.count("*").alias("truss_degree")
+    )

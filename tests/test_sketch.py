@@ -211,3 +211,22 @@ def test_earliest_arrival_respects_time_ordering(spark):
     got = {r.node_id: r.t for r in earliest_arrival(edges, seeds).collect()}
     # 5 unreachable too: 4->5 at t=7 requires arrival at 4 BEFORE 7
     assert got == {1: -1, 2: 5, 4: 7, 6: 9}
+
+
+# -- k-truss (g36 kernel) ---------------------------------------------------
+
+
+def test_k_truss_known_graph_and_empty_case(spark):
+    """K4 (every edge in 2 triangles) survives a 4-truss; a pendant
+    triangle hanging off it is peeled (support 1); a lone triangle's
+    4-truss is EMPTY."""
+    from ekati_spark.graph.algorithms import k_truss
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    pendant = [(4, 5), (4, 6), (5, 6)]  # triangle sharing node 4
+    e = spark.createDataFrame(k4 + pendant, "u long, v long")
+    got = sorted((r.u, r.v) for r in k_truss(e, k=4).collect())
+    assert got == sorted(k4)
+
+    lone = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "u long, v long")
+    assert k_truss(lone, k=4).count() == 0
