@@ -2949,3 +2949,72 @@ def l59_source_overlap_matrix(spark, sf_dir):
             / 1000000
         ).alias("containment"),
     )
+
+
+@register(
+    "l60_eval_apportionment",
+    oracle="""
+    WITH c AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1
+    ),
+    t AS (SELECT SUM(n) AS tot FROM c),
+    q AS (
+      SELECT lang, n, (200 * n) // tot AS fl, (200 * n) % tot AS rem
+      FROM c, t
+    ),
+    s AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rr,
+             (SELECT 200 - SUM(fl) FROM q) AS extra
+      FROM q
+    )
+    SELECT lang, n AS n_docs,
+           CAST(fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT)
+             AS quota
+    FROM s
+    """,
+)
+def l60_eval_apportionment(spark, sf_dir):
+    """Largest-remainder (Hamilton) apportionment of a 200-document
+    eval budget across languages: per-language quota = floor of the
+    exact proportional share, with the leftover seats going to the
+    largest remainders (ties → lang ascending). The rounding method
+    that guarantees Σ quota == budget exactly — naive per-group
+    round(share·budget) over- or under-shoots and every eval-set
+    builder eventually rediscovers this. All integer arithmetic
+    ((budget·n) div/mod total), so the oracle replays it exactly.
+
+    Scale shape: one partial-agg groupBy; the total and the remainder
+    ranking are unpartitioned window functions over #groups rows
+    (languages — inherently tiny), never over data rows."""
+    from pyspark.sql import Window as W
+
+    B = 200
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    wall = W.partitionBy()
+    q = c.select(
+        "lang",
+        "n",
+        F.sum("n").over(wall).alias("tot"),
+    ).select(
+        "lang",
+        "n",
+        F.expr(f"({B} * n) div tot").alias("fl"),
+        F.expr(f"({B} * n) % tot").alias("rem"),
+    )
+    s = q.select(
+        "lang",
+        "n",
+        "fl",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("rem").desc(), "lang"))
+        .alias("rr"),
+        (F.lit(B) - F.sum("fl").over(wall)).alias("extra"),
+    )
+    return s.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        (F.col("fl") + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    )

@@ -230,3 +230,17 @@ def test_k_truss_known_graph_and_empty_case(spark):
 
     lone = spark.createDataFrame([(1, 2), (1, 3), (2, 3)], "u long, v long")
     assert k_truss(lone, k=4).count() == 0
+
+
+def test_apportionment_sums_exactly_to_budget(spark, sf_dir):
+    """Hamilton quotas must sum EXACTLY to the budget (the property
+    naive per-group rounding violates) and never undercut the floor
+    share."""
+    from ekati_spark.queries.llm import l60_eval_apportionment
+
+    rows = l60_eval_apportionment(spark, sf_dir).collect()
+    total_docs = sum(r.n_docs for r in rows)
+    assert sum(r.quota for r in rows) == 200
+    for r in rows:
+        assert r.quota >= (200 * r.n_docs) // total_docs
+        assert r.quota <= (200 * r.n_docs) // total_docs + 1
