@@ -2,13 +2,15 @@
 columns with a typed metadata struct, plus Pandas-UDF plumbing for
 decode / feature-extract / resize / frame-sample.
 
-The decode seam self-upgrades: with Pillow importable, ``decode_image``
-and ``resize_images`` run real pixel work; without it (this container)
-they are clearly-marked stubs (NotImplementedError unless ``fake=True``,
-which produces a deterministic fake decode). Everything Spark-side —
-schema, partitioning, Arrow batch shape, UDF signatures — is real and
-tested either way (tests/test_operators.py; a skipif-gated test covers
-the Pillow path where the library exists).
+The decode seam is REAL in-container for two formats with no optional
+library: PNG (``operators.png``, pure zlib+struct) and WAV PCM audio
+(``operators.audio``, pure wave+struct). With Pillow importable,
+``decode_image``/``resize_images`` additionally handle other image
+formats; remaining formats are clearly-marked stubs (NotImplementedError
+unless ``fake=True``, which produces a deterministic fake decode).
+Everything Spark-side — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested either way (tests/test_operators.py;
+a skipif-gated test covers the Pillow path where the library exists).
 
 Column convention:
     content      binary            raw bytes (opaque)
@@ -170,6 +172,58 @@ def extract_features(
             feats = [safe(b) for b in pdf[batch_col]]
             out = pdf.drop(columns=[batch_col])
             out["features"] = feats
+            yield out
+
+    return df.mapInPandas(op, schema=out_schema)
+
+
+AUDIO_STATS_FIELDS = [
+    T.StructField("sample_rate", T.IntegerType(), True),
+    T.StructField("n_channels", T.IntegerType(), True),
+    T.StructField("n_samples", T.IntegerType(), True),
+    T.StructField("duration_ms", T.IntegerType(), True),
+    T.StructField("peak_abs", T.LongType(), True),
+    T.StructField("sum_abs", T.LongType(), True),
+    T.StructField("sum_sq", T.LongType(), True),
+    T.StructField("zero_crossings", T.LongType(), True),
+]
+
+
+def extract_audio_features(
+    df: DataFrame, batch_col: str = "content"
+) -> DataFrame:
+    """mapInPandas audio decode: content binary (WAV) → integer signal
+    statistics (operators.audio.wav_stats — rate/channels/frames/
+    duration plus peak, |s| and s² sums and sign-flip count, all exact
+    integer arithmetic so oracles replay them bit-for-bit).
+
+    REAL in-container decode: the pure-stdlib RIFF/PCM codec needs no
+    audio library. Undecodable or non-WAV payloads yield null stats
+    rather than failing the Arrow batch. Per-row independent — scales
+    linearly with partitions; payload bytes never shuffle.
+    """
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != batch_col]
+        + AUDIO_STATS_FIELDS
+    )
+    names = [f.name for f in AUDIO_STATS_FIELDS]
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ekati_spark.operators.audio import wav_stats  # noqa: PLC0415
+
+        def safe(b):
+            if b is None:
+                return None
+            try:
+                return wav_stats(bytes(b))
+            except (ValueError, EOFError):  # non-WAV / truncated payload
+                return None
+
+        for pdf in batches:
+            stats = [safe(b) for b in pdf[batch_col]]
+            out = pdf.drop(columns=[batch_col])
+            for name in names:
+                out[name] = [None if s is None else s[name] for s in stats]
             yield out
 
     return df.mapInPandas(op, schema=out_schema)

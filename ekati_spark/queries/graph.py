@@ -1798,3 +1798,186 @@ def g36_ktruss(spark, sf_dir):
     return und.groupBy(F.col("u").alias("cust")).agg(
         F.count("*").alias("truss_degree")
     )
+
+
+@register(
+    "g37_degree_assortativity",
+    oracle="""
+    WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT und.u, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY und.u),
+    dd AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM und JOIN deg du ON und.u = du.u JOIN deg dv ON und.v = dv.u
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS m2,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM dd
+    )
+    SELECT m2, sxy, sx, sx2,
+           CAST(m2 * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(m2 * sx2 - sx * sx AS DOUBLE))
+                * sqrt(CAST(m2 * sy2 - sy * sy AS DOUBLE)))
+             AS assortativity
+    FROM s
+    """,
+)
+def g37_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the customer co-purchase graph (>=4
+    shared parts — the sparse projection, see g30/g31): Pearson
+    correlation of endpoint degrees over the symmetrized edge list.
+    Do high-degree customers co-purchase with high-degree customers?
+
+    Every moment (sum xy / x / x^2 over 2m endpoint pairs) is an EXACT
+    bigint aggregate; the one float expression at the end is a fixed op
+    sequence (two correctly-rounded sqrts, one multiply, one divide) so
+    Spark and DuckDB agree bit-for-bit — the g31 integer-moments
+    pattern. Scale shape: projection self-join (the dominant shuffle,
+    same as g24/g30), then two broadcast-ready degree joins and a
+    6-scalar aggregate; nothing after the projection scales with more
+    than the edge count. At true 100 TB the bigint moment products
+    approach 2^63 — promote to decimal(38,0) accumulation then (same
+    plan shape); test-SF magnitudes stay far inside bigint."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # reused: both und branches
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
+    dd = (
+        und.join(deg.select(F.col("u"), F.col("d").alias("x")), "u")
+        .join(
+            deg.select(F.col("u").alias("v"), F.col("d").alias("y")), "v"
+        )
+    )
+    s = dd.agg(
+        F.count("*").cast("long").alias("m2"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sx2"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("sy2"),
+    )
+    return s.select(
+        "m2", "sxy", "sx", "sx2",
+        (
+            (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (
+                F.sqrt((F.col("m2") * F.col("sx2") - F.col("sx") * F.col("sx")).cast("double"))
+                * F.sqrt((F.col("m2") * F.col("sy2") - F.col("sy") * F.col("sy")).cast("double"))
+            )
+        ).alias("assortativity"),
+    )
+
+
+@register(
+    "g38_clustering_coefficient",
+    oracle="""
+    WITH cp AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    e AS (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    pernode AS (
+      SELECT unnest([a, b, c]) AS node FROM tri
+    ),
+    tcount AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM pernode GROUP BY node),
+    und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    deg AS (SELECT und.u AS node, CAST(count(*) AS BIGINT) AS d
+            FROM und GROUP BY und.u)
+    SELECT deg.node AS cust, deg.d AS degree,
+           COALESCE(tcount.tri, 0) AS triangles,
+           2 * COALESCE(tcount.tri, 0) * 1000000 // (deg.d * (deg.d - 1))
+             AS lcc_micro
+    FROM deg LEFT JOIN tcount ON deg.node = tcount.node
+    WHERE deg.d >= 2
+    """,
+)
+def g38_clustering_coefficient(spark, sf_dir):
+    """Per-node local clustering coefficient on the co-purchase graph:
+    lcc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)), reported in exact integer
+    micro-units (the g30 fixed-point pattern — one bigint division, no
+    float tie hazards). Triangle enumeration is the canonical
+    distributed shape: canonically oriented edges (u < v), a wedge
+    self-join on the middle vertex, then an edge-existence semi-join —
+    each triangle materializes exactly once as a < b < c. Per-node
+    counts are an explode + groupBy, shuffle bounded by 3x the triangle
+    count. At 100 TB the orientation would be by (degree, id) instead
+    of raw id — same triangle set, provably capped wedge fan-out on
+    skewed hubs (the e1.v join key becomes the LOWER-degree endpoint);
+    id-orientation keeps the plan identical and the oracle trivial at
+    test SFs."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+        .localCheckpoint(eager=True)  # reused: wedge join x2, closure, deg
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    pernode = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    tcount = pernode.groupBy("node").agg(F.count("*").cast("long").alias("tri"))
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count("*").cast("long").alias("d")
+    )
+    out = (
+        deg.join(tcount, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("cust"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("tri"), F.lit(0).cast("long")).alias("triangles"),
+            F.expr(
+                "CAST(2 * coalesce(tri, 0) * 1000000 AS BIGINT)"
+                " div (d * (d - 1))"
+            ).alias("lcc_micro"),
+        )
+    )
+    return out

@@ -3018,3 +3018,118 @@ def l60_eval_apportionment(spark, sf_dir):
         .cast("long")
         .alias("quota"),
     )
+
+
+@register(
+    "l61_audio_decode",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, n, unnest(range(CAST(n AS BIGINT))) AS i FROM base
+    ),
+    vals AS (
+      SELECT doc_id, n, i,
+             (doc_id * 131 + i * 17) % 4096 - 2048 AS s
+      FROM samp
+    ),
+    flags AS (
+      SELECT doc_id, n, s,
+             CASE WHEN (s < 0) !=
+                       (lag(s) OVER (PARTITION BY doc_id ORDER BY i) < 0)
+                  THEN 1 ELSE 0 END AS flip
+      FROM vals
+    )
+    SELECT doc_id,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS n_channels,
+           CAST(max(n) AS INTEGER) AS n_samples,
+           CAST(max(n) * 1000 // 8000 AS INTEGER) AS duration_ms,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(s * s) AS BIGINT) AS sum_sq,
+           CAST(sum(flip) AS BIGINT) AS zero_crossings
+    FROM flags GROUP BY doc_id
+    """,
+)
+def l61_audio_decode(spark, sf_dir):
+    """REAL audio decode via mapInPandas: plant a deterministic mono
+    16-bit PCM WAV per doc (operators.audio.planted_wav — sample count
+    and every sample value are arithmetic on doc_id), decode it with the
+    pure-stdlib RIFF/WAV codec (no audio library), and emit the
+    recovered rate/channels/frame-count plus exact integer signal stats
+    (peak, sum|s|, sum s^2, sign-flip count). The oracle predicts every
+    value from the planting formulas, so a hash match attests the full
+    encode->decode round trip — the audio analog of l12's PNG path.
+    Per-row independent => scales linearly with partitions; payload
+    bytes never shuffle."""
+    from ekati_spark.operators.multimodal import extract_audio_features
+
+    @F.pandas_udf("binary")
+    def plant(ids: pd.Series) -> pd.Series:
+        from ekati_spark.operators.audio import planted_wav  # noqa: PLC0415
+
+        return ids.map(lambda i: planted_wav(int(i)))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.withColumn("content", plant("doc_id"))
+    return extract_audio_features(mm)
+
+
+@register(
+    "l62_audio_resample",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, (n + 1) // 2 AS n2,
+             unnest(range(CAST((n + 1) // 2 AS BIGINT))) AS j
+      FROM base
+    ),
+    vals AS (
+      SELECT doc_id, n2, j,
+             (doc_id * 131 + (2 * j) * 17) % 4096 - 2048 AS s
+      FROM samp
+    ),
+    flags AS (
+      SELECT doc_id, n2, s,
+             CASE WHEN (s < 0) !=
+                       (lag(s) OVER (PARTITION BY doc_id ORDER BY j) < 0)
+                  THEN 1 ELSE 0 END AS flip
+      FROM vals
+    )
+    SELECT doc_id,
+           CAST(4000 AS INTEGER) AS sample_rate,
+           CAST(max(n2) AS INTEGER) AS n_samples,
+           CAST(max(n2) * 1000 // 4000 AS INTEGER) AS duration_ms,
+           CAST(max(abs(s)) AS BIGINT) AS peak_abs,
+           CAST(sum(abs(s)) AS BIGINT) AS sum_abs,
+           CAST(sum(flip) AS BIGINT) AS zero_crossings
+    FROM flags GROUP BY doc_id
+    """,
+)
+def l62_audio_resample(spark, sf_dir):
+    """REAL audio transform round trip: plant the l61 WAV, decimate it
+    2x with the pure-stdlib codec (decode -> keep every 2nd frame ->
+    re-encode at rate//2), then decode the TRANSFORMED bytes and emit
+    integer stats. The oracle replays the decimation arithmetically
+    (kept sample j came from index 2j), so a hash match attests
+    decode->transform->encode->decode — the audio analog of
+    resize_png's nearest-neighbor contract. Two chained Arrow UDFs,
+    per-row independent; bytes never shuffle."""
+    from ekati_spark.operators.multimodal import extract_audio_features
+
+    @F.pandas_udf("binary")
+    def plant_decimated(ids: pd.Series) -> pd.Series:
+        from ekati_spark.operators.audio import (  # noqa: PLC0415
+            decimate_wav,
+            planted_wav,
+        )
+
+        return ids.map(lambda i: decimate_wav(planted_wav(int(i)), 2))
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.withColumn("content", plant_decimated("doc_id"))
+    return extract_audio_features(mm).drop("n_channels", "sum_sq")
