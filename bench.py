@@ -10,7 +10,8 @@ rounds; machine-load variance can double a single wall-clock). The set
 spans every operator family: scan-agg, multi-join, window, as-of,
 traversal, dedup (exact + MinHash-LSH + SimHash + transitive group
 resolution), similarity top-k, text stats, repetition quality filters,
-sequence packing, real PNG decode, streaming-shaped windows, PPS
+sequence packing, real PNG decode, real WAV audio decode,
+streaming-shaped windows, PPS
 weighted sampling, BPE pair counting, bitext margin mining,
 incremental MV maintenance, hashed-classifier quality scoring, DSIR
 importance weighting, the peak-concurrency interval sweep, the GK
@@ -47,6 +48,7 @@ HEADLINE = [
     "l06_knn_bruteforce",
     "l08_text_stats",
     "l12_multimodal_features",
+    "l61_audio_decode",
     "l20_dedup_groups",
     "l23_repetition_stats",
     "l25_pack_sequences",

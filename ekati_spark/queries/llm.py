@@ -3133,3 +3133,51 @@ def l62_audio_resample(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     mm = docs.withColumn("content", plant_decimated("doc_id"))
     return extract_audio_features(mm).drop("n_channels", "sum_sq")
+
+
+@register(
+    "l63_frame_sampling",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 900 + (doc_id * 37) % 9000 AS dur FROM documents
+    ),
+    f AS (
+      SELECT doc_id, dur,
+             unnest(range(0, CAST(dur AS BIGINT), 1000)) AS frame_ms
+      FROM base
+    )
+    SELECT doc_id, CAST(frame_ms AS BIGINT) AS frame_ms,
+           CAST(dur AS BIGINT) AS duration_ms
+    FROM f
+    """,
+)
+def l63_frame_sampling(spark, sf_dir):
+    """Video frame-sampling plumbing, oracle-attested: assign each doc a
+    deterministic clip duration (arithmetic on doc_id), run
+    operators.multimodal.sample_frames (posexplode of a JVM-generated
+    sequence — zero Python; the decode of each sampled frame is the
+    clearly-stubbed seam), and emit one row per sampled timestamp. The
+    oracle replays the grid with range(0, dur, 1000), so a hash match
+    attests the exact frame-offset contract (frames at 0..dur-1 step
+    1000 — no phantom frame at dur). Generator output scales with
+    sum(duration)/step, partition-local."""
+    from ekati_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.withColumn(
+        "media",
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (900 + (F.col("doc_id") * 37) % 9000)
+            .cast("long")
+            .alias("duration_ms"),
+            F.lit("planted").alias("codec"),
+        ),
+    )
+    return sample_frames(mm, every_ms=1000).select(
+        "doc_id",
+        F.col("frame_ms").cast("long").alias("frame_ms"),
+        F.col("media.duration_ms").alias("duration_ms"),
+    )
