@@ -2164,3 +2164,99 @@ def r62_retention_cohorts(spark, sf_dir):
         F.col("cw").alias("cohort_week"),
         F.expr("datediff(wk, cw) div 7").cast("int").alias("week_offset"),
     ).agg(F.count("*").alias("n_users"))
+
+
+@register(
+    "r63_kmv_distinct_sketch",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT o_orderpriority AS grp, o_custkey AS v FROM orders
+    ),
+    hh AS (
+      SELECT DISTINCT grp,
+             CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13)) AS BIGINT)
+               AS hv
+      FROM d
+    ),
+    uni AS (SELECT DISTINCT hv FROM hh),
+    r AS (
+      SELECT grp, hv,
+             row_number() OVER (PARTITION BY grp ORDER BY hv) AS rn,
+             count(*) OVER (PARTITION BY grp) AS nd
+      FROM hh
+    ),
+    ru AS (
+      SELECT '__all__' AS grp, hv,
+             row_number() OVER (ORDER BY hv) AS rn,
+             count(*) OVER () AS nd
+      FROM uni
+    ),
+    k AS (
+      SELECT grp, nd, hv AS kth_min,
+             CASE WHEN nd <= 256 THEN nd
+                  ELSE 255 * 4503599627370496 // hv END AS est_kmv
+      FROM (SELECT * FROM r UNION ALL SELECT * FROM ru)
+      WHERE rn = LEAST(256, nd)
+    )
+    SELECT grp, CAST(nd AS BIGINT) AS n_exact,
+           CAST(kth_min AS BIGINT) AS kth_min,
+           CAST(est_kmv AS BIGINT) AS est_kmv
+    FROM k
+    """,
+)
+def r63_kmv_distinct_sketch(spark, sf_dir):
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch with an
+    EXACT oracle — the third sketch family next to r47's HLL and r58's
+    GK quantiles, and the one whose estimate is pure integer
+    arithmetic: hash every distinct customer key into [0, 2^52) via the
+    md5-prefix trick (l03's engine-portable hash), keep the k=256
+    smallest per order-priority group, and estimate
+    |D| ≈ (k-1) * 2^52 div h_(k) — plus a '__all__' row built from the
+    UNION of the hash sets, demonstrating the property that makes KMV
+    the 100 TB tool: bottom-k sets merge associatively (bottom-k of a
+    union = bottom-k of the merged minima), so per-partition partials
+    combine without bias, unlike naive sampling. Both engines compute
+    identical md5 prefixes and one integer division, so even the
+    *approximate* estimate hash-matches — no tolerance band needed.
+
+    Plan shape: the rank filter compiles to WindowGroupLimit (Spark
+    4.x pushes the k-limit below the per-group sort, i.e. partial
+    bottom-k map-side before the shuffle); at 100 TB the same sketch
+    runs as a two-level agg (per-partition bottom-k, merge). n_exact
+    rides the same frame for attestation; a production query reports
+    only the sketch columns."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    K, POW52 = 256, 4503599627370496
+    d = orders.select(
+        F.col("o_orderpriority").alias("grp"), F.col("o_custkey").alias("v")
+    ).distinct()
+    hh = d.select(
+        "grp",
+        F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    uni = hh.select("hv").distinct().select(F.lit("__all__").alias("grp"), "hv")
+    both = hh.unionByName(uni)
+    win = W.partitionBy("grp").orderBy("hv")
+    # nd as a separate aggregate (6 rows, broadcast back): folding it into
+    # the window select as count(*) OVER would block the WindowGroupLimit
+    # rewrite — the optimizer only pushes the per-group k-limit below the
+    # sort when every window expression is rank-like and the filter is a
+    # constant bound on it
+    nd = both.groupBy("grp").agg(F.count("*").cast("long").alias("nd"))
+    r = both.select(
+        "grp", "hv", F.row_number().over(win).alias("rn")
+    ).filter(F.col("rn") <= K)
+    k = r.join(F.broadcast(nd), "grp").filter(
+        F.col("rn") == F.least(F.lit(K).cast("long"), F.col("nd"))
+    ).select(
+        "grp",
+        F.col("nd").cast("long").alias("n_exact"),
+        F.col("hv").cast("long").alias("kth_min"),
+        F.when(F.col("nd") <= K, F.col("nd"))
+        .otherwise(F.expr(f"{K - 1} * {POW52}L div hv"))
+        .cast("long")
+        .alias("est_kmv"),
+    )
+    return k

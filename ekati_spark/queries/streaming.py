@@ -330,3 +330,31 @@ def st12_dedup_ingest(spark, sf_dir):
         spark, str(src), str(tmp / "out"), str(tmp / "ck")
     )
     return landed.select("digest", "doc_id")
+
+
+@register(
+    "st13_stream_stream_full_join",
+    oracle="""
+    SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+           c.event_id AS click_id, p.event_id AS purchase_id,
+           c.ts AS click_ts, p.ts AS purchase_ts,
+           p.value AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def st13_stream_stream_full_join(spark, sf_dir):
+    """Stream-stream FULL OUTER interval join: matched click/purchase
+    pairs plus null-padded rows for unmatched clicks AND unmatched
+    purchases. Completes the outer-join family (st06 inner, st09 left):
+    full-outer is the shape for reconciliation streams where both sides
+    must be accounted for (every ad click and every purchase appears
+    exactly once, matched or not). Batch-mode here for the oracle; the
+    streaming run — null rows held back until the watermark proves no
+    counterpart can arrive, then state GC'd — is exercised in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.stream_stream_full_join(ev)

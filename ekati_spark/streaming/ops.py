@@ -214,6 +214,52 @@ _STATE_SCHEMA = T.StructType(
 )
 
 
+
+def stream_stream_full_join(
+    events: DataFrame, window: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream FULL OUTER join: matched click/purchase pairs plus
+    null-padded rows for BOTH unmatched sides — clicks with no purchase
+    in the window AND purchases no click preceded. Streaming semantics:
+    each side's unmatched row is emitted once the watermark proves no
+    counterpart can still arrive (click_ts + window for clicks, the
+    symmetric bound for purchases), after which its join state is GC'd;
+    the time-range condition on both watermarked columns is what makes
+    that state bounded. Batch mode is a plain full join, the oracle
+    path."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    buys = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    if events.isStreaming:
+        clicks = clicks.withWatermark("click_ts", "10 minutes")
+        buys = buys.withWatermark("purchase_ts", "10 minutes")
+    return clicks.join(
+        buys,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {window}")
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("c_user"), F.col("p_user")).alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def _user_stats_fn(
     key: tuple[Any, ...],
     pdfs: Iterator[pd.DataFrame],

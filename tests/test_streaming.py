@@ -362,3 +362,36 @@ def test_dedup_ingest_drops_cross_batch_dups_and_is_replay_safe(spark, tmp_path)
     assert got == [1, 2, 4]  # 3 deduped against batch 1's digest
     third = ops.dedup_ingest(spark, src, out, ck)  # no new files: no-op
     assert sorted(r.doc_id for r in third.collect()) == [1, 2, 4]
+
+
+def test_stream_stream_full_join(spark, ev_stream, ev_batch):
+    """Full-outer stream-stream join: matched rows equal batch; each
+    side's null-padded rows appear only when its join window closed
+    before the final watermark, and every emitted null row is a true
+    batch null row on the same side."""
+    batch_rows = ops.stream_stream_full_join(ev_batch).collect()
+    batch_matched = {
+        (r.click_id, r.purchase_id)
+        for r in batch_rows
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    batch_null_clicks = {
+        r.click_id for r in batch_rows if r.purchase_id is None
+    }
+    batch_null_buys = {r.purchase_id for r in batch_rows if r.click_id is None}
+    out = _run(
+        spark, ops.stream_stream_full_join(ev_stream), "t_ssfj", "append"
+    ).collect()
+    stream_matched = {
+        (r.click_id, r.purchase_id)
+        for r in out
+        if r.click_id is not None and r.purchase_id is not None
+    }
+    stream_null_clicks = {r.click_id for r in out if r.purchase_id is None}
+    stream_null_buys = {r.purchase_id for r in out if r.click_id is None}
+    assert stream_matched == batch_matched
+    assert stream_null_clicks <= batch_null_clicks
+    assert stream_null_buys <= batch_null_buys
+    assert len(batch_matched) > 0
+    # full-outer accounts for BOTH sides: batch row-identity check
+    assert len(batch_null_buys) > 0 and len(batch_null_clicks) > 0
