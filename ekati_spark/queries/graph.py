@@ -1981,3 +1981,215 @@ def g38_clustering_coefficient(spark, sf_dir):
         )
     )
     return out
+
+
+@register(
+    "g39_betweenness_sampled",
+    oracle="""
+    WITH RECURSIVE cp AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+                FROM orders o JOIN lineitem l
+                  ON o.o_orderkey = l.l_orderkey),
+    e AS MATERIALIZED (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    seeds AS (SELECT DISTINCT u AS seed FROM und ORDER BY seed LIMIT 8),
+    bfs AS (
+      SELECT seed, seed AS node, 0 AS d FROM seeds
+      UNION
+      SELECT b.seed, und.v AS node, b.d + 1
+      FROM bfs b JOIN und ON b.node = und.u
+      WHERE b.d < 4
+    ),
+    dist AS MATERIALIZED (SELECT seed, node, MIN(d) AS d FROM bfs GROUP BY 1, 2),
+    s0 AS MATERIALIZED (SELECT seed, node, CAST(1 AS BIGINT) AS sigma
+           FROM dist WHERE d = 0),
+    s1 AS MATERIALIZED (
+      SELECT dv.seed, dv.node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM dist dv JOIN und ON und.v = dv.node
+      JOIN s0 p ON p.seed = dv.seed AND p.node = und.u
+      WHERE dv.d = 1 GROUP BY 1, 2
+    ),
+    s2 AS MATERIALIZED (
+      SELECT dv.seed, dv.node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM dist dv JOIN und ON und.v = dv.node
+      JOIN s1 p ON p.seed = dv.seed AND p.node = und.u
+      WHERE dv.d = 2 GROUP BY 1, 2
+    ),
+    s3 AS MATERIALIZED (
+      SELECT dv.seed, dv.node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM dist dv JOIN und ON und.v = dv.node
+      JOIN s2 p ON p.seed = dv.seed AND p.node = und.u
+      WHERE dv.d = 3 GROUP BY 1, 2
+    ),
+    s4 AS MATERIALIZED (
+      SELECT dv.seed, dv.node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM dist dv JOIN und ON und.v = dv.node
+      JOIN s3 p ON p.seed = dv.seed AND p.node = und.u
+      WHERE dv.d = 4 GROUP BY 1, 2
+    ),
+    b4 AS MATERIALIZED (SELECT seed, node, sigma, CAST(0 AS BIGINT) AS delta_n FROM s4),
+    b3 AS MATERIALIZED (
+      SELECT s3.seed, s3.node, s3.sigma,
+             CAST(COALESCE(SUM(s3.sigma * (1000000000 + w.delta_n) // w.sigma), 0)
+                  AS BIGINT) AS delta_n
+      FROM s3
+      LEFT JOIN und ON s3.node = und.u
+      LEFT JOIN b4 w ON w.seed = s3.seed AND w.node = und.v
+      GROUP BY 1, 2, 3
+    ),
+    b2 AS MATERIALIZED (
+      SELECT s2.seed, s2.node, s2.sigma,
+             CAST(COALESCE(SUM(s2.sigma * (1000000000 + w.delta_n) // w.sigma), 0)
+                  AS BIGINT) AS delta_n
+      FROM s2
+      LEFT JOIN und ON s2.node = und.u
+      LEFT JOIN b3 w ON w.seed = s2.seed AND w.node = und.v
+      GROUP BY 1, 2, 3
+    ),
+    b1 AS MATERIALIZED (
+      SELECT s1.seed, s1.node, s1.sigma,
+             CAST(COALESCE(SUM(s1.sigma * (1000000000 + w.delta_n) // w.sigma), 0)
+                  AS BIGINT) AS delta_n
+      FROM s1
+      LEFT JOIN und ON s1.node = und.u
+      LEFT JOIN b2 w ON w.seed = s1.seed AND w.node = und.v
+      GROUP BY 1, 2, 3
+    ),
+    allb AS (
+      SELECT * FROM b1 UNION ALL SELECT * FROM b2
+      UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4
+    )
+    SELECT node AS cust,
+           CAST(SUM(delta_n) AS BIGINT) AS bc_nano,
+           CAST(count(*) AS BIGINT) AS n_sources_reached
+    FROM allb
+    GROUP BY node
+    HAVING SUM(delta_n) > 0
+    ORDER BY bc_nano DESC, cust
+    LIMIT 30
+    """,
+)
+def g39_betweenness_sampled(spark, sf_dir):
+    """Sampled betweenness centrality (Brandes dependency accumulation,
+    bounded radius) on the co-purchase graph: which customers lie on the
+    most shortest paths between other customers? 8 deterministic source
+    seeds (smallest node ids — g33's convention), BFS radius capped at 4
+    (at 100 TB full APSP is infeasible; source-sampled, radius-bounded
+    Brandes is the standard estimator, and the co-purchase graph's
+    2-sweep diameter bound (g34) shows radius 4 covers most pairs).
+
+    Exactness without floats: forward sigma (shortest-path counts) is
+    level-synchronous integer DP — sigma(v) = sum of sigma over level-d
+    predecessors, exact BIGINT. The backward pass stores dependencies in
+    NANO fixed point with the division applied PER TERM:
+    delta(v) = sum_w [sigma_v * (1e9 + delta_w) div sigma_w] over
+    level-(d+1) successors w — every term is one exact integer division,
+    so the sum is order-free and DuckDB's unrolled replay matches
+    bit-for-bit (the g32 fixed-point doctrine applied to Brandes).
+
+    Scale shape: all 8 sources ride ONE frontier keyed by (seed, node)
+    (multi-source batching, g33); each forward level is a
+    join + groupBy-sum (shuffle ∝ frontier-adjacent edges) with an
+    anti-join against the per-seed visited set; each backward level is
+    one join against the next level's delta table. Per-level state is
+    localCheckpointed — consumed by the next level AND the final union.
+    Levels are bounded (4), so the driver loop is O(1) plans."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    NANO = 1_000_000_000
+    MAXD = 4
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+    )
+    und = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)  # consumed by every forward + backward level
+    seeds = (
+        und.select(F.col("u").alias("seed"))
+        .distinct()
+        .orderBy("seed")
+        .limit(8)
+    )
+    lvl = [
+        seeds.select(
+            "seed", F.col("seed").alias("node"), F.lit(1).cast("long").alias("sigma")
+        ).localCheckpoint(eager=True)
+    ]
+    visited = lvl[0].select("seed", "node").localCheckpoint(eager=True)
+    for _ in range(MAXD):
+        nxt = (
+            lvl[-1]
+            .join(und, lvl[-1]["node"] == und["u"])
+            .groupBy("seed", F.col("v").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .join(visited, ["seed", "node"], "left_anti")
+            .localCheckpoint(eager=True)  # next level + visited + backward
+        )
+        lvl.append(nxt)
+        visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint(
+            eager=True
+        )
+    delta = [None] * (MAXD + 1)
+    delta[MAXD] = lvl[MAXD].withColumn("delta_n", F.lit(0).cast("long"))
+    for d in range(MAXD - 1, 0, -1):
+        w = delta[d + 1].select(
+            "seed",
+            F.col("node").alias("w_node"),
+            F.col("sigma").alias("w_sigma"),
+            F.col("delta_n").alias("w_delta"),
+        )
+        contrib = (
+            lvl[d]
+            .join(und, lvl[d]["node"] == und["u"])
+            .join(
+                w,
+                (F.col("w_node") == F.col("v"))
+                & (w["seed"] == lvl[d]["seed"]),
+            )
+            .select(
+                lvl[d]["seed"].alias("seed"),
+                lvl[d]["node"].alias("node"),
+                F.expr(f"sigma * ({NANO}L + w_delta) div w_sigma").alias("term"),
+            )
+            .groupBy("seed", "node")
+            .agg(F.sum("term").cast("long").alias("delta_n"))
+        )
+        delta[d] = (
+            lvl[d]
+            .join(contrib, ["seed", "node"], "left")
+            .select(
+                "seed",
+                "node",
+                "sigma",
+                F.coalesce(F.col("delta_n"), F.lit(0).cast("long")).alias(
+                    "delta_n"
+                ),
+            )
+            .localCheckpoint(eager=True)  # next backward level + final union
+        )
+    allb = delta[1]
+    for d in range(2, MAXD + 1):
+        allb = allb.unionByName(delta[d])
+    return (
+        allb.groupBy(F.col("node").alias("cust"))
+        .agg(
+            F.sum("delta_n").cast("long").alias("bc_nano"),
+            F.count("*").cast("long").alias("n_sources_reached"),
+        )
+        .filter(F.col("bc_nano") > 0)
+        .orderBy(F.col("bc_nano").desc(), "cust")
+        .limit(30)
+    )
