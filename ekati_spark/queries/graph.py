@@ -2193,3 +2193,165 @@ def g39_betweenness_sampled(spark, sf_dir):
         .orderBy(F.col("bc_nano").desc(), "cust")
         .limit(30)
     )
+
+
+@register(
+    "g40_random_walk_corpus",
+    oracle="""
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS MATERIALIZED (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    adj AS MATERIALIZED (
+      SELECT u, v, row_number() OVER (PARTITION BY u ORDER BY v) AS rn,
+             count(*) OVER (PARTITION BY u) AS deg
+      FROM und
+    ),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT u AS seed FROM und ORDER BY seed LIMIT 50
+    ),
+    w0 AS MATERIALIZED (SELECT seed, 0 AS step, seed AS node FROM seeds),
+    w1 AS MATERIALIZED (
+      SELECT w.seed, 1 AS step, a.v AS node FROM w0 w
+      JOIN adj a ON a.u = w.node
+       AND a.rn = 1 + CAST(('0x' || substr(md5(
+             CAST(w.seed AS VARCHAR) || '_1_' || CAST(w.node AS VARCHAR)
+           ), 1, 13)) AS BIGINT) % a.deg
+    ),
+    w2 AS MATERIALIZED (
+      SELECT w.seed, 2 AS step, a.v AS node FROM w1 w
+      JOIN adj a ON a.u = w.node
+       AND a.rn = 1 + CAST(('0x' || substr(md5(
+             CAST(w.seed AS VARCHAR) || '_2_' || CAST(w.node AS VARCHAR)
+           ), 1, 13)) AS BIGINT) % a.deg
+    ),
+    w3 AS MATERIALIZED (
+      SELECT w.seed, 3 AS step, a.v AS node FROM w2 w
+      JOIN adj a ON a.u = w.node
+       AND a.rn = 1 + CAST(('0x' || substr(md5(
+             CAST(w.seed AS VARCHAR) || '_3_' || CAST(w.node AS VARCHAR)
+           ), 1, 13)) AS BIGINT) % a.deg
+    ),
+    w4 AS MATERIALIZED (
+      SELECT w.seed, 4 AS step, a.v AS node FROM w3 w
+      JOIN adj a ON a.u = w.node
+       AND a.rn = 1 + CAST(('0x' || substr(md5(
+             CAST(w.seed AS VARCHAR) || '_4_' || CAST(w.node AS VARCHAR)
+           ), 1, 13)) AS BIGINT) % a.deg
+    ),
+    w5 AS MATERIALIZED (
+      SELECT w.seed, 5 AS step, a.v AS node FROM w4 w
+      JOIN adj a ON a.u = w.node
+       AND a.rn = 1 + CAST(('0x' || substr(md5(
+             CAST(w.seed AS VARCHAR) || '_5_' || CAST(w.node AS VARCHAR)
+           ), 1, 13)) AS BIGINT) % a.deg
+    ),
+    w6 AS MATERIALIZED (
+      SELECT w.seed, 6 AS step, a.v AS node FROM w5 w
+      JOIN adj a ON a.u = w.node
+       AND a.rn = 1 + CAST(('0x' || substr(md5(
+             CAST(w.seed AS VARCHAR) || '_6_' || CAST(w.node AS VARCHAR)
+           ), 1, 13)) AS BIGINT) % a.deg
+    ),
+    w7 AS MATERIALIZED (
+      SELECT w.seed, 7 AS step, a.v AS node FROM w6 w
+      JOIN adj a ON a.u = w.node
+       AND a.rn = 1 + CAST(('0x' || substr(md5(
+             CAST(w.seed AS VARCHAR) || '_7_' || CAST(w.node AS VARCHAR)
+           ), 1, 13)) AS BIGINT) % a.deg
+    ),
+    w8 AS MATERIALIZED (
+      SELECT w.seed, 8 AS step, a.v AS node FROM w7 w
+      JOIN adj a ON a.u = w.node
+       AND a.rn = 1 + CAST(('0x' || substr(md5(
+             CAST(w.seed AS VARCHAR) || '_8_' || CAST(w.node AS VARCHAR)
+           ), 1, 13)) AS BIGINT) % a.deg
+    )
+    SELECT seed AS walk_id, CAST(step AS INTEGER) AS step, node
+    FROM (SELECT * FROM w0 UNION ALL SELECT * FROM w1
+          UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3
+          UNION ALL SELECT * FROM w4 UNION ALL SELECT * FROM w5
+          UNION ALL SELECT * FROM w6 UNION ALL SELECT * FROM w7
+          UNION ALL SELECT * FROM w8)
+    """,
+)
+def g40_random_walk_corpus(spark, sf_dir):
+    """DeepWalk-style random-walk corpus generation over the co-purchase
+    graph — the graph→sequence step that feeds skip-gram graph-embedding
+    training (walks become 'sentences'; l64 mines their co-occurrence).
+    50 deterministic start nodes, 8 steps each.
+
+    Determinism (the sampling.py md5-draw doctrine lifted to walks):
+    the step-t transition out of node v on walk s picks neighbor index
+    1 + md5_52bit(concat(s,'_',t,'_',v)) mod deg(v) over the id-sorted
+    adjacency ranking — no RNG, reproducible under retry, identical in
+    any engine that can md5, so the ENTIRE walk corpus hash-matches the
+    unrolled SQL replay. Walks depending only on (walk, step, node)
+    keep the hash input bounded and make revisits follow the same
+    distribution as true uniform sampling with a fixed seed stream.
+
+    Scale shape: the adjacency index (rn, deg per node — one window
+    over the edge list) is built once and localCheckpointed; each step
+    is ONE equi-join (frontier × adj on node + computed rank), shuffle
+    ∝ number of active walks, not edges. Walk count scales out
+    trivially (more seeds = more rows in the same joins); step count is
+    a bounded driver loop, g39's shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    STEPS = 8
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+    )
+    und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    from pyspark.sql import Window as W
+
+    adj = und.select(
+        "u",
+        "v",
+        F.row_number().over(W.partitionBy("u").orderBy("v")).alias("rn"),
+        F.count("*").over(W.partitionBy("u")).alias("deg"),
+    ).localCheckpoint(eager=True)  # consumed by every walk step
+    seeds = und.select(F.col("u").alias("seed")).distinct().orderBy("seed").limit(50)
+    cur = seeds.select(
+        "seed", F.lit(0).alias("step"), F.col("seed").alias("node")
+    ).localCheckpoint(eager=True)
+    out = [cur]
+    for t in range(1, STEPS + 1):
+        draw = (
+            "1 + pmod(cast(conv(substring(md5(concat("
+            f"cast(seed as string), '_{t}_', cast(node as string)"
+            ")), 1, 13), 16, 10) as bigint), deg)"
+        )
+        cur = (
+            cur.join(adj, adj["u"] == cur["node"])
+            .filter(F.col("rn") == F.expr(draw))
+            .select(
+                "seed", F.lit(t).alias("step"), F.col("v").alias("node")
+            )
+            .localCheckpoint(eager=True)  # next step + final union
+        )
+        out.append(cur)
+    allw = out[0]
+    for df in out[1:]:
+        allw = allw.unionByName(df)
+    return allw.select(
+        F.col("seed").alias("walk_id"),
+        F.col("step").cast("int").alias("step"),
+        "node",
+    )

@@ -3181,3 +3181,116 @@ def l63_frame_sampling(spark, sf_dir):
         F.col("frame_ms").cast("long").alias("frame_ms"),
         F.col("media.duration_ms").alias("duration_ms"),
     )
+
+
+@register(
+    "l64_skipgram_collocations",
+    oracle="""
+    WITH tk AS MATERIALIZED (
+      SELECT string_split_regex(trim(lower(text)), ' +') AS t FROM documents
+    ),
+    uni AS MATERIALIZED (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(t) AS tok FROM tk)
+      WHERE tok != '' GROUP BY tok
+    ),
+    tot AS MATERIALIZED (SELECT CAST(SUM(n) AS BIGINT) AS nn FROM uni),
+    pairs AS MATERIALIZED (
+      SELECT p[1] AS w, p[2] AS c FROM (
+        SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+                                     i -> [t[i], t[i + 1]])) AS p
+        FROM tk
+        UNION ALL
+        SELECT unnest(list_transform(range(1, greatest(len(t) - 1, 1)),
+                                     i -> [t[i], t[i + 2]])) AS p
+        FROM tk
+      )
+    ),
+    pc AS MATERIALIZED (
+      SELECT w, c, CAST(count(*) AS BIGINT) AS n_wc
+      FROM pairs GROUP BY w, c
+    ),
+    ptot AS MATERIALIZED (SELECT CAST(SUM(n_wc) AS BIGINT) AS pp FROM pc)
+    SELECT w, c, n_wc, lift_micro FROM (
+      SELECT pc.w, pc.c, pc.n_wc,
+             CAST(((pc.n_wc * tot.nn // uw.n) * tot.nn // uc.n)
+                  * 1000000 // ptot.pp AS BIGINT) AS lift_micro,
+             row_number() OVER (
+               ORDER BY ((pc.n_wc * tot.nn // uw.n) * tot.nn // uc.n)
+                        * 1000000 // ptot.pp DESC, pc.w, pc.c) AS rn
+      FROM pc
+      JOIN uni uw ON pc.w = uw.tok
+      JOIN uni uc ON pc.c = uc.tok
+      CROSS JOIN tot CROSS JOIN ptot
+      WHERE pc.n_wc >= 5
+    ) WHERE rn <= 50
+    """,
+)
+def l64_skipgram_collocations(spark, sf_dir):
+    """Skip-gram collocation mining (phrase-vocabulary construction for
+    tokenizers / word2vec-style pair extraction): directed co-occurrence
+    pairs at offsets +1 and +2 over the whitespace token stream, scored
+    by association lift against the unigram independence baseline.
+
+    Exactness: lift = (n_wc/P) / ((n_w/N)(n_c/N)) is computed in ONE
+    fixed integer op order — ((n_wc*N div n_w) * N div n_c) * 1e6 div P
+    — every intermediate bounded by N^2*1e6 < 2^63 at any test SF, and
+    the oracle replays the identical division sequence, so even the
+    scores hash-match (the g32/g39 fixed-point doctrine). Plan shape:
+    posexplode + two window leads (no interpreted array lambdas on the
+    hot path per the dedup.py rule), three hash aggregations (vocab,
+    pairs, totals — all map-side partial), two vocab joins, top-k as
+    WindowGroupLimit. Shuffle ∝ corpus tokens; nothing driver-side."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), " +")).alias(
+            "pos", "tok"
+        ),
+    )
+    uni = (
+        toks.filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = uni.agg(F.sum("n").cast("long").alias("nn"))
+    win = W.partitionBy("doc_id").orderBy("pos")
+    led = toks.select(
+        F.col("tok").alias("w"),
+        F.lead("tok", 1).over(win).alias("c1"),
+        F.lead("tok", 2).over(win).alias("c2"),
+    )
+    pairs = led.filter(F.col("c1").isNotNull()).select(
+        "w", F.col("c1").alias("c")
+    ).unionByName(
+        led.filter(F.col("c2").isNotNull()).select("w", F.col("c2").alias("c"))
+    )
+    pc = pairs.groupBy("w", "c").agg(F.count("*").cast("long").alias("n_wc"))
+    ptot = pc.agg(F.sum("n_wc").cast("long").alias("pp"))
+    scored = (
+        pc.filter(F.col("n_wc") >= 5)
+        .join(uni.select(F.col("tok").alias("w"), F.col("n").alias("n_w")), "w")
+        .join(uni.select(F.col("tok").alias("c"), F.col("n").alias("n_c")), "c")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ptot))
+        .select(
+            "w",
+            "c",
+            "n_wc",
+            F.expr(
+                "((n_wc * nn div n_w) * nn div n_c) * 1000000 div pp"
+            ).cast("long").alias("lift_micro"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.col("lift_micro").desc(), "w", "c")
+            ),
+        )
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )

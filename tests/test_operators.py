@@ -541,6 +541,8 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     twice: 10-row broadcast query side with the vec_id<>query_id
     self-exclusion as the only non-equi predicate — per-pair scoring
     stays in the projection, not the join condition), and
+    l64_skipgram_collocations (the N and P corpus totals — two 1-row
+    aggregates broadcast onto the scored-pairs frame), and
     g28_engine_metrics (driver-side telemetry frames, O(stages)
     rows)."""
     from ekati_spark.queries import REGISTRY
@@ -560,6 +562,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l52_bigram_interp_logprob",
         "g31_nation_modularity",
         "l58_sq8_recall_audit",
+        "l64_skipgram_collocations",
         "g28_engine_metrics",
     }
     flagged = {}
