@@ -358,3 +358,39 @@ def st13_stream_stream_full_join(spark, sf_dir):
     tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return ops.stream_stream_full_join(ev)
+
+
+@register(
+    "st14_spend_threshold_alerts",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_id, ts,
+             SUM(CAST(round(value * 100) AS BIGINT)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_cents
+      FROM events
+    ),
+    lv AS (
+      SELECT user_id, event_id, cum_cents,
+             cum_cents // 50000 AS level,
+             COALESCE(lag(cum_cents // 50000) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id), 0) AS prev
+      FROM c
+    )
+    SELECT user_id, event_id, CAST(level AS BIGINT) AS level,
+           CAST(cum_cents AS BIGINT) AS cum_cents
+    FROM lv WHERE level > prev
+    """,
+)
+def st14_spend_threshold_alerts(spark, sf_dir):
+    """Cumulative-spend threshold alert feed: one row each time a
+    user's running spend crosses another 500-unit multiple. Batch-mode
+    window replay here for the oracle (integer CENTS running sum in
+    (ts, event_id) order — exact, engine-identical); the streaming run
+    on the NEW Spark 4 stateful API (transformWithStateInPandas, typed
+    per-user ValueState, micro-batch rows replayed in deterministic
+    event order) is proven equal to this batch feed in
+    tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    return ops.spend_alerts_batch(ev)

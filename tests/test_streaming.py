@@ -395,3 +395,62 @@ def test_stream_stream_full_join(spark, ev_stream, ev_batch):
     assert len(batch_matched) > 0
     # full-outer accounts for BOTH sides: batch row-identity check
     assert len(batch_null_buys) > 0 and len(batch_null_clicks) > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas driver worker requires the "
+    "protobuf package (absent in this container); the batch twin "
+    "spend_alerts_batch is oracle-checked via st14",
+)
+def test_transform_with_state_spend_alerts(spark, ev_stream, ev_batch):
+    """NEW Spark 4 stateful API (transformWithStateInPandas): the
+    streaming alert feed must equal the batch window replay exactly —
+    same crossings, same levels, same integer cum_cents."""
+    expect = {
+        (r.user_id, r.event_id, r.level, r.cum_cents)
+        for r in ops.spend_alerts_batch(ev_batch).collect()
+    }
+    out = _run(spark, ops.spend_alerts(ev_stream), "t_tws", "update")
+    got = {
+        (r.user_id, r.event_id, r.level, r.cum_cents)
+        for r in out.collect()
+    }
+    assert got == expect
+    assert len(expect) > 100
+
+
+def test_spend_alerts_batch_crossing_semantics(spark):
+    """Unit semantics of the alert feed (runs regardless of protobuf):
+    crossings emit exactly at the event that passes each multiple, with
+    the integer cum at that point; multi-level jumps emit once at the
+    highest level reached."""
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", 300.0),   # cum 300   -> no alert
+        (1, 2, "2024-01-01 00:01:00", 250.0),   # cum 550   -> level 1
+        (1, 3, "2024-01-01 00:02:00", 1100.0),  # cum 1650  -> level 3
+        (2, 4, "2024-01-01 00:00:30", 499.99),  # cum 499.99-> no alert
+        (2, 5, "2024-01-01 00:00:45", 0.01),    # cum 500.00-> level 1
+    ]
+    df = spark.createDataFrame(
+        [(u, e, t, v) for u, e, t, v in rows],
+        "user_id long, event_id long, ts string, value double",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (r.user_id, r.event_id): (r.level, r.cum_cents)
+        for r in ops.spend_alerts_batch(df).collect()
+    }
+    assert got == {
+        (1, 2): (1, 55000),
+        (1, 3): (3, 165000),
+        (2, 5): (1, 50000),
+    }
