@@ -226,3 +226,77 @@ def test_binary_file_media_ingestion_decodes(spark, tmp_path):
         for r in feats.collect()
     }
     assert got == {i: (4 + i % 13, 4 + i % 7) for i in (3, 7, 20)}
+
+
+# -- Python DataSource API: the `ntriples` format ------------------------
+
+NT_FIXTURE = "tests/fixtures/sample.nt"
+
+
+def _nt_df(spark, **options):
+    from ekati_spark.sources import pyds
+
+    pyds.register(spark)
+    r = spark.read.format("ntriples")
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.load(NT_FIXTURE)
+
+
+def test_ntriples_datasource_reads_fixture(spark):
+    rows = {tuple(r) for r in _nt_df(spark).collect()}
+    assert (
+        "http://example.org/alice",
+        "http://xmlns.com/foaf/0.1/knows",
+        "http://example.org/bob",
+        "iri",
+        None,
+        None,
+    ) in rows
+    assert (
+        "http://example.org/bob",
+        "http://example.org/greeting",
+        "hi",
+        "literal",
+        None,
+        "en",
+    ) in rows
+    # typed literal carries its dtype iri; blank subjects keep _: form
+    kinds = {r[3] for r in rows}
+    assert kinds == {"iri", "literal"} or "blank" in kinds
+    assert any(s.startswith("_:") for s, *_ in rows)
+
+
+def test_ntriples_datasource_chunk_invariance(spark):
+    """Byte-range partitioning must be a pure parallelization detail:
+    any chunk size yields the same triple multiset (the newline
+    alignment rule — partitions starting mid-line skip their partial
+    first line, owners read one line past their end)."""
+    base = sorted(map(tuple, _nt_df(spark).collect()))
+    for chunk in (37, 64, 101):
+        got = sorted(map(tuple, _nt_df(spark, chunk_bytes=chunk).collect()))
+        assert got == base, f"chunk_bytes={chunk} changed the result"
+
+
+def test_ntriples_datasource_agrees_with_distributed_loader(spark):
+    """The raw-triple source and the props-row loader must see the same
+    (subject, predicate) stream (modulo blank-node relabeling)."""
+    from ekati_spark.sources.ntriples import load_ntriples
+
+    raw = _nt_df(spark).collect()
+    props = load_ntriples(spark, NT_FIXTURE, run_id="x").collect()
+    assert len(raw) == len(props)
+    assert sorted(r.pred for r in raw) == sorted(p.key for p in props)
+
+
+def test_parse_nt_line_edge_cases():
+    from ekati_spark.sources.pyds import parse_nt_line
+
+    assert parse_nt_line("") is None
+    assert parse_nt_line("# comment") is None
+    assert parse_nt_line("not a triple .") is None
+    s = parse_nt_line('<a> <b> "x\\"y" .')
+    assert s == ("a", "b", 'x\\"y', "literal", None, None)
+    assert parse_nt_line("_:n1 <p> _:n2 .") == (
+        "_:n1", "p", "_:n2", "blank", None, None
+    )
