@@ -35,7 +35,13 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 NT_SCHEMA = (
     "subj string, pred string, obj string, obj_kind string, "
@@ -51,10 +57,41 @@ _LINE = re.compile(
 )
 
 
+_PAIR = re.compile(r"\\u([Dd][89AaBb][0-9a-fA-F]{2})\\u([Dd][C-Fc-f][0-9a-fA-F]{2})")
+_ESC = re.compile(r"\\(u[0-9a-fA-F]{4}|U[0-9a-fA-F]{8}|.)")
+_SIMPLE = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\", "b": "\b", "f": "\f"}
+
+
+def _unescape_literal(s: str) -> str:
+    """Decode N-Triples literal escapes into the actual string value.
+    Surrogate PAIRS combine into one code point first; a lone surrogate
+    maps to U+FFFD (Arrow's UTF-8 serializer rejects lone surrogates —
+    same guard as sources/ntriples.py)."""
+    s = _PAIR.sub(
+        lambda m: chr(
+            0x10000
+            + ((int(m.group(1), 16) - 0xD800) << 10)
+            + (int(m.group(2), 16) - 0xDC00)
+        ),
+        s,
+    )
+
+    def one(m: "re.Match") -> str:
+        t = m.group(1)
+        if t[0] in "uU":
+            cp = int(t[1:], 16)
+            return "�" if 0xD800 <= cp <= 0xDFFF else chr(cp)
+        return _SIMPLE.get(t, "\\" + t)
+
+    return _ESC.sub(one, s)
+
+
 def parse_nt_line(line: str):
     """One N-Triples line → (subj, pred, obj, obj_kind, dtype_iri, lang)
     or None for blank/comment/malformed lines (the reference's listener
-    silently skips what the grammar rejects)."""
+    silently skips what the grammar rejects). Literal objects come back
+    UNESCAPED — ``obj`` holds the actual string value, so writer+reader
+    round-trip cleanly."""
     if not line.strip() or line.lstrip().startswith("#"):
         return None
     m = _LINE.match(line)
@@ -66,7 +103,7 @@ def parse_nt_line(line: str):
         return (subj, pred, o_iri, "iri", None, None)
     if o_blank is not None:
         return (subj, pred, f"_:{o_blank}", "blank", None, None)
-    return (subj, pred, o_lit, "literal", o_type, o_lang)
+    return (subj, pred, _unescape_literal(o_lit), "literal", o_type, o_lang)
 
 
 class _RangePartition(InputPartition):
@@ -133,8 +170,85 @@ class NTriplesDataSource(DataSource):
     def reader(self, schema) -> NTriplesReader:
         return NTriplesReader(self.options)
 
+    def writer(self, schema, overwrite: bool) -> "NTriplesWriter":
+        return NTriplesWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Register the format on a session:
     ``pyds.register(spark); spark.read.format("ntriples").load(p)``."""
     spark.dataSource.register(NTriplesDataSource)
+
+
+def _fmt_term(value: str, kind: str, dtype: str | None, lang: str | None) -> str:
+    if kind == "iri":
+        return f"<{value}>"
+    if kind == "blank":
+        return value if value.startswith("_:") else f"_:{value}"
+    lit = (
+        value.replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+        .replace("\r", "\\r")
+        .replace("\t", "\\t")
+    )
+    if dtype:
+        return f'"{lit}"^^<{dtype}>'
+    if lang:
+        return f'"{lit}"@{lang}'
+    return f'"{lit}"'
+
+
+class _NTCommit(WriterCommitMessage):
+    def __init__(self, file: str, count: int):
+        self.file = file
+        self.count = count
+
+
+class NTriplesWriter(DataSourceWriter):
+    """Task-side writer: each partition lands one part-<uuid>.nt file,
+    then commit() publishes them by moving the staged directory into
+    place — the same tmp-then-rename contract every Spark file sink
+    uses, so a failed job leaves no partial output visible. abort()
+    removes the staging directory."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ntriples sink requires a path")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid
+
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        fname = os.path.join(staging, f"part-{uuid.uuid4().hex}.nt")
+        n = 0
+        with open(fname, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                subj = (
+                    row.subj
+                    if row.subj.startswith("_:")
+                    else f"<{row.subj}>"
+                )
+                obj = _fmt_term(
+                    row.obj, row.obj_kind, row.dtype_iri, row.lang
+                )
+                fh.write(f"{subj} <{row.pred}> {obj} .\n")
+                n += 1
+
+        return _NTCommit(fname, n)
+
+    def commit(self, messages):
+        import shutil
+
+        staging = os.path.join(self.path, "_staging")
+        for f in os.listdir(staging):
+            shutil.move(os.path.join(staging, f), os.path.join(self.path, f))
+        os.rmdir(staging)
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)

@@ -296,7 +296,28 @@ def test_parse_nt_line_edge_cases():
     assert parse_nt_line("# comment") is None
     assert parse_nt_line("not a triple .") is None
     s = parse_nt_line('<a> <b> "x\\"y" .')
-    assert s == ("a", "b", 'x\\"y', "literal", None, None)
+    assert s == ("a", "b", 'x"y', "literal", None, None)
+    u = parse_nt_line('<a> <b> "A\\u0042\\n" .')
+    assert u == ("a", "b", "AB\n", "literal", None, None)
+    lone = parse_nt_line('<a> <b> "bad\\uD800end" .')
+    assert lone[2] == "bad\uFFFDend"  # lone surrogate -> U+FFFD
     assert parse_nt_line("_:n1 <p> _:n2 .") == (
         "_:n1", "p", "_:n2", "blank", None, None
+    )
+
+
+def test_ntriples_datasource_write_roundtrip(spark, tmp_path):
+    """Writer side of the Python DataSource: DataFrame -> .nt files
+    (staged-then-published) -> read back identical, across multiple
+    partitions and escape-needing literals."""
+    df = _nt_df(spark)
+    out = str(tmp_path / "nt_out")
+    df.repartition(3).write.format("ntriples").mode("append").save(out)
+    import os
+
+    files = os.listdir(out)
+    assert all(f.endswith(".nt") for f in files) and "_staging" not in files
+    back = spark.read.format("ntriples").load(out)
+    assert sorted(map(tuple, back.collect())) == sorted(
+        map(tuple, df.collect())
     )
