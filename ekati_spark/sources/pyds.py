@@ -40,6 +40,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -173,6 +174,9 @@ class NTriplesDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "NTriplesWriter":
         return NTriplesWriter(self.options, overwrite)
 
+    def simpleStreamReader(self, schema) -> "NTriplesStreamReader":
+        return NTriplesStreamReader(self.options)
+
 
 def register(spark) -> None:
     """Register the format on a session:
@@ -252,3 +256,76 @@ class NTriplesWriter(DataSourceWriter):
         import shutil
 
         shutil.rmtree(os.path.join(self.path, "_staging"), ignore_errors=True)
+
+
+class NTriplesStreamReader(SimpleDataSourceStreamReader):
+    """Tail the .nt file(s) under ``path`` as a stream: offsets are
+    per-file byte positions, each micro-batch parses exactly the bytes
+    appended since the last committed offset (aligned to the last
+    complete line — a partial trailing line stays unconsumed until its
+    newline arrives, the reference's sliding-buffer rule,
+    WatService.cs:82-96). New files appearing in a directory join the
+    offset map at 0. Replays are exact: readBetweenOffsets re-reads the
+    same byte range, so recovery re-emits identical rows."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ntriples stream source requires a path")
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith(".nt")
+            )
+        return [self.path] if os.path.exists(self.path) else []
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def _complete_prefix_end(self, f: str, start: int) -> int:
+        size = os.path.getsize(f)
+        if size <= start:
+            return start
+        with open(f, "rb") as fh:
+            fh.seek(start)
+            data = fh.read(size - start)
+        # last newline at-or-after start bounds the complete prefix
+        nl = data.rfind(b"\n")
+        return start + nl + 1 if nl >= 0 else start
+
+    def read(self, start: dict):
+        offsets = dict(start.get("files", {}))
+        rows: list[tuple] = []
+        for f in self._files():
+            s = int(offsets.get(f, 0))
+            e = self._complete_prefix_end(f, s)
+            if e > s:
+                rows.extend(self._parse_range(f, s, e))
+            offsets[f] = e
+        return iter(rows), {"files": offsets}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        rows: list[tuple] = []
+        for f, e in end.get("files", {}).items():
+            s = int(start.get("files", {}).get(f, 0))
+            if int(e) > s and os.path.exists(f):
+                rows.extend(self._parse_range(f, s, int(e)))
+        return iter(rows)
+
+    @staticmethod
+    def _parse_range(f: str, start: int, end: int) -> list[tuple]:
+        out = []
+        with open(f, "rb") as fh:
+            fh.seek(start)
+            data = fh.read(end - start)
+        for raw in data.decode("utf-8", errors="replace").splitlines():
+            row = parse_nt_line(raw)
+            if row is not None:
+                out.append(row)
+        return out
+
+    def commit(self, end: dict) -> None:
+        pass

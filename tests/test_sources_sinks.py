@@ -321,3 +321,37 @@ def test_ntriples_datasource_write_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_ntriples_stream_tails_appended_lines(spark, tmp_path):
+    """Streaming side of the Python DataSource: per-file byte offsets,
+    only complete lines consumed (a partial trailing line waits for its
+    newline), and a checkpointed restart picks up ONLY the appended
+    delta."""
+    from ekati_spark.sources import pyds
+
+    pyds.register(spark)
+    src = tmp_path / "feed.nt"
+    ck = str(tmp_path / "ck")
+    src.write_text('<a> <p> "one" .\n<b> <p> "two" .\n<c> <p> "part')
+
+    out = str(tmp_path / "sink")
+
+    def run():
+        stream = spark.readStream.format("ntriples").load(str(src))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r.subj for r in spark.read.parquet(out).collect())
+
+    assert run() == ["a", "b"]  # partial 'c' line held back
+    with open(src, "a") as f:
+        f.write(' x" .\n<d> <p> "four" .\n')
+    # same checkpoint: the restart consumes ONLY the appended delta, so
+    # the sink accumulates each line exactly once
+    assert run() == ["a", "b", "c", "d"]
