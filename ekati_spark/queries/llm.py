@@ -3294,3 +3294,85 @@ def l64_skipgram_collocations(spark, sf_dir):
         .filter(F.col("rn") <= 50)
         .drop("rn")
     )
+
+
+@register(
+    "l65_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS digest
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 11 = 0
+                  THEN md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+                           || ':v2')
+                  ELSE md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+             END AS digest
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 1000000, lang,
+             md5(CAST(doc_id AS VARCHAR) || ':new')
+      FROM documents WHERE doc_id % 13 = 0
+    ),
+    j AS (
+      SELECT COALESCE(a.lang, b.lang) AS lang,
+             CASE WHEN a.doc_id IS NULL THEN 'added'
+                  WHEN b.doc_id IS NULL THEN 'removed'
+                  WHEN a.digest <> b.digest THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM a FULL JOIN b ON a.doc_id = b.doc_id
+    )
+    SELECT lang, status, CAST(count(*) AS BIGINT) AS n_docs
+    FROM j GROUP BY lang, status
+    """,
+)
+def l65_snapshot_diff(spark, sf_dir):
+    """Dataset-release diff report: full-outer join of two corpus
+    snapshots on doc_id, classifying every document added / removed /
+    changed (content digest differs) / unchanged, rolled up per
+    language — the audit a training-data release pipeline publishes
+    with each snapshot. Snapshot B is derived deterministically from A
+    (%7 deletions, %11 edits, %13 additions — the l46 stand-in
+    convention) so the oracle replays it exactly.
+
+    Scale shape: the diff never compares text — both sides reduce to
+    (doc_id, digest) first (at 100 TB these are the snapshots'
+    persisted digest indexes, bucketed on doc_id, so the full-outer
+    join is co-located and text bytes are never read); the report
+    aggregate is ∝ langs × 4 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    dg = F.md5(D.normalized(F.col("text")))
+    a = docs.select("doc_id", "lang", dg.alias("digest"))
+    b_kept = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        "lang",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.md5(F.concat(D.normalized(F.col("text")), F.lit(":v2")))
+        )
+        .otherwise(dg)
+        .alias("digest"),
+    )
+    b_new = docs.filter(F.col("doc_id") % 13 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":new"))).alias(
+            "digest"
+        ),
+    )
+    b = b_kept.unionByName(b_new)
+    aa, bb = a.alias("a"), b.alias("b")
+    j = aa.join(bb, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.lang"), F.col("b.lang")).alias("lang"),
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.digest") != F.col("b.digest"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+    return j.groupBy("lang", "status").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

@@ -2260,3 +2260,60 @@ def r63_kmv_distinct_sketch(spark, sf_dir):
         .alias("est_kmv"),
     )
     return k
+
+
+@register(
+    "r64_event_pattern_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS s,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(len(regexp_extract(s, 'v[^e]*c[^e]*p')) AS BIGINT)
+             AS match_span,
+           CAST(len(s) - len(replace(s, 'p', '')) AS BIGINT) AS n_purchases
+    FROM seq
+    WHERE regexp_matches(s, 'v[^e]*c[^e]*p')
+    """,
+)
+def r64_event_pattern_match(spark, sf_dir):
+    """Event-sequence pattern matching — the MATCH_RECOGNIZE substitute:
+    collapse each user's event stream to an ordered initial-letter
+    string (listagg WITHIN GROUP — one shuffle, state ∝ events/user)
+    and run the sequence pattern as a REGEX over it: here
+    'view, later click, later purchase, with NO error anywhere
+    between' = ``v[^e]*c[^e]*p``. This captures ordering constraints
+    r51's min-timestamp funnel chaining cannot express (exclusion
+    windows, immediate-adjacency, bounded gaps = regex quantifiers).
+
+    Leftmost-match semantics are identical in Spark and DuckDB (both
+    RE2/PCRE-style leftmost-first on these constructs), and the span
+    length + purchase count are integer string ops, so the whole row
+    hash-matches. At 100 TB the per-user string is bounded by events
+    per user (the same bound sessionization already carries); users
+    shard across reducers by the groupBy key."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "events_r64"
+    )
+    return spark.sql(
+        """
+        WITH seq AS (
+          SELECT user_id,
+                 listagg(substr(event_type, 1, 1), '')
+                   WITHIN GROUP (ORDER BY ts, event_id) AS s,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events_r64 GROUP BY user_id
+        )
+        SELECT user_id, n_events,
+               CAST(length(regexp_extract(s, 'v[^e]*c[^e]*p', 0)) AS BIGINT)
+                 AS match_span,
+               CAST(length(s) - length(replace(s, 'p', '')) AS BIGINT)
+                 AS n_purchases
+        FROM seq
+        WHERE s RLIKE 'v[^e]*c[^e]*p'
+        """
+    )
