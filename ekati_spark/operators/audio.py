@@ -45,6 +45,11 @@ def encode_wav(
     [-32768, 32767]; 8-bit are signed values stored unsigned-biased
     (+128) per the WAV spec. Interleaved frames when ``channels > 1``
     (``samples`` length must be a multiple of ``channels``)."""
+    if channels > 1 and len(samples) % channels:
+        raise ValueError(
+            f"{len(samples)} samples do not fill whole {channels}-channel "
+            "frames"
+        )
     if sampwidth == 2:
         frames = struct.pack(f"<{len(samples)}h", *samples)
     elif sampwidth == 1:

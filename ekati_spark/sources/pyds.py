@@ -248,6 +248,12 @@ class NTriplesWriter(DataSourceWriter):
         import shutil
 
         staging = os.path.join(self.path, "_staging")
+        if self.overwrite:
+            # publish-time swap: drop the previously published part
+            # files only once every task has staged successfully
+            for f in os.listdir(self.path):
+                if f.endswith(".nt") and f != "_staging":
+                    os.remove(os.path.join(self.path, f))
         for f in os.listdir(staging):
             shutil.move(os.path.join(staging, f), os.path.join(self.path, f))
         os.rmdir(staging)

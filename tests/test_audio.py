@@ -103,3 +103,8 @@ def test_extract_audio_features_null_tolerance(spark):
         assert out[bad]["n_samples"] is None
         assert out[bad]["zero_crossings"] is None
     assert "content" not in extract_audio_features(df).columns
+
+
+def test_encode_rejects_ragged_frames():
+    with pytest.raises(ValueError):
+        encode_wav([1, 2, 3], 8000, channels=2)

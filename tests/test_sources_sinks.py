@@ -355,3 +355,15 @@ def test_ntriples_stream_tails_appended_lines(spark, tmp_path):
     # same checkpoint: the restart consumes ONLY the appended delta, so
     # the sink accumulates each line exactly once
     assert run() == ["a", "b", "c", "d"]
+
+
+def test_ntriples_datasource_overwrite_replaces(spark, tmp_path):
+    df = _nt_df(spark)
+    out = str(tmp_path / "nt_ow")
+    df.write.format("ntriples").mode("append").save(out)
+    df.write.format("ntriples").mode("append").save(out)
+    back2 = spark.read.format("ntriples").load(out)
+    assert back2.count() == 2 * df.count()  # append accumulates
+    df.write.format("ntriples").mode("overwrite").save(out)
+    back3 = spark.read.format("ntriples").load(out)
+    assert back3.count() == df.count()  # overwrite swapped it out
