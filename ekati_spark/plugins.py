@@ -21,6 +21,11 @@ Three plugin kinds:
 - ``column``     Column -> Column — a value transform (the reference's
                  value-transform roadmap item); applied via
                  ``apply_plugin(df, name, col="x", out="y")``.
+- ``table``      a Spark 4 Python UDTF handler class — a user-supplied
+                 TABLE function (rows out per row in, the
+                 query-operator roadmap item): registered into the
+                 session by name via ``register_table_plugin_sql`` and
+                 invoked from SQL as ``name(...)`` or ``LATERAL``.
 
 ``load_plugins_from(dir)`` imports every ``*.py`` file in a directory —
 the ``LoadModuleText``-from-file analog; modules self-register at
@@ -34,7 +39,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_KINDS = ("stream", "dataframe", "column")
+_KINDS = ("stream", "dataframe", "column", "table")
 
 
 @dataclass(frozen=True)
@@ -128,6 +133,27 @@ def apply_stream_plugin(stream: DataFrame, name: str, graph) -> DataFrame:
     if "remote" not in out.columns:
         out = out.withColumn("remote", F.lit(""))
     return out.select("node_id", "remote")
+
+
+def register_table_plugin_sql(spark, name: str, returnType: str):
+    """Publish a ``table`` plugin into a session's SQL namespace as a
+    Python UDTF (Arrow-batched where Spark enables it). After this,
+    ``SELECT * FROM <name>(args)`` and ``... , LATERAL <name>(col)``
+    work — the user-supplied *query operator* seam. The handler class
+    runs under the same Python-worker isolation as every other plugin
+    kind. Doctrine note: UDTF bodies are Python — keep them off
+    per-token hot paths (the dedup.py rule); they are the integration
+    surface, built-ins are the throughput surface."""
+    from pyspark.sql.functions import udtf as _udtf
+
+    spec = get_plugin(name)
+    if spec.kind != "table":
+        raise ValueError(
+            f"plugin {name!r} has kind {spec.kind!r}; need a table plugin"
+        )
+    wrapped = _udtf(spec.fn, returnType=returnType)
+    spark.udtf.register(name, wrapped)
+    return wrapped
 
 
 def load_plugins_from(directory: str) -> list[str]:

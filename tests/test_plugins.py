@@ -114,3 +114,51 @@ def test_load_plugins_from_directory(spark, tmp_path, clean_registry):
 def test_bad_kind_rejected(clean_registry):
     with pytest.raises(ValueError, match="plugin kind"):
         register_plugin("x", kind="wat")
+
+
+def test_table_plugin_udtf(clean_registry, spark):
+    """Spark 4 Python UDTF as the table-plugin kind: a chunk-span
+    expander registered by name, invoked from SQL with LATERAL, and
+    checked against the pure-arithmetic expectation."""
+    from ekati_spark.plugins import register_table_plugin_sql
+
+    @register_plugin("chunk_spans", kind="table")
+    class ChunkSpans:
+        def eval(self, n_tokens: int, chunk: int):
+            start = 0
+            idx = 0
+            while start < n_tokens:
+                yield idx, start, min(chunk, n_tokens - start)
+                start += chunk
+                idx += 1
+
+    register_table_plugin_sql(
+        spark, "chunk_spans",
+        "chunk_idx int, start_tok int, n_tokens int",
+    )
+    got = spark.sql(
+        "SELECT * FROM chunk_spans(10, 4)"
+    ).collect()
+    assert [tuple(r) for r in got] == [(0, 0, 4), (1, 4, 4), (2, 8, 2)]
+    # LATERAL over a real frame
+    spark.createDataFrame(
+        [(1, 10), (2, 3)], "doc_id long, n long"
+    ).createOrReplaceTempView("docs_tp")
+    lat = spark.sql(
+        "SELECT doc_id, chunk_idx, n_tokens FROM docs_tp, "
+        "LATERAL chunk_spans(CAST(n AS INT), 4)"
+    ).collect()
+    assert {(r.doc_id, r.chunk_idx, r.n_tokens) for r in lat} == {
+        (1, 0, 4), (1, 1, 4), (1, 2, 2), (2, 0, 3),
+    }
+
+
+def test_table_plugin_kind_enforced(clean_registry, spark):
+    from ekati_spark.plugins import register_table_plugin_sql
+
+    @register_plugin("not_table", kind="column")
+    def not_table(c):
+        return c
+
+    with pytest.raises(ValueError, match="table plugin"):
+        register_table_plugin_sql(spark, "not_table", "x int")
