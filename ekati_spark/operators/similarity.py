@@ -952,40 +952,21 @@ def _trunc_div(s: int, n: int) -> int:
     return s // n if s >= 0 else -((-s) // n)
 
 
-def ivf_topk_int(
+def _int_kmeans(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
-    n_lists: int = 16,
-    n_probe: int = 6,
-    kmeans_iters: int = 2,
-    scale: int = 1024,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    query_id_col: str = "query_id",
-    query_vec_col: str = "query_vec",
-) -> DataFrame:
-    """IVF approximate top-k with FULLY DETERMINISTIC INTEGER k-means —
-    the oracle-replayable twin of ``ivf_topk``: vectors quantize to
-    ``floor(x*scale + 0.5)`` int64 grid points (the one float→int op,
-    IEEE-identical in any engine), seeds are the ``n_lists`` smallest
-    ids' vectors, Lloyd updates are per-dimension integer sums with
-    trunc-toward-zero division, and every distance is an exact int64
-    L2². No RNG, no float accumulation — a SQL engine replays the
-    whole index build bit-for-bit (queries/llm.py::l15's DuckDB
-    oracle does). Quantization at scale=1024 costs <0.1% relative
-    distance error on unit-range embeddings — irrelevant to ANN
-    bucketing quality (recall asserted in tests/test_similarity.py).
-
-    Scale shape mirrors ``ivf_topk``: centroids live in UDF closures
-    (k×dim ints — the only driver state), assignment and partial sums
-    are single mapInPandas passes (int64 matmul per Arrow batch),
-    candidates meet probed lists in one equi-join, and the final
-    top-k is a per-query window. At 100 TB the assigned corpus is
-    written list-partitioned exactly like build_ivf_index."""
+    n_lists: int,
+    kmeans_iters: int,
+    scale: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared integer-deterministic k-means core (l15/l37 oracle path):
+    quantize to the int64 grid, seed with the ``n_lists`` smallest ids,
+    iterate exact integer Lloyd steps. Returns (assigned DataFrame with
+    columns ``id, qv, list_id`` — localCheckpointed, final-centroid
+    assignment — and the centroid dict)."""
     import numpy as np
 
-    spark = corpus.sparkSession
     dim = _infer_dim(corpus, vec_col)
 
     @F.pandas_udf("array<long>")
@@ -1000,16 +981,16 @@ def ivf_topk_int(
         corpus.filter(
             F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
         )
-        .select(F.col(id_col).alias("neighbor_id"), quant(F.col(vec_col)).alias("qv"))
+        .select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
         .localCheckpoint(eager=True)  # reused per iteration + final assign
     )
-    seeds = c.orderBy("neighbor_id").limit(n_lists).collect()
+    seeds = c.orderBy("id").limit(n_lists).collect()
     cents = {i: list(r["qv"]) for i, r in enumerate(seeds)}
 
     def assign(frame: DataFrame, cents: dict) -> DataFrame:
         ids = sorted(cents)
         C = np.array([cents[i] for i in ids], dtype=np.int64)
-        schema = "neighbor_id long, qv array<long>, list_id long"
+        schema = "id long, qv array<long>, list_id long"
 
         def op(batches):
             cc = (C * C).sum(axis=1)
@@ -1021,7 +1002,7 @@ def ivf_topk_int(
                 # argmin returns the FIRST minimum -> smallest list_id
                 # on ties (ids sorted) — the oracle's ORDER BY tie-break
                 li = d.argmin(axis=1)
-                out = pdf[["neighbor_id", "qv"]].copy()
+                out = pdf[["id", "qv"]].copy()
                 out["list_id"] = [ids[j] for j in li]
                 yield out
 
@@ -1061,6 +1042,56 @@ def ivf_topk_int(
     for _ in range(kmeans_iters):
         cents = update(assign(c, cents))
     assigned = assign(c, cents).localCheckpoint(eager=True)
+    return assigned, cents
+
+
+def ivf_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF approximate top-k with FULLY DETERMINISTIC INTEGER k-means —
+    the oracle-replayable twin of ``ivf_topk``: vectors quantize to
+    ``floor(x*scale + 0.5)`` int64 grid points (the one float→int op,
+    IEEE-identical in any engine), seeds are the ``n_lists`` smallest
+    ids' vectors, Lloyd updates are per-dimension integer sums with
+    trunc-toward-zero division, and every distance is an exact int64
+    L2². No RNG, no float accumulation — a SQL engine replays the
+    whole index build bit-for-bit (queries/llm.py::l15's DuckDB
+    oracle does). Quantization at scale=1024 costs <0.1% relative
+    distance error on unit-range embeddings — irrelevant to ANN
+    bucketing quality (recall asserted in tests/test_similarity.py).
+
+    Scale shape mirrors ``ivf_topk``: centroids live in UDF closures
+    (k×dim ints — the only driver state), assignment and partial sums
+    are single mapInPandas passes (int64 matmul per Arrow batch),
+    candidates meet probed lists in one equi-join, and the final
+    top-k is a per-query window. At 100 TB the assigned corpus is
+    written list-partitioned exactly like build_ivf_index."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    dim = _infer_dim(corpus, vec_col)
+    assigned, cents = _int_kmeans(
+        corpus, n_lists, kmeans_iters, scale, id_col, vec_col
+    )
+    assigned = assigned.withColumnRenamed("id", "neighbor_id")
+
+    @F.pandas_udf("array<long>")
+    def quant(vs: pd.Series) -> pd.Series:
+        return vs.map(
+            lambda v: np.floor(
+                np.asarray(v, dtype=np.float64) * scale + 0.5
+            ).astype(np.int64).tolist()
+        )
 
     q = (
         queries.filter(
@@ -1118,5 +1149,73 @@ def ivf_topk_int(
             F.col("rn").cast("int").alias("rank"),
             "neighbor_id",
             "dist_sq",
+        )
+    )
+
+
+def semantic_dedup_int(
+    emb: DataFrame,
+    threshold_sq: tuple[int, int] = (289, 400),
+    n_lists: int = 16,
+    kmeans_iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) with FULLY INTEGER semantics — the
+    oracle-replayable twin of ``semantic_dedup``: clusters come from
+    the shared integer k-means (`_int_kmeans`), and the within-cluster
+    cosine test runs WITHOUT any float: on the quantized grid,
+
+        cos(a, b) >= t  ⟺  dot > 0  AND  D·dot² >= N·|a|²·|b|²
+
+    with t² = N/D exact rational (default 289/400 = 0.85²). dot and
+    the squared norms are exact int64 (≤ ~2e7 at scale 1024, so D·dot²
+    ≤ ~1.4e17 stays in BIGINT), which makes keep/drop decisions — and
+    therefore the whole keep-list — bit-identical in any engine.
+    Returns ``(vec_id, list_id, kept)`` like the float variant; keep
+    rule = "no lower-id neighbor at/above threshold".
+
+    Scale shape: identical to semantic_dedup — pair work confined to
+    clusters (Σ cluster², never corpus²); the integer predicate runs
+    in one Arrow pass over the cluster equi-join."""
+    import numpy as np
+
+    num, den = threshold_sq
+    assigned, _ = _int_kmeans(
+        emb, n_lists, kmeans_iters, scale, id_col, vec_col
+    )
+    a = assigned.select(
+        "list_id", F.col("id").alias("id_a"), F.col("qv").alias("qv_a")
+    )
+    b = assigned.select(
+        "list_id", F.col("id").alias("id_b"), F.col("qv").alias("qv_b")
+    )
+    pairs = a.join(b, "list_id").filter(F.col("id_a") < F.col("id_b"))
+
+    def judge(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.array(pdf["qv_a"].tolist(), dtype=np.int64)
+            B = np.array(pdf["qv_b"].tolist(), dtype=np.int64)
+            dot = (A * B).sum(axis=1)
+            na = (A * A).sum(axis=1)
+            nb = (B * B).sum(axis=1)
+            hit = (dot > 0) & (den * dot * dot >= num * na * nb)
+            out = pdf.loc[hit, ["id_b"]].copy()
+            yield out
+
+    dropped = (
+        pairs.mapInPandas(judge, schema="id_b long")
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("hit", F.lit(True)), "id", "left")
+        .select(
+            F.col("id").alias("vec_id"),
+            "list_id",
+            F.coalesce(~F.col("hit"), F.lit(True)).alias("kept"),
         )
     )

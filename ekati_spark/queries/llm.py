@@ -1585,16 +1585,107 @@ def l36_source_token_report(spark, sf_dir):
     )
 
 
-@register("l37_semantic_dedup")
+@register(
+    "l37_semantic_dedup",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, qv AS c
+      FROM (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 16)
+    ),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT e.vec_id, e.qv, c0.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CAST(list_dot_product(e.qv, e.qv)
+                      - 2 * list_dot_product(e.qv, c0.c)
+                      + list_dot_product(c0.c, c0.c) AS BIGINT),
+                 c0.list_id) AS rn
+        FROM e CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    s1 AS MATERIALIZED (
+      SELECT list_id, i,
+             CAST(SUM(qv[i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT list_id, qv, unnest(range(64)) AS i FROM a1)
+      GROUP BY list_id, i
+    ),
+    c1 AS MATERIALIZED (
+      SELECT list_id,
+             list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                  ORDER BY i) AS c
+      FROM s1 GROUP BY list_id
+    ),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT e.vec_id, e.qv, c1.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CAST(list_dot_product(e.qv, e.qv)
+                      - 2 * list_dot_product(e.qv, c1.c)
+                      + list_dot_product(c1.c, c1.c) AS BIGINT),
+                 c1.list_id) AS rn
+        FROM e CROSS JOIN c1
+      ) WHERE rn = 1
+    ),
+    s2 AS MATERIALIZED (
+      SELECT list_id, i,
+             CAST(SUM(qv[i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT list_id, qv, unnest(range(64)) AS i FROM a2)
+      GROUP BY list_id, i
+    ),
+    c2 AS MATERIALIZED (
+      SELECT list_id,
+             list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                  ORDER BY i) AS c
+      FROM s2 GROUP BY list_id
+    ),
+    a3 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT e.vec_id, e.qv, c2.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CAST(list_dot_product(e.qv, e.qv)
+                      - 2 * list_dot_product(e.qv, c2.c)
+                      + list_dot_product(c2.c, c2.c) AS BIGINT),
+                 c2.list_id) AS rn
+        FROM e CROSS JOIN c2
+      ) WHERE rn = 1
+    ),
+    pairs AS MATERIALIZED (
+      SELECT y.vec_id AS id_b
+      FROM a3 x JOIN a3 y
+        ON x.list_id = y.list_id AND x.vec_id < y.vec_id
+      WHERE CAST(list_dot_product(x.qv, y.qv) AS BIGINT) > 0
+        AND 400 * CAST(list_dot_product(x.qv, y.qv) AS BIGINT)
+                * CAST(list_dot_product(x.qv, y.qv) AS BIGINT)
+            >= 289 * CAST(list_dot_product(x.qv, x.qv) AS BIGINT)
+                   * CAST(list_dot_product(y.qv, y.qv) AS BIGINT)
+    )
+    SELECT a3.vec_id, a3.list_id,
+           (a3.vec_id NOT IN (SELECT id_b FROM pairs)) AS kept
+    FROM a3
+    """,
+)
 def l37_semantic_dedup(spark, sf_dir):
-    """SemDeDup-style semantic dedup over the embeddings table: k-means
-    clustering confines the cosine comparison to clusters (cost ∝
-    Σ cluster², never corpus²); within a cluster, any vector with a
-    lower-id neighbor at cosine ≥ 0.85 is dropped. Rows-only check
-    (k-means floats aren't portable to DuckDB); planted-duplicate
-    behavior is asserted in tests/test_similarity.py."""
+    """SemDeDup-style semantic dedup, now FULLY oracle-backed: clusters
+    come from the shared integer-deterministic k-means (the l15 core,
+    similarity._int_kmeans) and the within-cluster cosine >= 0.85 test
+    runs entirely in int64 — cos >= t  ⟺  dot > 0 AND 400·dot² >=
+    289·|a|²·|b|² on the quantized grid (t² = 289/400 exact rational),
+    so keep/drop decisions replay bit-for-bit in DuckDB. Cost stays ∝
+    Σ cluster², never corpus² (the SemDeDup trade: cross-cluster
+    near-dups missed by design). Planted-duplicate behavior asserted
+    in tests/test_similarity.py for BOTH variants; the float
+    semantic_dedup remains for unquantized deployments."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, threshold=0.85, n_lists=16, kmeans_iters=2)
+    return S.semantic_dedup_int(
+        emb, threshold_sq=(289, 400), n_lists=16, kmeans_iters=2
+    )
 
 
 @register(

@@ -152,4 +152,4 @@ def test_graded_first_window_is_complete():
     assert not missing, missing
     assert list(REGISTRY)[:50] == _GRADED_FIRST
     rows_only = sorted(n for n in _GRADED_FIRST if n not in oracle_sql())
-    assert rows_only == ["l37_semantic_dedup"], rows_only
+    assert rows_only == [], rows_only

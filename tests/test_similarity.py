@@ -316,3 +316,26 @@ def test_ivf_int_recall_vs_exact_l2(spark, sf_dir):
     qv = np.floor(V[r0.query_id] * 1024 + 0.5).astype(np.int64)
     nv = np.floor(V[r0.neighbor_id] * 1024 + 0.5).astype(np.int64)
     assert r0.dist_sq == int(((qv - nv) ** 2).sum())
+
+
+def test_semantic_dedup_int_drops_planted_near_dupes(spark):
+    """Integer SemDeDup (the l37 oracle-backed path): planted
+    exact/near duplicates drop, originals survive, threshold is the
+    exact rational 0.99^2 = 9801/10000."""
+    import random
+
+    from ekati_spark.operators.similarity import semantic_dedup_int
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((100, [float(x) for x in base[0]]))
+    rows.append((101, [float(x * 1.001) for x in base[1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r.kept for r in semantic_dedup_int(
+        df, threshold_sq=(9801, 10000), n_lists=4, kmeans_iters=2
+    ).collect()}
+    assert len(out) == 42
+    assert out[0] and out[1]
+    assert not out[100]
+    assert not out[101]
