@@ -1219,3 +1219,239 @@ def semantic_dedup_int(
             F.coalesce(~F.col("hit"), F.lit(True)).alias("kept"),
         )
     )
+
+
+def pq_topk_int(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_sub: int = 4,
+    ksub: int = 16,
+    kmeans_iters: int = 2,
+    rerank: int = 100,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Product quantization with FULLY INTEGER semantics — the
+    oracle-replayable twin of ``pq_topk``: vectors quantize to the
+    int64 grid, each subspace trains its own integer k-means (seeds =
+    the ``ksub`` smallest ids' subvectors, exact Lloyd sums,
+    trunc-toward-zero division), the ADC scan scores every corpus code
+    against per-query integer lookup tables, and the top-``rerank``
+    candidates re-rank by EXACT int64 L2² on the full quantized
+    vectors. No floats anywhere after quantization, so a SQL engine
+    replays codebook training, encoding, ADC scores, and final ranks
+    bit-for-bit (queries/llm.py::l54's generated oracle).
+
+    Scale shape = production PQ: the codebook (m_sub × ksub × dim/m_sub
+    ints) lives in UDF closures; encoding and ADC are single
+    mapInPandas scans (the corpus's raw vectors are touched only by
+    the ``rerank`` candidates); top-k per query is a window over
+    ADC scores. Queries ride in the scan closure — the
+    10-query × corpus score emission IS the PQ memory-bound scan."""
+    import numpy as np
+
+    spark = corpus.sparkSession
+    dim = _infer_dim(corpus, vec_col)
+    dsub = dim // m_sub
+
+    @F.pandas_udf("array<long>")
+    def quant(vs: pd.Series) -> pd.Series:
+        return vs.map(
+            lambda v: np.floor(
+                np.asarray(v, dtype=np.float64) * scale + 0.5
+            ).astype(np.int64).tolist()
+        )
+
+    c = (
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
+        .localCheckpoint(eager=True)  # reused per iteration + encode + rerank
+    )
+    seeds = c.orderBy("id").limit(ksub).collect()
+    # cents[sub] = {code: dsub-dim list}; same seed ids for every sub
+    cents = {
+        s: {
+            i: list(r["qv"])[s * dsub : (s + 1) * dsub]
+            for i, r in enumerate(seeds)
+        }
+        for s in range(m_sub)
+    }
+
+    def encode(frame: DataFrame, cents: dict) -> DataFrame:
+        mats = {
+            s: (
+                sorted(cents[s]),
+                np.array(
+                    [cents[s][i] for i in sorted(cents[s])], dtype=np.int64
+                ),
+            )
+            for s in cents
+        }
+        schema = "id long, qv array<long>, codes array<long>"
+
+        def op(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                codes = np.zeros((len(pdf), m_sub), dtype=np.int64)
+                for s, (ids, C) in mats.items():
+                    Qs = Q[:, s * dsub : (s + 1) * dsub]
+                    d = (
+                        (Qs * Qs).sum(axis=1)[:, None]
+                        - 2 * (Qs @ C.T)
+                        + (C * C).sum(axis=1)[None, :]
+                    )
+                    # first-min argmin == smallest code on ties
+                    codes[:, s] = [ids[j] for j in d.argmin(axis=1)]
+                out = pdf[["id", "qv"]].copy()
+                out["codes"] = codes.tolist()
+                yield out
+
+        return frame.mapInPandas(op, schema=schema)
+
+    def update(encoded: DataFrame) -> dict:
+        def sums(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                K = np.array(pdf["codes"].tolist(), dtype=np.int64)
+                rows = []
+                for s in range(m_sub):
+                    Qs = Q[:, s * dsub : (s + 1) * dsub]
+                    for code in np.unique(K[:, s]):
+                        mask = K[:, s] == code
+                        rows.append(
+                            (
+                                int(s),
+                                int(code),
+                                Qs[mask].sum(axis=0).tolist(),
+                                int(mask.sum()),
+                            )
+                        )
+                yield pd.DataFrame(
+                    rows, columns=["sub", "code", "s", "n"]
+                )
+
+        parts = encoded.mapInPandas(
+            sums, schema="sub long, code long, s array<long>, n long"
+        ).collect()
+        agg: dict = {}
+        for r in parts:
+            key = (r["sub"], r["code"])
+            s0, n0 = agg.get(key, ([0] * dsub, 0))
+            agg[key] = ([a + b for a, b in zip(s0, r["s"])], n0 + r["n"])
+        out: dict = {s: {} for s in range(m_sub)}
+        for (s, code), (sm, n) in agg.items():
+            if n > 0:
+                out[s][code] = [_trunc_div(x, n) for x in sm]
+        return out
+
+    for _ in range(kmeans_iters):
+        cents = update(encode(c, cents))
+    encoded = encode(c, cents).localCheckpoint(eager=True)
+
+    q = (
+        queries.filter(
+            F.col(query_vec_col).isNotNull()
+            & (F.size(F.col(query_vec_col)) == dim)
+        )
+        .select(
+            F.col(query_id_col).alias("query_id"),
+            quant(F.col(query_vec_col)).alias("q_qv"),
+        )
+        .collect()
+    )
+    # per-query integer LUTs: lut[qid][sub][code] = L2² of subvectors
+    luts = {}
+    qvecs = {}
+    for r in q:
+        Q = np.asarray(r["q_qv"], dtype=np.int64)
+        qvecs[r["query_id"]] = Q
+        luts[r["query_id"]] = {
+            s: {
+                code: int(
+                    (
+                        (
+                            Q[s * dsub : (s + 1) * dsub]
+                            - np.asarray(v, dtype=np.int64)
+                        )
+                        ** 2
+                    ).sum()
+                )
+                for code, v in cents[s].items()
+            }
+            for s in range(m_sub)
+        }
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            K = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            for qid, lut in luts.items():
+                d = np.zeros(len(pdf), dtype=np.int64)
+                for s in range(m_sub):
+                    table = lut[s]
+                    d += np.array(
+                        [table[int(code)] for code in K[:, s]],
+                        dtype=np.int64,
+                    )
+                out = pdf[["id"]].copy()
+                out.columns = ["neighbor_id"]
+                out["query_id"] = qid
+                out["adc_dist"] = d
+                yield out[["query_id", "neighbor_id", "adc_dist"]]
+
+    scored = encoded.mapInPandas(
+        adc, schema="query_id long, neighbor_id long, adc_dist long"
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    from pyspark.sql import Window as W
+
+    wq = W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    cand = (
+        scored.withColumn("arn", F.row_number().over(wq))
+        .filter(F.col("arn") <= rerank)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    withv = cand.join(
+        encoded.select(F.col("id").alias("neighbor_id"), "qv"), "neighbor_id"
+    )
+
+    def exact(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d = np.zeros(len(pdf), dtype=np.int64)
+            for qid in pdf["query_id"].unique():
+                mask = (pdf["query_id"] == qid).to_numpy()
+                Q = qvecs[int(qid)]
+                d[mask] = ((V[mask] - Q[None, :]) ** 2).sum(axis=1)
+            out = pdf[["query_id", "neighbor_id", "adc_dist"]].copy()
+            out["dist_sq"] = d
+            yield out
+
+    reranked = withv.mapInPandas(
+        exact,
+        schema="query_id long, neighbor_id long, adc_dist long, dist_sq long",
+    )
+    wf = W.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        reranked.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("rn").cast("int").alias("rank"),
+            "neighbor_id",
+            "dist_sq",
+            "adc_dist",
+        )
+    )

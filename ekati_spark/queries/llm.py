@@ -2655,21 +2655,129 @@ def l53_perceptual_dhash(spark, sf_dir):
     )
 
 
-@register("l54_knn_pq")
+def _l54_oracle(m_sub: int = 4, ksub: int = 16, dsub: int = 16,
+                iters: int = 2) -> str:
+    """Generate the integer-PQ replay oracle: codebook training
+    (grouped per-subspace integer k-means, iteration CTEs emitted in a
+    loop), encoding, per-query integer ADC LUTs, candidate top-100, and
+    the exact full-vector re-rank — every CTE MATERIALIZED (DuckDB
+    re-inlines chained CTEs otherwise, the g39 lesson)."""
+
+    def dist(a: str, b: str) -> str:
+        return (
+            f"CAST(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+            f" + list_dot_product({b}, {b}) AS BIGINT)"
+        )
+
+    parts = [f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+sv AS MATERIALIZED (
+  SELECT vec_id, sub, list_slice(qv, sub * {dsub} + 1, sub * {dsub} + {dsub}) AS v
+  FROM (SELECT vec_id, qv, unnest(range({m_sub})) AS sub FROM e)
+),
+c0 AS MATERIALIZED (
+  SELECT sub, rn - 1 AS code, v AS c FROM (
+    SELECT sub, v,
+           row_number() OVER (PARTITION BY sub ORDER BY vec_id) AS rn
+    FROM sv
+  ) WHERE rn <= {ksub}
+)"""]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(f""",
+a{i} AS MATERIALIZED (
+  SELECT vec_id, sub, v, code FROM (
+    SELECT sv.vec_id, sv.sub, sv.v, {prev}.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+             {dist("sv.v", prev + ".c")}, {prev}.code) AS rn
+    FROM sv JOIN {prev} ON sv.sub = {prev}.sub
+  ) WHERE rn = 1
+),
+s{i} AS MATERIALIZED (
+  SELECT sub, code, i,
+         CAST(SUM(v[i + 1]) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT sub, code, v, unnest(range({dsub})) AS i FROM a{i})
+  GROUP BY sub, code, i
+),
+c{i} AS MATERIALIZED (
+  SELECT sub, code,
+         list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+              ORDER BY i) AS c
+  FROM s{i} GROUP BY sub, code
+)""")
+        prev = f"c{i}"
+    parts.append(f""",
+af AS MATERIALIZED (
+  SELECT vec_id, sub, code FROM (
+    SELECT sv.vec_id, sv.sub, {prev}.code,
+           row_number() OVER (PARTITION BY sv.vec_id, sv.sub ORDER BY
+             {dist("sv.v", prev + ".c")}, {prev}.code) AS rn
+    FROM sv JOIN {prev} ON sv.sub = {prev}.sub
+  ) WHERE rn = 1
+),
+qr AS MATERIALIZED (
+  SELECT vec_id AS query_id, sub, v FROM sv WHERE vec_id < 10
+),
+lut AS MATERIALIZED (
+  SELECT qr.query_id, qr.sub, {prev}.code,
+         {dist("qr.v", prev + ".c")} AS d
+  FROM qr JOIN {prev} ON qr.sub = {prev}.sub
+),
+adc AS MATERIALIZED (
+  SELECT lut.query_id, af.vec_id AS neighbor_id,
+         CAST(SUM(lut.d) AS BIGINT) AS adc_dist
+  FROM af JOIN lut ON af.sub = lut.sub AND af.code = lut.code
+  WHERE af.vec_id <> lut.query_id
+  GROUP BY lut.query_id, af.vec_id
+),
+cand AS MATERIALIZED (
+  SELECT query_id, neighbor_id, adc_dist FROM (
+    SELECT query_id, neighbor_id, adc_dist,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist, neighbor_id) AS arn
+    FROM adc
+  ) WHERE arn <= 100
+),
+rr AS MATERIALIZED (
+  SELECT c.query_id, c.neighbor_id, c.adc_dist,
+         {dist("eq.qv", "en.qv")} AS dist_sq
+  FROM cand c
+  JOIN e eq ON eq.vec_id = c.query_id
+  JOIN e en ON en.vec_id = c.neighbor_id
+)
+SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist_sq, adc_dist
+FROM (
+  SELECT query_id, neighbor_id, dist_sq, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY dist_sq, neighbor_id) AS rn
+  FROM rr
+) WHERE rn <= 5""")
+    return "".join(parts)
+
+
+@register("l54_knn_pq", oracle=_l54_oracle())
 def l54_knn_pq(spark, sf_dir):
-    """Product-quantization approximate top-5 (ADC): 4 subspaces x 16
-    codes trained with the seeded Lloyd machinery; the ADC scan scores
-    the encoded corpus through broadcast lookup tables (raw vectors
-    untouched), then the top-100 candidates per query re-rank by exact
-    cosine — the memory-bound third leg of the ANN stack beside
+    """Product-quantization approximate top-5 (ADC), now FULLY
+    oracle-backed: per-subspace INTEGER codebooks (4 subspaces x 16
+    codes, the shared quantized-grid Lloyd machinery), integer ADC
+    lookup tables, and an exact int64 L2² re-rank of the top-100
+    candidates — the memory-bound third leg of the ANN stack beside
     sign-LSH (l07) and IVF (l15), in its production candidate+rerank
-    shape. Rows-only check (k-means floats aren't portable to DuckDB);
-    recall vs brute force is asserted in tests/test_similarity.py."""
+    shape, with codebook training, encoding, ADC scores, and final
+    ranks all replayed bit-for-bit by the generated DuckDB oracle
+    (_l54_oracle — iteration CTEs emitted in a loop). Recall vs brute
+    force asserted in tests/test_similarity.py for both variants; the
+    float pq_topk remains for unquantized deployments."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return S.pq_topk(emb, q, k=5, m_sub=4, ksub=16, kmeans_iters=2, rerank=100)
+    return S.pq_topk_int(
+        emb, q, k=5, m_sub=4, ksub=16, kmeans_iters=2, rerank=100
+    )
 
 
 def _l55_oracle(

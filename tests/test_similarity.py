@@ -339,3 +339,37 @@ def test_semantic_dedup_int_drops_planted_near_dupes(spark):
     assert out[0] and out[1]
     assert not out[100]
     assert not out[101]
+
+
+def test_pq_int_rerank_recall(spark, sf_dir):
+    """Integer PQ (the l54 oracle-backed path): the exact-rerank stage
+    must lift candidate recall well above raw ADC on these
+    near-random embeddings (the PQ worst case), and reranked distances
+    are grid-exact L2²."""
+    import numpy as np
+
+    from ekati_spark.catalog import load_table
+    from ekati_spark.operators.similarity import pq_topk_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.collect()
+    V = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in rows}
+    exact = set()
+    for qid in (i for i in V if i < 8):
+        d = sorted(
+            (float(((V[qid] - v) ** 2).sum()), nid)
+            for nid, v in V.items()
+            if nid != qid
+        )[:5]
+        exact |= {(qid, nid) for _, nid in d}
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    got = pq_topk_int(emb, q, k=5, rerank=100).collect()
+    ann = {(r.query_id, r.neighbor_id) for r in got}
+    assert len(ann & exact) / len(exact) >= 0.5
+    r0 = got[0]
+    qv = np.floor(V[r0.query_id] * 1024 + 0.5).astype(np.int64)
+    nv = np.floor(V[r0.neighbor_id] * 1024 + 0.5).astype(np.int64)
+    assert r0.dist_sq == int(((qv - nv) ** 2).sum())
