@@ -79,8 +79,19 @@ def decode_wav(data: bytes) -> tuple[int, int, int, list[int]]:
             channels = w.getnchannels()
             sampwidth = w.getsampwidth()
             raw = w.readframes(w.getnframes())
-    except wave.Error as e:  # compressed / malformed container
+    except (wave.Error, OSError, RuntimeError) as e:
+        # compressed / malformed / truncated container — wave's chunk
+        # parser surfaces some truncations as OSError("cannot seek")
+        # or a bare RuntimeError from its internal Chunk.seek;
+        # normalize everything to the ValueError contract (both found
+        # by the byte-fuzz test)
         raise ValueError(str(e)) from e
+    if rate <= 0 or channels <= 0:
+        # a crafted header with zero rate/channels must surface as the
+        # contract error type, not ZeroDivisionError inside wav_stats
+        # (which would fail the whole Arrow batch in
+        # extract_audio_features' safe() wrapper)
+        raise ValueError(f"invalid WAV header: rate={rate} channels={channels}")
     n = len(raw) // sampwidth
     if sampwidth == 2:
         samples = list(struct.unpack(f"<{n}h", raw[: n * 2]))

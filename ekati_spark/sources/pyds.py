@@ -81,7 +81,12 @@ def _unescape_literal(s: str) -> str:
         t = m.group(1)
         if t[0] in "uU":
             cp = int(t[1:], 16)
-            return "�" if 0xD800 <= cp <= 0xDFFF else chr(cp)
+            # lone surrogates AND out-of-range \UXXXXXXXX (> 0x10FFFF,
+            # where chr() raises) both map to U+FFFD — one malformed
+            # literal must not fail the partition
+            if 0xD800 <= cp <= 0xDFFF or cp > 0x10FFFF:
+                return "�"
+            return chr(cp)
         return _SIMPLE.get(t, "\\" + t)
 
     return _ESC.sub(one, s)

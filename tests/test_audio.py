@@ -108,3 +108,43 @@ def test_extract_audio_features_null_tolerance(spark):
 def test_encode_rejects_ragged_frames():
     with pytest.raises(ValueError):
         encode_wav([1, 2, 3], 8000, channels=2)
+
+
+def test_zero_rate_header_is_a_value_error():
+    """A crafted header with framerate 0 must raise the contract error
+    type (ValueError), not ZeroDivisionError — extract_audio_features'
+    per-row guard only absorbs ValueError/EOFError."""
+    import io
+    import struct
+
+    good = planted_wav(1)
+    # RIFF fmt chunk: sample rate lives 4 bytes into the fmt body + 4
+    # (after audio_format + channels); find 'fmt ' and zero the rate
+    i = good.index(b"fmt ")
+    rate_off = i + 8 + 4
+    bad = good[:rate_off] + struct.pack("<I", 0) + good[rate_off + 4:]
+    with pytest.raises((ValueError, EOFError)):
+        wav_stats(bad)
+
+
+def test_fuzzed_bytes_keep_the_error_contract():
+    """Arbitrary/corrupted payloads may only raise ValueError/EOFError
+    (the types extract_audio_features maps to null rows) — never
+    ZeroDivisionError / struct.error / IndexError."""
+    import random
+
+    rng = random.Random(7)
+    base = planted_wav(5)
+    for trial in range(300):
+        if trial % 3 == 0:
+            b = bytes(rng.randrange(256) for _ in range(rng.randrange(0, 120)))
+        else:
+            b = bytearray(base[: rng.randrange(1, len(base) + 1)])
+            for _ in range(rng.randrange(1, 6)):
+                if b:
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+            b = bytes(b)
+        try:
+            wav_stats(b)
+        except (ValueError, EOFError):
+            pass

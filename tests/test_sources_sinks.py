@@ -367,3 +367,22 @@ def test_ntriples_datasource_overwrite_replaces(spark, tmp_path):
     df.write.format("ntriples").mode("overwrite").save(out)
     back3 = spark.read.format("ntriples").load(out)
     assert back3.count() == df.count()  # overwrite swapped it out
+
+
+def test_parse_nt_line_never_raises_on_hostile_literals():
+    """Malformed escapes (out-of-range \\U, lone surrogates, trailing
+    backslashes) must degrade to U+FFFD / verbatim text, never raise —
+    one bad literal must not fail a read partition."""
+    from ekati_spark.sources.pyds import parse_nt_line
+
+    hostile = [
+        '<a> <b> "\\UFFFFFFFF" .',
+        '<a> <b> "\\uD800 alone" .',
+        '<a> <b> "pair \\uD83D\\uDE00 ok" .',
+        '<a> <b> "\\q unknown escape" .',
+    ]
+    out = [parse_nt_line(line) for line in hostile]
+    assert out[0][2] == "�"
+    assert out[1][2].startswith("�")
+    assert out[2][2] == "pair \U0001F600 ok"
+    assert out[3][2] == "\\q unknown escape"
