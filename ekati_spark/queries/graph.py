@@ -2355,3 +2355,124 @@ def g40_random_walk_corpus(spark, sf_dir):
         F.col("step").cast("int").alias("step"),
         "node",
     )
+
+
+def _g41_oracle(max_k: int = 5, iter_cap: int = 80) -> str:
+    """Generate the chained-peel coreness oracle: one recursive
+    peel-to-fixpoint CTE per k (g20's pattern), each seeded from the
+    previous k's surviving edge set (S_k ⊆ S_{k-1}), then bucket =
+    1 + number of cores the node survives. Valid while S_{max_k} is
+    nonempty (holds for the co-purchase graph at every test SF; the
+    empty-core edge case is pinned by the known-graph pytest on the
+    Spark side)."""
+    parts = ["""WITH RECURSIVE cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS MATERIALIZED (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    sym AS MATERIALIZED (
+      SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+    )"""]
+    prev = "sym"
+    for k in range(2, max_k + 1):
+        parts.append(f""",
+    core{k}(iter, u, v) AS (
+      SELECT 0, u, v FROM {prev}
+      UNION ALL
+      SELECT c.iter + 1, c.u, c.v
+      FROM core{k} c
+      JOIN (SELECT u FROM core{k} GROUP BY u HAVING count(*) >= {k}) ku
+        ON c.u = ku.u
+      JOIN (SELECT u AS v FROM core{k} GROUP BY u HAVING count(*) >= {k}) kv
+        ON c.v = kv.v
+      WHERE c.iter < {iter_cap}
+        AND EXISTS (SELECT 1 FROM core{k} GROUP BY u HAVING count(*) < {k})
+    ),
+    last{k} AS MATERIALIZED (
+      SELECT u, v FROM core{k}
+      WHERE iter = (SELECT max(iter) FROM core{k})
+    )""")
+        prev = f"last{k}"
+    member = " + ".join(
+        f"(CASE WHEN n.u IN (SELECT u FROM last{k}) THEN 1 ELSE 0 END)"
+        for k in range(2, max_k + 1)
+    )
+    parts.append(f"""
+    SELECT n.u AS cust,
+           CAST(1 + {member} AS INTEGER) AS core_bucket
+    FROM (SELECT DISTINCT u FROM sym) n""")
+    return "".join(parts)
+
+
+@register("g41_coreness_buckets", oracle=_g41_oracle())
+def g41_coreness_buckets(spark, sf_dir):
+    """Capped coreness decomposition of the co-purchase graph: every
+    customer's core number bucketed 1..5 (5 = coreness >= 5) — the
+    degeneracy-ordering view of graph centrality that k-core (g20,
+    single k) and k-truss (g36) don't report per node. bucket(v) =
+    1 + #{k in 2..5 : v survives the k-core peel}; S_k ⊆ S_{k-1}, so
+    each peel starts from the previous survivor set.
+
+    Scale shape: 4 invocations of the g20 peel kernel (per-round
+    degree filter + edge semi-join, shuffle ∝ surviving edges, rounds
+    bounded by peel depth), each strictly smaller than the last; the
+    bucket rollup is one union + groupBy. The exact FULL coreness
+    (uncapped) is the same loop run to max-degree — the cap is what
+    keeps the oracle's unrolled CTE chain fixed-size, not an engine
+    limit. Oracle generated by _g41_oracle (g20's recursive
+    peel-to-fixpoint, chained)."""
+    from ekati_spark.graph.algorithms import k_core
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .localCheckpoint(eager=True)  # seed of every peel + node set
+    )
+    nodes = (
+        e.select(F.col("src").alias("cust"))
+        .unionByName(e.select(F.col("dst").alias("cust")))
+        .distinct()
+    )
+    bucket = nodes.select("cust", F.lit(1).alias("core_bucket"))
+    edges_k = e
+    for k in range(2, 6):
+        surv = k_core(edges_k, k=k)  # (node_id, degree) of the k-core
+        members = surv.select(F.col("node_id").alias("cust"))
+        bucket = (
+            bucket.join(
+                members.withColumn("hit", F.lit(1)), "cust", "left"
+            )
+            .select(
+                "cust",
+                (F.col("core_bucket") + F.coalesce(F.col("hit"), F.lit(0)))
+                .alias("core_bucket"),
+            )
+        )
+        # next peel starts from this core's surviving edges
+        edges_k = (
+            edges_k.join(
+                members.withColumnRenamed("cust", "src"), "src", "left_semi"
+            )
+            .join(
+                members.withColumnRenamed("cust", "dst"), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+    return bucket.select(
+        "cust", F.col("core_bucket").cast("int").alias("core_bucket")
+    )
