@@ -3685,3 +3685,84 @@ def l65_snapshot_diff(spark, sf_dir):
     return j.groupBy("lang", "status").agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+@register(
+    "l66_token_dropout",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS tok
+      FROM (
+        SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+        FROM documents
+      ), unnest(range(1, len(t) + 1)) AS u(i)
+      WHERE t[i] != ''
+    ),
+    marked AS (
+      SELECT doc_id, pos, tok,
+             CAST(('0x' || substr(md5(
+                 CAST(doc_id AS VARCHAR) || '_' || CAST(pos AS VARCHAR)
+                 || '_' || tok), 1, 13)) AS BIGINT) % 10 = 0 AS dropped
+      FROM toks
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT dropped THEN tok END,
+                               ' ' ORDER BY pos), '') AS aug_text,
+           CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens
+    FROM marked GROUP BY doc_id
+    """,
+)
+def l66_token_dropout(spark, sf_dir):
+    """Deterministic data augmentation: token dropout at p = 0.1 with
+    md5-prefix draws keyed (doc, pos, token) — the sampling.py
+    no-RNG doctrine applied to augmentation, so the augmented corpus
+    is reproducible under retries/replays and hash-matches the SQL
+    replay exactly (which a rand()-based dropout never could). Emits
+    the augmented text (kept tokens, original order) plus dropped and
+    total token counts per document.
+
+    Scale shape: posexplode → one codegen projection computing the
+    draw → ordered listagg back per doc. Shuffle ∝ corpus tokens,
+    state ∝ tokens per doc — sessionization's bound."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), " +")).alias(
+            "pos", "tok"
+        ),
+    ).filter(F.col("tok") != "")
+    marked = toks.withColumn(
+        "dropped",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        F.col("doc_id").cast("string"),
+                        F.col("pos").cast("string"),
+                        F.col("tok"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0,
+    )
+    marked.createOrReplaceTempView("l66_marked")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               COALESCE(listagg(CASE WHEN NOT dropped THEN tok END, ' ')
+                          WITHIN GROUP (ORDER BY pos), '') AS aug_text,
+               CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dropped,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM l66_marked GROUP BY doc_id
+        """
+    )
