@@ -2317,3 +2317,60 @@ def r64_event_pattern_match(spark, sf_dir):
         WHERE s RLIKE 'v[^e]*c[^e]*p'
         """
     )
+
+
+@register(
+    "r65_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    pair AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n
+      FROM pair GROUP BY from_type
+    )
+    SELECT p.from_type, p.to_type, p.n,
+           CAST(p.n * 1000000 // t.row_n AS BIGINT) AS prob_ppm
+    FROM pair p JOIN tot t ON p.from_type = t.from_type
+    """,
+)
+def r65_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), in exact ppm fixed point
+    (n·1e6 div row-total — the g32 doctrine, so probabilities
+    hash-match, not just counts). The behavioral-analytics companion
+    to r64's pattern matching: r64 asks 'did this sequence happen',
+    this asks 'what usually happens next'.
+
+    Scale shape: one window lead over (user, time) — the sessionize
+    shuffle — then two aggregations ∝ |event types|²; the 25-row
+    transition table is the whole output."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")[0]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    pair = seq.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").cast("long").alias("n"))
+    tot = pair.groupBy("from_type").agg(
+        F.sum("n").cast("long").alias("row_n")
+    )
+    return pair.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000 div row_n").cast("long").alias("prob_ppm"),
+    )
