@@ -155,3 +155,23 @@ def run_with_metrics(df: DataFrame) -> tuple[int, DataFrame]:
     ``query_metrics(df)`` on the same DataFrame afterwards."""
     n = len(df.collect())
     return n, query_metrics(df)
+
+
+def run_with_observation(df, *metric_cols, name: str = "obs"):
+    """Execute ``df`` with an attached Observation (Spark's
+    zero-extra-pass accumulator channel: metric expressions evaluate
+    inline DURING the action, unlike a separate .agg() job) and return
+    (row_count, observed-metrics dict). The per-query counterpart of
+    the AppStatusStore surfaces above — use it when a pipeline wants
+    its own domain metrics (rows kept, bytes after filter, null count)
+    without a second scan at 100 TB.
+
+    ``metric_cols`` are aggregate Columns, e.g.
+    ``F.count(F.lit(1)).alias("rows"), F.sum("value").alias("total")``.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    out = df.observe(obs, *metric_cols)
+    n = len(out.collect())
+    return n, obs.get

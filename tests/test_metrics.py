@@ -89,3 +89,25 @@ def test_g28_contract(spark, sf_dir):
     assert r.plan_metric_rows > 0
     assert r.executors >= 1
     assert r.tasks_completed > 0
+
+
+def test_observation_metrics_no_second_pass(spark, sf_dir):
+    """Observation metrics arrive from the SAME action that produced
+    the rows (no second scan) and match an independent aggregate."""
+    from pyspark.sql import functions as F
+
+    from ekati_spark.catalog import load_table
+    from ekati_spark.metrics import run_with_observation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 10)
+    n, got = run_with_observation(
+        li,
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    )
+    expect = li.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty"),
+    ).first()
+    assert n == got["rows"] == expect["rows"]
+    assert got["qty"] == expect["qty"]
