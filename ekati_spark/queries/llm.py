@@ -3766,3 +3766,75 @@ def l66_token_dropout(spark, sf_dir):
         FROM l66_marked GROUP BY doc_id
         """
     )
+
+
+@register(
+    "l67_feature_standardize",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+      FROM orders
+    ),
+    s AS (
+      SELECT grp, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM d GROUP BY grp
+    )
+    SELECT d.o_orderkey, d.grp,
+           CAST(floor(
+             ((CAST(d.x AS DOUBLE) - CAST(s.sx AS DOUBLE) / CAST(s.n AS DOUBLE))
+              / sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE)
+                     / CAST(s.n AS DOUBLE) / CAST(s.n AS DOUBLE)))
+             * 1000000 + 0.5) AS BIGINT) AS z_micro
+    FROM d JOIN s ON d.grp = s.grp
+    """,
+)
+def l67_feature_standardize(spark, sf_dir):
+    """Grouped z-score standardization — the classic tabular feature
+    prep, bit-exact across engines: values quantize to integer dollars
+    (floor(x+0.5): one IEEE op), per-group moments (n, Σx, Σx²) are
+    exact BIGINTs, and the per-row z-score is ONE fixed float op
+    sequence (subtract the mean S/n, divide by sqrt((n·Σx²-S²)/n/n) —
+    every input an exactly-represented integer, every op correctly
+    rounded, identical order both engines), reported in micro units
+    via the floor(+0.5) contract. The g37 integer-moments pattern
+    applied to per-row transforms instead of one scalar.
+
+    Scale shape: one groupBy for the 5-row stats table, broadcast back
+    onto the scan — the transform itself is map-side codegen; no
+    second pass, no sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") + 0.5).cast("long").alias("x"),
+    )
+    s = d.groupBy("grp").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return d.join(F.broadcast(s), "grp").select(
+        "o_orderkey",
+        "grp",
+        F.floor(
+            (
+                (
+                    F.col("x").cast("double")
+                    - F.col("sx").cast("double") / F.col("n").cast("double")
+                )
+                / F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                    / F.col("n").cast("double")
+                    / F.col("n").cast("double")
+                )
+            )
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("z_micro"),
+    )
