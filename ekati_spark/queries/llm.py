@@ -3838,3 +3838,73 @@ def l67_feature_standardize(spark, sf_dir):
         .cast("long")
         .alias("z_micro"),
     )
+
+
+@register(
+    "l68_feature_bucketize",
+    oracle="""
+    WITH d AS (
+      SELECT o_orderkey, o_orderpriority AS grp,
+             CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+      FROM orders
+    ),
+    q AS (
+      SELECT grp,
+             CAST(floor(quantile_cont(CAST(x AS DOUBLE), 0.25) * 10000 + 0.5)
+                  AS BIGINT) AS q1,
+             CAST(floor(quantile_cont(CAST(x AS DOUBLE), 0.50) * 10000 + 0.5)
+                  AS BIGINT) AS q2,
+             CAST(floor(quantile_cont(CAST(x AS DOUBLE), 0.75) * 10000 + 0.5)
+                  AS BIGINT) AS q3
+      FROM d GROUP BY grp
+    )
+    SELECT d.o_orderkey, d.grp,
+           CAST(1 + (CASE WHEN d.x * 10000 > q.q1 THEN 1 ELSE 0 END)
+                  + (CASE WHEN d.x * 10000 > q.q2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN d.x * 10000 > q.q3 THEN 1 ELSE 0 END)
+                AS INTEGER) AS bucket
+    FROM d JOIN q ON d.grp = q.grp
+    """,
+)
+def l68_feature_bucketize(spark, sf_dir):
+    """Quantile feature discretization (the bucketizer companion to
+    l67's z-score): per-group quartile boundaries from the EXACT
+    interpolated percentile (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, the r39 contract), fixed-point-rounded to 1e-4
+    before comparison so boundary decisions are bit-identical, then
+    bucket = 1 + #(boundaries below x). Integer-dollar values make the
+    comparison side exact too (x·1e4 vs the rounded boundary — no
+    float on the row side at all).
+
+    Scale shape: one exact-percentile aggregate per group (at 100 TB
+    swap in percentile_approx under the r58 rank-error contract — same
+    query shape), broadcast back onto the scan; assignment is map-side
+    codegen."""
+    orders = load_table(spark, sf_dir, "orders")
+    d = orders.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        F.floor(F.col("o_totalprice") + 0.5).cast("long").alias("x"),
+    )
+    q = d.groupBy("grp").agg(
+        *[
+            F.floor(
+                F.expr(f"percentile(CAST(x AS DOUBLE), {p})") * 10000 + 0.5
+            )
+            .cast("long")
+            .alias(name)
+            for p, name in ((0.25, "q1"), (0.50, "q2"), (0.75, "q3"))
+        ]
+    )
+    return d.join(F.broadcast(q), "grp").select(
+        "o_orderkey",
+        "grp",
+        (
+            F.lit(1)
+            + (F.col("x") * 10000 > F.col("q1")).cast("int")
+            + (F.col("x") * 10000 > F.col("q2")).cast("int")
+            + (F.col("x") * 10000 > F.col("q3")).cast("int")
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
