@@ -163,3 +163,29 @@ def wav_stats(data: bytes) -> dict:
         "sum_sq": sum(s * s for s in samples),
         "zero_crossings": flips,
     }
+
+
+def wav_fingerprint(data: bytes, n_windows: int = 16) -> int:
+    """Perceptual audio fingerprint — the WAV analog of png.dhash_words:
+    split the signal into ``n_windows`` equal index ranges (window of
+    sample i = i*n_windows // n, pure integer arithmetic), take each
+    window's |s| energy sum, and emit one bit per adjacent-window
+    comparison (bit w = 1 iff energy[w] > energy[w+1]) packed into an
+    int. Comparing energy RATIOS rather than values makes the
+    fingerprint invariant to uniform decimation/volume-ish changes
+    where byte-level digests differ (proven on controlled envelope
+    fixtures in tests/test_audio.py — the planted sawtooth corpus is
+    deliberately NOT used: its energy profiles are all one family, the
+    wrong testbed for a perceptual hash). All integer arithmetic."""
+    _, channels, _, samples = decode_wav(data)
+    n = len(samples)
+    if n == 0:
+        return 0
+    energy = [0] * n_windows
+    for i, s in enumerate(samples):
+        energy[i * n_windows // n] += abs(s)
+    fp = 0
+    for w in range(n_windows - 1):
+        if energy[w] > energy[w + 1]:
+            fp |= 1 << w
+    return fp

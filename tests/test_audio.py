@@ -148,3 +148,30 @@ def test_fuzzed_bytes_keep_the_error_contract():
             wav_stats(b)
         except (ValueError, EOFError):
             pass
+
+
+def test_fingerprint_perceptual_properties():
+    """wav_fingerprint groups what md5 cannot: 2x-decimated audio keeps
+    the fingerprint (energy ratios survive uniform downsampling) while
+    distinct envelopes differ; byte digests differ in every case."""
+    import hashlib
+
+    from ekati_spark.operators.audio import decimate_wav, wav_fingerprint
+
+    def envelope(pattern, reps=64, amp=1000):
+        # |samples| follow the given per-segment amplitude pattern
+        s = []
+        for a in pattern:
+            s += [a * amp, -a * amp] * reps
+        return encode_wav(s, 8000)
+
+    rising = envelope([1, 2, 4, 8, 16, 24, 30, 32])
+    falling = envelope([32, 30, 24, 16, 8, 4, 2, 1])
+    spike = envelope([1, 1, 1, 32, 32, 1, 1, 1])
+    for wav in (rising, falling, spike):
+        assert wav_fingerprint(wav) == wav_fingerprint(decimate_wav(wav, 2))
+        assert hashlib.md5(wav).digest() != hashlib.md5(
+            decimate_wav(wav, 2)
+        ).digest()
+    fps = {wav_fingerprint(w) for w in (rising, falling, spike)}
+    assert len(fps) == 3
