@@ -2476,3 +2476,80 @@ def g41_coreness_buckets(spark, sf_dir):
     return bucket.select(
         "cust", F.col("core_bucket").cast("int").alias("core_bucket")
     )
+
+
+@register(
+    "g42_temporal_broker_score",
+    oracle="""
+    WITH contact AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s,
+             date_diff('day', DATE '1992-01-01',
+                       CAST(o.o_orderdate AS DATE)) AS day
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    w AS (
+      SELECT s, c, day,
+             count(*) OVER (PARTITION BY s ORDER BY day
+                            RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
+               AS earlier_any,
+             count(*) OVER (PARTITION BY s, c ORDER BY day
+                            RANGE BETWEEN 30 PRECEDING AND 1 PRECEDING)
+               AS earlier_own
+      FROM contact
+    )
+    SELECT s AS supp,
+           CAST(SUM(earlier_any - earlier_own) AS BIGINT) AS wedges
+    FROM w GROUP BY s
+    ORDER BY wedges DESC, supp
+    LIMIT 20
+    """,
+)
+def g42_temporal_broker_score(spark, sf_dir):
+    """Temporal brokerage: count time-respecting 2-paths a→s→b — an
+    earlier customer's contact with supplier s can "flow" to any OTHER
+    customer contacting s within the next 30 days (the temporal-motif
+    counterpart of g35's earliest-arrival reachability). Top-20
+    brokers by wedge count.
+
+    Scale-correct formulation: NO pair enumeration — for each contact,
+    wedges ending there = (contacts at s in the prior 30 days) minus
+    (the same customer's own), both RANGE windows over integer days,
+    summed per supplier. Cost is two windows over the contact table
+    (∝ contacts, not ∝ contact²; at sf0.1 pair enumeration would be
+    ~10^9 rows, the windows are 600k). All integer — exact."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    from pyspark.sql import Window as W
+
+    contact = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1992-01-01")
+            ).alias("day"),
+        )
+        .distinct()
+    )
+    w_any = (
+        W.partitionBy("s").orderBy("day").rangeBetween(-30, -1)
+    )
+    w_own = (
+        W.partitionBy("s", "c").orderBy("day").rangeBetween(-30, -1)
+    )
+    w = contact.select(
+        "s",
+        F.count("*").over(w_any).alias("earlier_any"),
+        F.count("*").over(w_own).alias("earlier_own"),
+    )
+    return (
+        w.groupBy(F.col("s").alias("supp"))
+        .agg(
+            F.sum(F.col("earlier_any") - F.col("earlier_own"))
+            .cast("long")
+            .alias("wedges")
+        )
+        .orderBy(F.col("wedges").desc(), "supp")
+        .limit(20)
+    )
