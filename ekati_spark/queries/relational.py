@@ -2374,3 +2374,109 @@ def r65_event_transition_matrix(spark, sf_dir):
         "n",
         F.expr("n * 1000000 div row_n").cast("long").alias("prob_ppm"),
     )
+
+
+@register(
+    "r66_last_touch_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, ts,
+             epoch_us(ts) AS t
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, event_id, event_type, t,
+             MAX(CASE WHEN event_type IN ('click', 'view')
+                      THEN t END)
+               OVER (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch_t
+      FROM ev
+    ),
+    conv AS (
+      SELECT m.user_id, m.event_id AS purchase_id, m.t,
+             m.last_touch_t
+      FROM marked m WHERE m.event_type = 'purchase'
+    )
+    SELECT c.user_id, c.purchase_id,
+           t2.event_id AS touch_id, t2.event_type AS touch_type,
+           CAST((c.t - c.last_touch_t) // 1000000 AS BIGINT)
+             AS seconds_since_touch
+    FROM conv c
+    JOIN (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS t,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type IN ('click', 'view')
+    ) t2
+      ON t2.user_id = c.user_id AND t2.t = c.last_touch_t AND t2.rn = 1
+    WHERE c.last_touch_t IS NOT NULL
+      AND c.t - c.last_touch_t <= CAST(604800 AS BIGINT) * 1000000
+    """,
+)
+def r66_last_touch_attribution(spark, sf_dir):
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent click/view within a 7-day lookback — the
+    standard marketing-attribution join, done with ONE running-max
+    window over the event stream (no self-join against the touch
+    history; the touch row is recovered by an equi-join on the exact
+    touch timestamp, ties broken by highest event_id — mirrored in the
+    oracle). Microsecond integer arithmetic throughout.
+
+    Scale shape: the running max rides the same (user, time) window
+    sessionization uses; the recovery join is equi on (user, t) —
+    hash-partitionable, touch-side deduped by the rn=1 filter."""
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")[0].select(
+        "user_id",
+        "event_id",
+        "event_type",
+        (F.unix_micros(F.col("ts"))).alias("t"),
+    )
+    wv = (
+        W.partitionBy("user_id")
+        .orderBy("t", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_t = F.max(
+        F.when(F.col("event_type").isin("click", "view"), F.col("t"))
+    ).over(wv)
+    conv = (
+        ev.withColumn("last_touch_t", touch_t)
+        .filter(F.col("event_type") == "purchase")
+        .filter(F.col("last_touch_t").isNotNull())
+        .filter(F.col("t") - F.col("last_touch_t") <= 7 * 86400 * 1000000)
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "t",
+            "last_touch_t",
+        )
+    )
+    wt = W.partitionBy("tu_user", "t2").orderBy(F.col("touch_id").desc())
+    touches = (
+        ev.filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.col("user_id").alias("tu_user"),
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+            F.col("t").alias("t2"),
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return conv.join(
+        touches,
+        (F.col("tu_user") == F.col("user_id"))
+        & (F.col("t2") == F.col("last_touch_t")),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        F.expr("(t - last_touch_t) div 1000000").cast("long").alias(
+            "seconds_since_touch"
+        ),
+    )
