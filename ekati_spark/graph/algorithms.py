@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from ekati_spark.checkpoint import cut_lineage
+
 
 def _nodes(edges: DataFrame) -> DataFrame:
     return (
@@ -42,7 +44,7 @@ def page_rank(
     the contribution join reuses the checkpointed (edges ⋈ out-degree)
     relation across supersteps.
     """
-    nodes = _nodes(edges).localCheckpoint(eager=True)
+    nodes = _nodes(edges).transform(cut_lineage)
     n = nodes.count()
     # out-degree rides with each edge so a superstep is join → groupBy
     ed = (
@@ -51,7 +53,7 @@ def page_rank(
             edges.groupBy("src").agg(F.count("*").alias("deg")),
             "src",
         )
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
@@ -70,7 +72,7 @@ def page_rank(
                     + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return ranks
 
@@ -92,10 +94,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     labels = _nodes(edges).withColumn("component", F.col("node_id"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.transform(cut_lineage)
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(und, labels.node_id == und.src)
@@ -110,7 +112,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
                     F.col("component"), F.coalesce("nbr_min", "component")
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         changed = (
             new_labels.join(labels.withColumnRenamed("component", "old"), "node_id")
@@ -133,7 +135,7 @@ def shortest_hops(
     ``traverse.follow`` — min-hop per node is guaranteed because BFS
     visits in hop order.
     """
-    seeds = seeds.select("node_id").distinct().localCheckpoint(eager=True)
+    seeds = seeds.select("node_id").distinct().transform(cut_lineage)
     out = seeds.withColumn("hops", F.lit(0))
     visited = seeds
     frontier = seeds
@@ -143,7 +145,7 @@ def shortest_hops(
             .select(F.col("dst").alias("node_id"))
             .distinct()
             .join(visited, "node_id", "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if frontier.isEmpty():
             break
@@ -168,7 +170,7 @@ def multi_source_hops(
     s = (
         seeds.select(F.col("node_id").alias("seed"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     frontier = s.withColumn("node_id", F.col("seed"))
     visited = frontier
@@ -179,12 +181,12 @@ def multi_source_hops(
             .select("seed", F.col("dst").alias("node_id"))
             .distinct()
             .join(visited, ["seed", "node_id"], "left_anti")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if frontier.isEmpty():
             break
         out = out.unionByName(frontier.withColumn("hops", F.lit(hop)))
-        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
+        visited = visited.unionByName(frontier).transform(cut_lineage)
     return out
 
 
@@ -249,10 +251,10 @@ def connected_components_star(
     graphs at scale; both return ``(node_id, component)`` with component
     = min node_id (string order) in the component.
     """
-    nodes = _nodes(edges).localCheckpoint(eager=True)
-    e = _symmetrize(edges).localCheckpoint(eager=True)
+    nodes = _nodes(edges).transform(cut_lineage)
+    e = _symmetrize(edges).transform(cut_lineage)
     for _ in range(max_iter):
-        e2 = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        e2 = _small_star(_large_star(e)).transform(cut_lineage)
         # converged when the star-edge set is stable (both canonical-
         # deduped, so set equality = equal counts + empty difference)
         if e2.count() == e.count() and e2.exceptAll(e).isEmpty():
@@ -284,8 +286,8 @@ def personalized_page_rank(
     scoring. Same superstep shape as ``page_rank``; the reset vector is a
     broadcast-joined indicator column.
     """
-    nodes = _nodes(edges).localCheckpoint(eager=True)
-    src = sources.select("node_id").distinct().localCheckpoint(eager=True)
+    nodes = _nodes(edges).transform(cut_lineage)
+    src = sources.select("node_id").distinct().transform(cut_lineage)
     n_src = src.count()
     base = nodes.join(
         src.withColumn("__is_src", F.lit(True)), "node_id", "left"
@@ -294,11 +296,11 @@ def personalized_page_rank(
         F.when(F.col("__is_src"), F.lit(1.0 / n_src))
         .otherwise(F.lit(0.0))
         .alias("reset"),
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     ed = (
         edges.select("src", "dst")
         .join(edges.groupBy("src").agg(F.count("*").alias("deg")), "src")
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     ranks = base.select("node_id", F.col("reset").alias("rank"))
     for _ in range(iterations):
@@ -326,7 +328,7 @@ def personalized_page_rank(
                     + F.lit(damping) * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return ranks
 
@@ -344,7 +346,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 200) -> DataFrame:
     within-core degree. Reference analog: none (Astn/ekati has no
     analytics kernels); part of the graph-analytics extension.
     """
-    e = _symmetrize(edges).localCheckpoint(eager=True)
+    e = _symmetrize(edges).transform(cut_lineage)
     n_edges = e.count()
     for _ in range(max_iter):
         if n_edges == 0:
@@ -355,7 +357,7 @@ def k_core(edges: DataFrame, k: int, max_iter: int = 200) -> DataFrame:
             e.join(keep, "u")
             .join(keep.withColumnRenamed("u", "v"), "v")
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         n_after = e2.count()
         converged = n_after == n_edges
@@ -391,7 +393,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    e = _symmetrize(edges).localCheckpoint(eager=True)
+    e = _symmetrize(edges).transform(cut_lineage)
     labels = (
         e.select(F.col("u").alias("node_id"))
         .distinct()
@@ -410,7 +412,7 @@ def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
             )
             .filter(F.col("rn") == 1)
             .select(F.col("u").alias("node_id"), "community")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return labels
 
@@ -434,7 +436,7 @@ def weighted_shortest_paths(
         seeds.select("node_id")
         .distinct()
         .withColumn("cost", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     frontier = dist
     for _ in range(max_hops):
@@ -454,7 +456,7 @@ def weighted_shortest_paths(
             )
             .filter(F.col("old").isNull() | (F.col("cost") < F.col("old")))
             .select("node_id", "cost")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if improved.isEmpty():
             break
@@ -462,7 +464,7 @@ def weighted_shortest_paths(
             dist.unionByName(improved)
             .groupBy("node_id")
             .agg(F.min("cost").alias("cost"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         frontier = improved
     return dist
@@ -493,7 +495,7 @@ def earliest_arrival(
     """
     best = seeds.select(
         "node_id", F.col("t0").alias("t")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     frontier = best
     for _ in range(max_rounds):
         nxt = (
@@ -510,7 +512,7 @@ def earliest_arrival(
             nxt.join(best.withColumnRenamed("t", "bt"), "node_id", "left")
             .filter(F.col("bt").isNull() | (F.col("t") < F.col("bt")))
             .select("node_id", "t")
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         if improved.isEmpty():
             break
@@ -518,7 +520,7 @@ def earliest_arrival(
             best.unionByName(improved)
             .groupBy("node_id")
             .agg(F.min("t").alias("t"))
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
         frontier = improved
     return best
@@ -542,7 +544,7 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 40) -> DataFrame:
     state is the edge list, checkpointed per round; the driver sees
     only the per-round count. Rounds ≤ peel depth (single digits on
     real graphs)."""
-    e = edges.select("u", "v").localCheckpoint(eager=True)
+    e = edges.select("u", "v").transform(cut_lineage)
     n = e.count()
     for _ in range(max_iter):
         sym = e.unionByName(
@@ -562,8 +564,8 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 40) -> DataFrame:
             .filter(F.col("s") >= k - 2)
             .select("u", "v")
         )
-        kept = e.join(supported, ["u", "v"], "left_semi").localCheckpoint(
-            eager=True
+        kept = e.join(supported, ["u", "v"], "left_semi").transform(
+            cut_lineage
         )
         m = kept.count()
         if m == n:

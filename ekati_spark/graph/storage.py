@@ -1,0 +1,97 @@
+"""Bucketed on-disk layout for the property graph (SURVEY.md §1.5).
+
+The reference routes every node to a partition by hashing its id
+(murmur3 partition routing) and serves point lookups from that one
+partition's index without scanning the others (reference:
+src/serverlib/FileStore.fs:281-298 — `GetNodeIdHash` → partition
+queue → per-partition index probe). The Spark-native equivalent is a
+Hive-style partitioned parquet layout keyed by a deterministic bucket
+of ``node_id``: a `get "<id>"` then carries two predicates —
+``bucket = B(id)`` (a PARTITION filter: non-matching directories are
+pruned at planning time, their files never opened) and
+``node_id = id`` (pushed into the parquet row-group scan).
+
+Bucket function: the first 8 hex digits of md5(node_id) mod
+``n_buckets`` — the repo-wide md5-prefix determinism doctrine, and
+(unlike ``F.hash``) computable driver-side in pure Python so the
+planner can bind the bucket literal without running a Spark job.
+
+At 100 TB: ``n_buckets`` sizes the layout (aim for partitions of a
+few GB); bucket count is recorded in a ``_ekati_buckets.json``
+sidecar so readers never guess. Point lookups touch 1/n_buckets of
+the data regardless of corpus size; full scans read everything
+exactly as before (the bucket column prunes nothing when
+unconstrained).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+_SIDECAR = "_ekati_buckets.json"
+
+
+def bucket_expr(col: Column, n_buckets: int) -> Column:
+    """Spark-side bucket id: int(md5(id)[:8], 16) % n_buckets."""
+    return (
+        F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % n_buckets
+    ).cast("int")
+
+
+def bucket_of(node_id: str, n_buckets: int) -> int:
+    """Driver-side twin of ``bucket_expr`` (bit-identical)."""
+    return int(hashlib.md5(str(node_id).encode()).hexdigest()[:8], 16) % (
+        n_buckets
+    )
+
+
+def write_bucketed_props(
+    props: DataFrame, path: str, n_buckets: int = 64
+) -> None:
+    """Materialize ``props`` Hive-partitioned by the node_id bucket.
+
+    One shuffle (repartition on the bucket column) so each partition
+    directory is written by the tasks that own it — without it every
+    task appends a file into every directory (n_tasks × n_buckets
+    small files, the classic partitionBy mistake)."""
+    (
+        props.withColumn("bucket", bucket_expr(F.col("node_id"), n_buckets))
+        .repartition(n_buckets, "bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+    with open(os.path.join(path, _SIDECAR), "w") as fh:
+        json.dump({"n_buckets": n_buckets, "key": "node_id"}, fh)
+
+
+def read_bucket_count(path: str) -> int:
+    with open(os.path.join(path, _SIDECAR)) as fh:
+        return int(json.load(fh)["n_buckets"])
+
+
+def read_bucketed_props(spark: SparkSession, path: str) -> DataFrame:
+    """Full-graph view (drops the layout column)."""
+    return spark.read.parquet(path).drop("bucket")
+
+
+def point_lookup(
+    spark: SparkSession, path: str, node_id: str
+) -> DataFrame:
+    """`get "<id>"` against a bucketed layout: bind the bucket literal
+    driver-side so planning prunes every other partition directory
+    (PartitionFilters), then push ``node_id = id`` into the scan
+    (PushedFilters). The reference's one-partition index probe,
+    FileStore.fs:281-298."""
+    b = bucket_of(node_id, read_bucket_count(path))
+    return (
+        spark.read.parquet(path)
+        .filter((F.col("bucket") == b) & (F.col("node_id") == node_id))
+        .drop("bucket")
+    )

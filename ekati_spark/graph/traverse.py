@@ -29,6 +29,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ekati_spark.checkpoint import cut_lineage
+
 
 # -- follow spec tree (IR mirror of FollowOperator, types.proto:79-106) ----
 
@@ -163,7 +165,7 @@ def follow(
         if hop < max_hop:
             # materialize: consumed by >=3 downstream plans (next join,
             # visited, emit); the last hop is consumed once -- stay lazy.
-            step = step.localCheckpoint(eager=True)
+            step = step.transform(cut_lineage)
             if max_frontier is not None and step.count() > max_frontier:
                 if on_overflow == "error":
                     raise FrontierOverflow(
@@ -175,7 +177,7 @@ def follow(
                 step = (
                     step.orderBy("node_id", "__emit")
                     .limit(max_frontier)
-                    .localCheckpoint(eager=True)
+                    .transform(cut_lineage)
                 )
         new_frontier = step.select("node_id")
         emitted.append(

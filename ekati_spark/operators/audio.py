@@ -126,6 +126,15 @@ def decimate_wav(data: bytes, factor: int) -> bytes:
     at ``rate // factor``. Pure index arithmetic — deterministic in any
     environment, the audio analog of ``png.resize_png``."""
     rate, channels, sampwidth, samples = decode_wav(data)
+    if not 1 <= factor < rate:
+        # factor 0 would slice with step 0; factor >= rate would encode
+        # framerate 0 — both must fail under the module's documented
+        # ValueError contract, not a raw wave.Error/ValueError from the
+        # encoder internals.
+        raise ValueError(
+            f"decimate factor must satisfy 1 <= factor < rate "
+            f"(got factor={factor}, rate={rate})"
+        )
     frames = [
         samples[i : i + channels] for i in range(0, len(samples), channels)
     ]

@@ -35,6 +35,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from ekati_spark.checkpoint import cut_lineage
+
 MERSENNE_31 = (1 << 31) - 1
 
 
@@ -95,8 +97,8 @@ def ngram_jaccard_pairs(
     the whole lambda per row — with the tokenizing ``split`` re-run for
     every ``element_at`` — measured ~25x slower than the window form.
     """
-    rows = shingle_rows(docs, n, text_col, id_col).localCheckpoint(
-        eager=True
+    rows = shingle_rows(docs, n, text_col, id_col).transform(
+        cut_lineage
     )
     sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
     ex = rows.join(sz, "id")
@@ -253,7 +255,7 @@ def minhash_band_candidates(
     rows = num_hashes // bands
     sh_rows = shingle_hash_rows(
         docs, shingle_n, text_col, id_col
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     sigs = _signatures_from_rows(sh_rows, num_hashes)
     banded = sigs.select(
         "id",
@@ -446,7 +448,7 @@ def dedup_groups(
     # the full pair-finding pipeline (shingle joins) each time
     edges = pairs.select(
         pad("id_a").alias("src"), pad("id_b").alias("dst")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     comp = connected_components_star(edges).select(
         unpad("node_id").alias(id_col),
         unpad("component").alias("__grp"),
@@ -833,8 +835,8 @@ def containment_pairs(
     shingle-inverted-index self-join as ``ngram_jaccard_pairs`` (cost
     ∝ Σ shared-shingle bucket², not n²); at 100 TB the scale path is
     the LSH candidate generator feeding this as the verifier."""
-    rows = shingle_rows(docs, n, text_col, id_col).localCheckpoint(
-        eager=True
+    rows = shingle_rows(docs, n, text_col, id_col).transform(
+        cut_lineage
     )
     sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
     ex = rows.join(sz, "id")

@@ -141,16 +141,29 @@ def decode_image(data: bytes, fake: bool = False) -> list[float]:
 
 
 def extract_features(
-    df: DataFrame, fake: bool = True, batch_col: str = "content"
+    df: DataFrame,
+    fake: bool = True,
+    batch_col: str = "content",
+    with_status: bool = False,
 ) -> DataFrame:
     """mapInPandas feature extraction: content binary → features array<double>.
 
     Arrow-batched; each batch decodes independently, so the operator scales
     linearly with partitions. The decode call is the stub above.
-    """
+
+    ``with_status=True`` additionally emits ``decode_ok`` (boolean) and
+    ``decode_err`` (the raising exception's class name, null on
+    success) so the undecodable→null contract is OBSERVABLE: at 100 TB
+    a silent null rate is indistinguishable from a broken corpus —
+    aggregate decode_ok per source and alert on drift (l69)."""
+    extra = [T.StructField("features", T.ArrayType(T.DoubleType()), True)]
+    if with_status:
+        extra += [
+            T.StructField("decode_ok", T.BooleanType(), False),
+            T.StructField("decode_err", T.StringType(), True),
+        ]
     out_schema = T.StructType(
-        [f for f in df.schema.fields if f.name != batch_col]
-        + [T.StructField("features", T.ArrayType(T.DoubleType()), True)]
+        [f for f in df.schema.fields if f.name != batch_col] + extra
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -160,18 +173,21 @@ def extract_features(
             # contract); the stub path still raises loudly when PIL is
             # absent and fake=False, so misconfiguration stays visible
             if b is None:
-                return None
+                return None, "NullPayload"
             try:
-                return decode_image(b, fake=fake)
+                return decode_image(b, fake=fake), None
             except NotImplementedError:
                 raise
-            except Exception:  # noqa: BLE001 — undecodable payload
-                return None
+            except Exception as exc:  # noqa: BLE001 — undecodable payload
+                return None, type(exc).__name__
 
         for pdf in batches:
-            feats = [safe(b) for b in pdf[batch_col]]
+            decoded = [safe(b) for b in pdf[batch_col]]
             out = pdf.drop(columns=[batch_col])
-            out["features"] = feats
+            out["features"] = [f for f, _ in decoded]
+            if with_status:
+                out["decode_ok"] = [f is not None for f, _ in decoded]
+                out["decode_err"] = [e for _, e in decoded]
             yield out
 
     return df.mapInPandas(op, schema=out_schema)

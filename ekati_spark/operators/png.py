@@ -228,6 +228,31 @@ def planted_png(doc_id: int) -> bytes:
     return encode_png(w, h, bytes(px), channels=1)
 
 
+def planted_png16(doc_id: int) -> bytes:
+    """Deterministic 16-bit-depth PNG fixture: structurally valid
+    (signature, IHDR, IDAT, IEND, correct CRCs) but outside the
+    codec's 8-bit contract, so ``decode_png`` raises its documented
+    ``ValueError: unsupported PNG bit depth 16`` — the planted
+    "exotic format" row for decode-coverage telemetry (l69)."""
+    w = 2 + (doc_id % 3)
+    h = 2
+    # 16-bit grayscale scanlines: filter byte + 2 bytes per pixel
+    stride = w * 2
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        for x in range(w):
+            v = (doc_id * 257 + y * w + x) % 65536
+            raw += struct.pack(">H", v)
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
 def resize_png(data: bytes, width: int, height: int) -> bytes:
     """Nearest-neighbor resize of a PNG, pure stdlib: decode → index-map
     resample (src index = (dst * src_size) // dst_size, pure integer

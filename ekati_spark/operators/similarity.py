@@ -22,6 +22,8 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
+from ekati_spark.checkpoint import cut_lineage, cut_lineage_lazy
+
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """a · b. With ``dim``, an unrolled element_at sum that stays in
@@ -423,7 +425,7 @@ def semantic_dedup(
         cents = _lloyd_step(c, cents)
     assigned = _assign_lists(
         c, cents, "id long, v array<float>, nv double, list_id long"
-    ).localCheckpoint(eager=True)  # consumed 3x (both join sides + output)
+    ).transform(cut_lineage)  # consumed 3x (both join sides + output)
 
     a = assigned.select(
         "list_id",
@@ -661,7 +663,7 @@ def ivf_topk_from_index(
     q = _norm_queries(queries, dim, query_id_col, query_vec_col)
     qp = _probe_lists(
         q, centroids, min(n_probe, len(centroids)), spark, dim
-    ).localCheckpoint(eager=True)  # consumed twice: probed-list collect + join
+    ).transform(cut_lineage)  # consumed twice: probed-list collect + join
     probed = [r.list_id for r in qp.select("list_id").distinct().collect()]
     assigned = spark.read.parquet(f"{path}/lists").filter(
         F.col("list_id").isin(probed)
@@ -721,7 +723,7 @@ def bitext_margin_pairs(
     )
     # one pass computes both neighborhood sums; persist so the sum
     # aggregates and the final pair join reuse the ranked pairs
-    ranked = ranked.localCheckpoint(eager=False)
+    ranked = ranked.transform(cut_lineage_lazy)
     dec = F.col("cosine").cast("decimal(18,6)")
     sum_s = (
         ranked.filter(F.col("rs") <= k)
@@ -952,6 +954,49 @@ def _trunc_div(s: int, n: int) -> int:
     return s // n if s >= 0 else -((-s) // n)
 
 
+def _quant_udf(scale: int):
+    """Pandas UDF quantizing float vectors to the int64 grid
+    (floor(x*scale + 0.5) — the single IEEE op of the integer path)."""
+    import numpy as np
+
+    @F.pandas_udf("array<long>")
+    def quant(vs: pd.Series) -> pd.Series:
+        return vs.map(
+            lambda v: np.floor(
+                np.asarray(v, dtype=np.float64) * scale + 0.5
+            ).astype(np.int64).tolist()
+        )
+
+    return quant
+
+
+def _int_assign(frame: DataFrame, cents: dict) -> DataFrame:
+    """Assign quantized vectors (``id, qv``) to their nearest centroid
+    by exact int64 L2² (ties → smallest list_id, matching the oracle's
+    ORDER BY tie-break). Centroids ride the UDF closure (k×dim ints)."""
+    import numpy as np
+
+    ids = sorted(cents)
+    C = np.array([cents[i] for i in ids], dtype=np.int64)
+    schema = "id long, qv array<long>, list_id long"
+
+    def op(batches):
+        cc = (C * C).sum(axis=1)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + cc[None, :]
+            # argmin returns the FIRST minimum -> smallest list_id
+            # on ties (ids sorted) — the oracle's ORDER BY tie-break
+            li = d.argmin(axis=1)
+            out = pdf[["id", "qv"]].copy()
+            out["list_id"] = [ids[j] for j in li]
+            yield out
+
+    return frame.mapInPandas(op, schema=schema)
+
+
 def _int_kmeans(
     corpus: DataFrame,
     n_lists: int,
@@ -965,48 +1010,21 @@ def _int_kmeans(
     iterate exact integer Lloyd steps. Returns (assigned DataFrame with
     columns ``id, qv, list_id`` — localCheckpointed, final-centroid
     assignment — and the centroid dict)."""
-    import numpy as np
 
     dim = _infer_dim(corpus, vec_col)
-
-    @F.pandas_udf("array<long>")
-    def quant(vs: pd.Series) -> pd.Series:
-        return vs.map(
-            lambda v: np.floor(
-                np.asarray(v, dtype=np.float64) * scale + 0.5
-            ).astype(np.int64).tolist()
-        )
+    quant = _quant_udf(scale)
 
     c = (
         corpus.filter(
             F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
         )
         .select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
-        .localCheckpoint(eager=True)  # reused per iteration + final assign
+        .transform(cut_lineage)  # reused per iteration + final assign
     )
     seeds = c.orderBy("id").limit(n_lists).collect()
     cents = {i: list(r["qv"]) for i, r in enumerate(seeds)}
 
-    def assign(frame: DataFrame, cents: dict) -> DataFrame:
-        ids = sorted(cents)
-        C = np.array([cents[i] for i in ids], dtype=np.int64)
-        schema = "id long, qv array<long>, list_id long"
-
-        def op(batches):
-            cc = (C * C).sum(axis=1)
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
-                d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + cc[None, :]
-                # argmin returns the FIRST minimum -> smallest list_id
-                # on ties (ids sorted) — the oracle's ORDER BY tie-break
-                li = d.argmin(axis=1)
-                out = pdf[["id", "qv"]].copy()
-                out["list_id"] = [ids[j] for j in li]
-                yield out
-
-        return frame.mapInPandas(op, schema=schema)
+    assign = _int_assign
 
     def update(assigned: DataFrame) -> dict:
         def sums(batches):
@@ -1041,7 +1059,7 @@ def _int_kmeans(
 
     for _ in range(kmeans_iters):
         cents = update(assign(c, cents))
-    assigned = assign(c, cents).localCheckpoint(eager=True)
+    assigned = assign(c, cents).transform(cut_lineage)
     return assigned, cents
 
 
@@ -1076,23 +1094,41 @@ def ivf_topk_int(
     candidates meet probed lists in one equi-join, and the final
     top-k is a per-query window. At 100 TB the assigned corpus is
     written list-partitioned exactly like build_ivf_index."""
-    import numpy as np
-
-    spark = corpus.sparkSession
-    dim = _infer_dim(corpus, vec_col)
     assigned, cents = _int_kmeans(
         corpus, n_lists, kmeans_iters, scale, id_col, vec_col
     )
-    assigned = assigned.withColumnRenamed("id", "neighbor_id")
+    return _int_probe_topk(
+        assigned.withColumnRenamed("id", "neighbor_id"),
+        cents,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        scale=scale,
+        dim=_infer_dim(corpus, vec_col),
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
 
-    @F.pandas_udf("array<long>")
-    def quant(vs: pd.Series) -> pd.Series:
-        return vs.map(
-            lambda v: np.floor(
-                np.asarray(v, dtype=np.float64) * scale + 0.5
-            ).astype(np.int64).tolist()
-        )
 
+def _int_probe_topk(
+    assigned: DataFrame,
+    cents: dict,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    scale: int,
+    dim: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe stage of the integer IVF path: pick each query's
+    ``n_probe`` nearest lists by exact int64 centroid distance, score
+    candidates in the probed lists, window top-k. Shared by the inline,
+    appended, and persisted-index variants — bit-identical results."""
+    import numpy as np
+
+    spark = assigned.sparkSession
+    quant = _quant_udf(scale)
     q = (
         queries.filter(
             F.col(query_vec_col).isNotNull()
@@ -1150,6 +1186,209 @@ def ivf_topk_int(
             "neighbor_id",
             "dist_sq",
         )
+    )
+
+
+def ivf_append_topk_int(
+    base: DataFrame,
+    new_vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Incremental-maintenance semantics of the integer IVF index,
+    in-memory: fit centroids on ``base`` only, FREEZE them, assign
+    ``new_vectors`` to the frozen centroids (the append path — no
+    re-fit), and probe the union. This is exactly what
+    ``append_ivf_index_int`` persists to disk, expressed as one plan
+    so a SQL oracle can replay it (queries/llm.py::l70). Mirrors the
+    reference's accumulate-on-put index maintenance
+    (reference: src/serverlib/NodeAttrIndex.cs:187-232 — new fragments
+    join the existing index structure; the structure is not rebuilt
+    per put)."""
+    dim = _infer_dim(base, vec_col)
+    assigned_b, cents = _int_kmeans(
+        base, n_lists, kmeans_iters, scale, id_col, vec_col
+    )
+    quant = _quant_udf(scale)
+    fresh = new_vectors.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
+    assigned = assigned_b.unionByName(_int_assign(fresh, cents))
+    return _int_probe_topk(
+        assigned.withColumnRenamed("id", "neighbor_id"),
+        cents,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        scale=scale,
+        dim=dim,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+
+def build_ivf_index_int(
+    corpus: DataFrame,
+    path: str,
+    n_lists: int = 16,
+    kmeans_iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Persist the INTEGER-deterministic IVF index (the replayable twin
+    of ``build_ivf_index``): quantized vectors list-partitioned under
+    ``path/lists`` (probe = parquet partition pruning) and the frozen
+    int64 centroids under ``path/centroids``. Returns list count."""
+    spark = corpus.sparkSession
+    assigned, cents = _int_kmeans(
+        corpus, n_lists, kmeans_iters, scale, id_col, vec_col
+    )
+    assigned.withColumnRenamed("id", "neighbor_id").write.partitionBy(
+        "list_id"
+    ).mode("overwrite").parquet(f"{path}/lists")
+    spark.createDataFrame(
+        [(i, [int(x) for x in c]) for i, c in sorted(cents.items())],
+        "list_id long, cent array<long>",
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    return len(cents)
+
+
+def _read_int_centroids(spark, path: str) -> dict:
+    return {
+        int(r.list_id): list(r.cent)
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+
+
+def append_ivf_index_int(
+    new_vectors: DataFrame,
+    path: str,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Append new vectors to a persisted integer IVF index WITHOUT a
+    rebuild: assign them to the index's frozen centroids and
+    append-write into the existing list partitions (each appended file
+    lands only in its list's directory — append cost ∝ batch size, not
+    corpus size). Returns per-list append stats ``(list_id,
+    n_appended)`` so callers can monitor list balance. Centroids do NOT
+    move — run ``ivf_index_drift_int`` periodically; re-fit when drift
+    says the frozen centroids stopped describing the data."""
+    spark = new_vectors.sparkSession
+    cents = _read_int_centroids(spark, path)
+    dim = len(next(iter(cents.values())))
+    quant = _quant_udf(scale)
+    fresh = new_vectors.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
+    assigned = (
+        _int_assign(fresh, cents)
+        .withColumnRenamed("id", "neighbor_id")
+        .transform(cut_lineage)  # consumed twice: write + stats
+    )
+    assigned.write.partitionBy("list_id").mode("append").parquet(
+        f"{path}/lists"
+    )
+    return assigned.groupBy("list_id").agg(
+        F.count("*").alias("n_appended")
+    )
+
+
+def ivf_topk_int_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 6,
+    scale: int = 1024,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Probe a persisted integer IVF index (original build PLUS any
+    appended batches): identical scoring to ``ivf_topk_int``; the scan
+    reads only the probed list partitions (PartitionFilters via the
+    ``isin`` on the partition column, same contract as
+    ``ivf_topk_from_index``)."""
+    cents = _read_int_centroids(spark, path)
+    if not cents:
+        return spark.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, dist_sq long"
+        )
+    dim = len(next(iter(cents.values())))
+    # bind probed lists driver-side for partition pruning, then reuse
+    # the shared probe/score stage on the pruned scan
+    assigned = spark.read.parquet(f"{path}/lists")
+    return _int_probe_topk(
+        assigned,
+        cents,
+        queries,
+        k=k,
+        n_probe=n_probe,
+        scale=scale,
+        dim=dim,
+        query_id_col=query_id_col,
+        query_vec_col=query_vec_col,
+    )
+
+
+def ivf_index_drift_int(spark, path: str) -> DataFrame:
+    """Index-maintenance telemetry: per list, the stored (frozen)
+    centroid vs the CURRENT member mean (what a re-fit step would move
+    it to), as exact int64 L2². ``drift_sq`` grows as appended batches
+    shift a list's distribution; a deployment re-fits (rebuild) when
+    drift crosses its tolerance. One aggregate over the index — no
+    probe, no rebuild."""
+    import numpy as np
+
+    cents = _read_int_centroids(spark, path)
+    dim = len(next(iter(cents.values())))
+    members = spark.read.parquet(f"{path}/lists")
+
+    def sums(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for lid, grp in pdf.groupby("list_id"):
+                M = np.array(grp["qv"].tolist(), dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "list_id": [int(lid)],
+                        "s": [M.sum(axis=0).tolist()],
+                        "n": [len(grp)],
+                    }
+                )
+
+    parts = members.mapInPandas(
+        sums, schema="list_id long, s array<long>, n long"
+    ).collect()  # ≤ n_lists × partitions rows of k×dim scalars
+    agg: dict = {}
+    for r in parts:
+        s0, n0 = agg.get(r["list_id"], ([0] * dim, 0))
+        agg[r["list_id"]] = (
+            [a + b for a, b in zip(s0, r["s"])],
+            n0 + r["n"],
+        )
+    rows = []
+    for lid, cent in sorted(cents.items()):
+        s, n = agg.get(lid, ([0] * dim, 0))
+        if n == 0:
+            rows.append((lid, 0, None))
+            continue
+        mean = [_trunc_div(si, n) for si in s]
+        drift = sum((a - b) ** 2 for a, b in zip(mean, cent))
+        rows.append((lid, n, int(drift)))
+    return spark.createDataFrame(
+        rows, "list_id long, n_members long, drift_sq long"
     )
 
 
@@ -1271,7 +1510,7 @@ def pq_topk_int(
             F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
         )
         .select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
-        .localCheckpoint(eager=True)  # reused per iteration + encode + rerank
+        .transform(cut_lineage)  # reused per iteration + encode + rerank
     )
     seeds = c.orderBy("id").limit(ksub).collect()
     # cents[sub] = {code: dsub-dim list}; same seed ids for every sub
@@ -1356,7 +1595,7 @@ def pq_topk_int(
 
     for _ in range(kmeans_iters):
         cents = update(encode(c, cents))
-    encoded = encode(c, cents).localCheckpoint(eager=True)
+    encoded = encode(c, cents).transform(cut_lineage)
 
     q = (
         queries.filter(

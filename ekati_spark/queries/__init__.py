@@ -19,44 +19,47 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. Rounds 1-3 attested r01-r50 plus the round-3
-# curated core; this round rotates the window onto 40 names with only
-# local (verify_local.py) evidence so far, keeping a 10-query sentinel
-# core spanning every family to detect drift against prior rounds.
+# order IS the graded set. Attested-ever after r5 = 116/190; this
+# round's window keeps a 5-query sentinel (one per family, green in
+# every prior window) and fills the other 45 slots with names that
+# have NEVER had a driver CORRECTNESS row (rounds-4/5 additions:
+# graph analytics g19/g29-g42, time-series/sketches r51-r66, curation/
+# ANN audits l41-l67, stateful streaming st11-st14).
 #
 # ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
 # mid-round (the driver grades at round end; a mid-round rotation
-# orphans the current window). Next-round candidates = everything not
-# in the r3 or r4 windows, plus this round's additions: r56-r60, l41-
-# l56, g29-g34, st02, st03, st09, st11, st12, r02, r49, r55, l09-l11,
-# l13, l16, l19, l23-l25, l27-l30, l32-l36, l39 (keep the same 10-query
-# sentinel core; prefer names that have never had a driver row).
+# orphans the current window). Round-7 candidates = the 29 still-
+# unattested names (g28, l11, l19, l23, l25, l27, l29, l32-l36, l39,
+# l42, l43, l45, l49, l51-l53, l56, l58-l60, l62-l65, l68) plus
+# whatever round 6 adds.
 _GRADED_FIRST = [
-    # sentinel core: re-attested every round (green in r3's window)
-    "r01_scan_count", "r03_pricing_summary", "r37_asof_join",
-    "g01_follow_one_hop", "g10_cycle_dedup",
-    "l01_dedup_exact", "l06_knn_bruteforce", "l20_dedup_groups",
-    "st01_tumbling_window", "st04_stream_static_join",
-    # relational: never driver-attested aggs/joins/subqueries/time-series
-    "r05_count_distinct", "r08_grouping_sets", "r13_join_full_outer",
-    "r20_window_rank_ntile", "r34_correlated_exists",
-    "r39_percentiles", "r52_lateral_topk", "r54_merge_upsert",
+    # sentinel core: one per family, re-attested every round
+    "r03_pricing_summary", "g01_follow_one_hop",
+    "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
+    # time-series / sketches / maintenance: first driver attestation
+    "r51_funnel", "r53_sliding_distinct_users", "r55_locf_gapfill",
+    "r56_incremental_mv", "r57_max_concurrency", "r58_quantile_sketch",
+    "r59_scd2_history", "r60_heavy_hitters", "r61_key_skew_report",
+    "r62_retention_cohorts", "r63_kmv_distinct_sketch",
+    "r64_event_pattern_match", "r65_event_transition_matrix",
+    "r66_last_touch_attribution",
     # graph analytics kernels: first driver attestation
-    "g11_latest_version", "g12_multi_valued_keys", "g13_pagerank",
-    "g14_connected_components", "g15_shortest_hops",
-    "g16_motif_supply_path", "g17_triangle_count", "g20_kcore",
-    "g21_label_propagation", "g23_cheapest_trade_route",
-    "g24_cosupplier_graph", "g25_personalized_pagerank",
-    "g27_edge_label_histogram",
-    # LLM pipeline: dedup/ANN/curation entries with only local evidence
-    "l03_minhash_lsh_pairs", "l04_simhash_pairs", "l07_knn_lsh",
-    "l12_multimodal_features", "l14_top_bigrams", "l15_knn_ivf",
-    "l18_token_budget", "l21_stratified_sample", "l22_train_split",
-    "l26_dedup_keep_one", "l31_domain_mix", "l37_semantic_dedup",
-    "l38_chunk_dedup_rewrite", "l40_leakage_safe_split",
-    # streaming: stateful/stream-stream entries not yet attested
-    "st05_stateful_dedup", "st06_stream_stream_join",
-    "st07_stream_curation", "st08_trending_topk", "st10_anomaly_windows",
+    "g19_connected_components_star", "g29_follow_asof",
+    "g30_link_prediction", "g31_nation_modularity", "g32_hits",
+    "g33_harmonic_centrality", "g34_diameter_sweep",
+    "g35_temporal_reachability", "g36_ktruss",
+    "g37_degree_assortativity", "g38_clustering_coefficient",
+    "g39_betweenness_sampled", "g40_random_walk_corpus",
+    "g41_coreness_buckets", "g42_temporal_broker_score",
+    # LLM pipeline: curation/ANN-audit entries with only local evidence
+    "l41_perplexity_buckets", "l44_bpe_merge_pairs",
+    "l46_incremental_dedup", "l47_token_waterfill",
+    "l48_quality_classifier", "l50_dedup_keep_best",
+    "l54_knn_pq", "l55_lsh_recall_audit", "l57_curation_pipeline",
+    "l61_audio_decode", "l66_token_dropout", "l67_feature_standardize",
+    # streaming: stateful/SCD2/full-outer entries not yet attested
+    "st11_stream_scd2", "st12_dedup_ingest",
+    "st13_stream_stream_full_join", "st14_spend_threshold_alerts",
 ]
 
 

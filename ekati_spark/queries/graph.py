@@ -12,6 +12,8 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from ekati_spark.checkpoint import cut_lineage
+
 from ekati_spark.catalog import load_table
 from ekati_spark.graph.model import PropertyGraph
 from ekati_spark.graph.traverse import Any, Edge, Or, follow
@@ -1240,7 +1242,7 @@ def g30_link_prediction(spark, sf_dir):
         .agg(F.count("*").alias("sp"))
         .filter(F.col("sp") >= 4)
         .select("u", "v")
-        .localCheckpoint(eager=True)  # reused 3x: und(x2) + anti join
+        .transform(cut_lineage)  # reused 3x: und(x2) + anti join
     )
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy(F.col("u").alias("z")).agg(F.count("*").alias("deg"))
@@ -1329,7 +1331,7 @@ def g31_nation_modularity(spark, sf_dir):
         .agg(F.count("*").alias("sp"))
         .filter(F.col("sp") >= 4)
         .select("u", "v")
-        .localCheckpoint(eager=True)  # reused: m count, intra join, degrees
+        .transform(cut_lineage)  # reused: m count, intra join, degrees
     )
     nat = cust.select(F.col("c_custkey").alias("c"), F.col("c_nationkey").alias("nk"))
     lab = (
@@ -1415,14 +1417,14 @@ def g32_hits(spark, sf_dir):
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=True)  # reused by all 4 propagation joins
+        .transform(cut_lineage)  # reused by all 4 propagation joins
     )
 
     def _norm(df, key):
         m = int(df.agg(F.max("v")).first()[0])
         out = df.select(key, F.expr(f"v * {PPM}L div {m}L").alias("v"))
         # tiny (≤ node count) and consumed by the next join + top-k
-        return out.localCheckpoint(eager=True)
+        return out.transform(cut_lineage)
 
     a = _norm(w.groupBy("s").agg(F.sum("w").alias("v")), "s")
     for _ in range(1):  # one and a half more rounds: h1 -> a2 -> h2
@@ -1524,7 +1526,7 @@ def g33_harmonic_centrality(spark, sf_dir):
     )
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)  # consumed every BFS hop + seed pick
+    ).transform(cut_lineage)  # consumed every BFS hop + seed pick
     edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     seeds = (
         und.select(F.col("u").alias("node_id"))
@@ -1617,7 +1619,7 @@ def g34_diameter_sweep(spark, sf_dir):
     )
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)  # consumed by every hop of both sweeps
+    ).transform(cut_lineage)  # consumed by every hop of both sweeps
     edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
     seed = und.agg(F.min("u")).first()[0]
     d1 = shortest_hops(
@@ -1705,7 +1707,7 @@ def g35_temporal_reachability(spark, sf_dir):
         eb.select(
             F.col("dst").alias("src"), F.col("src").alias("dst"), "t"
         )
-    ).localCheckpoint(eager=True)  # consumed every round
+    ).transform(cut_lineage)  # consumed every round
     seed = int(eb.agg(F.min("src")).first()[0])
     seeds = spark.createDataFrame([(seed, -1)], "node_id long, t0 int")
     best = earliest_arrival(edges, seeds)
@@ -1864,7 +1866,7 @@ def g37_degree_assortativity(spark, sf_dir):
         .agg(F.count("*").alias("sp"))
         .filter(F.col("sp") >= 4)
         .select("u", "v")
-        .localCheckpoint(eager=True)  # reused: both und branches
+        .transform(cut_lineage)  # reused: both und branches
     )
     und = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = und.groupBy("u").agg(F.count("*").cast("long").alias("d"))
@@ -1953,7 +1955,7 @@ def g38_clustering_coefficient(spark, sf_dir):
         .agg(F.count("*").alias("sp"))
         .filter(F.col("sp") >= 4)
         .select("u", "v")
-        .localCheckpoint(eager=True)  # reused: wedge join x2, closure, deg
+        .transform(cut_lineage)  # reused: wedge join x2, closure, deg
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
@@ -2116,7 +2118,7 @@ def g39_betweenness_sampled(spark, sf_dir):
     )
     und = e.unionByName(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=True)  # consumed by every forward + backward level
+    ).transform(cut_lineage)  # consumed by every forward + backward level
     seeds = (
         und.select(F.col("u").alias("seed"))
         .distinct()
@@ -2126,9 +2128,9 @@ def g39_betweenness_sampled(spark, sf_dir):
     lvl = [
         seeds.select(
             "seed", F.col("seed").alias("node"), F.lit(1).cast("long").alias("sigma")
-        ).localCheckpoint(eager=True)
+        ).transform(cut_lineage)
     ]
-    visited = lvl[0].select("seed", "node").localCheckpoint(eager=True)
+    visited = lvl[0].select("seed", "node").transform(cut_lineage)
     for _ in range(MAXD):
         nxt = (
             lvl[-1]
@@ -2136,11 +2138,11 @@ def g39_betweenness_sampled(spark, sf_dir):
             .groupBy("seed", F.col("v").alias("node"))
             .agg(F.sum("sigma").cast("long").alias("sigma"))
             .join(visited, ["seed", "node"], "left_anti")
-            .localCheckpoint(eager=True)  # next level + visited + backward
+            .transform(cut_lineage)  # next level + visited + backward
         )
         lvl.append(nxt)
-        visited = visited.unionByName(nxt.select("seed", "node")).localCheckpoint(
-            eager=True
+        visited = visited.unionByName(nxt.select("seed", "node")).transform(
+            cut_lineage
         )
     delta = [None] * (MAXD + 1)
     delta[MAXD] = lvl[MAXD].withColumn("delta_n", F.lit(0).cast("long"))
@@ -2178,7 +2180,7 @@ def g39_betweenness_sampled(spark, sf_dir):
                     "delta_n"
                 ),
             )
-            .localCheckpoint(eager=True)  # next backward level + final union
+            .transform(cut_lineage)  # next backward level + final union
         )
     allb = delta[1]
     for d in range(2, MAXD + 1):
@@ -2326,11 +2328,11 @@ def g40_random_walk_corpus(spark, sf_dir):
         "v",
         F.row_number().over(W.partitionBy("u").orderBy("v")).alias("rn"),
         F.count("*").over(W.partitionBy("u")).alias("deg"),
-    ).localCheckpoint(eager=True)  # consumed by every walk step
+    ).transform(cut_lineage)  # consumed by every walk step
     seeds = und.select(F.col("u").alias("seed")).distinct().orderBy("seed").limit(50)
     cur = seeds.select(
         "seed", F.lit(0).alias("step"), F.col("seed").alias("node")
-    ).localCheckpoint(eager=True)
+    ).transform(cut_lineage)
     out = [cur]
     for t in range(1, STEPS + 1):
         draw = (
@@ -2344,7 +2346,7 @@ def g40_random_walk_corpus(spark, sf_dir):
             .select(
                 "seed", F.lit(t).alias("step"), F.col("v").alias("node")
             )
-            .localCheckpoint(eager=True)  # next step + final union
+            .transform(cut_lineage)  # next step + final union
         )
         out.append(cur)
     allw = out[0]
@@ -2441,7 +2443,7 @@ def g41_coreness_buckets(spark, sf_dir):
         .agg(F.count("*").alias("sp"))
         .filter(F.col("sp") >= 4)
         .select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .localCheckpoint(eager=True)  # seed of every peel + node set
+        .transform(cut_lineage)  # seed of every peel + node set
     )
     nodes = (
         e.select(F.col("src").alias("cust"))
@@ -2471,7 +2473,7 @@ def g41_coreness_buckets(spark, sf_dir):
             .join(
                 members.withColumnRenamed("cust", "dst"), "dst", "left_semi"
             )
-            .localCheckpoint(eager=True)
+            .transform(cut_lineage)
         )
     return bucket.select(
         "cust", F.col("core_bucket").cast("int").alias("core_bucket")

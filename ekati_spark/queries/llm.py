@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Window as W
 
+from ekati_spark.checkpoint import cut_lineage
+
 from ekati_spark.catalog import load_table
 from ekati_spark.operators import dedup as D, sampling as P, similarity as S, text as X
 from ekati_spark.operators.multimodal import content_stats, with_media_columns
@@ -1205,7 +1207,7 @@ def l27_unigram_logprob(spark, sf_dir):
     freq = (
         toks.groupBy("tok")
         .agg(F.count("*").alias("c"))
-        .localCheckpoint(eager=True)
+        .transform(cut_lineage)
     )
     row = freq.agg(F.sum("c").cast("double").alias("n")).first()
     # empty corpus: total is NULL; any placeholder works — lp is empty
@@ -3097,7 +3099,7 @@ def l58_sq8_recall_audit(spark, sf_dir):
             lambda acc, x: acc + x,
         ).alias("sq"),
         F.col("embedding").alias("raw"),
-    ).localCheckpoint(eager=True)  # both sides of the dot joins
+    ).transform(cut_lineage)  # both sides of the dot joins
     qry = qs.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("mn").alias("mnx"),
@@ -3223,7 +3225,7 @@ def l59_source_overlap_matrix(spark, sf_dir):
         .filter(F.col("last").isNotNull())
         .select("source", "g")
         .distinct()
-        .localCheckpoint(eager=True)  # sizes + both sides of the pair join
+        .transform(cut_lineage)  # sizes + both sides of the pair join
     )
     sz = grams.groupBy("source").agg(F.count("*").alias("n"))
     a, b = grams.alias("a"), grams.alias("b")
@@ -3777,9 +3779,9 @@ def l66_token_dropout(spark, sf_dir):
       FROM orders
     ),
     s AS (
-      SELECT grp, CAST(count(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
+      SELECT grp, CAST(count(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
       FROM d GROUP BY grp
     )
     SELECT d.o_orderkey, d.grp,
@@ -3795,7 +3797,9 @@ def l67_feature_standardize(spark, sf_dir):
     """Grouped z-score standardization — the classic tabular feature
     prep, bit-exact across engines: values quantize to integer dollars
     (floor(x+0.5): one IEEE op), per-group moments (n, Σx, Σx²) are
-    exact BIGINTs, and the per-row z-score is ONE fixed float op
+    exact decimal(38,0)/HUGEINT — n·Σx² and (Σx)² pass 2e20 near
+    sf0.1, past int64, so the moment products MUST widen (the g37
+    decimal-moments rule) — and the per-row z-score is ONE fixed float op
     sequence (subtract the mean S/n, divide by sqrt((n·Σx²-S²)/n/n) —
     every input an exactly-represented integer, every op correctly
     rounded, identical order both engines), reported in micro units
@@ -3812,9 +3816,9 @@ def l67_feature_standardize(spark, sf_dir):
         F.floor(F.col("o_totalprice") + 0.5).cast("long").alias("x"),
     )
     s = d.groupBy("grp").agg(
-        F.count("*").cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
     )
     return d.join(F.broadcast(s), "grp").select(
         "o_orderkey",
@@ -3907,4 +3911,193 @@ def l68_feature_bucketize(spark, sf_dir):
         )
         .cast("int")
         .alias("bucket"),
+    )
+
+
+@register(
+    "l69_decode_coverage",
+    oracle="""
+    SELECT CAST(doc_id % 4 AS INTEGER) AS grp,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 7 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_decoded,
+           CAST(SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_failed,
+           CASE WHEN SUM(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END) > 0
+                THEN 'ValueError' END AS top_err
+    FROM documents GROUP BY 1
+    """,
+)
+def l69_decode_coverage(spark, sf_dir):
+    """Decode-coverage telemetry for the multimodal seam: the
+    undecodable→null contract (multimodal.extract_features) is only
+    safe at 100 TB if the null RATE is observable, so this measures it.
+    Plants a valid 8-bit PNG for most docs and a structurally-valid
+    16-bit-depth PNG (outside the codec's documented contract,
+    png.planted_png16) for doc_id % 7 == 3, decodes with
+    ``with_status=True``, and aggregates decoded/failed counts plus the
+    failing exception class per group. The oracle predicts every count
+    from the planting rule, so a hash match attests both the real
+    decode path AND the failure-classification path. Scale shape: the
+    status columns ride the existing mapInPandas batch — zero extra
+    passes; the aggregate is a 4-group count."""
+    from ekati_spark.operators.multimodal import extract_features
+
+    @F.pandas_udf("binary")
+    def plant(ids: pd.Series) -> pd.Series:
+        from ekati_spark.operators.png import (  # noqa: PLC0415
+            planted_png,
+            planted_png16,
+        )
+
+        return ids.map(
+            lambda i: planted_png16(int(i))
+            if int(i) % 7 == 3
+            else planted_png(int(i))
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    f = extract_features(
+        docs.withColumn("content", plant("doc_id")),
+        fake=False,
+        with_status=True,
+    )
+    return f.groupBy((F.col("doc_id") % 4).cast("int").alias("grp")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("decode_ok").cast("long")).alias("n_decoded"),
+        F.sum((~F.col("decode_ok")).cast("long")).alias("n_failed"),
+        F.max("decode_err").alias("top_err"),
+    )
+
+
+@register(
+    "l70_ivf_append_parity",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    eb AS MATERIALIZED (
+      SELECT vec_id, qv FROM e WHERE vec_id % 5 <> 4
+    ),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS list_id, qv AS c
+      FROM (SELECT vec_id, qv FROM eb ORDER BY vec_id LIMIT 16)
+    ),
+    a1 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT eb.vec_id, eb.qv, c0.list_id,
+               row_number() OVER (PARTITION BY eb.vec_id ORDER BY
+                 CAST(list_dot_product(eb.qv, eb.qv)
+                      - 2 * list_dot_product(eb.qv, c0.c)
+                      + list_dot_product(c0.c, c0.c) AS BIGINT),
+                 c0.list_id) AS rn
+        FROM eb CROSS JOIN c0
+      ) WHERE rn = 1
+    ),
+    s1 AS MATERIALIZED (
+      SELECT list_id, i,
+             CAST(SUM(qv[i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT list_id, qv, unnest(range(64)) AS i FROM a1)
+      GROUP BY list_id, i
+    ),
+    c1 AS MATERIALIZED (
+      SELECT list_id,
+             list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                  ORDER BY i) AS c
+      FROM s1 GROUP BY list_id
+    ),
+    a2 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT eb.vec_id, eb.qv, c1.list_id,
+               row_number() OVER (PARTITION BY eb.vec_id ORDER BY
+                 CAST(list_dot_product(eb.qv, eb.qv)
+                      - 2 * list_dot_product(eb.qv, c1.c)
+                      + list_dot_product(c1.c, c1.c) AS BIGINT),
+                 c1.list_id) AS rn
+        FROM eb CROSS JOIN c1
+      ) WHERE rn = 1
+    ),
+    s2 AS MATERIALIZED (
+      SELECT list_id, i,
+             CAST(SUM(qv[i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT list_id, qv, unnest(range(64)) AS i FROM a2)
+      GROUP BY list_id, i
+    ),
+    c2 AS MATERIALIZED (
+      SELECT list_id,
+             list(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                  ORDER BY i) AS c
+      FROM s2 GROUP BY list_id
+    ),
+    a3 AS MATERIALIZED (
+      SELECT vec_id, qv, list_id FROM (
+        SELECT e.vec_id, e.qv, c2.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CAST(list_dot_product(e.qv, e.qv)
+                      - 2 * list_dot_product(e.qv, c2.c)
+                      + list_dot_product(c2.c, c2.c) AS BIGINT),
+                 c2.list_id) AS rn
+        FROM e CROSS JOIN c2
+      ) WHERE rn = 1
+    ),
+    qr AS MATERIALIZED (
+      SELECT vec_id AS query_id, qv AS q FROM e WHERE vec_id < 10
+    ),
+    probe AS MATERIALIZED (
+      SELECT query_id, q, list_id FROM (
+        SELECT qr.query_id, qr.q, c2.list_id,
+               row_number() OVER (PARTITION BY qr.query_id ORDER BY
+                 CAST(list_dot_product(qr.q, qr.q)
+                      - 2 * list_dot_product(qr.q, c2.c)
+                      + list_dot_product(c2.c, c2.c) AS BIGINT),
+                 c2.list_id) AS rn
+        FROM qr CROSS JOIN c2
+      ) WHERE rn <= 6
+    ),
+    cand AS MATERIALIZED (
+      SELECT p.query_id,
+             CAST(list_dot_product(p.q, p.q)
+                  - 2 * list_dot_product(p.q, a3.qv)
+                  + list_dot_product(a3.qv, a3.qv) AS BIGINT) AS dist_sq,
+             a3.vec_id AS neighbor_id
+      FROM probe p JOIN a3 ON a3.list_id = p.list_id
+      WHERE a3.vec_id <> p.query_id
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, dist_sq FROM (
+      SELECT query_id, neighbor_id, dist_sq,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY dist_sq, neighbor_id) AS rn
+      FROM cand
+    ) WHERE rn <= 5
+    """,
+)
+def l70_ivf_append_parity(spark, sf_dir):
+    """Incremental IVF index maintenance, oracle-attested: fit the
+    integer-deterministic index on the BASE corpus (vec_id % 5 != 4 —
+    l15's build replayed over the subset), freeze the centroids, assign
+    the remaining 20% to the frozen centroids (the append path —
+    operators.similarity.ivf_append_topk_int; on disk:
+    append_ivf_index_int), and probe the union. The oracle replays
+    base-only Lloyd iterations then assigns ALL vectors to the final
+    centroids — i.e. it PROVES append ≡ assign-into-frozen-index, the
+    reference's accumulate-on-put maintenance semantics
+    (NodeAttrIndex.cs:187-232) applied to the ANN index. Scale shape:
+    append cost ∝ batch size (one assignment pass + per-list appended
+    files), probes prune to the probed list partitions; drift telemetry
+    (ivf_index_drift_int) decides when to re-fit."""
+    from ekati_spark.operators.similarity import ivf_append_topk_int
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    fresh = emb.filter(F.col("vec_id") % 5 == 4)
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_append_topk_int(
+        base, fresh, q, k=5, n_lists=16, n_probe=6, kmeans_iters=2
     )

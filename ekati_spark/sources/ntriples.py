@@ -26,6 +26,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ekati_spark.checkpoint import cut_lineage
+
 # subject: IRI or blank; predicate: IRI; object: IRI | blank | literal
 _TRIPLE = (
     r"^\s*"
@@ -229,7 +231,7 @@ def load_ntriples_url(
         df = load_ntriples(spark, spool, run_id=run_id, ts=ts)
         # the spool must outlive the returned (lazy) DataFrame's first
         # action: materialize eagerly, then the file can go.
-        df = df.localCheckpoint(eager=True)
+        df = df.transform(cut_lineage)
         return df
     finally:
         try:

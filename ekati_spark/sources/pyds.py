@@ -259,8 +259,17 @@ class NTriplesWriter(DataSourceWriter):
             for f in os.listdir(self.path):
                 if f.endswith(".nt") and f != "_staging":
                     os.remove(os.path.join(self.path, f))
-        for f in os.listdir(staging):
-            shutil.move(os.path.join(staging, f), os.path.join(self.path, f))
+        # Publish ONLY the files named by the task commit messages: a
+        # retried/speculated task attempt or a crashed prior job leaves
+        # orphan part files in _staging that must never become visible
+        # (one committed attempt per task, the FileOutputCommitter rule).
+        committed = {m.file for m in messages if m is not None}
+        for f in list(os.listdir(staging)):
+            src = os.path.join(staging, f)
+            if src in committed:
+                shutil.move(src, os.path.join(self.path, f))
+            else:
+                os.remove(src)
         os.rmdir(staging)
 
     def abort(self, messages):

@@ -724,6 +724,8 @@ def _spend_alert_processor(threshold_cents: int):
     # processor class defined lazily (base class imported inside the
     # factory) so importing ops.py never requires the streaming-state
     # module
+    from decimal import ROUND_HALF_UP, Decimal
+
     import pandas as pd
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -747,7 +749,16 @@ def _spend_alert_processor(threshold_cents: int):
                 # must not depend on micro-batch internal ordering
                 pdf = pdf.sort_values(["ts", "event_id"])
                 for eid, val in zip(pdf["event_id"], pdf["value"]):
-                    cum += int(round(float(val) * 100))
+                    # HALF_UP on the shortest decimal repr of the double
+                    # product — bit-identical to the batch twin's
+                    # F.round(value*100) (Spark rounds the BigDecimal of
+                    # Double.toString with HALF_UP; Python round() is
+                    # half-even and diverges on exact .5 cents).
+                    cum += int(
+                        Decimal(repr(float(val) * 100)).quantize(
+                            Decimal(1), rounding=ROUND_HALF_UP
+                        )
+                    )
                     new_level = cum // threshold_cents
                     if new_level > level:
                         out_uid.append(int(key[0]))

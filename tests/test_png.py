@@ -206,3 +206,26 @@ def test_dhash_distinguishes_distinct_gradients():
     from ekati_spark.operators.png import dhash_words, planted_png
 
     assert dhash_words(planted_png(1)) != dhash_words(planted_png(2))
+
+
+def test_planted_png16_raises_and_telemetry_counts(spark):
+    """A structurally-valid 16-bit PNG is outside the codec contract:
+    decode_png raises its documented ValueError, and the decode-status
+    columns classify the row instead of failing the batch."""
+    import pytest as _pytest
+
+    from ekati_spark.operators.multimodal import extract_features
+    from ekati_spark.operators.png import decode_png, planted_png, planted_png16
+
+    with _pytest.raises(ValueError, match="bit depth 16"):
+        decode_png(planted_png16(3))
+
+    rows = [(1, planted_png(1)), (2, planted_png16(2)), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {
+        r.doc_id: (r.decode_ok, r.decode_err)
+        for r in extract_features(df, fake=False, with_status=True).collect()
+    }
+    assert got[1] == (True, None)
+    assert got[2] == (False, "ValueError")
+    assert got[3] == (False, "NullPayload")

@@ -373,3 +373,85 @@ def test_pq_int_rerank_recall(spark, sf_dir):
     qv = np.floor(V[r0.query_id] * 1024 + 0.5).astype(np.int64)
     nv = np.floor(V[r0.neighbor_id] * 1024 + 0.5).astype(np.int64)
     assert r0.dist_sq == int(((qv - nv) ** 2).sum())
+
+
+def test_ivf_int_index_append_equals_inline(spark, tmp_path):
+    """On-disk incremental maintenance: build the integer index on the
+    base corpus, append the rest, probe — results must equal the
+    in-memory append formulation (which l70's oracle replays), and the
+    append stats must account for every appended vector."""
+    from ekati_spark.catalog import load_table
+    from ekati_spark.operators.similarity import (
+        append_ivf_index_int,
+        build_ivf_index_int,
+        ivf_append_topk_int,
+        ivf_topk_int_from_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    fresh = emb.filter(F.col("vec_id") % 5 == 4)
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    inline = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist_sq)
+        for r in ivf_append_topk_int(
+            base, fresh, q, k=3, n_lists=8, n_probe=3, kmeans_iters=2
+        ).collect()
+    }
+
+    idx = str(tmp_path / "ivf_int")
+    n = build_ivf_index_int(base, idx, n_lists=8, kmeans_iters=2)
+    assert n == 8
+    stats = append_ivf_index_int(fresh, idx).collect()
+    assert sum(r.n_appended for r in stats) == fresh.count()
+
+    out = ivf_topk_int_from_index(spark, idx, q, k=3, n_probe=3)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist_sq)
+        for r in out.collect()
+    }
+    assert got == inline
+
+
+def test_ivf_int_index_drift_telemetry(spark, tmp_path):
+    """Drift telemetry: freshly built index has per-list drift 0 (the
+    stored centroid IS the member mean of the final assignment only
+    when Lloyd converged — so instead assert the exact re-fit
+    semantics: drift equals the L2^2 between stored centroid and
+    current member mean, which appending distribution-shifting vectors
+    must increase for their target list)."""
+    from ekati_spark.operators.similarity import (
+        append_ivf_index_int,
+        build_ivf_index_int,
+        ivf_index_drift_int,
+    )
+
+    rows = [
+        (i, [float(i % 4), float((i * 3) % 4)] + [0.0] * 2)
+        for i in range(40)
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx = str(tmp_path / "drift")
+    build_ivf_index_int(corpus, idx, n_lists=4, kmeans_iters=3)
+    before = {
+        r.list_id: r.drift_sq
+        for r in ivf_index_drift_int(spark, idx).collect()
+    }
+    # append a far-away cluster: whichever list absorbs it must drift
+    far = spark.createDataFrame(
+        [(100 + i, [50.0, 50.0, 0.0, 0.0]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    stats = append_ivf_index_int(far, idx).collect()
+    assert sum(r.n_appended for r in stats) == 10
+    target = stats[0].list_id
+    after = {
+        r.list_id: r.drift_sq
+        for r in ivf_index_drift_int(spark, idx).collect()
+    }
+    assert after[target] > before[target]

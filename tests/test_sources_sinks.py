@@ -386,3 +386,49 @@ def test_parse_nt_line_never_raises_on_hostile_literals():
     assert out[1][2].startswith("�")
     assert out[2][2] == "pair \U0001F600 ok"
     assert out[3][2] == "\\q unknown escape"
+
+
+def test_bucketed_props_point_lookup_prunes_partitions(spark, tmp_path):
+    """Bucketed graph layout (graph/storage.py): `get "<id>"` must plan
+    a PartitionFilters entry on the bucket column (only 1/n_buckets of
+    the directories opened — the reference's murmur3 partition routing,
+    FileStore.fs:281-298) plus a pushed node_id filter, and return
+    exactly the node's rows."""
+    from ekati_spark.graph.storage import (
+        bucket_expr,
+        bucket_of,
+        point_lookup,
+        read_bucketed_props,
+        write_bucketed_props,
+    )
+    from ekati_spark.schemas import PROPS_SCHEMA
+
+    rows = [
+        (f"n{i}", "", "size", 1, "i64", None, i, None, None, None, None,
+         None, None)
+        for i in range(200)
+    ]
+    props = spark.createDataFrame(rows, PROPS_SCHEMA)
+    path = str(tmp_path / "props_bucketed")
+    write_bucketed_props(props, path, n_buckets=8)
+
+    # spark-side and driver-side bucket functions agree on every id
+    twin = props.select(
+        "node_id", bucket_expr(F.col("node_id"), 8).alias("b")
+    ).collect()
+    assert all(bucket_of(r.node_id, 8) == r.b for r in twin)
+
+    # full view round-trips
+    back = read_bucketed_props(spark, path)
+    assert back.count() == 200
+
+    out = point_lookup(spark, path, "n137")
+    got = out.collect()
+    assert len(got) == 1 and got[0].node_id == "n137" and got[0].i64 == 137
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.find("PartitionFilters"):][:200]
+    assert "PartitionFilters: [" in plan and "bucket" in pf, pf
+    assert "PushedFilters" in plan and "node_id" in plan.split(
+        "PushedFilters"
+    )[1][:200]
