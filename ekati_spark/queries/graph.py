@@ -2555,3 +2555,159 @@ def g42_temporal_broker_score(spark, sf_dir):
         .orderBy(F.col("wedges").desc(), "supp")
         .limit(20)
     )
+
+
+# Shared rho/register SQL for g43 (HyperBall registers): given a 15-hex
+# `tail`, rho = leading-zero-bits + 1 capped at 32 — pure string/CASE
+# ops, bit-identical in Spark SQL and DuckDB (no log2/bit_length float
+# hazards).
+_HB_RHO = """
+least(CASE WHEN length(regexp_extract({tail}, '^0*', 0)) >= 8 THEN 33
+      ELSE 4 * length(regexp_extract({tail}, '^0*', 0))
+           + CASE substr({tail}, length(regexp_extract({tail}, '^0*', 0)) + 1, 1)
+               WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+               WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+               WHEN '7' THEN 1 ELSE 0 END
+           + 1 END, 32)
+"""
+
+
+@register(
+    "g43_neighborhood_function",
+    oracle=f"""
+    WITH RECURSIVE cp AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS MATERIALIZED (
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY 1, 2 HAVING count(*) >= 4
+    ),
+    und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+    nodes AS MATERIALIZED (SELECT DISTINCT u AS z FROM und),
+    reach(v, u, d) AS (
+      SELECT z, z, 0 FROM nodes
+      UNION
+      SELECT r.v, und.v, r.d + 1
+      FROM reach r JOIN und ON und.u = r.u WHERE r.d < 3
+    ),
+    md AS MATERIALIZED (
+      SELECT v, u, MIN(d) AS d FROM reach GROUP BY v, u
+    ),
+    hs AS MATERIALIZED (
+      SELECT u,
+             CAST(('0x' || substr(md5('hb' || CAST(u AS VARCHAR)), 16, 1))
+                  AS BIGINT) AS j,
+             {_HB_RHO.format(tail="substr(md5('hb' || CAST(u AS VARCHAR)), 1, 15)")}
+               AS rho
+      FROM nodes n2
+      JOIN (SELECT DISTINCT u FROM md) mu ON mu.u = n2.z
+    ),
+    regs AS (
+      SELECT t.t, md.v, hs.j, MAX(hs.rho) AS m
+      FROM md JOIN hs ON hs.u = md.u
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS t) t
+      WHERE md.d <= t.t
+      GROUP BY 1, 2, 3
+    ),
+    s AS (
+      SELECT t, v,
+             CAST(SUM(CAST(1 AS BIGINT) << (32 - m))
+                  + (16 - COUNT(*)) * 4294967296 AS BIGINT) AS sv
+      FROM regs GROUP BY 1, 2
+    )
+    SELECT CAST(t AS INTEGER) AS t,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(sv) AS BIGINT) AS sum_s,
+           CAST(MIN(sv) AS BIGINT) AS min_s,
+           CAST(MAX(sv) AS BIGINT) AS max_s
+    FROM s GROUP BY 1
+    """,
+)
+def g43_neighborhood_function(spark, sf_dir):
+    """HyperBall neighborhood function (Boldi/Rosa/Vigna, 2011 — the
+    standard way to estimate reachable-set sizes / effective diameter
+    on web-scale graphs): every node carries a 16-register HLL counter
+    of its t-ball; one superstep per radius merges each node's
+    registers with its neighbors' (elementwise max) — shuffle ∝ E×m
+    per round, state O(V×m), NO pairwise reachability materialized
+    anywhere. That is the whole point at 100 TB: the exact
+    neighborhood function is quadratic, the HLL form is linear.
+
+    Integer-exactness contract: register index and rho come from md5
+    bits via string/CASE ops only (the shared ``_HB_RHO`` SQL text —
+    no log2/bit_length float hazards), rho caps at 32, and the
+    reported per-ball statistic is the EXACT integer harmonic-sum
+    numerator S_v = Σ_j 2^(32-M_j) (absent register ⇒ 2^32), so both
+    engines agree bit-for-bit; the float HLL estimate is
+    alpha_16·16²·2³²/S_v, applied by the consumer. The oracle replays
+    the registers from the exact ≤3-hop closure (affordable at test
+    SF); the Spark side never materializes that closure.
+
+    Substrate: the sparse customer co-purchase projection (≥4 shared
+    parts — g30/g31's graph). Reference analog: the reference has no
+    neighborhood-function operator; this extends the graph-analytics
+    family the 100-TB-native way."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cp = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    e = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
+        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        .agg(F.count("*").alias("sp"))
+        .filter(F.col("sp") >= 4)
+        .select("u", "v")
+    )
+    und = (
+        e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .transform(cut_lineage)  # consumed by every superstep
+    )
+    tail = "substr(md5('hb' || CAST(z AS STRING)), 1, 15)"
+    init = und.select(F.col("u").alias("z")).distinct().select(
+        F.col("z").alias("owner"),
+        F.expr(
+            "CAST(conv(substr(md5('hb' || CAST(z AS STRING)), 16, 1), 16, 10)"
+            " AS BIGINT)"
+        ).alias("j"),
+        F.expr(_HB_RHO.format(tail=tail)).cast("long").alias("rho"),
+    )
+    state = init.transform(cut_lineage)
+    out = []
+    for t in (1, 2, 3):
+        contrib = und.join(
+            state, state.owner == und.v, "inner"
+        ).select(F.col("u").alias("owner"), "j", "rho")
+        state = (
+            state.unionByName(contrib)
+            .groupBy("owner", "j")
+            .agg(F.max("rho").alias("rho"))
+            .transform(cut_lineage)  # next superstep + this t's report
+        )
+        sv = state.groupBy("owner").agg(
+            (
+                F.sum(
+                    F.expr("shiftleft(CAST(1 AS BIGINT), 32 - CAST(rho AS INT))")
+                )
+                + (F.lit(16) - F.count("*")) * F.lit(4294967296)
+            )
+            .cast("long")
+            .alias("sv")
+        )
+        out.append(
+            sv.agg(
+                F.count("*").cast("long").alias("n_nodes"),
+                F.sum("sv").cast("long").alias("sum_s"),
+                F.min("sv").cast("long").alias("min_s"),
+                F.max("sv").cast("long").alias("max_s"),
+            ).select(F.lit(t).cast("int").alias("t"), "*")
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res

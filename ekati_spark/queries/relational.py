@@ -2480,3 +2480,157 @@ def r66_last_touch_attribution(spark, sf_dir):
             "seconds_since_touch"
         ),
     )
+
+
+@register(
+    "r67_kmv_set_ops",
+    oracle="""
+    WITH ha AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+      FROM events WHERE event_type = 'click'
+    ),
+    hb AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ka AS (SELECT hv FROM (
+             SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM ha)
+           WHERE rn <= 256),
+    kb AS (SELECT hv FROM (
+             SELECT hv, row_number() OVER (ORDER BY hv) AS rn FROM hb)
+           WHERE rn <= 256),
+    merged AS (
+      SELECT DISTINCT hv
+      FROM (SELECT hv FROM ka UNION ALL SELECT hv FROM kb)
+    ),
+    mk AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+             count(*) OVER () AS nm
+      FROM merged
+    ),
+    kth AS (SELECT nm, hv AS theta FROM mk WHERE rn = LEAST(256, nm)),
+    sample AS (
+      SELECT mk.hv,
+             CASE WHEN mk.hv IN (SELECT hv FROM ka)
+                   AND mk.hv IN (SELECT hv FROM kb)
+                  THEN 1 ELSE 0 END AS in_both
+      FROM mk, kth WHERE mk.rn <= LEAST(256, kth.nm)
+    ),
+    agg AS (
+      SELECT kth.nm, kth.theta,
+             (SELECT CAST(SUM(in_both) AS BIGINT) FROM sample) AS c,
+             (SELECT CAST(count(*) AS BIGINT) FROM ha) AS n_a,
+             (SELECT CAST(count(*) AS BIGINT) FROM hb) AS n_b
+      FROM kth
+    )
+    SELECT n_a AS n_click_exact, n_b AS n_purchase_exact,
+           CAST(theta AS BIGINT) AS theta,
+           CAST(c AS BIGINT) AS inter_in_sample,
+           CAST(CASE WHEN nm <= 256 THEN nm
+                     ELSE 255 * 4503599627370496 // theta END AS BIGINT)
+             AS est_union,
+           CAST(CASE WHEN nm <= 256 THEN c
+                     ELSE c * (255 * 4503599627370496 // theta) // 256 END
+                AS BIGINT) AS est_inter,
+           CAST(1000 * c // LEAST(256, nm) AS BIGINT) AS jaccard_milli
+    FROM agg
+    """,
+)
+def r67_kmv_set_ops(spark, sf_dir):
+    """KMV/theta-sketch SET OPERATIONS — the companion to r63's
+    single-set sketch and the reason bottom-k sketches win at 100 TB:
+    two distinct-user sets (clickers vs purchasers) are each summarized
+    by their k=256 smallest md5-prefix hashes, and union/intersection/
+    Jaccard are estimated from the SKETCHES ALONE — no re-scan, no
+    exact-set join. Theta = the k-th smallest of the merged sample;
+    every sample hash ≤ theta that appears in BOTH bottom-k sets is an
+    intersection witness (correct because theta ≤ each side's own k-th
+    min, so sample∩A membership is decidable from A's sketch).
+    Estimates are pure integer arithmetic — (k-1)·2^52 div theta,
+    c·est_union div k, 1000·c div |sample| — so the approximate
+    answers hash-match the oracle exactly (the r63 doctrine).
+
+    Plan shape: two distinct-aggregations (map-side partial), two
+    WindowGroupLimit bottom-k passes over ~k-sized survivors, then
+    driver-sized (≤2k-row) sample arithmetic. At 100 TB each bottom-k
+    runs as a two-level agg (per-partition bottom-k, merge — bottom-k
+    sets merge associatively); the sketches themselves are KBs."""
+    (ev,) = _t(spark, sf_dir, "events")
+    K, POW52 = 256, 4503599627370496
+
+    def kset(etype):
+        h = (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                F.conv(
+                    F.substring(F.md5(F.col("user_id").cast("string")), 1, 13),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("hv")
+            )
+            .distinct()
+        )
+        w = W.orderBy("hv")
+        return h, h.select(
+            "hv", F.row_number().over(w).alias("rn")
+        ).filter(F.col("rn") <= K).select("hv")
+
+    ha, ka = kset("click")
+    hb, kb = kset("purchase")
+    merged = ka.unionByName(kb).distinct()
+    mk = merged.select(
+        "hv",
+        F.row_number().over(W.orderBy("hv")).alias("rn"),
+    )
+    nm = merged.agg(F.count("*").cast("long").alias("nm"))
+    kth = (
+        mk.join(F.broadcast(nm))
+        .filter(F.col("rn") == F.least(F.lit(K).cast("long"), F.col("nm")))
+        .select("nm", F.col("hv").alias("theta"))
+    )
+    sample = (
+        mk.join(F.broadcast(nm))
+        .filter(F.col("rn") <= F.least(F.lit(K).cast("long"), F.col("nm")))
+        .join(ka.select(F.col("hv").alias("hv_a")), F.col("hv") == F.col("hv_a"), "left")
+        .join(kb.select(F.col("hv").alias("hv_b")), F.col("hv") == F.col("hv_b"), "left")
+        .select(
+            F.when(
+                F.col("hv_a").isNotNull() & F.col("hv_b").isNotNull(), 1
+            )
+            .otherwise(0)
+            .alias("in_both")
+        )
+    )
+    c = sample.agg(F.sum("in_both").cast("long").alias("c"))
+    na = ha.agg(F.count("*").cast("long").alias("n_a"))
+    nb = hb.agg(F.count("*").cast("long").alias("n_b"))
+    est_union = F.when(F.col("nm") <= K, F.col("nm")).otherwise(
+        F.expr(f"{K - 1} * {POW52}L div theta")
+    )
+    return (
+        kth.join(F.broadcast(c))
+        .join(F.broadcast(na))
+        .join(F.broadcast(nb))
+        .select(
+            F.col("n_a").alias("n_click_exact"),
+            F.col("n_b").alias("n_purchase_exact"),
+            F.col("theta").cast("long").alias("theta"),
+            F.col("c").alias("inter_in_sample"),
+            est_union.cast("long").alias("est_union"),
+            F.when(F.col("nm") <= K, F.col("c"))
+            .otherwise(
+                F.expr(f"c * ({K - 1} * {POW52}L div theta) div {K}")
+            )
+            .cast("long")
+            .alias("est_inter"),
+            F.expr(f"1000 * c div least(CAST({K} AS BIGINT), nm)")
+            .cast("long")
+            .alias("jaccard_milli"),
+        )
+    )

@@ -17,6 +17,19 @@ Endpoints:
                     ``limit``, default 1000 — the driver must never
                     buffer an unbounded result; page with skip/limit),
                     other statements return {"ok": n_rows}.
+- ``POST /query/stream`` — the INCREMENTAL form of ``get`` (the
+                    reference streams Get results row-group by
+                    row-group, WatService.cs:284-293): NDJSON response,
+                    one {"rows": [...]} line per batch, produced from
+                    ``DataFrame.toLocalIterator`` so the daemon holds
+                    at most one partition in memory regardless of
+                    result size; final line {"n": total}. ``limit`` 0
+                    (default) = stream everything.
+- ``POST /load/stream`` — ``/load`` with the reference Load RPC's
+                    progress semantics (WatService.cs:338-369): each
+                    progress callback is written as its own NDJSON
+                    line the moment it fires, then a final
+                    {"loaded": n} line.
 - ``GET /stats``    graph totals (GetStats analog).
 - ``GET /metrics``  executor gauges + stage counters (GetMetrics).
 - ``GET /plugins``  registered user operators (ListPolicies-shape).
@@ -119,11 +132,65 @@ class EkatiServer:
                 except Exception as e:  # noqa: BLE001 — surface to client
                     self._reply(500, {"error": str(e)})
 
+            def _start_ndjson(self) -> None:
+                # incremental body: no Content-Length, connection closes
+                # at end-of-stream (HTTP/1.0-style streaming — clients
+                # read line-by-line until EOF)
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+            def _ndline(self, payload: dict) -> None:
+                self.wfile.write(json.dumps(payload).encode() + b"\n")
+                self.wfile.flush()
+
             def do_POST(self):  # noqa: N802 — http.server contract
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     req = json.loads(self.rfile.read(n) or b"{}")
-                    if self.path == "/query":
+                    if self.path == "/query/stream":
+                        q = req["q"]
+                        out = outer.engine.execute(q)
+                        if not q.lstrip().startswith("get"):
+                            self._reply(200, {"ok": out.count()})
+                            return
+                        limit = int(req.get("limit", 0))
+                        batch = min(max(int(req.get("batch", 100)), 1), 10_000)
+                        self._start_ndjson()
+                        sent, buf = 0, []
+                        # toLocalIterator streams partition-by-partition:
+                        # driver memory ∝ one partition, not the result
+                        for row in out.toLocalIterator():
+                            buf.append(_json_safe(row))
+                            sent += 1
+                            if len(buf) >= batch:
+                                self._ndline({"rows": buf})
+                                buf = []
+                            if limit and sent >= limit:
+                                break
+                        if buf:
+                            self._ndline({"rows": buf})
+                        self._ndline({"n": sent})
+                    elif self.path == "/load/stream":
+                        kind = req["kind"]
+                        path = req.get("path") or req.get("url") or ""
+                        if kind not in ("nt", "graphml"):
+                            self._reply(400, {"error": f"bad kind {kind!r}"})
+                            return
+                        self._start_ndjson()
+                        saved = outer.engine.on_progress
+                        # each progress event flushes immediately — the
+                        # client sees loading advance, not a post-hoc log
+                        outer.engine.on_progress = lambda p: self._ndline(
+                            {"progress": p}
+                        )
+                        try:
+                            df = outer.engine.execute(f'load {kind} "{path}"')
+                        finally:
+                            outer.engine.on_progress = saved
+                        self._ndline({"loaded": df.count()})
+                    elif self.path == "/query":
                         q = req["q"]
                         out = outer.engine.execute(q)
                         if q.lstrip().startswith("get"):

@@ -144,3 +144,49 @@ def test_sql_endpoint_over_registered_views(served, sf_dir):
     # bad SQL surfaces as a JSON error, not a crash
     code, err = _post(served, "/sql", {"sql": "SELEKT 1"})
     assert code == 500 and "error" in err
+
+
+def _post_stream(server, path, payload):
+    """POST and parse an NDJSON response line-by-line (reads until EOF —
+    the streaming endpoints close the connection at end-of-stream)."""
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, [json.loads(line) for line in r if line.strip()]
+
+
+def test_query_stream_ndjson_batches(served):
+    # 3 nodes; batch=2 forces >1 rows-line so the incremental framing is
+    # actually exercised
+    _post(served, "/query", {"q": 'put "s9" {"name": "zoe"}'})
+    code, lines = _post_stream(
+        served, "/query/stream", {"q": 'get "*"', "batch": 2}
+    )
+    assert code == 200
+    assert "n" in lines[-1]
+    rows = [r for ln in lines[:-1] for r in ln["rows"]]
+    assert lines[-1]["n"] == len(rows) >= 3
+    assert len(lines) >= 3  # >=2 rows-lines + final count line
+    # limit truncates the stream, not just the last batch
+    code, lines = _post_stream(
+        served, "/query/stream", {"q": 'get "*"', "batch": 2, "limit": 1}
+    )
+    assert code == 200 and lines[-1]["n"] == 1
+
+
+def test_load_stream_progress_lines(served, tmp_path):
+    nt = tmp_path / "mini_stream.nt"
+    nt.write_text(
+        '<http://s/a> <http://s/knows> <http://s/b> .\n'
+        '<http://s/a> <http://s/name> "Ada" .\n'
+    )
+    code, lines = _post_stream(
+        served, "/load/stream", {"kind": "nt", "url": f"file://{nt}"}
+    )
+    assert code == 200
+    assert lines[-1]["loaded"] == 2
+    progress = [ln["progress"] for ln in lines[:-1] if "progress" in ln]
+    assert progress and progress[-1]["done"] is True
