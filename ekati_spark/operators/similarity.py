@@ -1341,6 +1341,43 @@ def ivf_topk_int_from_index(
     )
 
 
+def compact_ivf_lists(spark, path: str) -> dict:
+    """Compact a persisted integer IVF index's list partitions: every
+    ``append_ivf_index_int`` batch adds one file per touched list, so
+    a long-lived index accretes small files (the classic streaming-
+    append pathology — at 100 TB the probe's scan cost becomes file-
+    open overhead, not bytes). Rewrite each list as one file set via a
+    staged write + atomic directory swap (write to ``lists.compact``,
+    rename over ``lists``), so a concurrent reader sees either the old
+    or the new layout, never a partial one. Returns
+    ``{"files_before": n, "files_after": m}``. The maintenance analog
+    of the reference's index-file consolidation on snapshot
+    (NodeAttrIndex.cs:66-85)."""
+    import glob
+    import os
+    import shutil
+
+    lists_dir = f"{path}/lists"
+
+    def _count_files(d):
+        return len(glob.glob(f"{d}/list_id=*/*.parquet"))
+
+    before = _count_files(lists_dir)
+    df = spark.read.parquet(lists_dir)
+    staged = f"{path}/lists.compact"
+    (
+        df.repartition("list_id")
+        .write.partitionBy("list_id")
+        .mode("overwrite")
+        .parquet(staged)
+    )
+    old = f"{path}/lists.old"
+    os.rename(lists_dir, old)
+    os.rename(staged, lists_dir)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _count_files(lists_dir)}
+
+
 def ivf_index_drift_int(spark, path: str) -> DataFrame:
     """Index-maintenance telemetry: per list, the stored (frozen)
     centroid vs the CURRENT member mean (what a re-fit step would move

@@ -544,7 +544,10 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     l64_skipgram_collocations (the N and P corpus totals — two 1-row
     aggregates broadcast onto the scored-pairs frame), and
     g28_engine_metrics (driver-side telemetry frames, O(stages)
-    rows)."""
+    rows), and r67_kmv_set_ops (the final one-row report: the ≤2k-row
+    sketch sample joined with four 1-row aggregates — nm/c/n_a/n_b —
+    all broadcast; the data-sized work upstream is distinct-agg +
+    bottom-k windows)."""
     from ekati_spark.queries import REGISTRY
 
     allowed = {
@@ -564,6 +567,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l58_sq8_recall_audit",
         "l64_skipgram_collocations",
         "g28_engine_metrics",
+        "r67_kmv_set_ops",
     }
     flagged = {}
     for name in list(REGISTRY):

@@ -455,3 +455,37 @@ def test_ivf_int_index_drift_telemetry(spark, tmp_path):
         for r in ivf_index_drift_int(spark, idx).collect()
     }
     assert after[target] > before[target]
+
+
+def test_ivf_int_compaction_preserves_probe_results(spark, tmp_path):
+    """After several appends, compaction must cut the per-list file
+    count and leave probe results bit-identical."""
+    from ekati_spark.catalog import load_table
+    from ekati_spark.operators.similarity import (
+        append_ivf_index_int,
+        build_ivf_index_int,
+        compact_ivf_lists,
+        ivf_topk_int_from_index,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 4 == 0)
+    idx = str(tmp_path / "ivf_compact")
+    build_ivf_index_int(base, idx, n_lists=4, kmeans_iters=1)
+    for m in (1, 2, 3):
+        append_ivf_index_int(emb.filter(F.col("vec_id") % 4 == m), idx)
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    before = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist_sq)
+        for r in ivf_topk_int_from_index(spark, idx, q, k=3, n_probe=2).collect()
+    }
+    stats = compact_ivf_lists(spark, idx)
+    assert stats["files_after"] < stats["files_before"]
+    after = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist_sq)
+        for r in ivf_topk_int_from_index(spark, idx, q, k=3, n_probe=2).collect()
+    }
+    assert after == before
