@@ -27,10 +27,19 @@ def asof_join(
     left_time: str,
     right_time: str,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_time <= left_time`` (direction='backward') or smallest
     ``right_time >= left_time`` ('forward') within the same key.
+
+    ``tolerance``: optional SQL interval literal (e.g. ``"30 days"``)
+    bounding the match window — a backward match must also satisfy
+    ``right_time >= left_time - tolerance`` (mirrored for forward).
+    Left rows with no in-window match keep NULL right columns (the
+    pandas ``merge_asof(tolerance=...)`` contract). The bound also
+    matters at 100 TB: it lets a range-partitioned deployment co-locate
+    only tolerance-width time slices instead of whole key histories.
 
     Ties on right_time collapse via max over remaining right columns
     (deterministic; document for callers needing a specific tiebreak).
@@ -52,6 +61,15 @@ def asof_join(
         if direction == "backward"
         else F.col(f"r.{right_time}") >= F.col(f"l.{left_time}")
     )
+    if tolerance is not None:
+        bound = (
+            F.col(f"r.{right_time}")
+            >= F.expr(f"l.{left_time} - INTERVAL {tolerance}")
+            if direction == "backward"
+            else F.col(f"r.{right_time}")
+            <= F.expr(f"l.{left_time} + INTERVAL {tolerance}")
+        )
+        time_cond = time_cond & bound
     joined = l.join(
         r, (F.col(f"l.{left_on}") == F.col(f"r.{right_on}")) & time_cond, "left"
     )

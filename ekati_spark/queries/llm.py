@@ -4101,3 +4101,299 @@ def l70_ivf_append_parity(spark, sf_dir):
     return ivf_append_topk_int(
         base, fresh, q, k=5, n_lists=16, n_probe=6, kmeans_iters=2
     )
+
+
+@register(
+    "l71_dedup_threshold_sweep",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    sz AS (SELECT id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(count(*) AS BIGINT) AS c
+      FROM sh a JOIN sh b ON a.g = b.g AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    jm AS (
+      SELECT p.id_a, p.id_b,
+             1000 * p.c // (sa.sz + sb.sz - p.c) AS jm
+      FROM pairs p JOIN sz sa ON sa.id = p.id_a JOIN sz sb ON sb.id = p.id_b
+    ),
+    pt AS (
+      SELECT unnest(range(1, least(jm // 100, 9) + 1)) AS t
+      FROM jm WHERE jm >= 100
+    ),
+    np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM pt GROUP BY t),
+    dmax AS (
+      SELECT id, max(jm) AS mj FROM (
+        SELECT id_a AS id, jm FROM jm UNION ALL SELECT id_b, jm FROM jm
+      ) GROUP BY id
+    ),
+    dt AS (
+      SELECT unnest(range(1, least(mj // 100, 9) + 1)) AS t
+      FROM dmax WHERE mj >= 100
+    ),
+    nd AS (SELECT t, CAST(count(*) AS BIGINT) AS n_dup_docs FROM dt GROUP BY t)
+    SELECT CAST(np.t * 100 AS BIGINT) AS jaccard_milli_ge,
+           np.n_pairs, nd.n_dup_docs
+    FROM np JOIN nd ON np.t = nd.t
+    """,
+)
+def l71_dedup_threshold_sweep(spark, sf_dir):
+    """Near-dup THRESHOLD TUNING table — the question every dedup
+    deployment asks before committing a cutoff: for each Jaccard
+    threshold 0.1..0.9, how many candidate pairs and how many distinct
+    documents would be implicated? Jaccard is integer milli-units
+    (1000·|∩| div |∪| — no float anywhere), and the per-threshold
+    rollup avoids a thresholds×pairs non-equi join: each pair explodes
+    into its qualifying threshold levels (sequence(1, jm div 100)) and
+    aggregates by level — pure equi-shuffles, reducer-invariant.
+    Doc counts come from each doc's MAX pair score (a doc is implicated
+    at t iff its best pair clears t), same explode trick.
+
+    Scale shape: the pair source is the shingle inverted-index
+    self-join (cost ∝ Σ bucket², the l02/l03 substrate — at 100 TB
+    swap in the MinHash-banded candidate set, same downstream sweep);
+    the sweep itself adds one narrow explode (≤9 rows per pair) and
+    two small aggregations."""
+    from ekati_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = shingle_rows(docs).transform(cut_lineage)
+    sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
+    ex = rows.join(sz, "id")
+    a, b = ex.alias("a"), ex.alias("b")
+    jm = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("c"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("1000 * c div (sz_a + sz_b - c)").alias("jm"),
+        )
+        .filter(F.col("jm") >= 100)
+        .transform(cut_lineage)  # consumed by pair sweep + doc sweep
+    )
+    lvl = F.explode(
+        F.sequence(F.lit(1), F.least(F.expr("jm div 100"), F.lit(9)))
+    ).alias("t")
+    np_ = jm.select(lvl).groupBy("t").agg(F.count("*").alias("n_pairs"))
+    dmax = (
+        jm.select(F.col("id_a").alias("id"), "jm")
+        .unionByName(jm.select(F.col("id_b").alias("id"), "jm"))
+        .groupBy("id")
+        .agg(F.max("jm").alias("jm"))
+    )
+    nd = dmax.select(lvl).groupBy("t").agg(
+        F.count("*").alias("n_dup_docs")
+    )
+    return np_.join(nd, "t").select(
+        (F.col("t") * 100).cast("long").alias("jaccard_milli_ge"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+    )
+
+
+@register(
+    "l72_audio_dedup_resampled",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ),
+    orig AS (
+      SELECT doc_id, n, unnest(range(CAST(n AS BIGINT))) AS j FROM base
+    ),
+    ov AS (
+      SELECT doc_id, j * 16 // n AS w,
+             abs((doc_id * 131 + j * 17) % 4096 - 2048) AS a
+      FROM orig
+    ),
+    oe AS (SELECT doc_id, w, CAST(SUM(a) AS BIGINT) AS e
+           FROM ov GROUP BY 1, 2),
+    ob AS (
+      SELECT doc_id,
+             CASE WHEN e > lead(e) OVER (PARTITION BY doc_id ORDER BY w)
+                  THEN CAST(1 AS BIGINT) << w ELSE 0 END AS bit
+      FROM oe
+    ),
+    ofp AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS fp_orig
+            FROM ob GROUP BY doc_id),
+    halfn AS (SELECT doc_id, (n + 1) // 2 AS n2 FROM base),
+    half AS (
+      SELECT doc_id, n2, unnest(range(CAST(n2 AS BIGINT))) AS j FROM halfn
+    ),
+    hv AS (
+      SELECT doc_id, j * 16 // n2 AS w,
+             abs((doc_id * 131 + (2 * j) * 17) % 4096 - 2048) AS a
+      FROM half
+    ),
+    he AS (SELECT doc_id, w, CAST(SUM(a) AS BIGINT) AS e
+           FROM hv GROUP BY 1, 2),
+    hb AS (
+      SELECT doc_id,
+             CASE WHEN e > lead(e) OVER (PARTITION BY doc_id ORDER BY w)
+                  THEN CAST(1 AS BIGINT) << w ELSE 0 END AS bit
+      FROM he
+    ),
+    hfp AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS fp_half
+            FROM hb GROUP BY doc_id)
+    SELECT o.doc_id, o.fp_orig, h.fp_half,
+           o.fp_orig = h.fp_half AS fp_match
+    FROM ofp o JOIN hfp h ON o.doc_id = h.doc_id
+    """,
+)
+def l72_audio_dedup_resampled(spark, sf_dir):
+    """Resampling-robust audio dedup — the audio twin of l53's
+    rescale-invariant dHash: fingerprint each planted WAV AND its
+    2×-decimated re-encode with the 16-window energy-ratio hash
+    (operators.audio.wav_fingerprint: decode → per-window |s| energy →
+    one bit per adjacent-window comparison, all integer), and report
+    whether the two fingerprints collide (the near-dup bucketing key a
+    deployment would group on to catch same-content-different-rate
+    uploads). Both decodes are REAL in-container codec runs; the
+    oracle replays every sample, window boundary (i·16 div n), energy
+    sum, and comparison bit arithmetically, so a hash match attests
+    the whole decode→window→bit pipeline — including the honest
+    finding that decimation SHIFTS window boundaries on odd lengths,
+    so some docs legitimately mismatch (fp_match is data, not an
+    assertion). Per-row Arrow UDFs; payload bytes never shuffle."""
+    from ekati_spark.operators.audio import (
+        decimate_wav,
+        planted_wav,
+        wav_fingerprint,
+    )
+
+    @F.pandas_udf("long")
+    def fp_orig(ids: pd.Series) -> pd.Series:
+        return ids.map(lambda i: wav_fingerprint(planted_wav(int(i))))
+
+    @F.pandas_udf("long")
+    def fp_half(ids: pd.Series) -> pd.Series:
+        return ids.map(
+            lambda i: wav_fingerprint(decimate_wav(planted_wav(int(i)), 2))
+        )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.select(
+        "doc_id",
+        fp_orig("doc_id").alias("fp_orig"),
+        fp_half("doc_id").alias("fp_half"),
+        (fp_orig("doc_id") == fp_half("doc_id")).alias("fp_match"),
+    )
+
+
+@register(
+    "l73_temperature_mixture",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CAST(SUM(len(string_split_regex(trim(lower(text)), ' +')))
+                  AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000 + 0.5) AS BIGINT)
+               AS w
+      FROM c
+    ),
+    t AS (SELECT SUM(w) AS tot FROM w),
+    q AS (
+      SELECT source, n, w,
+             (1000000 * w) // tot AS fl, (1000000 * w) % tot AS rem
+      FROM w, t
+    ),
+    s AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             (SELECT 1000000 - SUM(fl) FROM q) AS extra
+      FROM q
+    )
+    SELECT source, n AS n_tokens, w AS w_milli,
+           CAST(fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT)
+             AS quota_tokens,
+           CAST(1000000 *
+                (fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END) // n
+                AS BIGINT) AS rate_ppm
+    FROM s
+    """,
+)
+def l73_temperature_mixture(spark, sf_dir):
+    """Temperature-weighted data mixture (the T5/PaLM mixing rule):
+    sample sources proportionally to n^alpha with alpha=1/2 instead of
+    raw size, so giant crawls stop drowning small high-quality sources.
+    Per-source token counts -> weight = floor(sqrt(n)*1000 + 0.5)
+    (sqrt is ONE correctly-rounded IEEE op on an exact integer, so both
+    engines agree bit-for-bit — the l67 fixed-op doctrine), then a
+    1M-token budget apportioned by largest remainder over the weights
+    (the l60 Hamilton mechanics — Σ quota == budget EXACTLY), plus each
+    source's effective sampling rate in ppm (quota vs its raw tokens:
+    >1e6 means upsampling). All integer output; the oracle replays the
+    whole allocation.
+
+    Scale shape: one token-count aggregation over the corpus (map-side
+    partial, codegen split), then #sources-row window arithmetic —
+    the data-sized pass is exactly one."""
+    from pyspark.sql import Window as W
+
+    B = 1_000_000
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(
+        F.sum(X.token_count(F.col("text"))).cast("long").alias("n")
+    )
+    w = c.select(
+        "source",
+        "n",
+        F.floor(F.sqrt(F.col("n").cast("double")) * 1000 + 0.5)
+        .cast("long")
+        .alias("w"),
+    )
+    wall = W.partitionBy()
+    q = w.select(
+        "source",
+        "n",
+        "w",
+        F.sum("w").over(wall).alias("tot"),
+    ).select(
+        "source",
+        "n",
+        "w",
+        F.expr(f"({B} * w) div tot").alias("fl"),
+        F.expr(f"({B} * w) % tot").alias("rem"),
+    )
+    s = q.select(
+        "source",
+        "n",
+        "w",
+        "fl",
+        F.row_number()
+        .over(W.partitionBy().orderBy(F.col("rem").desc(), "source"))
+        .alias("rr"),
+        (F.lit(B) - F.sum("fl").over(wall)).alias("extra"),
+    )
+    quota = F.col("fl") + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+    return s.select(
+        "source",
+        F.col("n").alias("n_tokens"),
+        F.col("w").alias("w_milli"),
+        quota.cast("long").alias("quota_tokens"),
+        F.expr(
+            "1000000 * (fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END) div n"
+        )
+        .cast("long")
+        .alias("rate_ppm"),
+    )

@@ -2634,3 +2634,44 @@ def r67_kmv_set_ops(spark, sf_dir):
             .alias("jaccard_milli"),
         )
     )
+
+
+@register(
+    "r68_asof_forward_tolerance",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT min(o.o_orderdate) FROM orders o
+            WHERE o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+              AND o.o_orderdate <= e.ts + INTERVAL 30 DAY)
+             AS next_order_date
+    FROM events e
+    """,
+)
+def r68_asof_forward_tolerance(spark, sf_dir):
+    """FORWARD as-of join with a tolerance bound — r37's mirror and the
+    other half of the pandas merge_asof surface: for each event, the
+    EARLIEST order at-or-after it, but only within 30 days (beyond the
+    window → NULL, the merge_asof(tolerance=...) contract). The
+    tolerance is not just semantics: at 100 TB it bounds the join's
+    time extent so a range-partitioned layout co-locates
+    tolerance-width slices instead of whole per-key histories. Same
+    argmin-by-time aggregation shape as r37 (conditional join + min
+    struct), one shuffle per side on the key."""
+    ev, ords = _t(spark, sf_dir, "events", "orders")
+    from ekati_spark.operators.asof import asof_join
+
+    return asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        ords.select("o_custkey", "o_orderdate"),
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        direction="forward",
+        tolerance="30 days",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("o_orderdate").alias("next_order_date"),
+    )
