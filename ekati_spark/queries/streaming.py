@@ -394,3 +394,63 @@ def st14_spend_threshold_alerts(spark, sf_dir):
     tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     return ops.spend_alerts_batch(ev)
+
+
+@register(
+    "st15_stream_kmv_distinct",
+    oracle="""
+    WITH hh AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+             count(*) OVER () AS nd
+      FROM hh
+    )
+    SELECT CAST(LEAST(nd, 256) AS BIGINT) AS sketch_size,
+           CAST(hv AS BIGINT) AS kth_min,
+           CAST(CASE WHEN nd < 256 THEN nd
+                     ELSE 255 * 4503599627370496 // hv END AS BIGINT)
+             AS est_kmv
+    FROM r WHERE rn = LEAST(256, nd)
+    """,
+)
+def st15_stream_kmv_distinct(spark, sf_dir):
+    """Streaming KMV distinct-count sketch — sketches meet streaming:
+    the events table is ingested in THREE separate micro-batches
+    (maxFilesPerTrigger=1 over a 3-file split), each batch appends its
+    own bottom-256 hash partial, and the merged sketch's estimate must
+    equal the batch KMV over the entire history BIT-FOR-BIT (bottom-k
+    merges are associative — the property that makes the sketch
+    streamable, r63's doctrine under micro-batching). The oracle is the
+    plain whole-table KMV, so a hash match proves batching introduced
+    zero drift. State = k rows per batch, stream-volume independent;
+    replayed batches are absorbed by the distinct-union (idempotent)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = Path(tempfile.mkdtemp(prefix="st15_"))
+    src = tmp / "src"
+    src.mkdir()
+    # 3-way deterministic split => 3 micro-batches
+    for m in range(3):
+        batch.filter(F.col("event_id") % 3 == m).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"chunk{m}.parquet"))
+        for f in (src / f"chunk{m}.parquet").glob("*.parquet"):
+            shutil.move(str(f), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(src / f"chunk{m}.parquet")
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields
+    )
+    return ops.kmv_distinct_stream(
+        spark, str(src), str(tmp / "state"), str(tmp / "ck"), schema_ddl
+    )

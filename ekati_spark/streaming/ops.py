@@ -847,3 +847,81 @@ def spend_alerts_batch(
         F.col("level").cast("long").alias("level"),
         F.col("cum_cents").cast("long").alias("cum_cents"),
     )
+
+
+def kmv_distinct_stream(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    ck_dir: str,
+    schema: str,
+    key_col: str = "user_id",
+    k: int = 256,
+) -> DataFrame:
+    """Streaming distinct-count sketch: maintain a KMV (bottom-k)
+    sketch of ``key_col`` ACROSS micro-batches. Each batch appends its
+    own bottom-k partial (k rows max) to ``state_dir``; the merged
+    sketch is the bottom-k of the union — exact associativity of
+    bottom-k merges is what makes the sketch streamable with NO
+    user-visible error from batching: the final estimate is
+    bit-identical to the batch KMV over the whole history (r63's
+    estimator, attested by st15's oracle). Replayed batches append a
+    duplicate partial, which the distinct-union absorbs — idempotent
+    under at-least-once batch replay. State grows k rows per batch
+    (KBs), independent of stream volume; a deployment compacts partials
+    into one k-row file periodically (same bottom-k merge).
+
+    Returns a one-row DataFrame: sketch_size, kth_min, est_kmv.
+    """
+    from pyspark.sql import Window as W
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def land(batch: DataFrame, _batch_id: int) -> None:
+        hh = (
+            batch.select(
+                F.conv(
+                    F.substring(F.md5(F.col(key_col).cast("string")), 1, 13),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("hv")
+            )
+            .distinct()
+            .orderBy("hv")
+            .limit(k)
+        )
+        hh.write.mode("append").parquet(state_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    merged = spark.read.parquet(state_dir).distinct()
+    bk = (
+        merged.select(
+            "hv", F.row_number().over(W.orderBy("hv")).alias("rn")
+        )
+        .filter(F.col("rn") <= k)
+    )
+    POW52 = 4503599627370496
+    return bk.agg(
+        F.count("*").cast("long").alias("sketch_size"),
+        F.max("hv").cast("long").alias("kth_min"),
+    ).select(
+        "sketch_size",
+        "kth_min",
+        F.when(F.col("sketch_size") < k, F.col("sketch_size"))
+        .otherwise(F.expr(f"{k - 1} * {POW52}L div kth_min"))
+        .cast("long")
+        .alias("est_kmv"),
+    )

@@ -454,3 +454,42 @@ def test_spend_alerts_batch_crossing_semantics(spark):
         (1, 3): (3, 165000),
         (2, 5): (1, 50000),
     }
+
+
+def test_kmv_stream_multibatch_and_replay_idempotent(spark, tmp_path):
+    """kmv_distinct_stream must actually run multiple micro-batches
+    (one partial per batch in the state dir) and absorb a full replay
+    (fresh checkpoint, same state dir) with zero drift."""
+    import glob
+
+    from ekati_spark.streaming.ops import kmv_distinct_stream
+
+    rows = [(i, i % 40) for i in range(400)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    src = tmp_path / "src"
+    src.mkdir()
+    for m in range(3):
+        part = tmp_path / f"c{m}"
+        df.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        pq = next(part.glob("*.parquet"))
+        pq.rename(src / f"part-{m}.parquet")
+
+    state, ck = str(tmp_path / "state"), str(tmp_path / "ck")
+    out1 = kmv_distinct_stream(
+        spark, str(src), state, ck, "event_id long, user_id long", k=16
+    ).collect()[0]
+    # 40 distinct users > k=16 -> estimator regime; 3 partials appended
+    assert out1.sketch_size == 16
+    partials = glob.glob(f"{state}/*.parquet")
+    assert len(partials) >= 3
+    # replay everything with a FRESH checkpoint into the SAME state dir:
+    # duplicate partials must not change the merged sketch
+    out2 = kmv_distinct_stream(
+        spark, str(src), state, str(tmp_path / "ck2"),
+        "event_id long, user_id long", k=16,
+    ).collect()[0]
+    assert (out2.sketch_size, out2.kth_min, out2.est_kmv) == (
+        out1.sketch_size, out1.kth_min, out1.est_kmv
+    )
