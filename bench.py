@@ -74,6 +74,10 @@ HEADLINE = [
     "r53_sliding_distinct_users",
     "st01_tumbling_window",
     "st03_session_window",
+    # round-6 additions: HLL-register graph iteration and the
+    # inverted-index threshold sweep
+    "g43_neighborhood_function",
+    "l71_dedup_threshold_sweep",
 ]
 
 

@@ -2675,3 +2675,71 @@ def r68_asof_forward_tolerance(spark, sf_dir):
         "ts",
         F.col("o_orderdate").alias("next_order_date"),
     )
+
+
+@register(
+    "r69_mv_retract_refresh",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(count(*) AS BIGINT) AS order_cnt,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders WHERE o_orderkey % 7 <> 3
+    GROUP BY 1, 2
+    """,
+)
+def r69_mv_retract_refresh(spark, sf_dir):
+    """Incremental MV maintenance under DELETES — r56's other half:
+    the pre-built view covers the whole base table, then a retraction
+    batch (the ``% 7 == 3`` keys, a CDC delete feed) is applied as
+    NEGATIVE contributions — counts subtract, decimal sums subtract —
+    and groups whose count hits zero are dropped from the view (the
+    invariant that distinguishes retraction from insert-merge: a fully
+    deleted group must VANISH, not linger as a zero row). The oracle
+    recomputes from the surviving rows, so the hash match proves
+    view - delta ≡ recompute. SUM/COUNT are self-maintainable under
+    deletes with no per-group history; MIN/MAX are NOT (a deleted
+    extremum forces a per-group rescan) — that asymmetry is why this
+    view carries only sum/count. Refresh shuffles delta + view-sized
+    data only, never the base table. Decimal accumulation makes
+    base − delta bit-identical to the one-shot aggregate."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    keys = ["o_orderpriority", "order_month"]
+
+    def agg(df):
+        return (
+            df.withColumn(
+                "order_month", F.date_trunc("month", "o_orderdate").cast("date")
+            )
+            .groupBy(*keys)
+            .agg(
+                F.count("*").alias("order_cnt"),
+                F.sum(F.col("o_totalprice").cast("decimal(25,4)")).alias(
+                    "_sum_price"
+                ),
+            )
+        )
+
+    view = agg(orders)  # built before the deletes arrived
+    retract = agg(orders.filter(F.col("o_orderkey") % 7 == 3))
+    merged = view.alias("b").join(
+        retract.alias("d"),
+        on=[F.col(f"b.{k}").eqNullSafe(F.col(f"d.{k}")) for k in keys],
+        how="left_outer",  # retractions only touch existing groups
+    )
+    zero = F.lit(0).cast("decimal(25,4)")
+    return (
+        merged.select(
+            F.col("b.o_orderpriority").alias("o_orderpriority"),
+            F.col("b.order_month").alias("order_month"),
+            (
+                F.col("b.order_cnt") - F.coalesce(F.col("d.order_cnt"), F.lit(0))
+            ).alias("order_cnt"),
+            (
+                F.col("b._sum_price") - F.coalesce(F.col("d._sum_price"), zero)
+            )
+            .cast("double")
+            .alias("total_price"),
+        )
+        .filter(F.col("order_cnt") > 0)
+    )
