@@ -131,6 +131,14 @@ def main() -> None:
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     stream_rates: dict[str, float] = {}
+    # State-store count = shuffle partitions at first run, and each
+    # store pays fixed per-batch setup; 32 (right for batch analytics
+    # on 32 cores) is 4-8x overhead at micro-batch scale. 8 stores is
+    # the honest sizing for this state volume (measured: agg 7.7s ->
+    # 1.1s, join 8.8s -> 2.5s at sf0.1); on a 1000-executor cluster you
+    # size stores to state volume / executor count the same way.
+    batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     for sname, build, mode, n_in in (
         (
             "stream_tumbling_agg",
@@ -158,6 +166,7 @@ def main() -> None:
             f" -> {stream_rates[sname]} events/s",
             file=sys.stderr,
         )
+    spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
 
     # ingest throughput — the reference's own headline metric
     # (129,038 fragments/s, BASELINE.md); 1M nodes × 8 fragments

@@ -4397,3 +4397,131 @@ def l73_temperature_mixture(spark, sf_dir):
         .cast("long")
         .alias("rate_ppm"),
     )
+
+
+@register(
+    "l75_knn_filtered",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+                  round(list_cosine_similarity(q.qv,
+                        CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+           FROM embeddings e JOIN q
+             ON e.vec_id <> q.query_id AND e.label = q.label
+         )
+    SELECT query_id, neighbor_id, label, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rn FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def l75_knn_filtered(spark, sf_dir):
+    """METADATA-FILTERED vector search — the operation that separates a
+    vector index from a vector DATABASE: top-5 cosine neighbors
+    restricted to the query's own label (same-class retrieval — hard
+    positives mining, per-tenant search, license-compatible
+    augmentation all reduce to this). Implemented as PRE-filtering: the
+    label predicate joins INTO the candidate generation (an equi-key
+    next to the similarity scoring), so selectivity cuts the scored
+    set — post-filtering top-k-then-filter returns <k rows when the
+    filter is selective, the classic vector-DB bug. At 100 TB the same
+    shape composes with the IVF path: label becomes a second partition
+    column on the lists (probe = (label, list) pruning), which is why
+    the filter must live on the candidate side, not after the rank.
+    Scoring/tie-break contract identical to l06 (6-decimal rounding
+    before rank)."""
+    from pyspark.sql import Window as W
+
+    from ekati_spark.operators.similarity import _as_double, dot, norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        _as_double(F.col("embedding")).alias("v"),
+    ).withColumn("nv", norm(F.col("v")))
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        _as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("nq", norm(F.col("qv")))
+    cos = F.try_divide(
+        dot(F.col("qv"), F.col("v")), F.col("nq") * F.col("nv")
+    )
+    scored = (
+        # label equality IS part of candidate generation (pre-filter);
+        # the non-equi self-exclusion rides along, scoring stays in the
+        # projection (the l06/l33 plan shape)
+        c.join(
+            F.broadcast(q),
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("label") == F.col("q_label")),
+        )
+        .withColumn("cosine", F.round(cos, 6))
+        .select("query_id", "neighbor_id", "label", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "l74_chunk_embedding_pool",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id // 4 AS doc, vec_id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    d AS (
+      SELECT doc, i,
+             CAST(SUM(qv[i + 1]) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc, qv, unnest(range(64)) AS i FROM e)
+      GROUP BY doc, i
+    )
+    SELECT doc AS doc_id, CAST(i AS INTEGER) AS dim,
+           CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END
+                AS BIGINT) AS pooled_q
+    FROM d
+    """,
+)
+def l74_chunk_embedding_pool(spark, sf_dir):
+    """Chunk-embedding POOLING — the document-representation step of
+    every long-context retrieval/curation pipeline: chunks (groups of 4
+    consecutive vec_ids standing in for one document's chunk
+    embeddings) mean-pool into a document vector. Pooling runs on the
+    int64-quantized grid (floor(x·1024+0.5), the l15 doctrine) with
+    exact integer sums and trunc-toward-zero division, emitted in long
+    form (doc, dim, pooled_q) so the oracle hash-checks every dimension
+    of every pooled vector — not a summary statistic.
+
+    Scale shape: ONE groupBy over (doc, dim) after a posexplode — at
+    100 TB this is the canonical narrow-shuffle pooling plan (shuffle
+    ∝ chunks×dim, partial map-side sums); the pooled table then feeds
+    the ANN index build (l15/l70) unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = S._quant_udf(1024)
+    e = emb.select(
+        F.expr("vec_id div 4").alias("doc_id"),
+        quant(F.col("embedding")).alias("qv"),
+    )
+    ex = e.select("doc_id", F.posexplode("qv").alias("dim", "q"))
+    return (
+        ex.groupBy("doc_id", "dim")
+        .agg(F.sum("q").alias("s"), F.count("*").alias("n"))
+        .select(
+            "doc_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.expr("s div n").cast("long").alias("pooled_q"),
+        )
+    )
