@@ -2743,3 +2743,110 @@ def r69_mv_retract_refresh(spark, sf_dir):
         )
         .filter(F.col("order_cnt") > 0)
     )
+
+
+@register(
+    "r70_countmin_sketch",
+    oracle="""
+    WITH ev AS (SELECT user_id FROM events),
+    dd AS (SELECT unnest(range(4)) AS d),
+    hh AS (
+      SELECT ev.user_id, dd.d,
+             CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' ||
+                                      CAST(ev.user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 256 AS bucket
+      FROM ev CROSS JOIN dd
+    ),
+    counters AS (
+      SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+      FROM hh GROUP BY 1, 2
+    ),
+    topu AS (
+      SELECT user_id, n FROM (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (ORDER BY count(*) DESC, user_id) AS rn
+        FROM ev GROUP BY user_id
+      ) WHERE rn <= 20
+    ),
+    probes AS (
+      SELECT t.user_id, t.n, dd.d,
+             CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' ||
+                                      CAST(t.user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 256 AS bucket
+      FROM topu t CROSS JOIN dd
+    )
+    SELECT p.user_id, p.n AS n_exact,
+           CAST(MIN(c.c) AS BIGINT) AS est_cm
+    FROM probes p JOIN counters c ON c.d = p.d AND c.bucket = p.bucket
+    GROUP BY 1, 2
+    """,
+)
+def r70_countmin_sketch(spark, sf_dir):
+    """Count-Min sketch — the frequency-estimation classic that
+    completes the sketch family (HLL r47 / GK r58 / Misra-Gries r60 /
+    KMV r63/r67): a depth-4 × width-256 counter grid over event
+    user_ids (hashes are md5-prefix mod width — the engine-portable
+    hash doctrine), point estimates for the top-20 true-heaviest users
+    as min over the four rows. Counters are plain grouped counts, so
+    the WHOLE sketch build and every estimate replay exactly in SQL —
+    including the one-sided error (est >= exact always; the gap IS the
+    collision noise the depth×width budget buys down). At 100 TB the
+    grid is 1024 BIGINTs built in one partial-agg pass and merges
+    across partitions/streams by cell-wise addition — the CM property
+    that matters in a distributed engine.
+
+    Plan shape: the d∈0..3 fan-out is a 4-element posexplode (narrow,
+    map-side), counters one groupBy; probes join the 80-row top-k
+    against the 1024-row counter table (broadcast)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    D, WID = 4, 256
+
+    def bucket(dcol, ucol):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            dcol.cast("string"),
+                            F.lit(":"),
+                            ucol.cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % WID
+        )
+
+    dd = F.explode(F.sequence(F.lit(0), F.lit(D - 1))).alias("d")
+    hh = ev.select("user_id").select(dd, "user_id").select(
+        "d", bucket(F.col("d"), F.col("user_id")).alias("bucket")
+    )
+    counters = hh.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    topu = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "user_id",
+            "n",
+            F.row_number()
+            .over(W.orderBy(F.col("n").desc(), "user_id"))
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= 20)
+    )
+    probes = topu.select(dd, "user_id", "n").select(
+        "user_id",
+        "n",
+        "d",
+        bucket(F.col("d"), F.col("user_id")).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy("user_id", F.col("n").alias("n_exact"))
+        .agg(F.min("c").cast("long").alias("est_cm"))
+        .select("user_id", F.col("n_exact").cast("long"), "est_cm")
+    )

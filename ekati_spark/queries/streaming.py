@@ -454,3 +454,72 @@ def st15_stream_kmv_distinct(spark, sf_dir):
     return ops.kmv_distinct_stream(
         spark, str(src), str(tmp / "state"), str(tmp / "ck"), schema_ddl
     )
+
+
+@register(
+    "st16_stream_nt_ingest",
+    oracle="""
+    SELECT 'http://d/' || CAST(doc_id AS VARCHAR) AS subj,
+           'http://p/name' AS pred,
+           'doc-' || CAST(doc_id AS VARCHAR) AS obj,
+           CAST(doc_id % 7 AS BIGINT) AS shard
+    FROM documents
+    """,
+)
+def st16_stream_nt_ingest(spark, sf_dir):
+    """Streaming GRAPH INGEST through the custom N-Triples tail source
+    (sources/pyds.py — Spark 4 Python DataSource streaming reader with
+    per-file byte offsets and complete-line gating): one deterministic
+    triple per document is written to an .nt feed IN TWO APPENDS, the
+    stream consumes each delta exactly once (same checkpoint across
+    restarts — the reference's Load-RPC tail-ingest semantics,
+    WatService.cs:209-336), and the landed triples must equal the
+    batch-predicted set. Exercises the full custom-source path —
+    offsets, replay exactness, escape-free fast path — under the
+    oracle gate rather than only in pytest. The shard column shows
+    partition routing riding the same stream."""
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.sources import pyds
+
+    pyds.register(spark)
+    ids = sorted(
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .collect()
+    )
+    tmp = Path(tempfile.mkdtemp(prefix="st16_"))
+    feed, out, ck = tmp / "feed.nt", str(tmp / "sink"), str(tmp / "ck")
+
+    def line(i):
+        return f'<http://d/{i}> <http://p/name> "doc-{i}" .\n'
+
+    half = len(ids) // 2
+
+    def drain():
+        stream = spark.readStream.format("ntriples").load(str(feed))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    feed.write_text("".join(line(i) for i in ids[:half]))
+    drain()
+    with open(feed, "a") as fh:  # the tail grows; offsets resume
+        fh.write("".join(line(i) for i in ids[half:]))
+    drain()
+    landed = spark.read.parquet(out)
+    return landed.select(
+        "subj",
+        "pred",
+        F.col("obj"),
+        (
+            F.regexp_extract("subj", "http://d/(\\d+)", 1).cast("long") % 7
+        ).alias("shard"),
+    )
