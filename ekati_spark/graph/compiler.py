@@ -110,7 +110,31 @@ class QueryEngine:
         for step in q.steps:
             stream = self._apply_wo_fields(stream, step)
         fields_steps = [s for s in q.steps if isinstance(s, ir.FieldsStep)]
-        return self._materialize(stream, fields_steps, history=q.history)
+        # Bucketed point lookup: when the result set provably stays
+        # inside the seed set (exact iris, no expanding step), the
+        # attribute fetch itself reads only the seeds' bucket
+        # partitions — `get "<id>"` then touches 1/n_buckets of the
+        # store end-to-end (FileStore.fs:281-298 parity; plan-asserted
+        # in tests). Expanding steps (follow/transform) fall back to
+        # the full props view.
+        mat_graph = self.graph
+        expanding = any(
+            isinstance(s, (ir.FollowStep, ir.TransformStep)) for s in q.steps
+        )
+        exact = not any(s.iri == "*" for s in q.seeds)
+        if exact and not expanding and self.graph.bucket_info is not None:
+            from ekati_spark.graph.storage import bucket_of
+
+            path, n = self.graph.bucket_info
+            bks = sorted({bucket_of(s.iri, n) for s in q.seeds})
+            mat_graph = PropertyGraph(
+                self.spark.read.parquet(path)
+                .filter(F.col("bucket").isin(bks))
+                .drop("bucket")
+            )
+        return self._materialize(
+            stream, fields_steps, history=q.history, graph=mat_graph
+        )
 
     def _seed_stream(self, seeds) -> DataFrame:
         """Node stream = (node_id, remote) pairs — logical identity is
@@ -120,6 +144,21 @@ class QueryEngine:
         if any(s.iri == "*" for s in seeds):
             # full scan (FileStore.fs:300-315)
             return universe
+        if self.graph.bucket_info is not None:
+            # bucketed on-disk layout: bind each seed's bucket literal
+            # driver-side so only 1/n_buckets of the partition dirs are
+            # planned into the scan (PartitionFilters) — the reference's
+            # one-partition index probe, FileStore.fs:281-298
+            from ekati_spark.graph.storage import bucket_of
+
+            path, n = self.graph.bucket_info
+            bks = sorted({bucket_of(s.iri, n) for s in seeds})
+            universe = (
+                self.spark.read.parquet(path)
+                .filter(F.col("bucket").isin(bks))
+                .select("node_id", "remote")
+                .distinct()
+            )
         seed_df = self.spark.createDataFrame(
             [(s.iri, s.remote) for s in seeds], "node_id string, remote string"
         )
@@ -248,10 +287,12 @@ class QueryEngine:
         raise ValueError(f"bad cludepart {part!r}")
 
     def _materialize(
-        self, stream: DataFrame, fields_steps, history: bool
+        self, stream: DataFrame, fields_steps, history: bool,
+        graph: "PropertyGraph | None" = None,
     ) -> DataFrame:
+        graph = graph if graph is not None else self.graph
         props = (
-            self.graph.history() if history else self.graph.latest()
+            graph.history() if history else graph.latest()
         ).join(stream, ["node_id", "remote"], "left_semi")
         for fs in fields_steps:
             pred = self._clude_pred(fs.cludes)

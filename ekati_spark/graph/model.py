@@ -35,6 +35,9 @@ from ekati_spark.schemas import PROPS_SCHEMA
 class PropertyGraph:
     def __init__(self, props: DataFrame, edges: DataFrame | None = None):
         self.props = props
+        # set by from_bucketed: (path, n_buckets) — lets the compiler
+        # serve exact-id point lookups from the pruned on-disk layout
+        self.bucket_info: tuple[str, int] | None = None
         if edges is None:
             edges = props.filter(F.col("dtype") == "ref").select(
                 F.col("node_id").alias("src"),
@@ -43,6 +46,23 @@ class PropertyGraph:
                 F.col("ts"),
             )
         self.edges = edges
+
+    @classmethod
+    def from_bucketed(cls, spark: SparkSession, path: str) -> "PropertyGraph":
+        """Open a graph persisted by ``graph.storage.write_bucketed_props``.
+        Full scans read everything as usual; exact-id point lookups
+        (`get "<id>"`) are served by the compiler with the bucket
+        literal bound driver-side, so planning prunes every other
+        partition directory — the reference's murmur3 partition routing
+        (FileStore.fs:281-298) as parquet layout."""
+        from ekati_spark.graph.storage import (
+            read_bucket_count,
+            read_bucketed_props,
+        )
+
+        g = cls(read_bucketed_props(spark, path))
+        g.bucket_info = (path, read_bucket_count(path))
+        return g
 
     # -- views ------------------------------------------------------------
 

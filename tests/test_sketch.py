@@ -244,3 +244,49 @@ def test_apportionment_sums_exactly_to_budget(spark, sf_dir):
     for r in rows:
         assert r.quota >= (200 * r.n_docs) // total_docs
         assert r.quota <= (200 * r.n_docs) // total_docs + 1
+
+
+def test_kmv_bottomk_merge_associativity():
+    """The property st15's streaming sketch rests on, checked
+    exhaustively with hypothesis: bottom-k of a union equals bottom-k
+    of the merged per-part bottom-k sets, for any split and any k."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        a=st.sets(st.integers(min_value=0, max_value=10**6), max_size=60),
+        b=st.sets(st.integers(min_value=0, max_value=10**6), max_size=60),
+        k=st.integers(min_value=1, max_value=16),
+    )
+    def check(a, b, k):
+        direct = sorted(a | b)[:k]
+        merged = sorted(set(sorted(a)[:k]) | set(sorted(b)[:k]))[:k]
+        assert direct == merged
+
+    check()
+
+
+def test_countmin_never_undercounts(spark):
+    """CM's one-sided error: for EVERY key (not just the reported
+    top-20), min-over-rows counter >= true frequency."""
+    import hashlib
+
+    rows = [(i % 37,) for i in range(1500)] + [(5,)] * 50
+    df = spark.createDataFrame(rows, "user_id long")
+    from collections import Counter
+
+    truth = Counter(u for (u,) in rows)
+    D, WID = 4, 256
+
+    def bucket(d, u):
+        return (
+            int(hashlib.md5(f"{d}:{u}".encode()).hexdigest()[:13], 16) % WID
+        )
+
+    counters = Counter()
+    for (u,) in rows:
+        for d in range(D):
+            counters[(d, bucket(d, u))] += 1
+    for u, n in truth.items():
+        est = min(counters[(d, bucket(d, u))] for d in range(D))
+        assert est >= n

@@ -432,3 +432,32 @@ def test_bucketed_props_point_lookup_prunes_partitions(spark, tmp_path):
     assert "PushedFilters" in plan and "node_id" in plan.split(
         "PushedFilters"
     )[1][:200]
+
+
+def test_query_engine_point_lookup_on_bucketed_graph(spark, tmp_path):
+    """End-to-end DSL point lookup on a bucketed on-disk graph:
+    `get "<id>"` through QueryEngine must plan a bucket PartitionFilter
+    (no full scan) and return the node's attributes."""
+    from ekati_spark.graph.compiler import QueryEngine
+    from ekati_spark.graph.model import PropertyGraph
+    from ekati_spark.graph.storage import write_bucketed_props
+    from ekati_spark.schemas import PROPS_SCHEMA
+
+    rows = [
+        (f"n{i}", "", "size", 1, "i64", None, i, None, None, None, None,
+         None, None)
+        for i in range(100)
+    ]
+    props = spark.createDataFrame(rows, PROPS_SCHEMA)
+    path = str(tmp_path / "bucketed_graph")
+    write_bucketed_props(props, path, n_buckets=8)
+
+    g = PropertyGraph.from_bucketed(spark, path)
+    engine = QueryEngine(spark, graph=g)
+    out = engine.execute('get "n42"')
+    got = out.collect()
+    assert {r.node_id for r in got} == {"n42"}
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.find("PartitionFilters"):][:200]
+    assert "PartitionFilters: [" in plan and "bucket" in pf, pf
