@@ -4525,3 +4525,70 @@ def l74_chunk_embedding_pool(spark, sf_dir):
             F.expr("s div n").cast("long").alias("pooled_q"),
         )
     )
+
+
+@register(
+    "l76_pii_source_report",
+    oracle="""
+    WITH d AS (
+      SELECT source,
+             len(regexp_extract_all(text, 'https?://[^\\s]+')) AS u,
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,
+             len(regexp_extract_all(text,
+               '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS p
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_pii,
+           CAST(SUM(u) AS BIGINT) AS n_urls,
+           CAST(SUM(e) AS BIGINT) AS n_emails,
+           CAST(SUM(p) AS BIGINT) AS n_phones,
+           CAST(1000000 * SUM(CASE WHEN u + e + p > 0 THEN 1 ELSE 0 END)
+                // count(*) AS BIGINT) AS pii_doc_ppm
+    FROM d GROUP BY source
+    """,
+)
+def l76_pii_source_report(spark, sf_dir):
+    """PII COVERAGE REPORT per source — the compliance-observability
+    face of l24's redaction: per ingest source, how many documents
+    carry any URL/email/phone, the per-kind totals, and the
+    docs-with-PII rate in ppm (integer div — exact). This is the table
+    a privacy review asks for before a source is cleared into a
+    training mix, and the drift signal a pipeline monitors release
+    over release (a source whose pii_doc_ppm jumps changed its
+    upstream scraping). Same RE2-compatible patterns as l24 so both
+    engines count identically; one codegen scan + one #sources-row
+    aggregate — the l69 telemetry doctrine applied to text."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = X.pii_counts(F.col("text"))
+    d = docs.select(
+        "source",
+        c["url"].alias("u"),
+        c["email"].alias("e"),
+        c["phone"].alias("p"),
+    )
+    any_pii = (F.col("u") + F.col("e") + F.col("p") > 0).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(any_pii).alias("n_docs_with_pii"),
+            F.sum("u").cast("long").alias("n_urls"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("p").cast("long").alias("n_phones"),
+        )
+        .select(
+            "source",
+            F.col("n_docs").cast("long"),
+            F.col("n_docs_with_pii").cast("long"),
+            "n_urls",
+            "n_emails",
+            "n_phones",
+            F.expr("1000000 * n_docs_with_pii div n_docs")
+            .cast("long")
+            .alias("pii_doc_ppm"),
+        )
+    )

@@ -2850,3 +2850,51 @@ def r70_countmin_sketch(spark, sf_dir):
         .agg(F.min("c").cast("long").alias("est_cm"))
         .select("user_id", F.col("n_exact").cast("long"), "est_cm")
     )
+
+
+@register(
+    "r71_dup_drift_daily",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             user_id, event_type, value,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3, 4
+    )
+    SELECT day,
+           CAST(SUM(c) AS BIGINT) AS n_events,
+           CAST(SUM(c - 1) AS BIGINT) AS n_dup_events,
+           CAST(1000000 * SUM(c - 1) // SUM(c) AS BIGINT) AS dup_ppm
+    FROM g GROUP BY day
+    """,
+)
+def r71_dup_drift_daily(spark, sf_dir):
+    """Duplicate-share DRIFT over time — the data-quality monitor a
+    pipeline runs on every ingest day: per day, how many events are
+    exact repeats of an already-seen (user, type, value) tuple that
+    day, as an integer ppm rate. A day whose dup_ppm jumps means an
+    upstream producer started double-firing — caught here before the
+    duplicates poison downstream counts. Two-level aggregate (tuple
+    counts, then per-day sums): both shuffles key on (day, tuple) /
+    day, partial-aggregated map-side; at 100 TB the first groupBy is
+    the dedup pass a deployment runs anyway, so the monitor rides it
+    for free (the l69/l76 observability doctrine on the events
+    stream)."""
+    (ev,) = _t(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .groupBy("day", "user_id", "event_type", "value")
+        .agg(F.count("*").alias("c"))
+    )
+    return g.groupBy("day").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dup_events"),
+        F.expr("1000000 * SUM(c - 1) div SUM(c)")
+        .cast("long")
+        .alias("dup_ppm"),
+    )
