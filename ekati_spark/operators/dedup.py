@@ -252,11 +252,22 @@ def minhash_band_candidates(
     candidates = (id_a, id_b, sz_a, sz_b) pairs sharing ≥ 1 band hash
     (id_a < id_b) and shingle_rows is the eagerly-checkpointed hashed
     shingle table both stages consume."""
-    rows = num_hashes // bands
     sh_rows = shingle_hash_rows(
         docs, shingle_n, text_col, id_col
     ).transform(cut_lineage)
     sigs = _signatures_from_rows(sh_rows, num_hashes)
+    return band_candidates_from_signatures(sigs, num_hashes, bands), sh_rows
+
+
+def band_candidates_from_signatures(
+    sigs: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """LSH band join over an EXISTING signature table ``(id, signature,
+    sz)`` — in memory or read back from a persisted parquet signature
+    store (the 100 TB practice: signatures are computed once per
+    snapshot and materialized; every dedup run after that starts
+    here). Returns (id_a, id_b, sz_a, sz_b) candidates, id_a < id_b."""
+    rows = num_hashes // bands
     banded = sigs.select(
         "id",
         "sz",
@@ -270,7 +281,7 @@ def minhash_band_candidates(
         ).alias("band", "band_hash"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -285,7 +296,6 @@ def minhash_band_candidates(
         )
         .distinct()
     )
-    return cand, sh_rows
 
 
 def minhash_lsh_pairs(
@@ -315,6 +325,16 @@ def minhash_lsh_pairs(
     cand, sh_rows = minhash_band_candidates(
         docs, num_hashes, bands, shingle_n, text_col, id_col
     )
+    return verify_candidate_pairs(cand, sh_rows, threshold)
+
+
+def verify_candidate_pairs(
+    cand: DataFrame, sh_rows: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidates against the hashed
+    shingle table (set-join + count; floor-based 6-decimal rounding —
+    the l03 oracle contract). Shared by the inline and
+    persisted-signature paths."""
     shared = (
         cand.join(
             sh_rows.select(F.col("id").alias("id_a"), "h"), "id_a"

@@ -4592,3 +4592,34 @@ def l76_pii_source_report(spark, sf_dir):
             .alias("pii_doc_ppm"),
         )
     )
+
+
+@register("l77_minhash_persisted", oracle=_l03_oracle())
+def l77_minhash_persisted(spark, sf_dir):
+    """Persisted MinHash SIGNATURE STORE — the dedup analog of l15's
+    on-disk IVF index: signatures are computed once, written to a
+    parquet signature table, READ BACK, and the banded-LSH pair
+    pipeline runs entirely from the stored table (candidates from
+    band_candidates_from_signatures, verification against the hashed
+    shingle rows). The oracle is l03's full inline replay, so a hash
+    match proves the store round-trips bit-exactly — compute-once
+    materialization changes cost, never answers. At 100 TB this is how
+    dedup actually runs: per-snapshot signature tables are the
+    persisted artifact; each incremental pass band-joins new
+    signatures against the store instead of re-shingling the corpus."""
+    import tempfile
+
+    from ekati_spark.operators.dedup import (
+        _signatures_from_rows,
+        band_candidates_from_signatures,
+        shingle_hash_rows,
+        verify_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh_rows = shingle_hash_rows(docs).transform(cut_lineage)
+    path = tempfile.mkdtemp(prefix="l77_sigs_") + "/signatures"
+    _signatures_from_rows(sh_rows, 64).write.mode("overwrite").parquet(path)
+    stored = spark.read.parquet(path)
+    cand = band_candidates_from_signatures(stored, num_hashes=64, bands=32)
+    return verify_candidate_pairs(cand, sh_rows, threshold=0.1)

@@ -2898,3 +2898,51 @@ def r71_dup_drift_daily(spark, sf_dir):
         .cast("long")
         .alias("dup_ppm"),
     )
+
+
+@register(
+    "r72_topk_with_ties",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(floor(o_totalprice + 0.5) AS BIGINT) AS price_usd,
+           o_orderkey, CAST(rk AS INTEGER) AS rk
+    FROM (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+             rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY CAST(floor(o_totalprice + 0.5) AS BIGINT)
+                            DESC) AS rk
+      FROM orders
+    ) WHERE rk <= 3
+    """,
+)
+def r72_topk_with_ties(spark, sf_dir):
+    """Top-k WITH TIES (`FETCH FIRST 3 ROWS WITH TIES` semantics) —
+    the rank()-based top-k that r17's row_number cannot express: every
+    order tying the 3rd-highest integer-dollar price per priority IS
+    in the result, so the output is a pure function of the DATA, with
+    no hidden tie-break dropping rows (the property audits and
+    leaderboards need; row_number top-k silently truncates ties).
+    Prices quantize to integer dollars first (floor(x+0.5), the l67
+    one-op rule) so the rank keys are bit-identical across engines.
+    Plan: rank-only window + constant bound still qualifies for
+    WindowGroupLimit (map-side partial top-k before the per-group
+    sort's shuffle), same as row_number — ties cost only the extra
+    qualifying rows."""
+    (orders,) = _t(spark, sf_dir, "orders")
+    usd = F.floor(F.col("o_totalprice") + 0.5).cast("long")
+    w = W.partitionBy("o_orderpriority").orderBy(F.col("price_usd").desc())
+    return (
+        orders.select(
+            "o_orderpriority",
+            usd.alias("price_usd"),
+            "o_orderkey",
+        )
+        .withColumn("rk", F.rank().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority",
+            "price_usd",
+            "o_orderkey",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
