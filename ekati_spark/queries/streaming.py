@@ -523,3 +523,56 @@ def st16_stream_nt_ingest(spark, sf_dir):
             F.regexp_extract("subj", "http://d/(\\d+)", 1).cast("long") % 7
         ).alias("shard"),
     )
+
+
+@register(
+    "st17_stream_countmin",
+    oracle="""
+    WITH dd AS (SELECT unnest(range(4)) AS d),
+    hh AS (
+      SELECT dd.d,
+             CAST(('0x' || substr(md5(CAST(dd.d AS VARCHAR) || ':' ||
+                                      CAST(e.user_id AS VARCHAR)), 1, 13))
+                  AS BIGINT) % 256 AS bucket
+      FROM events e CROSS JOIN dd
+    )
+    SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+    FROM hh GROUP BY 1, 2
+    """,
+)
+def st17_stream_countmin(spark, sf_dir):
+    """Streaming Count-Min — CM's LINEARITY under micro-batching: the
+    events table drains in three micro-batches, each appending its own
+    counter-grid partial keyed by batch id, and the cell-wise merged
+    grid must equal the whole-history batch grid BIT-FOR-BIT (the
+    oracle builds it in one pass). Batch-id keying makes the
+    at-least-once foreachBatch replay exactly-once (addition is not
+    idempotent — a naive append would double-count; the epoch-keyed
+    dedup absorbs replays, same rule as the idempotent sink). With
+    st15 this completes the streaming sketch pair: distinct counts
+    (KMV, merge = set union) and frequencies (CM, merge = addition),
+    both with zero estimator drift from batching."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.catalog import ensure_session_confs
+
+    ensure_session_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = Path(tempfile.mkdtemp(prefix="st17_"))
+    src = tmp / "src"
+    src.mkdir()
+    for m in range(3):
+        batch.filter(F.col("event_id") % 3 == m).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"chunk{m}"))
+        for f in (tmp / f"chunk{m}").glob("*.parquet"):
+            shutil.move(str(f), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"chunk{m}")
+    schema_ddl = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields
+    )
+    return ops.countmin_stream(
+        spark, str(src), str(tmp / "state"), str(tmp / "ck"), schema_ddl
+    )

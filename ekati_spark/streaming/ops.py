@@ -925,3 +925,78 @@ def kmv_distinct_stream(
         .cast("long")
         .alias("est_kmv"),
     )
+
+
+def countmin_stream(
+    spark: SparkSession,
+    src_dir: str,
+    state_dir: str,
+    ck_dir: str,
+    schema: str,
+    key_col: str = "user_id",
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Streaming Count-Min: each micro-batch appends its own counter
+    GRID partial; the merged sketch is the cell-wise SUM of partials —
+    CM is linear, so the merged grid is bit-identical to the batch
+    grid over the whole history (st17's oracle proves it). The
+    frequency-sketch twin of ``kmv_distinct_stream``: state is
+    depth×width rows per batch, independent of stream volume; a
+    replayed batch WOULD double-count (addition is not idempotent), so
+    partials are keyed by batch_id and the merge takes each batch's
+    LAST partial — the epoch-keyed overwrite rule that makes the
+    at-least-once foreachBatch contract exactly-once here.
+
+    Returns the merged grid ``(d, bucket, c)``."""
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        dd = F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("d")
+        hh = batch.select(F.col(key_col)).select(dd, key_col).select(
+            "d",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("d").cast("string"),
+                                F.lit(":"),
+                                F.col(key_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            ).alias("bucket"),
+        )
+        grid = hh.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+        grid.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(state_dir)
+
+    q = (
+        sdf.writeStream.foreachBatch(land)
+        .option("checkpointLocation", ck_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    parts = spark.read.parquet(state_dir)
+    # exactly-once merge: one partial per (batch, cell) — replays that
+    # re-append a batch's grid collapse to a single contribution
+    dedup = parts.groupBy("batch_id", "d", "bucket").agg(
+        F.max("c").alias("c")
+    )
+    return dedup.groupBy("d", "bucket").agg(
+        F.sum("c").cast("long").alias("c")
+    )

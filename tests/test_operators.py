@@ -768,3 +768,18 @@ def test_bigram_interp_is_word_order_sensitive(spark):
             for r in Q.REGISTRY["l52_bigram_interp_logprob"].fn(spark, d).collect()
         }
     assert got[1] > got[2], got
+
+
+def test_topk_with_ties_plans_window_group_limit(spark, sf_dir):
+    """r72's rank-only window + constant bound must qualify for the
+    WindowGroupLimit rewrite (map-side partial top-k below the
+    per-group sort), same as the row_number form."""
+    from ekati_spark.queries.relational import r72_topk_with_ties
+
+    plan = (
+        r72_topk_with_ties(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan[:800]

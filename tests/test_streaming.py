@@ -493,3 +493,40 @@ def test_kmv_stream_multibatch_and_replay_idempotent(spark, tmp_path):
     assert (out2.sketch_size, out2.kth_min, out2.est_kmv) == (
         out1.sketch_size, out1.kth_min, out1.est_kmv
     )
+
+
+def test_countmin_stream_replay_exactly_once(spark, tmp_path):
+    """CM partials are keyed by batch id: replaying the whole stream
+    with a fresh checkpoint into the same state dir must NOT
+    double-count (addition is not idempotent — the epoch-keyed dedup
+    is what makes it exactly-once)."""
+    from ekati_spark.streaming.ops import countmin_stream
+
+    rows = [(i, i % 10) for i in range(300)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long")
+    src = tmp_path / "src"
+    src.mkdir()
+    for m in range(2):
+        part = tmp_path / f"c{m}"
+        df.filter(F.col("event_id") % 2 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(part))
+        next(part.glob("*.parquet")).rename(src / f"part-{m}.parquet")
+
+    state = str(tmp_path / "state")
+    g1 = {
+        (r.d, r.bucket): r.c
+        for r in countmin_stream(
+            spark, str(src), state, str(tmp_path / "ck1"),
+            "event_id long, user_id long",
+        ).collect()
+    }
+    assert sum(g1.values()) == 4 * 300  # depth x events, exactly once
+    g2 = {
+        (r.d, r.bucket): r.c
+        for r in countmin_stream(
+            spark, str(src), state, str(tmp_path / "ck2"),
+            "event_id long, user_id long",
+        ).collect()
+    }
+    assert g2 == g1
