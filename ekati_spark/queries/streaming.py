@@ -536,7 +536,7 @@ def st16_stream_nt_ingest(spark, sf_dir):
                   AS BIGINT) % 256 AS bucket
       FROM events e CROSS JOIN dd
     )
-    SELECT d, bucket, CAST(count(*) AS BIGINT) AS c
+    SELECT CAST(d AS INTEGER) AS d, bucket, CAST(count(*) AS BIGINT) AS c
     FROM hh GROUP BY 1, 2
     """,
 )
