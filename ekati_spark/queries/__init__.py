@@ -31,9 +31,9 @@ from ekati_spark.queries import stats  # noqa: F401
 # orphans the current window). Round-7 candidates = the 29 names never
 # attested before round 6 (g28, l11, l19, l23, l25, l27, l29, l32-l36,
 # l39, l42, l43, l45, l49, l51-l53, l56, l58-l60, l62-l65, l68) plus
-# round 6's 20 additions (l69-l77, g43, g44, r67-r72, st15-st17) = 49;
-# a 5-query sentinel + 45 slots covers all but four — defer g28 (the
-# rows-only telemetry) and three sturdy locals (l72, r71, r72) to
+# round 6's 21 additions (l69-l78, g43, g44, r67-r72, st15-st17) = 50;
+# a 5-query sentinel + 45 slots covers all but five — defer g28 (the
+# rows-only telemetry) and four sturdy locals (l72, l76, r71, r72) to
 # round 8.
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round

@@ -4623,3 +4623,92 @@ def l77_minhash_persisted(spark, sf_dir):
     stored = spark.read.parquet(path)
     cand = band_candidates_from_signatures(stored, num_hashes=64, bands=32)
     return verify_candidate_pairs(cand, sh_rows, threshold=0.1)
+
+
+@register(
+    "l78_split_integrity_audit",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+    ),
+    g AS (
+      SELECT doc_id,
+             min(doc_id) OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text),
+                                                    '\\s+', ' ', 'g')))
+             ) AS group_rep
+      FROM corpus
+    ),
+    s AS (
+      SELECT doc_id, group_rep,
+             CASE WHEN substr(md5('split' || CAST(group_rep AS VARCHAR)), 1, 8)
+                       < '0ccccccc' THEN 'val'
+                  WHEN substr(md5('split' || CAST(group_rep AS VARCHAR)), 1, 8)
+                       < '19999999' THEN 'test'
+                  ELSE 'train' END AS split
+      FROM g
+    ),
+    pairs AS (
+      SELECT a.split AS split_a, b.split AS split_b
+      FROM s a JOIN s b
+        ON a.group_rep = b.group_rep AND a.doc_id < b.doc_id
+    )
+    SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_dup_pairs,
+           split_a <> split_b AS is_leak
+    FROM pairs GROUP BY 1, 2
+    """,
+)
+def l78_split_integrity_audit(spark, sf_dir):
+    """Split INTEGRITY proof-by-query: join every exact-duplicate pair
+    against l40's leakage-safe split assignment and count pairs per
+    (split_a, split_b) cell — the audit an eval-governance review runs
+    before trusting held-out numbers. Because l40 keys the split on the
+    dedup-group representative, every cross-split cell (is_leak=true)
+    is structurally EMPTY, and this query proves it by counting rather
+    than asserting (duplicates are PLANTED — every 10th doc re-ingested
+    under a shifted id — because the synthetic corpus has no exact dups
+    of its own and a zero-pair audit would be vacuous) (a per-doc split would light those cells up — that
+    failing audit is exactly what this table is for in a real
+    pipeline). Same-split cells report the within-split duplicate mass
+    that keep-one rewriting (l26/l50) removes. Pair source is the
+    dup-group self-join: cost ∝ Σ group², bounded by the dedup pass a
+    deployment runs anyway."""
+    from pyspark.sql import Window as PW
+
+    from ekati_spark.operators.sampling import train_val_test_split
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # planted duplicates (every 10th doc re-ingested under a shifted id
+    # — the synthetic corpus has no exact dups of its own, and an audit
+    # over zero pairs proves nothing): both engines replay the planting
+    docs = base.unionByName(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+    )
+    rep = F.min("doc_id").over(
+        PW.partitionBy(F.md5(D.normalized(F.col("text"))))
+    )
+    with_rep = docs.select("doc_id", rep.alias("group_rep"))
+    s = train_val_test_split(with_rep, "group_rep", 0.05, 0.05).select(
+        "doc_id", "group_rep", "split"
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.group_rep") == F.col("b.group_rep"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.split").alias("split_a"), F.col("b.split").alias("split_b")
+    )
+    return pairs.groupBy("split_a", "split_b").agg(
+        F.count("*").alias("n_dup_pairs"),
+        (F.col("split_a") != F.col("split_b")).alias("is_leak"),
+    ).select(
+        "split_a",
+        "split_b",
+        F.col("n_dup_pairs").cast("long"),
+        "is_leak",
+    )
