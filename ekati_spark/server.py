@@ -30,6 +30,10 @@ Endpoints:
                     progress callback is written as its own NDJSON
                     line the moment it fires, then a final
                     {"loaded": n} line.
+- ``POST /explain`` {"q": ...} or {"sql": ..., "sf_dir"?: ...} —
+                    the executed physical plan as text, without
+                    running the query (the is-this-the-plan-I-want
+                    loop, over the wire).
 - ``GET /stats``    graph totals (GetStats analog).
 - ``GET /metrics``  executor gauges + stage counters (GetMetrics).
 - ``GET /plugins``  registered user operators (ListPolicies-shape).
@@ -203,6 +207,26 @@ class EkatiServer:
                             self._reply(200, {"rows": rows, "n": len(rows)})
                         else:
                             self._reply(200, {"ok": out.count()})
+                    elif self.path == "/explain":
+                        # plan introspection (the "is this the plan I
+                        # want at scale" loop over the wire): accepts
+                        # either a DSL statement {"q": ...} or SQL
+                        # {"sql": ..., "sf_dir"?: ...}; returns the
+                        # formatted physical plan WITHOUT executing.
+                        if "sql" in req:
+                            if req.get("sf_dir"):
+                                outer._ensure_views(req["sf_dir"])
+                            df = outer.engine.spark.sql(req["sql"])
+                        else:
+                            df = outer.engine.execute(req["q"])
+                        # executedPlan().toString() — explainString
+                        # takes a mode enum on this build (verify-skill
+                        # note), and the executed plan is the string
+                        # every plan-assertion test reads
+                        plan = (
+                            df._jdf.queryExecution().executedPlan().toString()
+                        )
+                        self._reply(200, {"plan": plan})
                     elif self.path == "/sql":
                         # The relational surface over the wire (the
                         # Thrift-server role): run Spark SQL against the

@@ -190,3 +190,18 @@ def test_load_stream_progress_lines(served, tmp_path):
     assert lines[-1]["loaded"] == 2
     progress = [ln["progress"] for ln in lines[:-1] if "progress" in ln]
     assert progress and progress[-1]["done"] is True
+
+
+def test_explain_endpoint(served, sf_dir):
+    code, out = _post(
+        served,
+        "/explain",
+        {"sql": "SELECT l_returnflag, count(*) FROM lineitem "
+                "WHERE l_returnflag = 'R' GROUP BY 1",
+         "sf_dir": sf_dir},
+    )
+    assert code == 200
+    assert "HashAggregate" in out["plan"]
+    assert "PushedFilters" in out["plan"]
+    code, out = _post(served, "/explain", {"q": 'get "s1"'})
+    assert code == 200 and "plan" in out
