@@ -1110,24 +1110,23 @@ def ivf_topk_int(
     )
 
 
-def _int_probe_topk(
-    assigned: DataFrame,
+def _int_probe_rows(
     cents: dict,
     queries: DataFrame,
-    k: int,
     n_probe: int,
     scale: int,
     dim: int,
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
-) -> DataFrame:
-    """Probe stage of the integer IVF path: pick each query's
-    ``n_probe`` nearest lists by exact int64 centroid distance, score
-    candidates in the probed lists, window top-k. Shared by the inline,
-    appended, and persisted-index variants — bit-identical results."""
+) -> list:
+    """Driver-side probe binding for the integer IVF path: quantize
+    each query, rank the (k-sized, collected) centroid table by exact
+    int64 L2², and emit ``(query_id, q_qv, list_id)`` rows for the
+    ``n_probe`` nearest lists. Computed driver-side so callers that
+    scan a persisted index can turn the probed set into a literal
+    partition filter BEFORE the scan plans (PartitionFilters)."""
     import numpy as np
 
-    spark = assigned.sparkSession
     quant = _quant_udf(scale)
     q = (
         queries.filter(
@@ -1150,6 +1149,32 @@ def _int_probe_topk(
         order = sorted(range(len(ids)), key=lambda j: (int(d[j]), ids[j]))
         for j in order[: min(n_probe, len(ids))]:
             probe_rows.append((r["query_id"], list(map(int, Q)), ids[j]))
+    return probe_rows
+
+
+def _int_probe_topk(
+    assigned: DataFrame,
+    cents: dict,
+    queries: DataFrame,
+    k: int,
+    n_probe: int,
+    scale: int,
+    dim: int,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    probe_rows: list | None = None,
+) -> DataFrame:
+    """Probe stage of the integer IVF path: pick each query's
+    ``n_probe`` nearest lists by exact int64 centroid distance, score
+    candidates in the probed lists, window top-k. Shared by the inline,
+    appended, and persisted-index variants — bit-identical results.
+    ``probe_rows`` lets a caller that already bound the probes
+    driver-side (to prune a persisted scan) skip recomputing them."""
+    spark = assigned.sparkSession
+    if probe_rows is None:
+        probe_rows = _int_probe_rows(
+            cents, queries, n_probe, scale, dim, query_id_col, query_vec_col
+        )
     probes = spark.createDataFrame(
         probe_rows, "query_id long, q_qv array<long>, list_id long"
     )
@@ -1325,9 +1350,16 @@ def ivf_topk_int_from_index(
             [], "query_id long, rank int, neighbor_id long, dist_sq long"
         )
     dim = len(next(iter(cents.values())))
-    # bind probed lists driver-side for partition pruning, then reuse
-    # the shared probe/score stage on the pruned scan
-    assigned = spark.read.parquet(f"{path}/lists")
+    # bind probed lists driver-side so they become a literal isin on
+    # the partition column — PartitionFilters prune every unprobed
+    # list directory at planning time (the float twin's contract)
+    probe_rows = _int_probe_rows(
+        cents, queries, n_probe, scale, dim, query_id_col, query_vec_col
+    )
+    probed = sorted({r[2] for r in probe_rows})
+    assigned = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probed)
+    )
     return _int_probe_topk(
         assigned,
         cents,
@@ -1338,6 +1370,7 @@ def ivf_topk_int_from_index(
         dim=dim,
         query_id_col=query_id_col,
         query_vec_col=query_vec_col,
+        probe_rows=probe_rows,
     )
 
 
@@ -1347,9 +1380,15 @@ def compact_ivf_lists(spark, path: str) -> dict:
     a long-lived index accretes small files (the classic streaming-
     append pathology — at 100 TB the probe's scan cost becomes file-
     open overhead, not bytes). Rewrite each list as one file set via a
-    staged write + atomic directory swap (write to ``lists.compact``,
-    rename over ``lists``), so a concurrent reader sees either the old
-    or the new layout, never a partial one. Returns
+    staged write + two-rename swap (write to ``lists.compact``, move
+    ``lists`` aside, move the staged dir in). Each individual rename is
+    atomic, but the swap as a whole is not: a reader can observe a
+    FileNotFound in the instant between the two renames and must retry,
+    and a crash in that window leaves only ``lists.old`` (recover by
+    renaming it back). A stale ``lists.old`` from a prior failed run is
+    removed up front so the swap cannot trip over it. True either-or
+    atomicity needs manifest indirection (a pointer file naming the
+    live directory) — out of scope for the local layout. Returns
     ``{"files_before": n, "files_after": m}``. The maintenance analog
     of the reference's index-file consolidation on snapshot
     (NodeAttrIndex.cs:66-85)."""
@@ -1365,13 +1404,17 @@ def compact_ivf_lists(spark, path: str) -> dict:
     before = _count_files(lists_dir)
     df = spark.read.parquet(lists_dir)
     staged = f"{path}/lists.compact"
+    old = f"{path}/lists.old"
+    # a stale lists.old from a prior crashed compaction would make the
+    # first rename below fail — clear it before staging anything
+    if os.path.exists(old):
+        shutil.rmtree(old)
     (
         df.repartition("list_id")
         .write.partitionBy("list_id")
         .mode("overwrite")
         .parquet(staged)
     )
-    old = f"{path}/lists.old"
     os.rename(lists_dir, old)
     os.rename(staged, lists_dir)
     shutil.rmtree(old)

@@ -440,13 +440,17 @@ def st15_stream_kmv_distinct(spark, sf_dir):
     tmp = Path(tempfile.mkdtemp(prefix="st15_"))
     src = tmp / "src"
     src.mkdir()
-    # 3-way deterministic split => 3 micro-batches
+    # 3-way deterministic split => 3 micro-batches; coalesce(1) so the
+    # write emits exactly one part file — a multi-partition write would
+    # otherwise collapse onto one destination name and silently drop
+    # rows from the micro-batch
     for m in range(3):
-        batch.filter(F.col("event_id") % 3 == m).write.mode(
+        batch.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(src / f"chunk{m}.parquet"))
-        for f in (src / f"chunk{m}.parquet").glob("*.parquet"):
-            shutil.move(str(f), str(src / f"part-{m}.parquet"))
+        parts = sorted((src / f"chunk{m}.parquet").glob("*.parquet"))
+        assert len(parts) == 1, f"expected 1 part file, got {len(parts)}"
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
         shutil.rmtree(src / f"chunk{m}.parquet")
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields
@@ -563,12 +567,14 @@ def st17_stream_countmin(spark, sf_dir):
     tmp = Path(tempfile.mkdtemp(prefix="st17_"))
     src = tmp / "src"
     src.mkdir()
+    # coalesce(1): one part file per micro-batch (see st15's note)
     for m in range(3):
-        batch.filter(F.col("event_id") % 3 == m).write.mode(
+        batch.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
             "overwrite"
         ).parquet(str(tmp / f"chunk{m}"))
-        for f in (tmp / f"chunk{m}").glob("*.parquet"):
-            shutil.move(str(f), str(src / f"part-{m}.parquet"))
+        parts = sorted((tmp / f"chunk{m}").glob("*.parquet"))
+        assert len(parts) == 1, f"expected 1 part file, got {len(parts)}"
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
         shutil.rmtree(tmp / f"chunk{m}")
     schema_ddl = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in batch.schema.fields

@@ -85,6 +85,11 @@ class EkatiServer:
     def __init__(self, engine, host: str = "127.0.0.1", port: int = 0):
         self.engine = engine
         self._views_sf: str | None = None
+        # /load and /load/stream temporarily swap engine.on_progress;
+        # under ThreadingHTTPServer two concurrent loads would race on
+        # that shared attribute (one client's progress written into the
+        # other's response). Serialize the swap+execute+restore window.
+        self._load_lock = threading.Lock()
         outer = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -144,6 +149,10 @@ class EkatiServer:
                 self.send_header("Content-Type", "application/x-ndjson")
                 self.send_header("Connection", "close")
                 self.end_headers()
+                # once headers are out, errors must be reported in-band
+                # (a second send_response would interleave a corrupt
+                # status line into the partial body)
+                self._ndjson_started = True
 
             def _ndline(self, payload: dict) -> None:
                 self.wfile.write(json.dumps(payload).encode() + b"\n")
@@ -183,16 +192,20 @@ class EkatiServer:
                             self._reply(400, {"error": f"bad kind {kind!r}"})
                             return
                         self._start_ndjson()
-                        saved = outer.engine.on_progress
-                        # each progress event flushes immediately — the
-                        # client sees loading advance, not a post-hoc log
-                        outer.engine.on_progress = lambda p: self._ndline(
-                            {"progress": p}
-                        )
-                        try:
-                            df = outer.engine.execute(f'load {kind} "{path}"')
-                        finally:
-                            outer.engine.on_progress = saved
+                        with outer._load_lock:
+                            saved = outer.engine.on_progress
+                            # each progress event flushes immediately —
+                            # the client sees loading advance, not a
+                            # post-hoc log
+                            outer.engine.on_progress = (
+                                lambda p: self._ndline({"progress": p})
+                            )
+                            try:
+                                df = outer.engine.execute(
+                                    f'load {kind} "{path}"'
+                                )
+                            finally:
+                                outer.engine.on_progress = saved
                         self._ndline({"loaded": df.count()})
                     elif self.path == "/query":
                         q = req["q"]
@@ -260,19 +273,30 @@ class EkatiServer:
                             self._reply(400, {"error": f"bad kind {kind!r}"})
                             return
                         progress: list[dict] = []
-                        saved = outer.engine.on_progress
-                        outer.engine.on_progress = progress.append
-                        try:
-                            df = outer.engine.execute(f'load {kind} "{path}"')
-                        finally:
-                            outer.engine.on_progress = saved
+                        with outer._load_lock:
+                            saved = outer.engine.on_progress
+                            outer.engine.on_progress = progress.append
+                            try:
+                                df = outer.engine.execute(
+                                    f'load {kind} "{path}"'
+                                )
+                            finally:
+                                outer.engine.on_progress = saved
                         self._reply(
                             200, {"loaded": df.count(), "progress": progress}
                         )
                     else:
                         self._reply(404, {"error": f"no route {self.path}"})
                 except Exception as e:  # noqa: BLE001 — surface to client
-                    self._reply(500, {"error": str(e)})
+                    if getattr(self, "_ndjson_started", False):
+                        # headers already sent: report in-band as the
+                        # final NDJSON line and let the connection close
+                        try:
+                            self._ndline({"error": str(e)})
+                        except OSError:
+                            pass  # client already gone
+                    else:
+                        self._reply(500, {"error": str(e)})
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self.host = host

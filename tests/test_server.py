@@ -192,6 +192,20 @@ def test_load_stream_progress_lines(served, tmp_path):
     assert progress and progress[-1]["done"] is True
 
 
+def test_stream_error_reported_in_band(served, tmp_path):
+    """An error AFTER the NDJSON headers are out must arrive as a final
+    {"error": ...} line on the 200 stream — not a second status line
+    interleaved into the partial body."""
+    code, lines = _post_stream(
+        served,
+        "/load/stream",
+        {"kind": "nt", "path": str(tmp_path / "does_not_exist.nt")},
+    )
+    assert code == 200
+    assert "error" in lines[-1]
+    assert all("loaded" not in ln for ln in lines)
+
+
 def test_explain_endpoint(served, sf_dir):
     code, out = _post(
         served,

@@ -414,6 +414,12 @@ def test_ivf_int_index_append_equals_inline(spark, tmp_path):
         for r in out.collect()
     }
     assert got == inline
+    # the int path must prune like its float twin: probed lists bound
+    # driver-side -> literal isin -> PartitionFilters in the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [list_id" in plan or "list_id#" in plan.split(
+        "PartitionFilters: ["
+    )[1][:40], plan[plan.find("PartitionFilters"):][:200]
 
 
 def test_ivf_int_index_drift_telemetry(spark, tmp_path):
@@ -489,3 +495,16 @@ def test_ivf_int_compaction_preserves_probe_results(spark, tmp_path):
         for r in ivf_topk_int_from_index(spark, idx, q, k=3, n_probe=2).collect()
     }
     assert after == before
+
+    # a stale lists.old from a crashed prior compaction must not wedge
+    # the next run — it's cleared before staging
+    import pathlib
+
+    pathlib.Path(idx, "lists.old").mkdir()
+    stats2 = compact_ivf_lists(spark, idx)
+    assert stats2["files_after"] <= stats2["files_before"]
+    again = {
+        (r.query_id, r.rank): (r.neighbor_id, r.dist_sq)
+        for r in ivf_topk_int_from_index(spark, idx, q, k=3, n_probe=2).collect()
+    }
+    assert again == before
