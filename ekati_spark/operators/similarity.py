@@ -251,29 +251,7 @@ def ann_lsh_buckets(
         F.col(query_vec_col).alias("qv"),
         norm(F.col(query_vec_col), dim).alias("nq"),
     )
-    # bucket assignment as ONE vectorized Arrow UDF. The literal-
-    # expression form (48 zip_with dots per row) is interpreted and was
-    # ~10x slower; an unrolled form is a ~9000-node projection that
-    # stalls Catalyst analysis. Plane dots accumulate PER-DIM in index
-    # order (not einsum/BLAS pairwise): the same left-fold an engine's
-    # sequential list_dot_product computes, so bucket assignment is
-    # bit-deterministic and the DuckDB oracle (l07) replays it exactly —
-    # a sign is only ever "wrong" if the doubles themselves differ.
-    P = np.stack(
-        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    )  # (n_tables, n_planes, dim)
-    offs = (np.arange(n_tables, dtype=np.int64) << 32)
-    weights = (1 << np.arange(n_planes, dtype=np.int64))
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bucket_ids(vs: pd.Series) -> pd.Series:
-        A = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
-        acc = np.zeros((len(A), P.shape[0], P.shape[1]))
-        for d in range(P.shape[2]):  # sequential per-dim left-fold
-            acc += A[:, d, None, None] * P[:, :, d]
-        ids = ((acc > 0) * weights).sum(axis=2) + offs
-        return pd.Series(list(ids))
-
+    bucket_ids = _sign_lsh_bucket_udf(dim, n_planes, n_tables, seed)
     ce = c.withColumn("c_bucket", F.explode(bucket_ids("v")))
     qe = q.withColumn("q_bucket", F.explode(bucket_ids("qv")))
     cand = (
