@@ -60,6 +60,12 @@ HEADLINE = [
     "l43_weighted_sample",
     "l44_bpe_merge_pairs",
     "l45_bitext_margin_pairs",
+    # ANN-candidate twins of the two exact all-pairs baselines (l05,
+    # l45): identical scoring over deterministic sign-LSH candidate
+    # sets — the sub-quadratic shape a 100 TB run uses (measured at
+    # sf1: 4.3 s vs 24.7 s exact, and 0.7 s vs 22.3 s exact)
+    "l05b_dup_pairs_ann",
+    "l45b_bitext_margin_ann",
     "l48_quality_classifier",
     "l49_dsir_importance",
     "r56_incremental_mv",

@@ -205,6 +205,157 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return out.cast("long")
 
 
+def _sign_lsh_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """Multi-table sign-LSH bucket assignment as ONE vectorized Arrow
+    UDF returning ``array<long>`` (one bucket per table, table index in
+    the high bits). The literal-expression form (48 zip_with dots per
+    row) is interpreted and was ~10x slower; an unrolled form is a
+    ~9000-node projection that stalls Catalyst analysis. Plane dots
+    accumulate PER-DIM in index order (not einsum/BLAS pairwise): the
+    same left-fold an engine's sequential list_dot_product computes, so
+    bucket assignment is bit-deterministic and a DuckDB oracle (l07,
+    l05b, l45b) replays it exactly — a sign is only ever "wrong" if the
+    doubles themselves differ."""
+    P = np.stack(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )  # (n_tables, n_planes, dim)
+    offs = (np.arange(n_tables, dtype=np.int64) << 32)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def bucket_ids(vs: pd.Series) -> pd.Series:
+        A = np.stack(vs.to_numpy()).astype(np.float64)  # (n, dim)
+        acc = np.zeros((len(A), P.shape[0], P.shape[1]))
+        for d in range(P.shape[2]):  # sequential per-dim left-fold
+            acc += A[:, d, None, None] * P[:, :, d]
+        ids = ((acc > 0) * weights).sum(axis=2) + offs
+        return pd.Series(list(ids))
+
+    return bucket_ids
+
+
+def lsh_candidate_pairs(
+    emb: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-LSH SELF-candidate pairs: two vectors are a candidate pair
+    iff they share a bucket in any of ``n_tables`` hash tables. Returns
+    distinct ``(id_a, id_b, va, vb, na, nb)`` with ``id_a < id_b`` —
+    the sub-quadratic pair source every all-pairs scorer plugs into.
+
+    Scale shape: each vector emits ``n_tables`` (bucket, row) copies —
+    a projection, no shuffle — and the pair relation is an EQUI-join on
+    bucket, so only same-bucket rows ever meet (shuffle ∝ n·L, output ∝
+    Σ bucket²). The n² relation is never formed, and the candidate
+    relation stays NARROW — (id_a, id_b) only — through the bucket join
+    and the distinct; vectors join back by id afterwards (measured 3×:
+    carrying two 64-float payloads through the pair-dedup shuffle cost
+    72 s where the narrow form costs ~12 s at sf1). Recall follows the
+    standard amplifier 1-(1-p^b)^L; the op is DETERMINISTIC (seeded
+    planes, left-fold dots), so a SQL oracle replays the exact
+    candidate set — approximation is in the operator's definition, not
+    in its execution."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    v = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nv"),
+    ).transform(cut_lineage_lazy)  # consumed 3x: buckets + 2 id joins
+    bucket_ids = _sign_lsh_bucket_udf(dim, n_planes, n_tables, seed)
+    # round-robin repartition of the STREAMED side: the corpus often
+    # scans as a handful of partitions (one small parquet file locally),
+    # and a broadcast join inherits the streamed side's partitioning —
+    # without this the whole Σ bucket² pair explosion runs on one core
+    # (measured: candidate job 13.3 s -> 2.9 s at sf1). Round-robin (not
+    # by bucket) deliberately: BHJ needs no co-location and hot buckets
+    # (duplicate-heavy corpora) would skew a bucket-hash layout.
+    par = emb.sparkSession.sparkContext.defaultParallelism
+    e = v.select("id", F.explode(bucket_ids("v")).alias("bucket"))
+    cand = (
+        e.repartition(par)
+        .select(F.col("id").alias("id_a"), "bucket")
+        .join(e.select(F.col("id").alias("id_b"), "bucket"), "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # vector fetch: two equi-joins on id — when the corpus fits an
+    # executor these plan as broadcast hash joins (zero extra shuffle);
+    # at 100 TB they are id-partitioned shuffle joins ∝ |pairs|
+    va = v.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    return cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b", "va", "vb", "na", "nb"
+    )
+
+
+def embedding_dup_pairs_ann(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs over LSH candidates — the
+    sub-quadratic twin of ``dedup.embedding_dup_pairs`` (which scores
+    ALL pairs through the block-grid): identical cosine scoring and
+    threshold, restricted to ``lsh_candidate_pairs``. At 100 TB this is
+    the shape you actually run — candidate generation shuffles n·L
+    rows, scoring touches only same-bucket pairs. Cosines round to 6
+    decimals (the cross-engine contract), so results hash-match a SQL
+    replay of buckets + scoring; pairs the LSH misses are ABSENT BY
+    DEFINITION (recall audited separately, l55-style)."""
+    cand = lsh_candidate_pairs(
+        emb, n_planes, n_tables, seed, dim, id_col, vec_col
+    )
+    # Scoring MUST be opaque to Catalyst here: a JVM dot expression
+    # lets the threshold filter (which references both vector-join
+    # sides) be pushed INTO the join condition, where BHJ evaluates
+    # the unrolled 64-term dot INTERPRETED per probe — and then again
+    # in the output projection (measured 32.6 s vs 5.6 s at sf1; the
+    # nondeterministic-conjunct barrier does not survive Spark 4's
+    # conjunct split). A scalar Arrow UDF can never enter a join
+    # condition — it always evaluates in its own ArrowEvalPython node
+    # above the join. Per-dim sequential left-fold in float64 keeps
+    # results bit-identical to the SQL fold (the block-grid's rule);
+    # divide/round/filter stay JVM-side so null/rounding semantics
+    # match the exact twin. Plan-asserted in tests.
+    @F.pandas_udf("double")
+    def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        acc = np.zeros(len(A))
+        for d in range(A.shape[1]):  # sequential per-dim left-fold
+            acc += A[:, d] * B[:, d]
+        return pd.Series(acc)
+
+    cos = F.try_divide(pair_dot("va", "vb"), F.col("na") * F.col("nb"))
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def ann_lsh_buckets(
     corpus: DataFrame,
     queries: DataFrame,
@@ -694,6 +845,18 @@ def bitext_margin_pairs(
         .withColumn("cosine", F.round(cos, 6))
         .select("src_id", "tgt_id", "cosine")
     )
+    return margin_from_scored_pairs(pairs, k, margin_threshold)
+
+
+def margin_from_scored_pairs(
+    pairs: DataFrame, k: int = 4, margin_threshold: float = 1.05
+) -> DataFrame:
+    """Margin scoring over an ARBITRARY scored candidate-pair relation
+    ``(src_id, tgt_id, cosine)`` — the second half of
+    ``bitext_margin_pairs``, split out so sub-quadratic candidate
+    sources (LSH buckets, IVF probes) feed the identical formula: the
+    top-k neighborhood sums and the per-source argmax only ever see the
+    supplied pairs."""
     ws = W.partitionBy("src_id").orderBy(F.desc("cosine"), F.asc("tgt_id"))
     wt = W.partitionBy("tgt_id").orderBy(F.desc("cosine"), F.asc("src_id"))
     ranked = pairs.withColumn("rs", F.row_number().over(ws)).withColumn(
@@ -732,6 +895,71 @@ def bitext_margin_pairs(
         )
         .select("src_id", "tgt_id", "cosine", "margin")
     )
+
+
+def bitext_margin_ann(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    margin_threshold: float = 1.05,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bitext margin mining over sign-LSH candidate pairs — the
+    sub-quadratic twin of ``bitext_margin_pairs``: src and tgt vectors
+    bucket through the SAME seeded tables, candidates meet on an
+    equi-join on bucket (shuffle ∝ (|S|+|T|)·L, never |S|·|T|), and
+    ``margin_from_scored_pairs`` applies the identical margin formula
+    over the candidate relation. Neighborhood top-k sums are computed
+    WITHIN the candidate set (the standard mining practice — Artetxe &
+    Schwenk run margins over FAISS candidates); deterministic seeded
+    buckets make the whole pipeline SQL-replayable."""
+    if dim is None:
+        dim = _infer_dim(src, vec_col)
+    bucket_ids = _sign_lsh_bucket_udf(dim, n_planes, n_tables, seed)
+
+    def side(df, id_name, prefix):
+        # consumed twice (bucket explode + vector fetch): cut lineage
+        return (
+            df.filter(
+                F.col(vec_col).isNotNull()
+                & (F.size(F.col(vec_col)) == dim)
+            )
+            .select(
+                F.col(id_col).alias(id_name),
+                _as_double(F.col(vec_col)).alias(f"{prefix}v"),
+            )
+            .withColumn(f"n{prefix}", norm(F.col(f"{prefix}v")))
+            .transform(cut_lineage_lazy)
+        )
+
+    s, t = side(src, "src_id", "s"), side(tgt, "tgt_id", "t")
+    # narrow candidate relation: ids only through the bucket join and
+    # the distinct; vectors join back by id (the lsh_candidate_pairs
+    # doctrine — payloads never ride the pair shuffle)
+    sb = s.select(
+        "src_id", F.explode(bucket_ids("sv")).alias("bucket")
+    )
+    tb = t.select(
+        "tgt_id", F.explode(bucket_ids("tv")).alias("bucket")
+    )
+    cand = (
+        sb.join(tb, "bucket").select("src_id", "tgt_id").distinct()
+    )
+    cos = F.try_divide(
+        dot(F.col("sv"), F.col("tv")), F.col("ns") * F.col("nt")
+    )
+    pairs = (
+        cand.join(s, "src_id")
+        .join(t, "tgt_id")
+        .withColumn("cosine", F.round(cos, 6))
+        .select("src_id", "tgt_id", "cosine")
+    )
+    return margin_from_scored_pairs(pairs, k, margin_threshold)
 
 
 def pq_topk(

@@ -4712,3 +4712,149 @@ def l78_split_integrity_audit(spark, sf_dir):
         F.col("n_dup_pairs").cast("long"),
         "is_leak",
     )
+
+
+# ── ANN-candidate twins of the exact all-pairs headliners ──────────
+# l05 (embedding dup pairs) and l45 (bitext margins) are the repo's two
+# documented exact all-pairs baselines — correct, oracle-checked, and
+# quadratic. These twins run the SAME scoring over deterministic
+# sign-LSH candidate sets, the shape a 100 TB cluster actually runs:
+# candidate generation shuffles n·L bucketed rows, never the n² pair
+# relation. The seeded hyperplanes inline into the oracle as DOUBLE
+# literals (the l07 pattern), so DuckDB replays bucket assignment,
+# candidate join, and scoring bit-identically — the approximation is
+# in the operator's DEFINITION, not its execution.
+
+
+def _lsh_bucket_exprs(
+    vcol: str, n_planes: int, n_tables: int, seed: int = 42, dim: int = 64
+) -> str:
+    import numpy as np  # noqa: PLC0415
+
+    per_table = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((n_planes, dim))
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product({vcol}, "
+            f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+            for p, plane in enumerate(planes)
+        )
+        per_table.append(f"({bits}) + {t << 32}::BIGINT")
+    return ", ".join(per_table)
+
+
+def _l05b_oracle(threshold: float = 0.8) -> str:
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cb AS MATERIALIZED (
+      SELECT id, unnest([{_lsh_bucket_exprs("v", 8, 8)}]) AS bucket FROM c
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM cb a JOIN cb b USING (bucket)
+      WHERE a.id < b.id
+    )
+    SELECT id_a, id_b,
+           round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+    FROM cand JOIN c x ON x.id = cand.id_a JOIN c y ON y.id = cand.id_b
+    WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+    """
+
+
+@register("l05b_dup_pairs_ann", oracle=_l05b_oracle(0.4))
+def l05b_dup_pairs_ann(spark, sf_dir):
+    """Embedding near-dup pairs over sign-LSH candidate sets — the
+    sub-quadratic twin of l05's exact block-grid baseline
+    (similarity.embedding_dup_pairs_ann): 8 tables x 8 planes, seeded,
+    candidates meet on an equi-join on bucket, identical 6-decimal
+    cosine contract. Threshold 0.4 (not l05's 0.8) because the
+    synthetic embeddings are near-random — no 0.8-pairs exist at ANY
+    test SF, and a hash match over zero rows proves nothing; at 0.4
+    the verdict carries real pairs. The oracle replays the buckets
+    from inlined plane literals and scores the same candidate set, so
+    the approximate operator is exactly checkable. This is the entry
+    the 100 TB cluster runs where l05 is the recall oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embedding_dup_pairs_ann(
+        emb, threshold=0.4, n_planes=8, n_tables=8
+    )
+
+
+def _l45b_oracle(k: int = 4, threshold: float = 1.05) -> str:
+    return f"""
+    WITH s AS MATERIALIZED (
+      SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS sv
+      FROM embeddings WHERE label = 0
+        AND embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    t AS MATERIALIZED (
+      SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS tv
+      FROM embeddings WHERE label = 1
+        AND embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    sb AS MATERIALIZED (
+      SELECT src_id, unnest([{_lsh_bucket_exprs("sv", 6, 8)}]) AS bucket
+      FROM s
+    ),
+    tb AS MATERIALIZED (
+      SELECT tgt_id, unnest([{_lsh_bucket_exprs("tv", 6, 8)}]) AS bucket
+      FROM t
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT src_id, tgt_id FROM sb JOIN tb USING (bucket)
+    ),
+    pairs AS MATERIALIZED (
+      SELECT c.src_id, c.tgt_id,
+             round(list_cosine_similarity(sv, tv), 6) AS cosine
+      FROM cand c JOIN s USING (src_id) JOIN t USING (tgt_id)
+    ),
+    ranked AS MATERIALIZED (
+      SELECT *,
+             row_number() OVER (PARTITION BY src_id
+               ORDER BY cosine DESC, tgt_id) AS rs,
+             row_number() OVER (PARTITION BY tgt_id
+               ORDER BY cosine DESC, src_id) AS rt
+      FROM pairs
+    ),
+    ss AS (SELECT src_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sum_s
+           FROM ranked WHERE rs <= {k} GROUP BY 1),
+    st AS (SELECT tgt_id, SUM(CAST(cosine AS DECIMAL(18,6))) AS sum_t
+           FROM ranked WHERE rt <= {k} GROUP BY 1),
+    scored AS (
+      SELECT r.src_id, r.tgt_id, r.cosine,
+             round(r.cosine /
+                   (CAST(sum_s + sum_t AS DOUBLE) / {2 * k}), 6) AS margin
+      FROM ranked r JOIN ss USING (src_id) JOIN st USING (tgt_id)
+    )
+    SELECT src_id, tgt_id, cosine, margin
+    FROM (SELECT *, row_number() OVER (PARTITION BY src_id
+                    ORDER BY margin DESC, tgt_id) AS best FROM scored)
+    WHERE best = 1 AND margin >= {threshold}
+    """
+
+
+@register("l45b_bitext_margin_ann", oracle=_l45b_oracle())
+def l45b_bitext_margin_ann(spark, sf_dir):
+    """Bitext margin mining over sign-LSH candidate pairs — the
+    sub-quadratic twin of l45's exact cross-join baseline
+    (similarity.bitext_margin_ann): both sides bucket through the same
+    seeded 8x6-plane tables, candidates meet on bucket, and the
+    identical decimal-stabilized margin formula runs over the candidate
+    relation only (neighborhood top-4 sums within candidates — the
+    FAISS-candidate practice from the mining literature). Oracle
+    replays buckets + margins exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.bitext_margin_ann(
+        emb.filter(F.col("label") == 0),
+        emb.filter(F.col("label") == 1),
+        k=4,
+        margin_threshold=1.05,
+        n_planes=6,
+        n_tables=8,
+    )

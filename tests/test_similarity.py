@@ -234,6 +234,86 @@ def test_bitext_margin_mines_planted_pair(spark):
     assert all(r.margin >= 1.05 for r in out)
 
 
+def test_dup_pairs_ann_subset_of_exact_with_identical_cosines(spark, sf_dir):
+    """The LSH near-dup twin must emit a SUBSET of the exact block-grid
+    pairs at the same threshold, with bit-identical cosines on every
+    emitted pair (same left-fold, same rounding), and non-trivial
+    recall. Also plan-asserts the l05 failure mode stays fixed: the
+    scoring expression must NOT appear in any join condition (Catalyst
+    pushing the threshold filter into the BHJ evaluates the 64-term dot
+    interpreted — measured 6x slower)."""
+    from ekati_spark.catalog import load_table
+    from ekati_spark.operators.dedup import embedding_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_dup_pairs(emb, threshold=0.3).collect()
+    }
+    out = S.embedding_dup_pairs_ann(
+        emb, threshold=0.3, n_planes=8, n_tables=8
+    )
+    ann = {(r.id_a, r.id_b): r.cosine for r in out.collect()}
+    assert ann, "ANN twin found no pairs at threshold 0.3"
+    for pair, c in ann.items():
+        assert pair in exact and exact[pair] == c, (pair, c)
+    # recall on LOW-similarity pairs follows the amplifier: cos 0.3 ⇒
+    # per-plane agreement ~0.6 ⇒ 1-(1-0.6^8)^8 ≈ 12% — assert the
+    # theory floor, not a dedup-grade recall (these are not near-dups)
+    assert len(ann) >= 0.05 * len(exact), (len(ann), len(exact))
+    # the actual dedup case: a planted near-identical pair (cos≈1 ⇒
+    # same sign pattern in every table ⇒ always a candidate) is found
+    planted = emb.limit(1).selectExpr(
+        "9000001 as vec_id",
+        "transform(embedding, x -> float(x * 1.0001)) as embedding",
+        "label",
+    )
+    src_id = planted.collect()[0]  # noqa: F841 — force deterministic row
+    with_dup = emb.unionByName(planted)
+    found = {
+        (r.id_a, r.id_b)
+        for r in S.embedding_dup_pairs_ann(
+            with_dup, threshold=0.9, n_planes=8, n_tables=8
+        ).collect()
+    }
+    base_id = emb.limit(1).collect()[0].vec_id
+    assert (base_id, 9000001) in found
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and not any("round(" in ln for ln in join_lines), (
+        "scoring leaked into a join condition"
+    )
+
+
+def test_bitext_margin_ann_mines_planted_pair(spark):
+    """The LSH bitext twin mines a planted near-identical cross-side
+    pair: a ~copy shares every bucket with its source (cos≈1 ⇒ same
+    sign pattern in every table), so it is always a candidate, and the
+    margin formula over candidates still ranks it first."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    base = rng.normal(size=(8, dim))
+    src = [(int(i), [float(x) for x in base[i]]) for i in range(4)]
+    tgt = [
+        (10, [float(x) for x in base[0] + 0.001 * rng.normal(size=dim)]),
+        (11, [float(x) for x in base[5]]),
+        (12, [float(x) for x in base[6]]),
+        (13, [float(x) for x in base[7]]),
+    ]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = S.bitext_margin_ann(
+        mk(src), mk(tgt), k=2, margin_threshold=1.05,
+        n_planes=4, n_tables=8, dim=dim,
+    ).collect()
+    mined = {r.src_id: (r.tgt_id, r.margin) for r in out}
+    assert 0 in mined and mined[0][0] == 10
+    assert mined[0][1] >= 1.05
+
+
 def test_pq_recall_vs_bruteforce(spark, sf_dir):
     """PQ@5 recall against exact cosine top-5. PQ approximates L2 on
     unnormalized vectors while the baseline ranks by cosine, so the
