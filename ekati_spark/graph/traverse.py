@@ -104,7 +104,7 @@ class FrontierOverflow(RuntimeError):
 
 
 def follow(
-    edges: DataFrame,
+    edges,
     seeds: DataFrame,
     spec,
     dedup: bool = True,
@@ -113,6 +113,14 @@ def follow(
     on_overflow: str = "error",
 ) -> DataFrame:
     """Traverse ``edges(src, label, dst, ...)`` from ``seeds(node_id)``.
+
+    ``edges`` is either a DataFrame (one edge relation for every hop)
+    or a callable ``(frontier, hop) -> DataFrame`` that binds each
+    hop's edge relation from the current frontier — the seam the
+    bucket-pruned layout plugs into (``storage.bucketed_edge_source``
+    collects the frontier's distinct buckets driver-side and returns a
+    partition-pruned scan, the reference's per-hop remote partition
+    lookup). Semantics are identical either way.
 
     Returns a DataFrame of ``node_id`` (plus ``hop`` when ``with_hop``) of
     every node emitted by the follow spec, deduplicated query-wide.
@@ -151,8 +159,9 @@ def follow(
     visited = seeds
     frontier = seeds
     for hop in range(1, max_hop + 1):
+        hop_edges = edges(frontier, hop) if callable(edges) else edges
         step = (
-            frontier.join(edges, frontier.node_id == edges.src)
+            frontier.join(hop_edges, frontier.node_id == hop_edges.src)
             .filter(_expand_pred(spec, hop))
             .select(
                 F.col("dst").alias("node_id"),

@@ -461,3 +461,56 @@ def test_query_engine_point_lookup_on_bucketed_graph(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     pf = plan[plan.find("PartitionFilters"):][:200]
     assert "PartitionFilters: [" in plan and "bucket" in pf, pf
+
+
+def test_bucketed_follow_matches_flat_and_prunes(spark, sf_dir):
+    """A traversal over the bucketed edge layout must return exactly the
+    flat follow's results for all three bench specs (named single-hop,
+    Or of labels, any-edge range incl. hop 0), while each hop's scan
+    carries a PartitionFilters entry on the frontier's buckets — the
+    reference's per-hop remote partition lookup (FileStore.fs:281-298)
+    as parquet partition pruning."""
+    from ekati_spark.graph.storage import (
+        bucketed_edge_source,
+        write_bucketed_edges,
+    )
+    from ekati_spark.graph.traverse import Any, Edge, Or, follow
+    from ekati_spark.queries.graph import _graph
+    import tempfile
+
+    g = _graph(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bucketed_edges_") + "/edges"
+    write_bucketed_edges(g.edges, path, n_buckets=16)
+
+    seeds = spark.createDataFrame(
+        [(f"customer:{i}",) for i in range(1, 6)], "node_id string"
+    )
+    for spec in (
+        Edge("placed", 1, 1),
+        Or(Edge("placed", 1, 1), Edge("contains", 2, 2)),
+        Any(0, 2),
+    ):
+        flat = {r.node_id for r in follow(g.edges, seeds, spec).collect()}
+        stats: dict = {}
+        src = bucketed_edge_source(spark, path, stats)
+        bucketed = {r.node_id for r in follow(src, seeds, spec).collect()}
+        assert bucketed == flat, (spec, len(bucketed), len(flat))
+        assert stats and all(
+            0 < len(b) <= 16 for b in stats.values()
+        ), stats
+
+    # pruning is visible in the plan of a single bound hop
+    src = bucketed_edge_source(spark, path)
+    hop_edges = src(seeds, 1)
+    plan = hop_edges._jdf.queryExecution().executedPlan().toString()
+    pf = plan[plan.find("PartitionFilters"):][:250]
+    assert "PartitionFilters: [" in plan and "bucket" in pf, pf
+    # 5 seeds own ≤5 of 16 buckets, so the pruned scan must carry well
+    # under half the graph's distinct sources (it reads whole probed
+    # partitions — pruning is per-directory, not per-row)
+    from ekati_spark.graph.storage import read_bucketed_props
+
+    total_src = (
+        read_bucketed_props(spark, path).select("src").distinct().count()
+    )
+    assert hop_edges.select("src").distinct().count() <= total_src * 6 / 16
