@@ -123,6 +123,146 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # bucketed-layout traversal variant — the same three follow specs
+    # the g01/g02/g03 headliners run, over (a) a flat parquet edge
+    # table (every hop scans all of it) and (b) the bucketed layout
+    # (graph/storage.write_bucketed_edges), where each hop binds the
+    # frontier's distinct buckets driver-side and partition-prunes the
+    # scan — the reference's per-hop remote partition lookup
+    # (FileStore.fs:281-298) as directory pruning. files_* counts the
+    # parquet part-files each plan opens across all hops: the
+    # 100-TB story is the files_bucketed ≪ files_flat ratio (scan
+    # volume ∝ frontier's bucket span, not |E| × hops).
+    import glob as _glob
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ekati_spark.graph.storage import (
+        bucketed_edge_source,
+        write_bucketed_edges,
+    )
+    from ekati_spark.graph.traverse import Any, Edge, Or, follow
+    from pyspark.sql import functions as F
+
+    layout_dir = _tempfile.mkdtemp(prefix="ekati_bench_layout_")
+    g = _graph(spark, sf_dir)
+    g.edges.write.mode("overwrite").parquet(f"{layout_dir}/flat")
+    write_bucketed_edges(g.edges, f"{layout_dir}/bucketed", n_buckets=64)
+    flat_edges = spark.read.parquet(f"{layout_dir}/flat")
+    flat_parts = _glob.glob(f"{layout_dir}/flat/part-*")
+    n_flat_files = len(flat_parts)
+    flat_bytes = sum(os.path.getsize(p) for p in flat_parts)
+
+    def _seeds(n):
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        return cust.filter(F.col("c_custkey") <= n).select(
+            F.concat(
+                F.lit("customer:"), F.col("c_custkey").cast("string")
+            ).alias("node_id")
+        )
+
+    bucketed_follow: dict[str, dict] = {}
+    for bname, n_seed, spec, n_hops in (
+        ("g01", 10, Edge("placed", 1, 1), 1),
+        ("g02", 5, Or(Edge("placed", 1, 1), Edge("contains", 2, 2)), 2),
+        ("g03", 3, Any(0, 2), 2),
+    ):
+        seeds = _seeds(n_seed)
+        flat_runs, buck_runs = [], []
+        files_bucketed = 0
+        for i in range(3):
+            t0 = time.perf_counter()
+            follow(flat_edges, seeds, spec).count()
+            flat_runs.append(time.perf_counter() - t0)
+            stats: dict = {}
+            src = bucketed_edge_source(
+                spark, f"{layout_dir}/bucketed", stats
+            )
+            t0 = time.perf_counter()
+            follow(src, seeds, spec).count()
+            buck_runs.append(time.perf_counter() - t0)
+            if i == 0:
+                probed = [
+                    p
+                    for hop, buckets in stats.items()
+                    for b in buckets
+                    for p in _glob.glob(
+                        f"{layout_dir}/bucketed/bucket={b}/part-*"
+                    )
+                ]
+                files_bucketed = len(probed)
+                bytes_bucketed = sum(os.path.getsize(p) for p in probed)
+        # file COUNTS favor the flat layout at bench SF (64 small
+        # bucket files vs a handful of flat parts); BYTES is the
+        # scale-invariant scan-volume measure — bucketed reads
+        # |probed buckets|/64 of the edge data per hop, flat reads
+        # all of it every hop.
+        bucketed_follow[bname] = {
+            "flat_s": round(sorted(flat_runs)[1], 3),
+            "bucketed_s": round(sorted(buck_runs)[1], 3),
+            "files_flat": n_flat_files * n_hops,
+            "files_bucketed": files_bucketed,
+            "bytes_flat": flat_bytes * n_hops,
+            "bytes_bucketed": bytes_bucketed,
+        }
+        print(f"# bucketed_follow {bname}: {bucketed_follow[bname]}",
+              file=sys.stderr)
+    _shutil.rmtree(layout_dir, ignore_errors=True)
+
+    # skewed-key join stress — power-law fact⋈dim at the bench SF:
+    # lineitem replicated 10x with ~30% of rows collapsed onto ONE hot
+    # supplier key, joined to supplier with broadcast DISABLED (the
+    # regime where skew matters: a dim too big to broadcast). Three
+    # strategies: plain sort-merge (AQE skew split off), AQE skew
+    # split (runtime re-plan), explicit 8-way salting
+    # (operators/skew.salted_join). The sf1 crossover study lives in
+    # SCALE.md; this entry tracks the three plans round-over-round.
+    from ekati_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    fact = (
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice")
+        .withColumn("rep", F.explode(F.sequence(F.lit(0), F.lit(9))))
+        .withColumn(
+            "k",
+            F.when(
+                F.pmod(F.col("l_orderkey") + F.col("rep"), 10) < 3,
+                F.lit(1),
+            ).otherwise(F.col("l_suppkey")),
+        )
+        .drop("rep")
+        .persist()
+    )
+    n_fact = fact.count()
+    dim = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select(F.col("s_suppkey").alias("k"), "s_nationkey")
+    )
+    saved_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    saved_skew = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    skew_join: dict[str, float] = {"rows": n_fact, "hot_share": 0.3}
+    for sname, skew_conf, run in (
+        ("plain_s", "false",
+         lambda: fact.join(dim, "k").groupBy("s_nationkey").count()),
+        ("aqe_skew_s", "true",
+         lambda: fact.join(dim, "k").groupBy("s_nationkey").count()),
+        ("salted_s", "false",
+         lambda: salted_join(fact, dim, "k", n_salts=8)
+         .groupBy("s_nationkey").count()),
+    ):
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew_conf)
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            run().count()
+            runs.append(time.perf_counter() - t0)
+        skew_join[sname] = round(sorted(runs)[1], 3)
+        print(f"# skew_join {sname}: {skew_join[sname]}s", file=sys.stderr)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved_bc)
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", saved_skew)
+    fact.unpersist()
+
     # streaming throughput — drive the REAL streaming engine (file
     # source -> AvailableNow micro-batches), not the batch twins the
     # correctness gate grades: tumbling windowed agg and a watermarked
@@ -137,6 +277,7 @@ def main() -> None:
 
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     stream_rates: dict[str, float] = {}
+    stream_rates_rocksdb: dict[str, float] = {}
     # State-store count = shuffle partitions at first run, and each
     # store pays fixed per-batch setup; 32 (right for batch analytics
     # on 32 cores) is 4-8x overhead at micro-batch scale. 8 stores is
@@ -159,19 +300,45 @@ def main() -> None:
             n_events,
         ),
     ):
-        runs = []
-        for i in range(3):
-            t0 = time.perf_counter()
-            run_to_memory(build(), f"bench_{sname}_{i}", mode).count()
-            runs.append(time.perf_counter() - t0)
-        med = sorted(runs)[1]
-        times[sname] = round(med, 3)
-        stream_rates[sname] = round(n_in / med)
-        print(
-            f"# {sname}: median {med:.3f}s of {[round(r,3) for r in runs]}"
-            f" -> {stream_rates[sname]} events/s",
-            file=sys.stderr,
+        # Both state-store backends: the default HDFS-backed in-memory
+        # store (fastest at bench-sized state) and RocksDB — the
+        # production choice once state outgrows executor heap (100 TB
+        # scale: bounded memory, changelog checkpointing). Tracking
+        # both makes the RocksDB tax a measured number, not folklore.
+        _ROCKS = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
         )
+        for provider, tag, sink in (
+            (None, "", stream_rates),
+            (_ROCKS, "_rocksdb", stream_rates_rocksdb),
+        ):
+            if provider is None:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass"
+                )
+            else:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass", provider
+                )
+            runs = []
+            for i in range(3):
+                t0 = time.perf_counter()
+                run_to_memory(
+                    build(), f"bench_{sname}{tag}_{i}", mode
+                ).count()
+                runs.append(time.perf_counter() - t0)
+            med = sorted(runs)[1]
+            if provider is None:
+                times[sname] = round(med, 3)
+            sink[sname] = round(n_in / med)
+            print(
+                f"# {sname}{tag}: median {med:.3f}s of "
+                f"{[round(r,3) for r in runs]}"
+                f" -> {sink[sname]} events/s",
+                file=sys.stderr,
+            )
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
 
     # ingest throughput — the reference's own headline metric
@@ -209,6 +376,9 @@ def main() -> None:
                 "sf": sf,
                 "ingest_fragments_per_s": ingest["fragments_per_s"],
                 "streaming_events_per_s": stream_rates,
+                "streaming_events_per_s_rocksdb": stream_rates_rocksdb,
+                "bucketed_follow": bucketed_follow,
+                "skew_join": skew_join,
             }
         )
     )
