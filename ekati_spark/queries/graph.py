@@ -2820,3 +2820,48 @@ def g44_bidirectional_shortest_path(spark, sf_dir):
     return spark.createDataFrame(
         [(src, dst, best)], "src long, dst long, dist long"
     )
+
+
+@register(
+    "g45_bucketed_follow_parity",
+    oracle="""
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS node_id
+    FROM orders WHERE o_custkey <= 5
+    UNION
+    SELECT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || ':' ||
+           CAST(l_linenumber AS VARCHAR)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey <= 5
+    """,
+)
+def g45_bucketed_follow_parity(spark, sf_dir):
+    """g02's two-hop Or-spec follow run ENTIRELY from the bucketed
+    on-disk edge layout (``graph/storage.write_bucketed_edges``: edges
+    Hive-partitioned by the source node's md5 bucket): each hop collects
+    the frontier's distinct buckets driver-side (bounded by n_buckets,
+    node ids never leave the cluster) and binds them as a
+    partition-pruning ``isin``, so the scan opens only the directories
+    owning frontier nodes — the reference's per-hop remote partition
+    lookup (FileStore.fs:281-298) as parquet directory pruning. The
+    oracle is g02's, so a hash match proves the layout changes scan
+    cost, never answers. At 100 TB this is the traversal plan: a 3-hop
+    walk from a handful of seeds over a 4096-bucket edge table opens a
+    few directories per hop instead of scanning E three times."""
+    import tempfile
+
+    from ekati_spark.graph.storage import (
+        bucketed_edge_source,
+        write_bucketed_edges,
+    )
+
+    g = _graph(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="g45_edges_") + "/edges"
+    write_bucketed_edges(g.edges, path, n_buckets=16)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_custkey") <= 5).select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string")).alias(
+            "node_id"
+        )
+    )
+    src = bucketed_edge_source(spark, path)
+    return follow(src, seeds, Or(Edge("placed", 1, 1), Edge("contains", 2, 2)))

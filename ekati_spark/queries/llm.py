@@ -4858,3 +4858,102 @@ def l45b_bitext_margin_ann(spark, sf_dir):
         n_planes=6,
         n_tables=8,
     )
+
+
+def _l79_oracle(num_hashes: int = 64, bands: int = 32) -> str:
+    """l03's full MinHash replay restricted to pairs touching the 'new'
+    batch (doc_id % 10 == 0) — the incremental pass finds exactly the
+    full rebuild's pairs that involve a new doc, nothing else."""
+    from ekati_spark.operators.dedup import MERSENNE_31
+
+    mins, band_eq = _minhash_sql_parts(num_hashes, bands)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks
+    ),
+    h AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+               % {MERSENNE_31} AS h
+      FROM sh
+    ),
+    sig AS (SELECT id, count(*) AS sz, {mins} FROM h GROUP BY id),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+      FROM sig a JOIN sig b ON a.id < b.id AND ({band_eq})
+      WHERE a.id % 10 = 0 OR b.id % 10 = 0
+    ),
+    shared AS (
+      SELECT c.id_a, c.id_b, c.sz_a, c.sz_b, count(*) AS n_shared
+      FROM cand c
+      JOIN h ha ON ha.id = c.id_a
+      JOIN h hb ON hb.id = c.id_b AND hb.h = ha.h
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           floor(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared)
+                 * 1000000 + 0.5) / 1000000 AS jaccard
+    FROM shared
+    WHERE floor(CAST(n_shared AS DOUBLE) / (sz_a + sz_b - n_shared)
+                * 1000000 + 0.5) / 1000000 >= 0.1
+    """
+
+
+@register("l79_minhash_incremental", oracle=_l79_oracle())
+def l79_minhash_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup pass against a persisted signature store —
+    l46's snapshot-incremental discipline applied to l77's store: the
+    corpus is split into an already-signed majority (doc_id % 10 != 0,
+    signatures materialized to parquet) and a NEW batch (% 10 == 0).
+    The incremental pass shingles + signs ONLY the new batch, appends
+    its signatures to the store (plain parquet append — signatures are
+    immutable per doc), band-joins the store against itself restricted
+    to pairs touching a new doc, and re-shingles ONLY candidate-pair
+    members for exact-Jaccard verification. The oracle is the full
+    rebuild's pair set filtered to new-doc pairs, so a hash match
+    proves increment ≡ rebuild (the append-parity contract l70 proves
+    for IVF, here for the dedup store). At 100 TB this is the daily
+    dedup run: cost ∝ new-batch shingles + candidate verification, not
+    corpus re-signing."""
+    import tempfile
+
+    from ekati_spark.operators.dedup import (
+        _signatures_from_rows,
+        band_candidates_from_signatures,
+        shingle_hash_rows,
+        verify_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    store = tempfile.mkdtemp(prefix="l79_sigs_") + "/signatures"
+    _signatures_from_rows(shingle_hash_rows(old), 64).write.mode(
+        "overwrite"
+    ).parquet(store)
+    # the incremental step: only the new batch is shingled and signed
+    _signatures_from_rows(shingle_hash_rows(new), 64).write.mode(
+        "append"
+    ).parquet(store)
+    stored = spark.read.parquet(store)
+    cand = (
+        band_candidates_from_signatures(stored, num_hashes=64, bands=32)
+        .filter((F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0))
+        .transform(cut_lineage)  # consumed by member-ids + verification
+    )
+    members = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    # verification re-shingles ONLY candidate members (cost ∝ candidates)
+    sh_cand = shingle_hash_rows(docs.join(members, "doc_id", "left_semi"))
+    return verify_candidate_pairs(cand, sh_cand, threshold=0.1)

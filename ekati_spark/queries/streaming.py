@@ -582,3 +582,81 @@ def st17_stream_countmin(spark, sf_dir):
     return ops.countmin_stream(
         spark, str(src), str(tmp / "state"), str(tmp / "ck"), schema_ddl
     )
+
+
+@register(
+    "st18_rocksdb_state_parity",
+    oracle="""
+    SELECT make_timestamp(CAST(floor(epoch(ts)/300) AS BIGINT)*300*1000000)
+             AS window_start,
+           make_timestamp((CAST(floor(epoch(ts)/300) AS BIGINT)+1)*300*1000000)
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def st18_rocksdb_state_parity(spark, sf_dir):
+    """st01's tumbling windowed agg driven through the REAL micro-batch
+    engine with the ROCKSDB state-store provider — the production
+    backend once streaming state outgrows executor heap (bounded
+    memory, changelog checkpointing; the default HDFS-backed store
+    keeps every version in memory). Three micro-batches
+    (maxFilesPerTrigger=1 over a 3-file split) so window state is
+    genuinely written to and re-read from RocksDB across batches; the
+    complete-mode result must equal the whole-table batch oracle
+    bit-for-bit, proving the backend changes durability cost, never
+    answers. The provider swap is exactly one session conf — the
+    100-TB migration path. The bench tracks both backends' throughput
+    (streaming_events_per_s_rocksdb)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.catalog import ensure_session_confs, normalize_events_ts
+
+    ensure_session_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = Path(tempfile.mkdtemp(prefix="st18_"))
+    src = tmp / "src"
+    src.mkdir()
+    # coalesce(1): one part file per micro-batch (see st15's note)
+    for m in range(3):
+        batch.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"chunk{m}"))
+        parts = sorted((tmp / f"chunk{m}").glob("*.parquet"))
+        assert len(parts) == 1, f"expected 1 part file, got {len(parts)}"
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"chunk{m}")
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    agg = ops.tumbling_counts(normalize_events_ts(raw))
+    prov_key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(prov_key, None)
+    spark.conf.set(
+        prov_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("st18_rocks")
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if saved is None:
+            spark.conf.unset(prov_key)
+        else:
+            spark.conf.set(prov_key, saved)
+    return spark.sql("SELECT * FROM st18_rocks")
