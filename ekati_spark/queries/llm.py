@@ -4957,3 +4957,115 @@ def l79_minhash_incremental(spark, sf_dir):
     # verification re-shingles ONLY candidate members (cost ∝ candidates)
     sh_cand = shingle_hash_rows(docs.join(members, "doc_id", "left_semi"))
     return verify_candidate_pairs(cand, sh_cand, threshold=0.1)
+
+
+_L80_TERMS = ("vector", "stream", "hash")
+
+
+def _l80_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in _L80_TERMS)
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), ' +')) AS tok
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+           FROM toks GROUP BY doc_id),
+    c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(dl) AS BIGINT) AS l FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN ({terms}) GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+              FROM tf GROUP BY tok),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ln(CAST(2*c.n - 2*f.df + 1 AS DOUBLE)
+                  / CAST(2*f.df + 1 AS DOUBLE) + CAST(1 AS DOUBLE))
+               * (CAST(44*t.tf*c.l AS DOUBLE)
+                  / CAST(20*t.tf*c.l + 6*c.l + 18*d.dl*c.n AS DOUBLE))
+               * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+             ) AS BIGINT) AS smicro
+      FROM tf t JOIN dl d ON t.doc_id = d.doc_id
+           JOIN dfreq f ON t.tok = f.tok CROSS JOIN c
+    ),
+    agg AS (SELECT doc_id, CAST(sum(smicro) AS BIGINT) AS score_micro
+            FROM scored GROUP BY doc_id)
+    SELECT doc_id, score_micro, rank FROM (
+      SELECT doc_id, score_micro,
+             CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                  AS INTEGER) AS rank
+      FROM agg
+    ) WHERE rank <= 10
+    """
+
+
+@register("l80_bm25_topk", oracle=_l80_oracle())
+def l80_bm25_topk(spark, sf_dir):
+    """BM25 top-10 ranked retrieval over `documents` for a fixed 3-term
+    query — the retrieval primitive a training-data pipeline uses for
+    corpus search / quality-by-query probes (reference's declared text
+    surface; BM25 per Robertson-Sparck Jones, k1=1.2, b=0.75).
+
+    The whole score is exact cross-engine integer fixed-point (the
+    g30/l48 contract): with k1=6/5 and b=3/4, per-term
+    idf*(tf*(k1+1)) / (tf + k1*(1-b+b*dl/avgdl)) folds into
+    idf * 44*tf*L / (20*tf*L + 6*L + 18*dl*N) where N = doc count and
+    L = total token count — ONE double division over exact BIGINT
+    operands, one ln over an exact rational, one multiply, then
+    micro-fixed-point floor; per-doc totals are BIGINT sums (order-free)
+    and the top-10 tie-break (score desc, doc_id) is exact. N and L
+    bind driver-side (two scalars), so the Spark plan is scan → explode
+    → three partial-agg groupBys → broadcast df join → WindowGroupLimit
+    top-k: every stage map-side-combines and only matching-term rows
+    ever reach the window, which at 100 TB is the subset containing the
+    query terms, not the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tot = dl.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("l")
+    ).first()
+    n, length = int(tot["n"]), int(tot["l"])
+    tf = (
+        toks.filter(F.col("tok").isin(*_L80_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.log(
+        (F.lit(2 * n + 1) - 2 * F.col("df")).cast("double")
+        / (2 * F.col("df") + 1).cast("double")
+        + F.lit(1.0)
+    )
+    ratio = (F.lit(44 * length) * F.col("tf")).cast("double") / (
+        F.lit(20 * length) * F.col("tf")
+        + F.lit(6 * length)
+        + F.lit(18 * n) * F.col("dl")
+    ).cast("double")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfreq), "tok")
+        .select(
+            "doc_id",
+            F.floor(idf * ratio * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("smicro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("smicro").alias("score_micro")
+    )
+    w = W.orderBy(F.desc("score_micro"), "doc_id")
+    return (
+        agg.select(
+            "doc_id",
+            "score_micro",
+            F.row_number().over(w).alias("rank"),
+        )
+        .filter(F.col("rank") <= 10)
+    )
