@@ -5069,3 +5069,77 @@ def l80_bm25_topk(spark, sf_dir):
         )
         .filter(F.col("rank") <= 10)
     )
+
+
+@register(
+    "l81_warc_ingest",
+    oracle="""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+           min(md5(text)) AS min_payload_md5
+    FROM documents
+    GROUP BY source
+    """,
+)
+def l81_warc_ingest(spark, sf_dir):
+    """WARC archive ingest roundtrip — the Common Crawl container
+    format as a first-class source (`sources/warc.py`, Spark 4 Python
+    DataSource; reference anchor: the WAT/WARC-derived record reader in
+    src/server/Services/WatService.cs:82-96). The documents table is
+    written out as per-record-gzipped WARC (one gzip member per record,
+    the CC layout) from executors through the committing writer, read
+    back with `spark.read.format("warc")` (one partition per .gz file;
+    plain .warc splits by byte range), and reduced to a per-source
+    report keyed by md5 of the raw payload BYTES — so a hash match
+    against the oracle (which reads the original table directly)
+    proves byte-exact payload survival through frame/compress/decompress
+    across executors. At 100 TB this is the ingest front door: file-
+    level parallelism over ~64k archive files, payload bytes move
+    straight from archive frame to binary column, no driver hop."""
+    import tempfile
+
+    from ekati_spark.sources import warc as W_
+
+    W_.register(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="l81_warc_") + "/archive"
+    (
+        docs.select(
+            F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")).alias(
+                "record_id"
+            ),
+            F.lit("response").alias("warc_type"),
+            F.concat(
+                F.lit("http://corpus.example/"),
+                F.col("source"),
+                F.lit("/"),
+                F.col("doc_id"),
+            ).alias("target_uri"),
+            F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+            F.lit("text/plain").alias("content_type"),
+            F.lit(0).cast("bigint").alias("content_length"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        .write.format("warc")
+        .option("compression", "gzip")
+        .mode("overwrite")
+        .save(out)
+    )
+    back = spark.read.format("warc").load(out)
+    return (
+        back.filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract(
+                "target_uri", r"corpus\.example/([^/]+)/", 1
+            ).alias("source"),
+            F.col("content_length").alias("nb"),
+            F.md5("payload").alias("payload_md5"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").alias("n_bytes"),
+            F.min("payload_md5").alias("min_payload_md5"),
+        )
+    )
