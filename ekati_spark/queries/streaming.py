@@ -660,3 +660,97 @@ def st18_rocksdb_state_parity(spark, sf_dir):
         else:
             spark.conf.set(prov_key, saved)
     return spark.sql("SELECT * FROM st18_rocks")
+
+
+@register(
+    "st19_warc_tail_ingest",
+    oracle="""
+    SELECT source,
+           CAST(doc_id % 3 AS BIGINT) AS batch,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def st19_warc_tail_ingest(spark, sf_dir):
+    """Streaming ARCHIVE ingest through the custom WARC tail source
+    (`sources/warc.py::WarcStreamReader` — file-granular offsets over
+    an immutable-once-published archive directory, the Common Crawl
+    landing contract): documents are published as THREE successive
+    per-record-gzipped archive batches through the committing writer
+    (atomic rename publication), the stream consumes each newly-landed
+    file set exactly once against one checkpoint, and the landed
+    records must reduce to the same per-(source, batch) byte totals
+    the batch oracle computes from the original table. Exercises
+    offsets, replay exactness, and binary payloads riding a streaming
+    parquet sink — the reference's Load-RPC tail-ingest semantics
+    (WatService.cs:209-336) applied to web archives."""
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.sources import warc as WS
+
+    WS.register(spark)
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = Path(tempfile.mkdtemp(prefix="st19_"))
+    feed, out, ck = str(tmp / "feed"), str(tmp / "sink"), str(tmp / "ck")
+
+    def publish(batch_no: int) -> None:
+        (
+            docs.filter(F.col("doc_id") % 3 == batch_no)
+            .select(
+                F.concat(
+                    F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")
+                ).alias("record_id"),
+                F.lit("response").alias("warc_type"),
+                F.concat(
+                    F.lit("http://corpus.example/"),
+                    F.col("source"),
+                    F.lit("/"),
+                    F.col("doc_id"),
+                ).alias("target_uri"),
+                F.lit("2026-01-01T00:00:00Z").alias("warc_date"),
+                F.lit("text/plain").alias("content_type"),
+                F.lit(0).cast("bigint").alias("content_length"),
+                F.encode("text", "UTF-8").alias("payload"),
+            )
+            .write.format("warc")
+            .option("compression", "gzip")
+            .mode("append")
+            .save(feed)
+        )
+
+    def drain() -> None:
+        stream = spark.readStream.format("warc").load(feed)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for b in range(3):
+        publish(b)
+        drain()
+    landed = spark.read.parquet(out)
+    return (
+        landed.filter(F.col("warc_type") == "response")
+        .select(
+            F.regexp_extract(
+                "target_uri", r"corpus\.example/([^/]+)/", 1
+            ).alias("source"),
+            (
+                F.regexp_extract("target_uri", r"/(\d+)$", 1).cast("long")
+                % 3
+            ).alias("batch"),
+            F.col("content_length").alias("nb"),
+        )
+        .groupBy("source", "batch")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nb").alias("n_bytes"),
+        )
+    )

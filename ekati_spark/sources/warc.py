@@ -47,6 +47,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -276,6 +277,76 @@ class WarcWriter(DataSourceWriter):
         )
 
 
+def _parse_whole_file(path: str) -> list[tuple]:
+    rows: list[tuple] = []
+    if path.endswith(".gz"):
+        with open(path, "rb") as raw:
+            fh = gzip.GzipFile(fileobj=raw)
+            while True:
+                row = _read_record(fh)
+                if row is None:
+                    return rows
+                rows.append(row)
+    with open(path, "rb") as fh:
+        while True:
+            row = _read_record(fh)
+            if row is None:
+                return rows
+            rows.append(row)
+
+
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """Tail a WARC archive DIRECTORY as a stream: each micro-batch
+    consumes the archive files that appeared since the last committed
+    offset, WHOLE — file-granular offsets, not byte-granular, because
+    archives are immutable once published (this module's writer renames
+    staged parts into place atomically; Common Crawl's bucket layout has
+    the same land-then-never-mutate contract — a new crawl lands new
+    files). The offset is the consumed-file map ``{path: size}``;
+    ``readBetweenOffsets`` re-reads exactly the files recorded in the
+    end offset, so replay after restart re-emits identical rows. This
+    is the streaming front door of a continuous pretraining-ingest
+    pipeline: archives land, each is processed exactly once."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream source requires a path")
+
+    def _files(self) -> list[str]:
+        if os.path.isdir(self.path):
+            return sorted(
+                os.path.join(self.path, f)
+                for f in os.listdir(self.path)
+                if f.endswith((".warc", ".warc.gz"))
+            )
+        return [self.path] if os.path.exists(self.path) else []
+
+    def initialOffset(self) -> dict:
+        return {"files": {}}
+
+    def read(self, start: dict):
+        done = dict(start.get("files", {}))
+        rows: list[tuple] = []
+        for f in self._files():
+            if f in done:
+                continue
+            rows.extend(_parse_whole_file(f))
+            done[f] = os.path.getsize(f)
+        return iter(rows), {"files": done}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        seen = start.get("files", {})
+        rows: list[tuple] = []
+        for f in end.get("files", {}):
+            if f not in seen and os.path.exists(f):
+                rows.extend(_parse_whole_file(f))
+        return iter(rows)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class WarcDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -289,6 +360,9 @@ class WarcDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> WarcWriter:
         return WarcWriter(self.options, overwrite)
+
+    def simpleStreamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -625,3 +625,38 @@ def test_warc_chunk_split_invariance(spark, tmp_path):
     assert sorted(r["record_id"] for r in tiny.collect()) == sorted(
         r["record_id"] for r in whole.collect()
     )
+
+
+def test_warc_stream_consumes_each_archive_once(spark, tmp_path):
+    """File-granular tail: two publishes drained against one
+    checkpoint land every record exactly once."""
+    from ekati_spark.sources import warc
+
+    warc.register(spark)
+    feed, out, ck = str(tmp_path / "f"), str(tmp_path / "o"), str(
+        tmp_path / "ck"
+    )
+
+    def drain():
+        q = (
+            spark.readStream.format("warc")
+            .load(feed)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _make_warc_df(spark, n=12).write.format("warc").option(
+        "compression", "gzip"
+    ).mode("append").save(feed)
+    drain()
+    _make_warc_df(spark, n=30).filter(
+        "CAST(regexp_extract(target_uri, '/doc/(\\\\d+)$', 1) AS INT) >= 12"
+    ).write.format("warc").mode("append").save(feed)
+    drain()
+    landed = spark.read.parquet(out)
+    assert landed.count() == 30
+    assert landed.select("record_id").distinct().count() == 30
