@@ -980,3 +980,72 @@ def chunk_dedup_rewrite(
             F.col("id").alias(id_col), "n_chunks", "n_removed", "cleaned_md5"
         )
     )
+
+
+def cdc_chunk_table(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram: int = 4,
+    mod: int = 8,
+) -> DataFrame:
+    """Content-defined chunking: split each doc into variable-length
+    chunks whose boundaries depend only on LOCAL token content — a
+    boundary falls after token i when the md5-derived hash of the
+    ``gram``-token window ending at i is ≡ 0 (mod ``mod``), giving
+    chunks of ~``mod`` tokens on average. Unlike fixed-width chunking
+    (l38), an insertion re-synchronizes within one gram instead of
+    shifting every later boundary — the LBFS/rsync property that makes
+    chunk stores and dataset-delta dedup work. Returns one row per
+    chunk: (id, chunk_id, chash, n_tok). All JVM built-ins; one doc-id
+    exchange reused by both window passes; no cross-doc state."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(F.trim(F.lower(text_col)), " +")
+        ).alias("pos", "tok"),
+    )
+    wdoc = W.partitionBy("id").orderBy("pos")
+    lags = [F.lag("tok", k).over(wdoc) for k in range(gram - 1, 0, -1)]
+    grams = toks.select(
+        "id",
+        "pos",
+        "tok",
+        F.concat_ws(" ", *lags, F.col("tok")).alias("gram"),
+    )
+    flagged = grams.select(
+        "id",
+        "pos",
+        "tok",
+        F.when(
+            (F.col("pos") >= gram - 1)
+            & (
+                F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+                .cast("long")
+                % mod
+                == 0
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("boundary"),
+    )
+    assigned = flagged.select(
+        "id",
+        "pos",
+        "tok",
+        F.coalesce(
+            F.sum("boundary").over(
+                wdoc.rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("chunk_id"),
+    )
+    return assigned.groupBy("id", "chunk_id").agg(
+        F.md5(
+            F.expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)")
+        ).alias("chash"),
+        F.count("*").alias("n_tok"),
+    )

@@ -5143,3 +5143,103 @@ def l81_warc_ingest(spark, sf_dir):
             F.min("payload_md5").alias("min_payload_md5"),
         )
     )
+
+
+@register(
+    "l82_cdc_chunk_dedup",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    posed AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks0
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok FROM posed
+    ),
+    grams AS (
+      SELECT doc_id, pos, tok,
+             concat_ws(' ',
+               lag(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos),
+               lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+               lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+               tok) AS gram
+      FROM toks
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos >= 3 AND
+                  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                    % 8 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM grams
+    ),
+    assigned AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(sum(boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM assigned GROUP BY doc_id, chunk_id
+    ),
+    ranked AS (
+      SELECT chash, n_tok,
+             row_number() OVER (PARTITION BY chash
+                                ORDER BY doc_id, chunk_id) AS rn
+      FROM chunks
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chash) AS BIGINT) AS n_distinct_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+             AS dup_tokens,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM ranked
+    """,
+)
+def l82_cdc_chunk_dedup(spark, sf_dir):
+    """CONTENT-DEFINED chunking + chunk-level dedup — the shift-robust
+    twin of l38's fixed 20-token chunks: a boundary falls after token i
+    whenever the md5-derived hash of the 4-gram ending at i is ≡ 0
+    (mod 8), so boundaries depend only on LOCAL content (avg chunk ~8
+    tokens) and an insertion near a doc's head re-synchronizes within
+    one gram instead of shifting every later chunk — the property
+    dataset-delta dedup and chunk stores (LBFS/rsync lineage) rely on.
+    Reports corpus totals: chunks, distinct chunks, duplicate
+    occurrences beyond first, and the token volume those duplicates
+    represent. All JVM built-ins: posexplode → two window passes (lag
+    4-gram, running boundary sum) → ordered listagg per chunk →
+    row_number over chunk-hash. Shuffle ∝ tokens (one doc_id exchange
+    reused by both windows) then ∝ chunks; boundary decisions need no
+    cross-doc state, so the pass is embarrassingly parallel at 100 TB
+    and the dedup groupBy is the same digest-keyed shuffle as l01."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = D.cdc_chunk_table(docs, gram=4, mod=8).withColumnRenamed(
+        "id", "doc_id"
+    )
+    ranked = chunks.select(
+        "chash",
+        "n_tok",
+        F.row_number()
+        .over(W.partitionBy("chash").orderBy("doc_id", "chunk_id"))
+        .alias("rn"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_chunks"),
+        F.countDistinct("chash").alias("n_distinct_chunks"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias(
+            "dup_chunks"
+        ),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0)).alias(
+            "dup_tokens"
+        ),
+        F.sum("n_tok").alias("total_tokens"),
+    )

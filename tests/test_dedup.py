@@ -402,3 +402,33 @@ def test_lsh_recall_audit_planted_regime(docs_with_dups):
         assert 0 <= r.n_caught <= r.n_pairs
         assert r.recall == math.floor(r.n_caught / r.n_pairs * 1e6 + 0.5) / 1e6
         assert 0.0 <= r.predicted <= 1.0
+
+
+def test_cdc_chunks_resynchronize_after_insertion(spark):
+    """The CDC property fixed-width chunking lacks: inserting one token
+    at the head changes only a bounded PREFIX of chunk hashes — the
+    tail re-synchronizes because boundaries depend only on the local
+    4-gram. With fixed-width chunks every post-insertion chunk hash
+    would differ."""
+    from pyspark.sql import functions as F
+
+    from ekati_spark.operators.dedup import cdc_chunk_table
+
+    base = " ".join(f"tok{i % 97}x{i % 13}" for i in range(400))
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED " + base)], "doc_id long, text string"
+    )
+    ch = cdc_chunk_table(docs, gram=4, mod=8).cache()
+    h1 = {r["chash"] for r in ch.filter("id = 1").collect()}
+    h2 = {r["chash"] for r in ch.filter("id = 2").collect()}
+    shared = len(h1 & h2)
+    # nearly all chunks survive the insertion: only the head chunk(s)
+    # before the first post-insertion boundary can change
+    assert shared >= len(h1) - 3, (len(h1), len(h2), shared)
+    assert shared < len(h2)  # the perturbed head chunk did change
+
+    # boundaries are content-local: average chunk length ~ mod tokens
+    stats = ch.filter("id = 1").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("t")
+    ).first()
+    assert 3 <= stats["t"] / stats["n"] <= 24
