@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from ekati_spark.catalog import load_table
+from ekati_spark.checkpoint import cut_lineage
 from ekati_spark.queries.base import davg, dsum, register, sql_davg, sql_dsum
 
 
@@ -2945,4 +2946,84 @@ def r72_topk_with_ties(spark, sf_dir):
             "o_orderkey",
             F.col("rk").cast("int").alias("rk"),
         )
+    )
+
+
+@register(
+    "r73_rollup_router",
+    oracle="""
+    WITH b AS (
+      SELECT date_trunc('day', min(ts)) + INTERVAL 30 HOUR AS t0,
+             date_trunc('day', max(ts)) - INTERVAL 1 DAY
+               + INTERVAL 18 HOUR AS t1
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+    FROM events, b
+    WHERE ts >= b.t0 AND ts < b.t1
+    GROUP BY event_type
+    """,
+)
+def r73_rollup_router(spark, sf_dir):
+    """HYPERTABLE continuous-aggregate rollup + query router — the
+    TimescaleDB/Druid pattern for time-range dashboards over raw event
+    volumes: materialize an HOURLY rollup (count + exact decimal value
+    sum per (hour, event_type)), cascade a DAILY rollup FROM the hourly
+    one (never re-reading raw events), then answer a range query whose
+    bounds are hour- but not day-aligned by ROUTING: full interior days
+    from the daily level, the partial lead/trail days from the hourly
+    level, summed. The oracle computes the same range DIRECTLY from raw
+    events, so a hash match proves the decomposition is exact — rollup
+    cascade + router lose nothing (decimal partials stay decimal
+    through every level; cast to double only at the end). At 100 TB
+    this is the only viable dashboard plan: the router scans rows ∝
+    hours+days in range instead of raw events, rollups maintain
+    incrementally (r56's contract), and the range filters bind
+    driver-side as literals so a date-partitioned rollup store prunes
+    to the touched partitions."""
+    import datetime as _dt
+
+    evs = load_table(spark, sf_dir, "events")
+    mm = evs.agg(F.min("ts").alias("a"), F.max("ts").alias("b")).first()
+    d0 = mm["a"].replace(hour=0, minute=0, second=0, microsecond=0)
+    dN = mm["b"].replace(hour=0, minute=0, second=0, microsecond=0)
+    t0 = d0 + _dt.timedelta(hours=30)
+    lo_end = d0 + _dt.timedelta(days=2)
+    hi_start = dN - _dt.timedelta(days=1)
+    t1 = hi_start + _dt.timedelta(hours=18)
+
+    hourly = (
+        evs.groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("sv"),
+        )
+        .transform(cut_lineage)  # the materialized MV: built once,
+        # read by the daily cascade AND both partial-day probes
+    )
+    daily = hourly.groupBy(
+        F.date_trunc("day", "h").alias("d"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("sv").alias("sv"))
+
+    lead_part = hourly.filter(
+        (F.col("h") >= F.lit(t0)) & (F.col("h") < F.lit(lo_end))
+    )
+    trail_part = hourly.filter(
+        (F.col("h") >= F.lit(hi_start)) & (F.col("h") < F.lit(t1))
+    )
+    interior = daily.filter(
+        (F.col("d") >= F.lit(lo_end)) & (F.col("d") < F.lit(hi_start))
+    )
+    parts = (
+        lead_part.select("event_type", "n", "sv")
+        .unionByName(trail_part.select("event_type", "n", "sv"))
+        .unionByName(interior.select("event_type", "n", "sv"))
+    )
+    return parts.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("total_value"),
     )
