@@ -84,6 +84,11 @@ HEADLINE = [
     # inverted-index threshold sweep
     "g43_neighborhood_function",
     "l71_dedup_threshold_sweep",
+    # round-7 additions: integer-fixed-point BM25 retrieval,
+    # content-defined chunk dedup, hypertable rollup router
+    "l80_bm25_topk",
+    "l82_cdc_chunk_dedup",
+    "r73_rollup_router",
 ]
 
 

@@ -754,3 +754,78 @@ def st19_warc_tail_ingest(spark, sf_dir):
             F.sum("nb").alias("n_bytes"),
         )
     )
+
+
+@register(
+    "st20_stream_rollup_maintenance",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def st20_stream_rollup_maintenance(spark, sf_dir):
+    """STREAMING maintenance of r73's hourly continuous aggregate — the
+    ingest side of the hypertable story: events arrive in three
+    micro-batches, each batch contributes a PARTIAL hourly rollup
+    (count + exact decimal value sum) through the epoch-marker
+    exactly-once sink (`streaming/ops.idempotent_batch_sink`: per-epoch
+    directory + commit marker, so a replayed batch overwrites its own
+    directory instead of double-counting), and the serving read merges
+    committed partials by summing — the mergeable-partial discipline
+    that lets a 100-TB rollup absorb late batches without
+    read-modify-write on the aggregate. The oracle computes the rollup
+    directly from the whole table, so a hash match proves
+    stream-maintained ≡ batch-computed, decimal-exact. Pairs with r73:
+    this maintains the MV the router reads."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.catalog import ensure_session_confs, normalize_events_ts
+
+    ensure_session_confs(spark)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tmp = Path(tempfile.mkdtemp(prefix="st20_"))
+    src = tmp / "src"
+    src.mkdir()
+    for m in range(3):
+        batch.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"chunk{m}"))
+        parts = sorted((tmp / f"chunk{m}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"chunk{m}")
+    state = str(tmp / "rollup")
+    sink = ops.idempotent_batch_sink(state)
+
+    def maintain(b, batch_id):
+        partial = normalize_events_ts(b).groupBy(
+            F.date_trunc("hour", "ts").alias("h"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(25,4)")).alias("sv"),
+        )
+        sink(partial, batch_id)
+
+    raw = (
+        spark.readStream.format("parquet")
+        .schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(str(src))
+    )
+    q = (
+        raw.writeStream.foreachBatch(maintain)
+        .option("checkpointLocation", str(tmp / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    merged = ops.read_committed_batches(spark, state)
+    return merged.groupBy("h", "event_type").agg(
+        F.sum("n").alias("n_events"),
+        F.sum("sv").cast("double").alias("total_value"),
+    )
