@@ -88,8 +88,17 @@ def _read_record(fh):
     headers = _parse_headers(fh)
     if headers is None:
         raise ValueError("malformed WARC header block")
-    length = int(headers.get("content-length", "0"))
+    if "content-length" not in headers:
+        # mandatory per ISO 28500 — defaulting to 0 would silently
+        # mis-frame every later record in the stream
+        raise ValueError("WARC record missing Content-Length")
+    length = int(headers["content-length"])
     payload = fh.read(length)
+    if len(payload) < length:
+        raise ValueError(
+            f"truncated WARC record: expected {length} payload bytes, "
+            f"got {len(payload)} (partial upload / torn write)"
+        )
     return (
         headers.get("warc-record-id"),
         headers.get("warc-type"),

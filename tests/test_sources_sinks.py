@@ -660,3 +660,30 @@ def test_warc_stream_consumes_each_archive_once(spark, tmp_path):
     landed = spark.read.parquet(out)
     assert landed.count() == 30
     assert landed.select("record_id").distinct().count() == 30
+
+
+def test_warc_read_record_rejects_torn_and_unframed_records():
+    """A truncated payload (torn write / partial upload) and a record
+    without Content-Length must fail LOUDLY — defaulting would silently
+    mis-frame every later record in the stream."""
+    import io
+
+    import pytest as _pytest
+
+    from ekati_spark.sources.warc import _read_record
+
+    good = (
+        b"WARC/1.0\r\nWARC-Record-ID: <a>\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x\r\nWARC-Date: 2026-01-01T00:00:00Z\r\n"
+        b"Content-Type: text/plain\r\nContent-Length: 100\r\n\r\n"
+        + b"x" * 40  # 60 bytes short
+    )
+    with _pytest.raises(ValueError, match="truncated"):
+        _read_record(io.BytesIO(good))
+
+    no_cl = (
+        b"WARC/1.0\r\nWARC-Record-ID: <a>\r\nWARC-Type: response\r\n"
+        b"Content-Type: text/plain\r\n\r\npayload"
+    )
+    with _pytest.raises(ValueError, match="Content-Length"):
+        _read_record(io.BytesIO(no_cl))
