@@ -1980,3 +1980,75 @@ def pq_topk_int(
             "adc_dist",
         )
     )
+
+
+def pca_top_component(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+    iters: int = 3,
+) -> list[int]:
+    """INTEGER-DETERMINISTIC top principal component by power iteration
+    — the dimensionality-reduction/whitening primitive of an embedding
+    pipeline, built the l15/l54 way so a DuckDB oracle replays it
+    bit-for-bit: quantize to the int64 grid (floor(x*scale+0.5), the
+    single IEEE op), accumulate the integer covariance NUMERATOR
+    C = N·Σqᵢqⱼ − Σqᵢ·Σqⱼ (scaled covariance ×N², exact), then run
+    ``iters`` power-iteration steps DRIVER-SIDE in unbounded Python
+    ints: u = C·v; v = sign(u)·(|u|·scale // max|u|) — trunc division,
+    matching DuckDB ``//`` and HUGEINT accumulation. Returns the
+    component as a list of ``dim`` ints in [-scale, scale].
+
+    Scale shape: the N-proportional work (covariance partials) runs as
+    mapInPandas int64 numpy outer products — dim² longs per PARTITION
+    cross the wire, never dim²·N rows; the dim×dim iteration is
+    driver-side scalars (same contract as k-means centroids). At 100 TB
+    the partials stay int64-safe for |q| ≤ scale and ≤2^30 rows per
+    partition; the driver combine is unbounded-int Python."""
+    import numpy as np
+
+    dim = _infer_dim(corpus, vec_col)
+    quant = _quant_udf(scale)
+    q = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(quant(F.col(vec_col)).alias("qv"))
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "spq": [(M.T @ M).ravel().tolist()],
+                    "si": [M.sum(axis=0).tolist()],
+                    "n": [len(pdf)],
+                }
+            )
+
+    rows = q.mapInPandas(
+        partials, schema="spq array<long>, si array<long>, n long"
+    ).collect()
+    # driver combine in unbounded Python ints (a handful of partial rows)
+    n = sum(r["n"] for r in rows)
+    spq = [0] * (dim * dim)
+    si = [0] * dim
+    for r in rows:
+        for k, v in enumerate(r["spq"]):
+            spq[k] += int(v)
+        for k, v in enumerate(r["si"]):
+            si[k] += int(v)
+    cov = [
+        [n * spq[i * dim + j] - si[i] * si[j] for j in range(dim)]
+        for i in range(dim)
+    ]
+    v = [1] * dim
+    for _ in range(iters):
+        u = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in u)
+        # trunc toward zero (Python // floors: route through abs)
+        v = [
+            (-1 if x < 0 else 1) * ((abs(x) * scale) // m) for x in u
+        ]
+    return v

@@ -5243,3 +5243,87 @@ def l82_cdc_chunk_dedup(spark, sf_dir):
         ),
         F.sum("n_tok").alias("total_tokens"),
     )
+
+
+def _l83_oracle(dim: int = 64, scale: int = 1024, iters: int = 3) -> str:
+    """Unrolled MATERIALIZED power-iteration replay (the l54 generated-
+    oracle pattern): HUGEINT covariance numerator, trunc // rescale."""
+    ctes = [
+        f"""q AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i+1] AS DOUBLE) * {scale}
+                        + CAST(0.5 AS DOUBLE)) AS BIGINT) AS qv
+      FROM (SELECT vec_id, embedding, unnest(range({dim})) AS i
+            FROM embeddings)
+    )""",
+        "cnt AS MATERIALIZED (SELECT CAST(count(DISTINCT vec_id) AS HUGEINT)"
+        " AS n FROM q)",
+        "s AS MATERIALIZED (SELECT i, CAST(sum(qv) AS HUGEINT) AS si"
+        " FROM q GROUP BY i)",
+        """p AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS HUGEINT) AS spq
+      FROM q a JOIN q b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+    )""",
+        """cov AS MATERIALIZED (
+      SELECT p.i, p.j, cnt.n * p.spq - sa.si * sb.si AS c
+      FROM p JOIN s sa ON p.i = sa.i JOIN s sb ON p.j = sb.i, cnt
+    )""",
+        f"v0 AS MATERIALIZED (SELECT unnest(range({dim})) AS i,"
+        " CAST(1 AS HUGEINT) AS v)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""u{k} AS MATERIALIZED (
+      SELECT cov.i, sum(cov.c * v{k-1}.v) AS u
+      FROM cov JOIN v{k-1} ON cov.j = v{k-1}.i GROUP BY cov.i
+    )"""
+        )
+        ctes.append(
+            f"m{k} AS MATERIALIZED (SELECT max(abs(u)) AS m FROM u{k})"
+        )
+        ctes.append(
+            f"""v{k} AS MATERIALIZED (
+      SELECT i, CAST(CASE WHEN u < 0 THEN -1 ELSE 1 END AS HUGEINT)
+               * ((abs(u) * {scale}) // m{k}.m) AS v
+      FROM u{k}, m{k}
+    )"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS pc1_q
+    FROM v{iters}
+    """
+    )
+
+
+@register("l83_pca_power_iteration", oracle=_l83_oracle())
+def l83_pca_power_iteration(spark, sf_dir):
+    """Top PRINCIPAL COMPONENT of the embedding corpus by
+    integer-deterministic power iteration
+    (`operators/similarity.pca_top_component`) — the
+    whitening/dim-reduction primitive (PCA before IVF/PQ is standard
+    index prep), built on the l15/l54 integer methodology so the DuckDB
+    oracle replays the ENTIRE computation bit-for-bit: int64-grid
+    quantization, exact integer covariance numerator
+    C = N·Σqᵢqⱼ − Σqᵢ·Σqⱼ, three power steps with trunc-division
+    rescaling (HUGEINT in the oracle, unbounded Python ints on the
+    driver). The N-proportional work ships as mapInPandas numpy outer
+    products — dim² longs per partition cross the wire, never dim²·N
+    rows — and the dim×dim iteration is driver scalars, the k-means
+    centroid contract. Returns the 64-dim component on the
+    [-1024, 1024] grid. Honesty note: this synthetic corpus is
+    near-isotropic (eigengap ~1, the same property that caps raw PQ
+    recall), so 3 steps yield an arithmetic-determined rather than
+    statistically-converged direction — the oracle hash-match proves
+    the DETERMINISM contract; semantic convergence is pinned by the
+    planted-anisotropy pytest (test_similarity.py::
+    test_pca_top_component_matches_float_eigenvector)."""
+    from ekati_spark.operators.similarity import pca_top_component
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    v = pca_top_component(embs, iters=3)
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], "dim long, pc1_q long"
+    )
