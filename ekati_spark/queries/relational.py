@@ -1911,7 +1911,8 @@ def r57_max_concurrency(spark, sf_dir):
         b.select("day").distinct().select(
             F.col("day").alias("t"), F.lit(0).alias("delta"), "day"
         )
-    )
+    ).transform(cut_lineage)  # consumed by day_tot AND runs: without
+    # the cut the lazy DAG re-runs the sessionize windows per consumer
     day_tot = b.groupBy("day").agg(F.sum("delta").alias("tot"))
     wd = W.orderBy("day").rowsBetween(W.unboundedPreceding, -1)
     carry = day_tot.select(
