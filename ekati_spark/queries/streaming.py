@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ekati_spark.catalog import load_table
+from ekati_spark.checkpoint import cut_lineage
 from ekati_spark.queries.base import register
 from ekati_spark.streaming import ops
 
@@ -829,3 +830,145 @@ def st20_stream_rollup_maintenance(spark, sf_dir):
         F.sum("n").alias("n_events"),
         F.sum("sv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "st21_stream_chunk_dedup_ingest",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    posed AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks0
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok FROM posed
+    ),
+    grams AS (
+      SELECT doc_id, pos, tok,
+             concat_ws(' ',
+               lag(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos),
+               lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+               lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+               tok) AS gram
+      FROM toks
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos >= 3 AND
+                  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                    % 8 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM grams
+    ),
+    assigned AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(sum(boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chash
+      FROM assigned GROUP BY doc_id, chunk_id
+    ),
+    ranked AS (
+      SELECT CAST(doc_id % 3 AS BIGINT) AS batch,
+             row_number() OVER (PARTITION BY chash
+                                ORDER BY doc_id % 3, doc_id, chunk_id)
+               AS rn
+      FROM chunks
+    )
+    SELECT batch,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_new,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup
+    FROM ranked GROUP BY batch
+    """,
+)
+def st21_stream_chunk_dedup_ingest(spark, sf_dir):
+    """CHUNK-level dedup-on-ingest — l82's content-defined chunks
+    meeting st12's streaming keep-first discipline: documents arrive in
+    three ordered micro-batches, each batch is CDC-chunked
+    (`operators/dedup.cdc_chunk_table`), deduped within the batch
+    (first occurrence by (doc_id, chunk_id)) AND against the
+    accumulated chunk-hash store, and only never-seen hashes join the
+    store — both the store append and the per-batch stats ride the
+    epoch-marker exactly-once sink, so batch replays cannot
+    double-count. The oracle ranks every chunk occurrence globally by
+    (batch, doc_id, chunk_id), so a hash match proves the streaming
+    new/dup accounting equals the batch replay exactly. This is the
+    100-TB ingest-dedup shape: per-batch cost ∝ batch chunks + one
+    hash-keyed anti-join against a bucket-prunable store, never a
+    corpus rescan."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import Window as W
+
+    from ekati_spark.operators.dedup import cdc_chunk_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = Path(tempfile.mkdtemp(prefix="st21_"))
+    src = tmp / "src"
+    src.mkdir()
+    hash_store = str(tmp / "hashes")
+    stats_store = str(tmp / "stats")
+    hsink = ops.idempotent_batch_sink(hash_store)
+    ssink = ops.idempotent_batch_sink(stats_store)
+
+    def land(b, batch_id):
+        ch = cdc_chunk_table(b).select("id", "chunk_id", "chash")
+        rn = F.row_number().over(
+            W.partitionBy("chash").orderBy("id", "chunk_id")
+        )
+        ch = ch.select("id", "chunk_id", "chash", rn.alias("rn_b"))
+        if os.path.exists(hash_store) and any(
+            f.startswith("_committed_") for f in os.listdir(hash_store)
+        ):
+            seen = ops.read_committed_batches(spark, hash_store).select(
+                "chash"
+            ).withColumn("hit", F.lit(1))
+        else:
+            seen = spark.createDataFrame([], "chash string, hit int")
+        fl = ch.join(F.broadcast(seen), "chash", "left")
+        fl = fl.select(
+            "chash",
+            "rn_b",
+            ((F.col("rn_b") > 1) | F.col("hit").isNotNull()).alias("dup"),
+        ).transform(cut_lineage)  # consumed by stats AND the store append
+        stats = fl.agg(
+            F.lit(batch_id).cast("long").alias("batch"),
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(~F.col("dup"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"),
+        )
+        ssink(stats, batch_id)
+        hsink(fl.filter(~F.col("dup")).select("chash"), batch_id)
+
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"chunk{m}"))
+        parts = sorted((tmp / f"chunk{m}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"chunk{m}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return ops.read_committed_batches(spark, stats_store)
