@@ -5327,3 +5327,107 @@ def l83_pca_power_iteration(spark, sf_dir):
     return spark.createDataFrame(
         [(i, int(x)) for i, x in enumerate(v)], "dim long, pc1_q long"
     )
+
+
+@register(
+    "l84_chunk_store_gc",
+    oracle="""
+    WITH toks0 AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    posed AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks0
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok FROM posed
+    ),
+    grams AS (
+      SELECT doc_id, pos, tok,
+             concat_ws(' ',
+               lag(tok, 3) OVER (PARTITION BY doc_id ORDER BY pos),
+               lag(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos),
+               lag(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+               tok) AS gram
+      FROM toks
+    ),
+    flagged AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN pos >= 3 AND
+                  CAST(('0x' || substr(md5(gram), 1, 15)) AS BIGINT)
+                    % 8 = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM grams
+    ),
+    assigned AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(sum(boundary) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS chunk_id
+      FROM flagged
+    ),
+    chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+             CAST(count(*) AS BIGINT) AS n_tok
+      FROM assigned GROUP BY doc_id, chunk_id
+    ),
+    refs AS (
+      SELECT chash,
+             max(n_tok) AS n_tok,
+             CAST(count(*) AS BIGINT) AS refs_before,
+             CAST(sum(CASE WHEN doc_id % 7 != 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS refs_after
+      FROM chunks GROUP BY chash
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_chunks_before,
+           CAST(sum(CASE WHEN refs_after = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_gcd,
+           CAST(sum(CASE WHEN refs_after > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_chunks_after,
+           CAST(sum(CASE WHEN refs_after = 0 THEN n_tok ELSE 0 END)
+                AS BIGINT) AS tokens_reclaimed
+    FROM refs
+    """,
+)
+def l84_chunk_store_gc(spark, sf_dir):
+    """CHUNK-STORE garbage collection — the DELETION lifecycle of
+    chunk-level dedup storage (the reference's `Remove`,
+    src/core/MemoryStore.fs:18-22, applied to a content-addressed
+    store): the corpus's CDC chunk store holds one entry per distinct
+    chunk hash with a REFCOUNT (occurrences across docs); deleting a
+    document cohort (doc_id % 7 == 0 — a takedown/expiry batch)
+    decrements refcounts, and chunks whose count reaches zero are
+    GC'd, reclaiming their token volume. Reports store size
+    before/after, GC'd entries, and tokens reclaimed; the oracle
+    recomputes refcounts from scratch, so a hash match proves the
+    decrement path equals the rebuild (the same increment≡rebuild
+    contract l70/l79 pin for append, here for delete). At 100 TB the
+    GC is one groupBy on the chunk hash joined against the deletion
+    feed — cost ∝ deleted docs' chunks + store size, never a corpus
+    re-chunk; the identical chunking (gram=4, mod=8) keeps the store
+    address-compatible with l82/st21."""
+    from ekati_spark.operators.dedup import cdc_chunk_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = cdc_chunk_table(docs, gram=4, mod=8)
+    refs = chunks.groupBy("chash").agg(
+        F.max("n_tok").alias("n_tok"),
+        F.count("*").alias("refs_before"),
+        F.sum(
+            F.when(F.col("id") % 7 != 0, 1).otherwise(0)
+        ).alias("refs_after"),
+    )
+    return refs.agg(
+        F.count("*").alias("n_chunks_before"),
+        F.sum(F.when(F.col("refs_after") == 0, 1).otherwise(0)).alias(
+            "n_gcd"
+        ),
+        F.sum(F.when(F.col("refs_after") > 0, 1).otherwise(0)).alias(
+            "n_chunks_after"
+        ),
+        F.sum(
+            F.when(F.col("refs_after") == 0, F.col("n_tok")).otherwise(0)
+        ).alias("tokens_reclaimed"),
+    )
