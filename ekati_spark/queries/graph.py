@@ -2865,3 +2865,50 @@ def g45_bucketed_follow_parity(spark, sf_dir):
     )
     src = bucketed_edge_source(spark, path)
     return follow(src, seeds, Or(Edge("placed", 1, 1), Edge("contains", 2, 2)))
+
+
+@register(
+    "g46_dsl_end_to_end",
+    oracle="""
+    SELECT 'order:' || CAST(o_orderkey AS VARCHAR) AS node_id,
+           '' AS remote,
+           k.key,
+           CAST(0 AS BIGINT) AS ts,
+           'str' AS dtype,
+           CASE k.key WHEN 'totalprice' THEN CAST(o_totalprice AS VARCHAR)
+                      ELSE o_orderstatus END AS str,
+           CAST(NULL AS BIGINT) AS i64,
+           CAST(NULL AS DOUBLE) AS dbl,
+           CAST(NULL AS BOOLEAN) AS bool,
+           CAST(NULL AS VARCHAR) AS ref
+    FROM orders
+    JOIN (SELECT unnest(['totalprice', 'orderstatus']) AS key) k ON true
+    WHERE o_custkey BETWEEN 1 AND 8 AND o_orderstatus = 'F'
+    """,
+)
+def g46_dsl_end_to_end(spark, sf_dir):
+    """The ENTIRE reference surface in one driver-graded pass: a real
+    AHGHEE DSL string — seeds |> follow |> filter |> fields — through
+    the actual parser (`graph/parser.py`, the ANTLR-grammar analog),
+    IR compiler, and `QueryEngine.execute` (the Get-RPC entry point,
+    WatService.cs:338-369), returning the engine's long-format
+    attribute rows. Every prior g-query calls the compiled operators
+    directly; this one attests the parse→IR→execute pipeline itself
+    under the DuckDB oracle: hop semantics (follow 1 emits hop-1 nodes,
+    never seeds), filter's intended ∃-attribute semantics, the fields
+    clude algebra trimming to two keys, and the variant-row
+    materialization (dtype/str/ts columns) all have to agree with the
+    relational replay bit-for-bit. Plan shape is the same seeded
+    traversal as g01/g02 — broadcast frontier joins, label-pruned edge
+    scan, semi-join materialization."""
+    from ekati_spark.graph.compiler import QueryEngine
+    from ekati_spark.graph.model import PropertyGraph
+
+    g = _graph(spark, sf_dir)
+    eng = QueryEngine(spark, PropertyGraph(g.props, g.edges))
+    seeds = ", ".join(f'"customer:{i}"' for i in range(1, 9))
+    return eng.execute(
+        f'get {seeds} |> follow "placed" 1 '
+        '|> filter "orderstatus" == "F" '
+        '|> fields ("totalprice":*, "orderstatus":*)'
+    )
