@@ -687,3 +687,64 @@ def test_warc_read_record_rejects_torn_and_unframed_records():
     )
     with _pytest.raises(ValueError, match="Content-Length"):
         _read_record(io.BytesIO(no_cl))
+
+
+def test_warc_framing_roundtrips_arbitrary_payloads():
+    """Property test: ANY byte payload — including ones embedding the
+    record marker, header-like lines, or raw CRLF runs — survives
+    frame→parse unchanged, sequentially and via boundary alignment."""
+    import io
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ekati_spark.sources.warc import _align_to_record, _read_record
+
+    def frame(i, payload):
+        head = (
+            f"WARC/1.0\r\nWARC-Record-ID: <urn:{i}>\r\n"
+            "WARC-Type: response\r\n"
+            f"WARC-Target-URI: http://x/{i}\r\n"
+            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+            "Content-Type: application/octet-stream\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.binary(min_size=0, max_size=200).flatmap(
+                lambda b: st.sampled_from(
+                    [
+                        b,
+                        b + b"\r\n\r\nWARC/1.0\r\n",
+                        b"\r\n\r\nWARC/" + b,
+                        b"Content-Length: 7\r\n" + b,
+                    ]
+                )
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def check(payloads):
+        data = b"".join(frame(i, p) for i, p in enumerate(payloads))
+        fh = io.BytesIO(data)
+        got = []
+        while True:
+            r = _read_record(fh)
+            if r is None:
+                break
+            got.append(bytes(r[6]))
+        assert got == payloads
+        # every alignment lands on a parseable record start (or EOF)
+        f2 = io.BytesIO(data)
+        for off in range(0, len(data), 97):
+            f2.seek(off)
+            s = _align_to_record(f2, len(data))
+            if s < len(data):
+                f2.seek(s)
+                assert _read_record(f2) is not None
+
+    check()
