@@ -85,10 +85,12 @@ HEADLINE = [
     "g43_neighborhood_function",
     "l71_dedup_threshold_sweep",
     # round-7 additions: integer-fixed-point BM25 retrieval,
-    # content-defined chunk dedup, hypertable rollup router
+    # content-defined chunk dedup, hypertable rollup router, and the
+    # full DSL parse->IR->engine pass (the reference-surface path)
     "l80_bm25_topk",
     "l82_cdc_chunk_dedup",
     "r73_rollup_router",
+    "g46_dsl_end_to_end",
 ]
 
 
