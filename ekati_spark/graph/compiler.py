@@ -291,9 +291,19 @@ class QueryEngine:
         graph: "PropertyGraph | None" = None,
     ) -> DataFrame:
         graph = graph if graph is not None else self.graph
-        props = (
-            graph.history() if history else graph.latest()
-        ).join(stream, ["node_id", "remote"], "left_semi")
+        # Prune BEFORE the latest-wins window: the dedup partitions by
+        # (node_id, key), so semi-joining the result-node stream first
+        # commutes with it — and the window then runs over only the
+        # result nodes' rows instead of the whole store (the reference
+        # merges fragments per looked-up node, never store-wide;
+        # NodeAttrIndex.cs:96-105). Catalyst cannot push a semi-join
+        # below a window on its own.
+        from ekati_spark.graph.model import PropertyGraph as _PG
+
+        pruned = _PG(
+            graph.props.join(stream, ["node_id", "remote"], "left_semi")
+        )
+        props = pruned.history() if history else pruned.latest()
         for fs in fields_steps:
             pred = self._clude_pred(fs.cludes)
             if pred is not None:
