@@ -298,8 +298,12 @@ class QueryEngine:
         # merges fragments per looked-up node, never store-wide;
         # NodeAttrIndex.cs:96-105). Catalyst cannot push a semi-join
         # below a window on its own.
+        from ekati_spark.checkpoint import cut_lineage
         from ekati_spark.graph.model import PropertyGraph as _PG
 
+        # result-node-id sized; materialized so the traversal subtree
+        # is not re-planned into the window input
+        stream = stream.transform(cut_lineage)
         pruned = _PG(
             graph.props.join(stream, ["node_id", "remote"], "left_semi")
         )
