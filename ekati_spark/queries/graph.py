@@ -2912,3 +2912,53 @@ def g46_dsl_end_to_end(spark, sf_dir):
         '|> filter "orderstatus" == "F" '
         '|> fields ("totalprice":*, "orderstatus":*)'
     )
+
+
+@register(
+    "g47_reverse_follow",
+    oracle="""
+    SELECT 'customer:' || CAST(o_custkey AS VARCHAR) AS node_id
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_partkey <= 20
+    )
+    UNION
+    SELECT 'order:' || CAST(l_orderkey AS VARCHAR)
+    FROM lineitem WHERE l_partkey <= 20
+    """,
+)
+def g47_reverse_follow(spark, sf_dir):
+    """REVERSE traversal — "who points at me", the capability the
+    reference's follow lacks (its follow only chases OUTGOING
+    NodeID-valued attributes, FileStore.fs:166-220; answering the
+    inverse requires a full scan there). Spark-first this is free:
+    the same `follow` kernel over the edge relation with (src, dst)
+    swapped — from 20 seed parts, walk of_part⁻¹ to the lineitems
+    containing them, then contains⁻¹ to their orders, then placed⁻¹
+    to the customers (a 3-hop Or-spec emitting hops 2 and 3). At
+    100 TB the reversed view is the same bucketed edge table written
+    once more bucketed by dst — the standard both-directions layout —
+    and every per-hop property (label pushdown, frontier broadcast,
+    checkpointed visited set) carries over unchanged."""
+    g = _graph(spark, sf_dir)
+    rev = g.edges.select(
+        F.col("dst").alias("src"),
+        "label",
+        F.col("src").alias("dst"),
+        "ts",
+    )
+    part = load_table(spark, sf_dir, "part")
+    seeds = part.filter(F.col("p_partkey") <= 20).select(
+        F.concat(F.lit("part:"), F.col("p_partkey").cast("string")).alias(
+            "node_id"
+        )
+    )
+    return follow(
+        rev,
+        seeds,
+        Or(
+            Edge("of_part", 1, 1),
+            Or(Edge("contains", 2, 2), Edge("placed", 3, 3)),
+        ),
+    ).filter(~F.col("node_id").startswith("lineitem:"))
