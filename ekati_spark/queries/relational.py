@@ -3028,3 +3028,98 @@ def r73_rollup_router(spark, sf_dir):
         F.sum("n").alias("n_events"),
         F.sum("sv").cast("double").alias("total_value"),
     )
+
+
+@register(
+    "r74_ordered_set_aggs",
+    oracle="""
+    WITH pc AS (
+      SELECT l_returnflag, l_quantity,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    md AS (
+      SELECT l_returnflag, l_quantity AS mode_qty
+      FROM (
+        SELECT l_returnflag, l_quantity,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY c DESC, l_quantity) AS rn
+        FROM pc
+      ) WHERE rn = 1
+    ),
+    rk AS (
+      SELECT l_returnflag, l_extendedprice,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    pd AS (
+      SELECT l_returnflag, min(l_extendedprice) AS p90_disc
+      FROM rk WHERE rn = (9 * n + 9) // 10
+      GROUP BY 1
+    )
+    SELECT md.l_returnflag, md.mode_qty, pd.p90_disc
+    FROM md JOIN pd ON md.l_returnflag = pd.l_returnflag
+    """,
+)
+def r74_ordered_set_aggs(spark, sf_dir):
+    """Ordered-set aggregates with DETERMINISTIC tie-breaks — the two
+    the engine previously lacked: ``mode()`` (both engines' built-ins
+    return an arbitrary element among tied modes, so the portable form
+    is count-then-rank with a (count desc, value) tie-break) and
+    ``percentile_disc(0.9)`` (the value at rank ceil(9n/10) — computed
+    as the INTEGER (9n+9) div 10 on both sides, because DuckDB's bare
+    0.9 literal is exact DECIMAL while a double 0.9·n overshoots on n
+    divisible by 10 — under a
+    total order — row_number over (value, l_orderkey, l_linenumber)
+    makes the rank unique even with duplicate prices). Both engines run
+    the SAME rank construction, so values hash-match with no tolerance
+    and no reliance on either engine's tie policy. Scale shape: mode is
+    a two-level count/rank (map-side combine on (flag, qty));
+    percentile_disc is one window per group — the WindowGroupLimit
+    caveat doesn't apply (rank equality, not a top-k bound), and at
+    100 TB the GK sketch (r58) is the bounded-memory alternative when
+    exactness can be traded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pc = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("c")
+    )
+    md = (
+        pc.select(
+            "l_returnflag",
+            "l_quantity",
+            F.row_number()
+            .over(
+                W.partitionBy("l_returnflag").orderBy(
+                    F.desc("c"), "l_quantity"
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    rk = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number()
+        .over(
+            W.partitionBy("l_returnflag").orderBy(
+                "l_extendedprice", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(W.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+    pd_ = (
+        rk.filter(
+            F.col("rn") == F.expr("(9 * n + 9) div 10")
+        )
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("p90_disc"))
+    )
+    return md.join(pd_, "l_returnflag")
