@@ -373,22 +373,67 @@ def main() -> None:
     times["ingest_4m_fragments"] = ingest["wall_s"]
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
+    # Driver contract: the FINAL stdout line is ONE compact JSON object
+    # and the driver only keeps the last ~2000 chars of stdout, so the
+    # line must stay well under that (round-8 lesson: the detail maps
+    # pushed it past the tail window and BENCH_r08 recorded
+    # parsed: null). Detail maps (streaming rates per state backend,
+    # bucketed-traversal scan volumes, skew-join strategy timings) go
+    # to a committed sidecar file instead.
+    detail = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "ingest_fragments_per_s": ingest["fragments_per_s"],
+        "streaming_events_per_s": stream_rates,
+        "streaming_events_per_s_rocksdb": stream_rates_rocksdb,
+        "bucketed_follow": bucketed_follow,
+        "skew_join": skew_join,
+    }
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    print(f"# detail maps written to {detail_path}", file=sys.stderr)
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+            "ingest_fragments_per_s": ingest["fragments_per_s"],
+        },
+        separators=(",", ":"),
+    )
+    if len(compact) > 1500:  # headroom guard: trim per-query map first
+        print(
+            f"# WARNING compact line {len(compact)} chars > 1500; "
+            "trimming queries map to top-25 slowest",
+            file=sys.stderr,
+        )
+        top = dict(
+            sorted(times.items(), key=lambda kv: -kv[1])[:25]
+        )
+        compact = json.dumps(
             {
                 "metric": "headline_queries_total_wall_clock",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
+                "queries": top,
+                "queries_truncated_see": "BENCH_DETAIL.json",
                 "sf": sf,
                 "ingest_fragments_per_s": ingest["fragments_per_s"],
-                "streaming_events_per_s": stream_rates,
-                "streaming_events_per_s_rocksdb": stream_rates_rocksdb,
-                "bucketed_follow": bucketed_follow,
-                "skew_join": skew_join,
-            }
+            },
+            separators=(",", ":"),
         )
-    )
+    print(compact)
 
 
 if __name__ == "__main__":

@@ -19,51 +19,49 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. Attested-ever after r6 = 161/211; this
-# round's window keeps the 5-query sentinel core (one per family,
-# green in every prior window) and fills the other 45 slots with
-# names that have NEVER had a driver CORRECTNESS row: the rounds-4/5
-# stragglers (l11, l19, l23-l39 odds, l42-l68) plus round 6's
-# additions (g43/g44, l69-l78 minus deferrals, r67-r70, st15-st17).
+# order IS the graded set. Registry = 228 queries; attested-ever after
+# the round-8 grading = 206/228. This round-9 window keeps the 5-query
+# sentinel core (one per family, green in every prior window), adds
+# the 22 names that have NEVER had a driver CORRECTNESS row (round 8's
+# additions: g45-g47, l05b/l45b, l72, l76, l79-l84, r71-r74, st18-st21,
+# and g28, the documented rows-only telemetry query), and fills the
+# remaining 23 slots with the least-recently attested names (last
+# green row in CORRECTNESS_r02). After this window lands the registry
+# is 228/228 driver-attested-ever.
 #
 # ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
 # mid-round (the driver grades at round end; a mid-round rotation
-# orphans the current window). Never-attested after this window lands:
-# exactly five — g28 (the documented rows-only telemetry) and four
-# judge-re-verified locals (l72, l76, r71, r72) — the round-8 window
-# closes them and reaches full 211/211 attestation.
+# orphans the current window).
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round
     "r03_pricing_summary", "g01_follow_one_hop",
     "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
-    # relational: round-6 sketch/join/window additions
-    "r67_kmv_set_ops", "r68_asof_forward_tolerance",
-    "r69_mv_retract_refresh", "r70_countmin_sketch",
-    # graph analytics: round-6 kernels
-    "g43_neighborhood_function", "g44_bidirectional_shortest_path",
-    # LLM pipeline: rounds-4/5 stragglers, first driver attestation
-    "l11_multimodal_content", "l19_quantize_embeddings",
-    "l23_repetition_stats", "l25_pack_sequences",
-    "l27_unigram_logprob", "l29_containment_pairs",
-    "l32_global_shuffle", "l33_hard_negatives", "l34_vocab_coverage",
-    "l35_joint_curation", "l36_source_token_report",
-    "l39_matryoshka_truncation", "l42_dataset_card",
-    "l43_weighted_sample", "l45_bitext_margin_pairs",
-    "l49_dsir_importance", "l51_curriculum_order",
-    "l52_bigram_interp_logprob", "l53_perceptual_dhash",
-    "l56_ngram_novelty", "l58_sq8_recall_audit",
-    "l59_source_overlap_matrix", "l60_eval_apportionment",
-    "l62_audio_resample", "l63_frame_sampling",
-    "l64_skipgram_collocations", "l65_snapshot_diff",
-    "l68_feature_bucketize",
-    # LLM pipeline: round-6 additions
-    "l69_decode_coverage", "l70_ivf_append_parity",
-    "l71_dedup_threshold_sweep", "l73_temperature_mixture",
-    "l74_chunk_embedding_pool", "l75_knn_filtered",
-    "l77_minhash_persisted", "l78_split_integrity_audit",
-    # streaming: round-6 sketch/tail-ingest entries
-    "st15_stream_kmv_distinct", "st16_stream_nt_ingest",
-    "st17_stream_countmin",
+    # --- never driver-attested: round-8 additions ---
+    # relational
+    "r71_dup_drift_daily", "r72_topk_with_ties",
+    "r73_rollup_router", "r74_ordered_set_aggs",
+    # graph
+    "g45_bucketed_follow_parity", "g46_dsl_end_to_end",
+    "g47_reverse_follow", "g28_engine_metrics",
+    # LLM pipeline
+    "l05b_dup_pairs_ann", "l45b_bitext_margin_ann",
+    "l72_audio_dedup_resampled", "l76_pii_source_report",
+    "l79_minhash_incremental", "l80_bm25_topk", "l81_warc_ingest",
+    "l82_cdc_chunk_dedup", "l83_pca_power_iteration",
+    "l84_chunk_store_gc",
+    # streaming
+    "st18_rocksdb_state_parity", "st19_warc_tail_ingest",
+    "st20_stream_rollup_maintenance", "st21_stream_chunk_dedup_ingest",
+    # --- least-recently attested (last green: CORRECTNESS_r02) ---
+    "r02_filter_project", "r04_single_row_agg", "r07_cube",
+    "r11_local_supplier_volume", "r12_join_left", "r14_join_semi",
+    "r15_join_anti", "r16_cross_theta", "r18_window_running_sum",
+    "r19_window_lag_lead", "r21_window_range_frame",
+    "r22_global_topk", "r23_offset_limit", "r25_string_funcs",
+    "r27_math_funcs", "r28_case_null", "r30_array_ops",
+    "r32_in_subquery", "r33_scalar_subquery", "r36_unpivot",
+    "r41_map_functions", "r42_rank_distributions",
+    "r44_stats_aggregates",
 ]
 
 

@@ -315,12 +315,33 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
     ``readBetweenOffsets`` re-reads exactly the files recorded in the
     end offset, so replay after restart re-emits identical rows. This
     is the streaming front door of a continuous pretraining-ingest
-    pipeline: archives land, each is processed exactly once."""
+    pipeline: archives land, each is processed exactly once.
+
+    Driver sizing: a SimpleDataSourceStreamReader materializes each
+    micro-batch's rows ON THE DRIVER (Spark buffers ``read()``'s
+    iterator to make the batch replayable), so an unbounded batch over
+    a large landing (a backfill dropping hundreds of archives at once)
+    buffers every record of every new file in driver memory. Cap it
+    with ``maxFilesPerBatch``: at most that many new archives are
+    consumed per micro-batch and the rest are picked up by subsequent
+    batches (the offset only advances past files actually read, so
+    nothing is skipped). Size it so
+    ``maxFilesPerBatch × max archive size`` fits comfortably in driver
+    memory; the uncapped default is only safe when archives land in
+    small numbers per trigger."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc stream source requires a path")
+        raw = options.get("maxFilesPerBatch") or options.get(
+            "maxfilesperbatch"
+        )
+        self.max_files_per_batch = int(raw) if raw is not None else None
+        if self.max_files_per_batch is not None and (
+            self.max_files_per_batch < 1
+        ):
+            raise ValueError("maxFilesPerBatch must be >= 1")
 
     def _files(self) -> list[str]:
         if os.path.isdir(self.path):
@@ -337,11 +358,19 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict):
         done = dict(start.get("files", {}))
         rows: list[tuple] = []
+        n_new = 0
         for f in self._files():
             if f in done:
                 continue
+            if (
+                self.max_files_per_batch is not None
+                and n_new >= self.max_files_per_batch
+            ):
+                break  # leave for the next micro-batch (offset
+                # excludes it, so it is re-discovered, not skipped)
             rows.extend(_parse_whole_file(f))
             done[f] = os.path.getsize(f)
+            n_new += 1
         return iter(rows), {"files": done}
 
     def readBetweenOffsets(self, start: dict, end: dict):

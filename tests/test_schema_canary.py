@@ -152,4 +152,8 @@ def test_graded_first_window_is_complete():
     assert not missing, missing
     assert list(REGISTRY)[:50] == _GRADED_FIRST
     rows_only = sorted(n for n in _GRADED_FIRST if n not in oracle_sql())
-    assert rows_only == [], rows_only
+    # g28 is the registry's one documented rows-only query (engine
+    # telemetry, not SQL-expressible); the round-9 window includes it
+    # deliberately so it receives its driver row. Nothing else may be
+    # rows-only in the graded window.
+    assert rows_only == ["g28_engine_metrics"], rows_only

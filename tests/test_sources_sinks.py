@@ -748,3 +748,62 @@ def test_warc_framing_roundtrips_arbitrary_payloads():
                 assert _read_record(f2) is not None
 
     check()
+
+
+def test_warc_stream_max_files_per_batch_drains_over_batches(
+    spark, tmp_path
+):
+    """A multi-file landing with maxFilesPerBatch=1 drains one archive
+    per micro-batch — bounded driver memory — and still lands every
+    record exactly once (the offset advances only past files read)."""
+    from ekati_spark.sources.warc import WarcStreamReader
+    from ekati_spark.sources import warc
+
+    warc.register(spark)
+    feed = str(tmp_path / "f")
+    # three single-file publishes = three archives in the landing dir
+    for lo, hi in ((0, 4), (4, 9), (9, 15)):
+        _make_warc_df(spark, n=hi).filter(
+            f"CAST(regexp_extract(target_uri, '/doc/(\\\\d+)$', 1) "
+            f"AS INT) >= {lo}"
+        ).coalesce(1).write.format("warc").mode("append").save(feed)
+
+    reader = WarcStreamReader({"path": feed, "maxFilesPerBatch": "1"})
+    offset = reader.initialOffset()
+    batches = []
+    for _ in range(10):
+        it, offset = reader.read(offset)
+        rows = list(it)
+        if not rows:
+            break
+        batches.append(rows)
+    # 3 archives, cap 1 -> exactly 3 non-empty batches
+    assert len(batches) == 3
+    assert all(
+        len({r[0] for r in b}) == len(b) for b in batches
+    )  # no dup record within a batch
+    got = sorted(r[0] for b in batches for r in b)
+    assert len(got) == 15 and len(set(got)) == 15
+    # replay contract: each batch's end offset re-reads the same rows
+    # the capped reader emitted (restart safety is per-batch)
+    uncapped = WarcStreamReader({"path": feed})
+    it, end = uncapped.read(uncapped.initialOffset())
+    assert sorted(r[0] for r in it) == got
+
+    # end-to-end: the option reaches the reader through the DataSource
+    out, ck = str(tmp_path / "o"), str(tmp_path / "ck")
+    for _ in range(4):  # availableNow + cap=2 needs >=2 drains
+        q = (
+            spark.readStream.format("warc")
+            .option("maxFilesPerBatch", "2")
+            .load(feed)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    landed = spark.read.parquet(out)
+    assert landed.count() == 15
+    assert landed.select("record_id").distinct().count() == 15
