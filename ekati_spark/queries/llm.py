@@ -4779,7 +4779,15 @@ def l05b_dup_pairs_ann(spark, sf_dir):
     the verdict carries real pairs. The oracle replays the buckets
     from inlined plane literals and scores the same candidate set, so
     the approximate operator is exactly checkable. This is the entry
-    the 100 TB cluster runs where l05 is the recall oracle."""
+    the 100 TB cluster runs where l05 is the recall oracle.
+
+    Fetch strategy is ``auto``: on corpora ≤ 8M floats the scorer
+    gathers vectors from a broadcast instead of joining two 64-float
+    payloads onto every candidate pair — bit-identical results
+    (tests), measured sf1 interleaved medians 23.6 s exact vs 4.7 s
+    ANN (5.0×). Per-band recall vs the exact pair set is the l85
+    audit; the candidate set (8 planes × 8 tables) is unchanged by
+    the fetch choice."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embedding_dup_pairs_ann(
         emb, threshold=0.4, n_planes=8, n_tables=8
@@ -5430,4 +5438,77 @@ def l84_chunk_store_gc(spark, sf_dir):
         F.sum(
             F.when(F.col("refs_after") == 0, F.col("n_tok")).otherwise(0)
         ).alias("tokens_reclaimed"),
+    )
+
+
+def _l85_oracle(threshold: float = 0.4) -> str:
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cb AS MATERIALIZED (
+      SELECT id, unnest([{_lsh_bucket_exprs("v", 8, 8)}]) AS bucket FROM c
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM cb a JOIN cb b USING (bucket)
+      WHERE a.id < b.id
+    ),
+    exact AS MATERIALIZED (
+      SELECT x.id AS id_a, y.id AS id_b,
+             round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+      FROM c x JOIN c y ON x.id < y.id
+      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+    )
+    SELECT CAST(floor(cosine * 10) AS INTEGER) AS band,
+           count(*) AS n_pairs,
+           CAST(SUM(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           CAST(SUM(CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) / count(*) AS recall
+    FROM exact LEFT JOIN cand USING (id_a, id_b)
+    GROUP BY 1
+    """
+
+
+@register("l85_ann_recall_audit", oracle=_l85_oracle())
+def l85_ann_recall_audit(spark, sf_dir):
+    """Measured recall of the l05b sign-LSH candidate generator against
+    the exact block-grid pair set, per cosine decile band — the
+    embedding-side analog of l55's MinHash recall audit. For every
+    exact pair with cosine ≥ 0.4 (l05b's production threshold), checks
+    membership in the (8 planes × 8 tables) candidate relation and
+    reports per band: pair count, caught count, and recall (one double
+    division — replays exactly).
+
+    This is the committed evidence for the l05b speed/recall trade:
+    on the synthetic near-random embeddings the ≥ 0.4 exact pairs
+    split into replica pairs (cosine 1.0, recall 1.00 at every swept
+    config — identical vectors share every bucket) and the 3σ upper
+    tail of the random-cosine distribution (64-dim: random-pair cosine
+    is ~N(0, 1/64)), where sign-LSH collision probability is bounded
+    by the amplifier 1-(1-(1-acos(c)/pi)^p)^L ≈ 0.19 at c = 0.4 —
+    low recall there is a property of noise-tail pairs, not a defect;
+    the dedup-relevant bands stay ≥ 0.9. The full (planes × tables)
+    sweep with sf1 timings lives in SCALE.md."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    exact = D.embedding_dup_pairs(emb, threshold=0.4)
+    cand, _ = S.lsh_candidate_ids(emb, 8, 8)
+    hit = cand.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["id_a", "id_b"], "left")
+        .select(
+            F.floor(F.col("cosine") * 10).cast("int").alias("band"),
+            F.coalesce("hit", F.lit(0)).alias("hit"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("hit").cast("bigint").alias("n_caught"),
+        )
+        .withColumn("recall", F.col("n_caught") / F.col("n_pairs"))
     )

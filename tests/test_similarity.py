@@ -625,3 +625,42 @@ def test_pca_top_component_matches_float_eigenvector(spark):
     top = U[:, np.argmax(w)]
     cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
     assert cos > 0.99, cos
+
+
+def test_dup_pairs_ann_fetch_paths_bit_identical(spark, sf_dir):
+    """The broadcast-gather scorer and the per-pair join scorer must
+    return the SAME pair set with bit-identical cosines: both run the
+    per-dim sequential left-fold, the same norm product, and one
+    divide, so any difference is a float-op-order bug. Zero-norm
+    vectors must drop from both (try_divide NULL vs the anti-join)."""
+    from ekati_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # plant a zero vector: candidate via identical buckets impossible
+    # (all-zero signs match everything in its table) — it must never
+    # surface a pair from either path
+    zero = emb.limit(1).selectExpr(
+        "9000002 as vec_id",
+        "transform(embedding, x -> float(0.0)) as embedding",
+        "label",
+    )
+    both = emb.unionByName(zero)
+    a = sorted(
+        map(
+            tuple,
+            S.embedding_dup_pairs_ann(
+                both, threshold=0.3, fetch="join"
+            ).collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            S.embedding_dup_pairs_ann(
+                both, threshold=0.3, fetch="broadcast"
+            ).collect(),
+        )
+    )
+    assert a, "no pairs at threshold 0.3 — parity check is vacuous"
+    assert a == b
+    assert not any(9000002 in (p[0], p[1]) for p in a)
