@@ -5038,12 +5038,21 @@ def l80_bm25_topk(spark, sf_dir):
     tot = dl.agg(
         F.count("*").alias("n"), F.sum("dl").alias("l")
     ).first()
-    n, length = int(tot["n"]), int(tot["l"])
     tf = (
         toks.filter(F.col("tok").isin(*_L80_TERMS))
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
     )
+    return _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]))
+
+
+def _bm25_topk(tf, dl, n: int, length: int):
+    """The BM25 scoring tail shared by l80 (inline index build) and
+    l86 (persisted incremental index): takes term-filtered postings
+    ``(doc_id, tok, tf)``, doc lengths ``(doc_id, dl)``, and the two
+    corpus scalars; returns the exact integer fixed-point top-10 under
+    the l80 contract (one double division over BIGINT operands, one
+    ln, micro floor, BIGINT sum, (score desc, doc_id) tie-break)."""
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
         (F.lit(2 * n + 1) - 2 * F.col("df")).cast("double")
@@ -5512,3 +5521,60 @@ def l85_ann_recall_audit(spark, sf_dir):
         )
         .withColumn("recall", F.col("n_caught") / F.col("n_pairs"))
     )
+
+
+@register("l86_bm25_index_incremental", oracle=_l80_oracle())
+def l86_bm25_index_incremental(spark, sf_dir):
+    """INCREMENTAL BM25 index maintenance — l79's increment ≡ rebuild
+    discipline applied to the l80 retrieval index. The persisted index
+    is three parquet tables: full-vocabulary postings ``(doc_id, tok,
+    tf)``, doc lengths ``(doc_id, dl)``, and per-batch corpus-stat
+    PARTIALS ``(n_docs, total_len)`` appended once per ingest batch
+    and summed at read (st15's mergeable-partial rule — append-only
+    state, no read-modify-overwrite). The corpus splits into an
+    already-indexed majority (doc_id % 10 != 0, written first) and a
+    NEW batch (% 10 == 0): the incremental step tokenizes ONLY the new
+    batch and appends its postings/lengths/stat-partial — postings are
+    immutable per doc, df and the BM25 scalars derive from the store
+    by aggregation, so no stored row is ever rewritten. Scoring the
+    l80 query from the incrementally-built store must return l80's
+    exact top-10 (same oracle: the full rebuild), so a hash match
+    proves the appended index serves rankings identical to re-indexing
+    the corpus. At 100 TB this is the daily index refresh: cost ∝ new
+    batch tokens, never a corpus re-tokenization."""
+    import tempfile
+
+    def parts(docs):
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"),
+        )
+        postings = toks.groupBy("doc_id", "tok").agg(
+            F.count("*").alias("tf")
+        )
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        stat = dl.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+        )
+        return postings, dl, stat
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="l86_bm25_")
+    for mode, batch in (
+        ("overwrite", docs.filter(F.col("doc_id") % 10 != 0)),
+        ("append", docs.filter(F.col("doc_id") % 10 == 0)),
+    ):
+        postings, dl, stat = parts(batch)
+        postings.write.mode(mode).parquet(f"{base}/postings")
+        dl.write.mode(mode).parquet(f"{base}/dl")
+        stat.write.mode(mode).parquet(f"{base}/stats")
+    tot = (
+        spark.read.parquet(f"{base}/stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_len").alias("l"))
+        .first()
+    )
+    tf = spark.read.parquet(f"{base}/postings").filter(
+        F.col("tok").isin(*_L80_TERMS)
+    )
+    dl = spark.read.parquet(f"{base}/dl")
+    return _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]))

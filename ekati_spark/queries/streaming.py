@@ -972,3 +972,88 @@ def st21_stream_chunk_dedup_ingest(spark, sf_dir):
         )
         q.awaitTermination()
     return ops.read_committed_batches(spark, stats_store)
+
+
+def _st22_oracle() -> str:
+    from ekati_spark.queries.llm import _l80_oracle
+
+    return _l80_oracle()
+
+
+@register("st22_stream_bm25_maintenance", oracle=_st22_oracle())
+def st22_stream_bm25_maintenance(spark, sf_dir):
+    """STREAMING maintenance of l86's persisted BM25 index — documents
+    arrive in three ordered micro-batches; each batch's postings, doc
+    lengths, and corpus-stat partial append through the epoch-marker
+    exactly-once sink (batch replays cannot double-count a posting or
+    inflate N/L), and nothing stored is ever rewritten: df and the
+    BM25 scalars derive from the committed store by aggregation.
+    Scoring the l80 query from the streamed store must return l80's
+    exact top-10 (oracle: the full batch rebuild), so a hash match
+    proves continuous index ingestion ≡ re-indexing — the retrieval
+    analog of st20's continuous-aggregate maintenance. At 100 TB this
+    is the always-fresh corpus-search index: per-trigger cost ∝ batch
+    tokens."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.queries.llm import _L80_TERMS, _bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = Path(tempfile.mkdtemp(prefix="st22_"))
+    src = tmp / "src"
+    src.mkdir()
+    stores = {k: str(tmp / k) for k in ("postings", "dl", "stats")}
+    sinks = {k: ops.idempotent_batch_sink(p) for k, p in stores.items()}
+
+    def land(b, batch_id):
+        toks = b.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), " +")).alias(
+                "tok"
+            ),
+        ).transform(cut_lineage)  # consumed by postings AND dl
+        sinks["postings"](
+            toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf")),
+            batch_id,
+        )
+        dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        dl = dl.transform(cut_lineage)  # consumed by sink AND stats
+        sinks["dl"](dl, batch_id)
+        sinks["stats"](
+            dl.agg(
+                F.count("*").alias("n_docs"),
+                F.sum("dl").alias("total_len"),
+            ),
+            batch_id,
+        )
+
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m}"))
+        parts = sorted((tmp / f"b{m}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"b{m}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    tot = (
+        ops.read_committed_batches(spark, stores["stats"])
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_len").alias("l"))
+        .first()
+    )
+    tf = ops.read_committed_batches(spark, stores["postings"]).filter(
+        F.col("tok").isin(*_L80_TERMS)
+    )
+    dl = ops.read_committed_batches(spark, stores["dl"])
+    return _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]))
