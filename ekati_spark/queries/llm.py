@@ -5578,3 +5578,105 @@ def l86_bm25_index_incremental(spark, sf_dir):
     )
     dl = spark.read.parquet(f"{base}/dl")
     return _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]))
+
+
+def _l87_oracle(threshold: float = 0.3) -> str:
+    return f"""
+    WITH c AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cb AS MATERIALIZED (
+      SELECT id, unnest([{_lsh_bucket_exprs("v", 6, 8)}]) AS bucket
+      FROM c WHERE label != 9
+    ),
+    eb AS MATERIALIZED (
+      SELECT id, unnest([{_lsh_bucket_exprs("v", 6, 8)}]) AS bucket
+      FROM c WHERE label = 9
+    ),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT cb.id AS id_a, eb.id AS id_b
+      FROM cb JOIN eb USING (bucket)
+    ),
+    scored AS (
+      SELECT cand.id_a, cand.id_b,
+             round(list_cosine_similarity(x.v, y.v), 6) AS cosine
+      FROM cand JOIN c x ON x.id = cand.id_a JOIN c y ON y.id = cand.id_b
+      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= {threshold}
+    )
+    SELECT id_a AS doc_vec_id, id_b AS eval_vec_id, cosine FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@register("l87_semantic_decontamination", oracle=_l87_oracle())
+def l87_semantic_decontamination(spark, sf_dir):
+    """SEMANTIC decontamination — the embedding-space complement of
+    l30's n-gram decontamination (paraphrased benchmark leakage slips
+    n-gram matching; modern pipelines additionally flag corpus items
+    whose embeddings sit too close to any eval item). The held-out
+    benchmark set is label == 9; every other vector is corpus.
+    Candidates come from the SAME seeded sign-LSH tables on both sides
+    (6 planes × 8 tables — l45b's cross-set shape: shuffle ∝
+    (|corpus|+|eval|)·L, never |corpus|·|eval|), scoring reuses the
+    join-path pair scorer (per-dim sequential fold, 6-decimal round),
+    and each flagged corpus doc reports its single best-matching eval
+    item (cosine desc, eval id tie-break). The oracle replays buckets
+    from inlined plane literals and the identical best-match window,
+    so the approximate flagger is exactly checkable. At 100 TB the
+    eval side is benchmark-sized (thousands): its bucket table
+    broadcasts, and only same-bucket corpus rows are ever scored —
+    decontamination cost ∝ corpus scan + candidates, not the cross
+    product."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    from ekati_spark.operators.similarity import (
+        _score_pairs_join,
+        _sign_lsh_bucket_udf,
+    )
+
+    v = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        S.norm(F.col("embedding"), 64).alias("nv"),
+        "label",
+    ).transform(cut_lineage)  # consumed by 2 bucket sides + the scorer
+    buckets = _sign_lsh_bucket_udf(64, 6, 8, 42)
+    def side(pred):
+        return v.filter(pred).select(
+            "id", F.explode(buckets("v")).alias("bucket")
+        )
+    par = spark.sparkContext.defaultParallelism
+    cand = (
+        side(F.col("label") != 9)
+        .repartition(par)
+        .select(F.col("id").alias("id_a"), "bucket")
+        .join(
+            side(F.col("label") == 9).select(
+                F.col("id").alias("id_b"), "bucket"
+            ),
+            "bucket",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    scored = (
+        _score_pairs_join(cand, v.drop("label"))
+        .select("id_a", "id_b", F.round("cos_raw", 6).alias("cosine"))
+        .filter(F.col("cosine") >= 0.3)
+    )
+    w = W.partitionBy("id_a").orderBy(F.desc("cosine"), "id_b")
+    return (
+        scored.select("*", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id_a").alias("doc_vec_id"),
+            F.col("id_b").alias("eval_vec_id"),
+            "cosine",
+        )
+    )

@@ -3123,3 +3123,112 @@ def r74_ordered_set_aggs(spark, sf_dir):
         .agg(F.min("l_extendedprice").alias("p90_disc"))
     )
     return md.join(pd_, "l_returnflag")
+
+
+@register(
+    "r75_percentile_cont",
+    oracle="""
+    WITH rk AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             row_number() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey,
+                                         l_linenumber) AS rn,
+             count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_returnflag, rn, n, v,
+             ((n - 1) * 1) // 4 + 1 AS k25,
+             ((n - 1) * 1) // 2 + 1 AS k50,
+             ((n - 1) * 3) // 4 + 1 AS k75,
+             CAST(((n - 1) * 1) % 4 AS DOUBLE) / 4 AS f25,
+             CAST(((n - 1) * 1) % 2 AS DOUBLE) / 2 AS f50,
+             CAST(((n - 1) * 3) % 4 AS DOUBLE) / 4 AS f75
+      FROM rk
+    ),
+    pick AS (
+      SELECT l_returnflag,
+             min(CASE WHEN rn = k25 THEN v END) AS lo25,
+             min(CASE WHEN rn = k25 + 1 THEN v END) AS hi25,
+             min(f25) AS f25,
+             min(CASE WHEN rn = k50 THEN v END) AS lo50,
+             min(CASE WHEN rn = k50 + 1 THEN v END) AS hi50,
+             min(f50) AS f50,
+             min(CASE WHEN rn = k75 THEN v END) AS lo75,
+             min(CASE WHEN rn = k75 + 1 THEN v END) AS hi75,
+             min(f75) AS f75
+      FROM b GROUP BY 1
+    )
+    SELECT l_returnflag,
+           lo25 + (coalesce(hi25, lo25) - lo25) * f25 AS p25,
+           lo50 + (coalesce(hi50, lo50) - lo50) * f50 AS p50,
+           lo75 + (coalesce(hi75, lo75) - lo75) * f75 AS p75
+    FROM pick
+    """,
+)
+def r75_percentile_cont(spark, sf_dir):
+    """``percentile_cont`` (linear interpolation) for p = .25/.5/.75 —
+    completing r74's ordered-set family. Neither engine's built-in is
+    used: both run the SAME explicit construction (row_number under a
+    total order, integer-exact bracket rank k = (n-1)·num div den + 1,
+    exact fraction rem/den, one lo + (hi-lo)·frac IEEE sequence), so
+    interpolated values hash-match with no tolerance and no reliance
+    on either engine's percentile implementation. The fraction stays
+    exact because num/den are 1/4, 1/2, 3/4: rem/den is a dyadic
+    rational, representable exactly in double. Scale shape: one window
+    per group + one conditional aggregate — the same two shuffles as
+    r74; r58's GK sketch remains the bounded-memory route when
+    exactness can be traded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rk = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.row_number()
+        .over(
+            W.partitionBy("l_returnflag").orderBy(
+                "l_extendedprice", "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("rn"),
+        F.count("*")
+        .over(W.partitionBy("l_returnflag"))
+        .alias("n"),
+    )
+    cols = ["l_returnflag"]
+    b = rk
+    picks = []
+    for tag, num, den in (("25", 1, 4), ("50", 1, 2), ("75", 3, 4)):
+        k = ((F.col("n") - 1) * num).cast("bigint") - (
+            ((F.col("n") - 1) * num).cast("bigint") % den
+        )
+        k = (k / den).cast("bigint") + 1  # exact: k is divisible by den
+        frac = (((F.col("n") - 1) * num) % den).cast("double") / den
+        b = (
+            b.withColumn(f"k{tag}", k)
+            .withColumn(f"f{tag}", frac)
+        )
+        picks += [
+            F.min(
+                F.when(F.col("rn") == F.col(f"k{tag}"), F.col("v"))
+            ).alias(f"lo{tag}"),
+            F.min(
+                F.when(F.col("rn") == F.col(f"k{tag}") + 1, F.col("v"))
+            ).alias(f"hi{tag}"),
+            F.min(f"f{tag}").alias(f"f{tag}"),
+        ]
+    pick = b.groupBy("l_returnflag").agg(*picks)
+    out = pick.select(
+        "l_returnflag",
+        *[
+            (
+                F.col(f"lo{t}")
+                + (
+                    F.coalesce(F.col(f"hi{t}"), F.col(f"lo{t}"))
+                    - F.col(f"lo{t}")
+                )
+                * F.col(f"f{t}")
+            ).alias(f"p{t}")
+            for t in ("25", "50", "75")
+        ],
+    )
+    return out
