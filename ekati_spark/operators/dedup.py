@@ -33,7 +33,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window as _W, functions as F, types as T
 
 from ekati_spark.checkpoint import cut_lineage
 
@@ -304,6 +304,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    collapse_exact: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
 
@@ -319,7 +320,85 @@ def minhash_lsh_pairs(
     shingle table; locally: localCheckpoint). Doc shingle counts ride
     along from the signature aggregation through the band join, so
     verification needs no extra aggregation or size joins.
+
+    ``collapse_exact`` (default True) runs the standard production
+    pre-pass: byte-identical texts (raw-md5 digest groups) collapse to
+    one representative BEFORE shingling, and member pairs are expanded
+    back afterwards — within-group pairs carry Jaccard exactly 1.0
+    (identical shingle SETS), cross-group pairs inherit their
+    representatives' verified Jaccard (identical sets ⇒ identical
+    n_shared/sz ⇒ identical rounded value), so the output is
+    row-for-row IDENTICAL to the uncollapsed run (the l03 oracle and
+    ``test_dedup`` equality assert it) while shingling, signatures,
+    banding, and verification all run on unique texts only. On
+    duplicate-heavy corpora this is the dominant cost lever (sf1 10×
+    replication: 20.3 s → the unique-text core is 10× smaller); at
+    100 TB exact-dedup-before-MinHash is how every production pipeline
+    orders the passes.
     """
+    if collapse_exact:
+        groups = docs.select(
+            F.col(id_col).alias("mid"),
+            F.md5(F.coalesce(F.col(text_col).cast("string"), F.lit("")))
+            .alias("digest"),
+        ).withColumn(
+            "rep", F.min("mid").over(_W.partitionBy("digest"))
+        ).transform(cut_lineage)  # members consumed by 3 expansions
+        reps = docs.join(
+            groups.filter(F.col("mid") == F.col("rep")).select(
+                F.col("mid").alias(id_col)
+            ),
+            id_col,
+            "left_semi",
+        )
+        cand, sh_rows = minhash_band_candidates(
+            reps, num_hashes, bands, shingle_n, text_col, id_col
+        )
+        rep_pairs = verify_candidate_pairs(cand, sh_rows, threshold)
+        members = groups.select("rep", "mid")
+        cross = (
+            rep_pairs.withColumnRenamed("id_a", "rep_a")
+            .withColumnRenamed("id_b", "rep_b")
+            .join(
+                members.select(
+                    F.col("rep").alias("rep_a"), F.col("mid").alias("ma")
+                ),
+                "rep_a",
+            )
+            .join(
+                members.select(
+                    F.col("rep").alias("rep_b"), F.col("mid").alias("mb")
+                ),
+                "rep_b",
+            )
+            .select(
+                F.least("ma", "mb").alias("id_a"),
+                F.greatest("ma", "mb").alias("id_b"),
+                "jaccard",
+            )
+        )
+        # within-group pairs: identical shingle sets ⇒ jaccard exactly
+        # 1.0 — but ONLY for docs that produce ≥1 shingle (token-less
+        # docs never reach the signature table and must not pair here
+        # either): gate on the representative having shingle rows.
+        shingled = sh_rows.select(F.col("id").alias("rep")).distinct()
+        m = members.join(shingled, "rep", "left_semi")
+        a, b = m.alias("wa"), m.alias("wb")
+        within = (
+            a.join(
+                b,
+                (F.col("wa.rep") == F.col("wb.rep"))
+                & (F.col("wa.mid") < F.col("wb.mid")),
+            )
+            .select(
+                F.col("wa.mid").alias("id_a"),
+                F.col("wb.mid").alias("id_b"),
+                (F.floor(F.lit(1.0) * 1000000 + F.lit(0.5)) / 1000000)
+                .alias("jaccard"),
+            )
+            .filter(F.lit(float(threshold)) <= 1.0)
+        )
+        return cross.unionByName(within)
     cand, sh_rows = minhash_band_candidates(
         docs, num_hashes, bands, shingle_n, text_col, id_col
     )

@@ -432,3 +432,42 @@ def test_cdc_chunks_resynchronize_after_insertion(spark):
         F.count("*").alias("n"), F.sum("n_tok").alias("t")
     ).first()
     assert 3 <= stats["t"] / stats["n"] <= 24
+
+
+def test_minhash_collapse_exact_is_output_identical(spark, sf_dir):
+    """The exact-dup collapse pre-pass (digest groups -> LSH on unique
+    texts -> pair expansion) must be row-for-row identical to the
+    uncollapsed run, including on a corpus WITH byte-identical
+    replicas and token-less docs (which must pair in neither mode)."""
+    from pyspark.sql import functions as F
+
+    from ekati_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(120)
+    # plant: 2 replicas of one doc, and 3 byte-identical token-less docs
+    base = docs.limit(1).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    base2 = base.select(
+        (F.col("doc_id") + 1).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    tiny = spark.createDataFrame(
+        [(910000 + i, "one two", "en", "s", 7) for i in range(3)],
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    )
+    corpus = docs.unionByName(base).unionByName(base2).unionByName(tiny)
+    kw = dict(threshold=0.1, num_hashes=64, bands=32)
+    plain = sorted(
+        map(tuple, D.minhash_lsh_pairs(corpus, collapse_exact=False, **kw).collect())
+    )
+    fast = sorted(
+        map(tuple, D.minhash_lsh_pairs(corpus, collapse_exact=True, **kw).collect())
+    )
+    assert plain == fast
+    # the planted replica pair is present at jaccard exactly 1.0
+    assert any(p[0] == 900001 or p[1] == 900001 for p in fast)
+    # token-less replicas never pair (no shingles in either mode)
+    assert not any(p[0] >= 910000 for p in fast)
