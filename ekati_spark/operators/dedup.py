@@ -304,7 +304,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    collapse_exact: bool = True,
+    collapse_exact: bool | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via banded MinHash LSH + exact verification.
 
@@ -321,9 +321,9 @@ def minhash_lsh_pairs(
     along from the signature aggregation through the band join, so
     verification needs no extra aggregation or size joins.
 
-    ``collapse_exact`` (default True) runs the standard production
-    pre-pass: byte-identical texts (raw-md5 digest groups) collapse to
-    one representative BEFORE shingling, and member pairs are expanded
+    ``collapse_exact`` runs the standard production pre-pass:
+    byte-identical texts (raw-md5 digest groups) collapse to one
+    representative BEFORE shingling, and member pairs are expanded
     back afterwards — within-group pairs carry Jaccard exactly 1.0
     (identical shingle SETS), cross-group pairs inherit their
     representatives' verified Jaccard (identical sets ⇒ identical
@@ -334,8 +334,25 @@ def minhash_lsh_pairs(
     duplicate-heavy corpora this is the dominant cost lever (sf1 10×
     replication: 20.3 s → the unique-text core is 10× smaller); at
     100 TB exact-dedup-before-MinHash is how every production pipeline
-    orders the passes.
+    orders the passes. Default ``None`` = auto: a one-pass probe
+    (count + approx_count_distinct of the text digest — map-side
+    partials only, no shuffle of text bytes) collapses only when <90%
+    of texts are unique, so dup-free corpora skip the window + member
+    expansion joins (~1 s at sf0.1) while replicated ones keep the 5×
+    win. The HLL estimate's ±2–5% error is far from the 0.90 cut on
+    either side (dup-free ≈1.0; a corpus worth collapsing ≲0.8), so
+    the decision is stable; both branches remain bit-identical anyway.
     """
+    if collapse_exact is None:
+        # Probe hash is xxhash64 (fast, 64-bit is plenty for a RATIO
+        # estimate); the collapse grouping key below stays md5 — at
+        # 10B+ docs a 64-bit key would birthday-collide and merge
+        # distinct texts, which the 128-bit key cannot.
+        n_total, n_uniq = docs.agg(
+            F.count(F.lit(1)),
+            F.approx_count_distinct(F.xxhash64(F.col(text_col))),
+        ).first()
+        collapse_exact = bool(n_total) and n_uniq / n_total < 0.90
     if collapse_exact:
         groups = docs.select(
             F.col(id_col).alias("mid"),

@@ -471,3 +471,33 @@ def test_minhash_collapse_exact_is_output_identical(spark, sf_dir):
     assert any(p[0] == 900001 or p[1] == 900001 for p in fast)
     # token-less replicas never pair (no shingles in either mode)
     assert not any(p[0] >= 910000 for p in fast)
+    # auto (default None): the dup-ratio probe picks a branch, and
+    # whichever it picks the output is still row-for-row identical
+    auto = sorted(
+        map(tuple, D.minhash_lsh_pairs(corpus, **kw).collect())
+    )
+    assert auto == plain
+    # a 4x-replicated corpus must trip the <0.90-unique probe: assert
+    # branch choice indirectly via equality on a corpus where a wrong
+    # expansion would differ — and directly on the probe arithmetic
+    heavy = corpus.unionByName(
+        corpus.select(
+            (F.col("doc_id") + 2000000).alias("doc_id"), "text", "lang",
+            "source", "n_chars",
+        )
+    )
+    n, nd = heavy.agg(
+        F.count(F.lit(1)),
+        F.approx_count_distinct(F.xxhash64(F.col("text"))),
+    ).first()
+    assert nd / n < 0.90  # probe says collapse on the replicated corpus
+    heavy_auto = sorted(
+        map(tuple, D.minhash_lsh_pairs(heavy, **kw).collect())
+    )
+    heavy_plain = sorted(
+        map(
+            tuple,
+            D.minhash_lsh_pairs(heavy, collapse_exact=False, **kw).collect(),
+        )
+    )
+    assert heavy_auto == heavy_plain
