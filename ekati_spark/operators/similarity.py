@@ -2179,3 +2179,100 @@ def pca_top_component(
             (-1 if x < 0 else 1) * ((abs(x) * scale) // m) for x in u
         ]
     return v
+
+
+def kcenter_coreset(
+    corpus: DataFrame,
+    k: int = 8,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over an
+    embedding column — the diversity-maximizing subset-selection stage
+    of data-pruning pipelines (the geometric core of coreset/D4-style
+    curation: pick the doc farthest from everything already kept,
+    repeat). Gonzalez's 2-approximation, run exactly.
+
+    Integer-deterministic end to end (the l15/l37 contract): vectors
+    quantize to the int64 grid (floor(x*scale + 0.5)), distances are
+    exact int64 L2², the seed is the smallest id, each round picks the
+    point with the LARGEST min-distance-to-selected (ties -> smallest
+    id). Every decision therefore replays bit-for-bit in the DuckDB
+    oracle (unrolled MATERIALIZED CTE chain, one level per round).
+
+    Scale shape: each of the k rounds is one Arrow-batched scan of the
+    corpus (centers ride the closure as k x dim int64 literals — KB) +
+    a TakeOrdered(1); nothing shuffles the corpus, cost k * scan. The
+    final labeling pass is the same scan emitting (point -> nearest
+    center, distance), aggregated per center: coverage counts and the
+    k-center radius — the coreset-quality report. At 100 TB: k scans
+    of a columnar projection (id + 64 floats), each embarrassingly
+    parallel; the driver holds only k vectors.
+
+    Returns one row per selected center:
+    (sel_order, vec_id, n_assigned, radius_sq) where radius_sq is the
+    max exact quantized L2² of the points it covers.
+    """
+    dim = _infer_dim(corpus, vec_col)
+    quant = _quant_udf(scale)
+    c = (
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
+        .transform(cut_lineage)  # consumed k+1 times
+    )
+    seed = c.orderBy("id").limit(1).collect()[0]
+    centers = [(int(seed["id"]), list(seed["qv"]))]
+
+    def min_dist_op(cents: list[list[int]]):
+        C = np.array(cents, dtype=np.int64)
+        cc = (C * C).sum(axis=1)
+
+        def op(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+                d = (
+                    (Q * Q).sum(axis=1)[:, None]
+                    - 2 * (Q @ C.T)
+                    + cc[None, :]
+                )
+                out = pdf[["id", "qv"]].copy()
+                out["md"] = d.min(axis=1)
+                out["so"] = d.argmin(axis=1)  # first min = smallest order
+                yield out
+
+        return op
+
+    for _ in range(k - 1):
+        far = c.mapInPandas(
+            min_dist_op([qv for _, qv in centers]),
+            schema="id long, qv array<long>, md long, so int",
+        )
+        nxt = far.orderBy(F.desc("md"), F.asc("id")).limit(1).collect()[0]
+        centers.append((int(nxt["id"]), list(nxt["qv"])))
+
+    labeled = c.mapInPandas(
+        min_dist_op([qv for _, qv in centers]),
+        schema="id long, qv array<long>, md long, so int",
+    )
+    cover = labeled.groupBy("so").agg(
+        F.count("*").alias("n_assigned"),
+        F.max("md").alias("radius_sq"),
+    )
+    sel = corpus.sparkSession.createDataFrame(
+        [(i, cid) for i, (cid, _) in enumerate(centers)],
+        "so int, vec_id long",
+    )
+    return (
+        sel.join(F.broadcast(cover), "so", "left")
+        .select(
+            F.col("so").cast("long").alias("sel_order"),
+            "vec_id",
+            F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+            F.coalesce("radius_sq", F.lit(0)).alias("radius_sq"),
+        )
+    )

@@ -369,3 +369,96 @@ def ngram_novelty_curve(docs: DataFrame, max_n: int = 5) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def adaptive_quality_topq(
+    docs: DataFrame,
+    q: tuple[int, int] = (3, 10),
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = CLASSIFIER_DIM,
+) -> DataFrame:
+    """Per-group adaptive quality filtering: keep the top ``q`` fraction
+    of documents WITHIN each group (source/dump/domain), ranked by the
+    frozen hashed-BoW classifier score — the FineWeb-style refinement of
+    a single global threshold (a fixed cutoff over-prunes weak sources
+    and under-prunes strong ones; a per-source quantile adapts).
+
+    ``q`` is an exact rational (num, den): per group of n docs, keep
+    k = ceil(n * num / den), ranked by (score desc, id asc) — fully
+    deterministic, no float quantiles.
+
+    Scale shape — the cutoff comes from a score HISTOGRAM, never a
+    per-document rank window: per-doc integer scores (explode ->
+    codegen weight -> hash-agg, shuffle ∝ docs) aggregate to
+    (group, score, count) — bounded by distinct scores per group, a
+    fraction of docs. The per-group running-total window runs over
+    that histogram, yielding each group's cut score and how many
+    ties at the cut survive (need_at_cut). Docs strictly above their
+    group's cut keep unconditionally (broadcast join against the
+    #groups-row cut table); ONLY the cut-score ties (a handful per
+    group) enter an id-ranked window. A naive row_number over all
+    docs per group would sort the full corpus per group at 100 TB;
+    this sorts distinct-score histograms plus tie groups.
+
+    Returns kept docs: (id_col, group_col, w_sum).
+    """
+    from pyspark.sql import Window as W
+
+    from ekati_spark.checkpoint import cut_lineage
+
+    num, den = q
+    t = F.col(text_col)
+    scores = (
+        docs.select(id_col, group_col, F.explode(tokens(t)).alias("tok"))
+        .select(
+            id_col,
+            group_col,
+            hashed_token_weight_milli(F.col("tok"), dim).alias("w"),
+        )
+        .groupBy(id_col, group_col)
+        .agg(F.sum("w").alias("w_sum"))
+        .transform(cut_lineage)  # consumed by histogram + both keep paths
+    )
+    hist = scores.groupBy(group_col, "w_sum").agg(F.count("*").alias("n"))
+    wd = (
+        W.partitionBy(group_col)
+        .orderBy(F.desc("w_sum"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wg = W.partitionBy(group_col)
+    ranked = hist.select(
+        group_col,
+        "w_sum",
+        "n",
+        F.sum("n").over(wd).alias("cum"),
+        F.sum("n").over(wg).alias("tot"),
+    )
+    # k = ceil(tot * num / den) in pure integer arithmetic (`div`, not
+    # `/` — double division would misround once tot * num nears 2^53)
+    k = F.expr(f"(tot * {num} + {den} - 1) div {den}").cast("long")
+    cuts = (
+        ranked.withColumn("k", k)
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy(group_col)
+        .agg(
+            F.max("w_sum").alias("cut_score"),
+            (
+                F.max_by(F.col("k") - (F.col("cum") - F.col("n")), "w_sum")
+            ).alias("need_at_cut"),
+        )
+    )
+    above = scores.join(F.broadcast(cuts), group_col).filter(
+        F.col("w_sum") > F.col("cut_score")
+    )
+    at_cut = scores.join(F.broadcast(cuts), group_col).filter(
+        F.col("w_sum") == F.col("cut_score")
+    )
+    wtie = W.partitionBy(group_col).orderBy(F.asc(id_col))
+    tied = at_cut.select(
+        "*", F.row_number().over(wtie).alias("rn")
+    ).filter(F.col("rn") <= F.col("need_at_cut"))
+    return above.select(id_col, group_col, "w_sum").unionByName(
+        tied.select(id_col, group_col, "w_sum")
+    )

@@ -5680,3 +5680,136 @@ def l87_semantic_decontamination(spark, sf_dir):
             "cosine",
         )
     )
+
+
+def _l88_oracle(k: int = 8) -> str:
+    """Unrolled greedy k-center replay: one MATERIALIZED CTE level per
+    round (c_i = argmax of the running min-distance m_i; DuckDB inlines
+    once-referenced CTEs, so every level is MATERIALIZED — the g39
+    lesson). Distances are exact int64 L2^2 on the 1024 grid;
+    list_dot_product over integer-valued doubles stays exact below
+    2^53 (the l58 contract)."""
+
+    def dist(x: str, cqv: str) -> str:
+        return (
+            f"CAST(list_dot_product({x}, {x})"
+            f" - 2 * list_dot_product({x}, {cqv})"
+            f" + list_dot_product({cqv}, {cqv}) AS BIGINT)"
+        )
+
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    )""",
+        "c0 AS MATERIALIZED (SELECT vec_id, qv FROM e ORDER BY vec_id LIMIT 1)",
+        f"""m1 AS MATERIALIZED (
+      SELECT e.vec_id, e.qv, {dist('e.qv', 'c.qv')} AS md
+      FROM e CROSS JOIN c0 c
+    )""",
+    ]
+    for i in range(1, k):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT vec_id, qv FROM m{i}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"""m{i + 1} AS MATERIALIZED (
+      SELECT m.vec_id, m.qv, least(m.md, {dist('m.qv', 'c.qv')}) AS md
+      FROM m{i} m CROSS JOIN c{i} c
+    )"""
+            )
+    cents = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS so, vec_id, qv FROM c{i}"
+        for i in range(k)
+    )
+    parts.append(f"cents AS MATERIALIZED ({cents})")
+    parts.append(
+        f"""assign AS MATERIALIZED (
+      SELECT vec_id, so, d FROM (
+        SELECT e.vec_id, cents.so, {dist('e.qv', 'cents.qv')} AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.qv', 'cents.qv')}, cents.so) AS rn
+        FROM e CROSS JOIN cents
+      ) WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT c.so AS sel_order, c.vec_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_assigned,
+           coalesce(max(a.d), 0) AS radius_sq
+    FROM cents c LEFT JOIN assign a ON a.so = c.so
+    GROUP BY c.so, c.vec_id
+    """
+    )
+
+
+@register("l88_kcenter_coreset", oracle=_l88_oracle())
+def l88_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset over the embedding
+    corpus — diversity-maximizing subset selection, the geometric core
+    of data-pruning curation (pick the item farthest from everything
+    kept so far; Gonzalez's classic 2-approximation of the k-center
+    optimum). Complements the REMOVAL-side ops (l37 SemDeDup drops
+    near-dups; this SELECTS a maximally spread representative set —
+    coreset seeds, eval-probe picks, k-means++ style inits).
+
+    Integer-deterministic (quantized grid + exact int64 L2^2 + id
+    tie-breaks), so all k greedy picks, the coverage assignment, and
+    the k-center radius replay bit-for-bit in the unrolled DuckDB CTE
+    chain (_l88_oracle). Scale: k Arrow scans of the corpus with the
+    selected centers as closure literals + TakeOrdered(1) each — no
+    corpus shuffle anywhere; see operators/similarity.kcenter_coreset.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kcenter_coreset(emb, k=8)
+
+
+@register(
+    "l89_adaptive_quality_threshold",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             (CAST(('0x' || substr(md5(unnest(
+                string_split_regex(trim(lower(text)), ' +'))), 1, 15))
+                AS BIGINT) % 4096) * 2654435761 % 2001 AS seed_mod
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             CAST(SUM((seed_mod + 12345) % 2001 - 1000) AS BIGINT) AS w_sum
+      FROM w GROUP BY doc_id, source
+    ),
+    r AS (
+      SELECT doc_id, source, w_sum,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY w_sum DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    )
+    SELECT doc_id, source, w_sum
+    FROM r WHERE rn <= (n * 3 + 9) // 10
+    """,
+)
+def l89_adaptive_quality_threshold(spark, sf_dir):
+    """Per-source adaptive quality filtering (the FineWeb-style stage):
+    keep the TOP 30% of documents within each source, ranked by the
+    frozen hashed-BoW classifier score (l48's model) — a per-source
+    quantile instead of one global cutoff, so weak sources aren't
+    over-pruned and strong ones aren't under-pruned. ceil-rational
+    k = ceil(0.3 n) with (score desc, doc_id) ranking makes the kept
+    set exactly deterministic.
+
+    The Spark side derives each source's cut from a (source, score,
+    count) HISTOGRAM + running-total window, then id-ranks only the
+    cut-score ties (operators/text.adaptive_quality_topq — at 100 TB
+    nothing row-ranks the full corpus per source); the oracle replays
+    the same set with the naive per-doc rank window, proving the
+    histogram cutover selects identically."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.adaptive_quality_topq(docs, q=(3, 10))

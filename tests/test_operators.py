@@ -783,3 +783,62 @@ def test_topk_with_ties_plans_window_group_limit(spark, sf_dir):
         .toString()
     )
     assert "WindowGroupLimit" in plan, plan[:800]
+
+
+def test_adaptive_quality_topq_histogram_equals_naive_rank(spark, sf_dir):
+    """The histogram-cutover formulation must select the exact set the
+    naive per-doc rank window selects, including tie docs at the cut
+    score (ties keep smallest ids first)."""
+    from pyspark.sql import Window, functions as F
+
+    from ekati_spark.catalog import load_table
+    from ekati_spark.operators.text import (
+        adaptive_quality_topq, classifier_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    # force w_sum ties at the cut: two identical-text docs per source
+    clones = docs.limit(4).select(
+        (F.col("doc_id") + 800000).alias("doc_id"), "text", "lang",
+        "source", "n_chars",
+    )
+    clones2 = clones.select(
+        (F.col("doc_id") + 1).alias("doc_id"), "text", "lang", "source",
+        "n_chars",
+    )
+    corpus = docs.unionByName(clones).unionByName(clones2)
+    got = sorted(
+        map(tuple, adaptive_quality_topq(corpus, q=(3, 10)).collect())
+    )
+    scores = classifier_scores(
+        corpus, carry_cols=("source",)
+    ).select(
+        "doc_id", "source",
+        # round, not cast: logit is w_sum/(n_tok*1000) in double, and
+        # truncating the reconstruction loses 1 on inexact quotients
+        F.round(F.col("logit") * F.col("n_tok") * 1000.0)
+        .cast("long")
+        .alias("ws"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("ws"), F.asc("doc_id"))
+    naive = scores.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    ).filter(F.col("rn") <= (F.col("n") * 3 + 9) / 10)
+    want = sorted(
+        (r["doc_id"], r["source"], r["ws"]) for r in naive.collect()
+    )
+    assert got == want
+
+
+def test_adaptive_quality_topq_exact_rational_k(spark):
+    """k = ceil(n * num / den) per group: 7 docs at 30% -> 3 kept."""
+    from pyspark.sql import functions as F
+
+    from ekati_spark.operators.text import adaptive_quality_topq
+
+    rows = [(i, f"tok{i} " * (i + 1), "s") for i in range(7)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    kept = adaptive_quality_topq(df, q=(3, 10)).collect()
+    assert len(kept) == 3

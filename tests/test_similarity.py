@@ -664,3 +664,48 @@ def test_dup_pairs_ann_fetch_paths_bit_identical(spark, sf_dir):
     assert a, "no pairs at threshold 0.3 — parity check is vacuous"
     assert a == b
     assert not any(9000002 in (p[0], p[1]) for p in a)
+
+
+def test_kcenter_coreset_planted_geometry(spark):
+    """Greedy k-center on a planted 2-cluster + outlier layout: the
+    seed is the smallest id, pick 2 is the farthest point, pick 3 the
+    farthest from BOTH, ties break to the smaller id; coverage counts
+    and radius are exact int64 L2^2 on the 1024 grid."""
+    import ekati_spark.operators.similarity as S
+
+    # 1024-grid ints chosen so quantization is exact (x/1024.0 floats)
+    pts = {
+        0: [0, 0],       # seed (min id), cluster A
+        1: [10, 0],      # cluster A
+        2: [1000, 0],    # cluster B — farthest from seed -> pick 2
+        3: [990, 0],     # cluster B
+        4: [500, 400],   # middle outlier -> pick 3 (min dist 330^2+400^2?)
+    }
+    rows = [(i, [v / 1024.0 for v in p]) for i, p in pts.items()]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["sel_order"]: r
+        for r in S.kcenter_coreset(df, k=3).collect()
+    }
+    assert [out[i]["vec_id"] for i in range(3)] == [0, 2, 4]
+    # coverage: 0,1 -> center 0; 2,3 -> center 2; 4 -> center 4
+    assert out[0]["n_assigned"] == 2 and out[1]["n_assigned"] == 2
+    assert out[2]["n_assigned"] == 1 and out[2]["radius_sq"] == 0
+    assert out[0]["radius_sq"] == 100  # point 1 at L2^2 = 10^2
+    assert out[1]["radius_sq"] == 100  # point 3 at L2^2 = 10^2
+
+
+def test_kcenter_coreset_tie_breaks_to_smaller_id(spark):
+    import ekati_spark.operators.similarity as S
+
+    rows = [
+        (7, [0.0, 0.0]),
+        (8, [100 / 1024.0, 0.0]),   # same distance from seed as id 9
+        (9, [0.0, 100 / 1024.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = sorted(
+        (r["sel_order"], r["vec_id"])
+        for r in S.kcenter_coreset(df, k=2).collect()
+    )
+    assert out == [(0, 7), (1, 8)]  # 8 beats 9 on the id tie-break
