@@ -91,6 +91,13 @@ HEADLINE = [
     "l82_cdc_chunk_dedup",
     "r73_rollup_router",
     "g46_dsl_end_to_end",
+    # round-9 addition: per-source adaptive quality threshold — the
+    # histogram-cutover shape (score histogram + running-total window
+    # + broadcast cut table), distinct from l48's plain scoring pass.
+    # l88 (k-center coreset) stays verify-only: 8-round iterative
+    # driver-loop cost is already represented by g32/g43, and its
+    # local wall is job overhead, not plan cost.
+    "l89_adaptive_quality_threshold",
 ]
 
 

@@ -19,15 +19,18 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. Registry = 228 queries; attested-ever after
-# the round-8 grading = 206/228. This round-9 window keeps the 5-query
+# order IS the graded set. This round-9 window keeps the 5-query
 # sentinel core (one per family, green in every prior window), adds
-# the 22 names that have NEVER had a driver CORRECTNESS row (round 8's
-# additions: g45-g47, l05b/l45b, l72, l76, l79-l84, r71-r74, st18-st21,
-# and g28, the documented rows-only telemetry query), and fills the
-# remaining 23 slots with the least-recently attested names (last
-# green row in CORRECTNESS_r02). After this window lands the registry
-# is 228/228 driver-attested-ever.
+# the 22 names that had NEVER had a driver CORRECTNESS row as of the
+# round-8 grading (round 8's additions: g45-g47, l05b/l45b, l72, l76,
+# l79-l84, r71-r74, st18-st21, and g28, the documented rows-only
+# telemetry query), and fills the remaining 23 slots with the
+# least-recently attested names (last green row in CORRECTNESS_r02).
+# After this window lands, every query registered THROUGH round 8 is
+# driver-attested-ever (228/228 of that era); the queries ADDED in
+# round 9 (l85-l89, r75, st22 — registry now 235) are verify_local-
+# attested this round and take the never-attested slots in the
+# round-10 rotation.
 #
 # ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
 # mid-round (the driver grades at round end; a mid-round rotation
