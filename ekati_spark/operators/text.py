@@ -371,6 +371,76 @@ def ngram_novelty_curve(docs: DataFrame, max_n: int = 5) -> DataFrame:
     return out
 
 
+def quality_score_sums(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dim: int = CLASSIFIER_DIM,
+) -> DataFrame:
+    """Exact integer classifier score per document: ``(id_col,
+    group_col, w_sum)`` under the frozen hashed-BoW model — the shared
+    scoring stage of the adaptive threshold (l89) and its streaming
+    gate (st23). Same codegen explode -> weight -> hash-agg shape as
+    ``classifier_scores`` (shuffle ∝ documents, not tokens)."""
+    t = F.col(text_col)
+    return (
+        docs.select(id_col, group_col, F.explode(tokens(t)).alias("tok"))
+        .select(
+            id_col,
+            group_col,
+            hashed_token_weight_milli(F.col("tok"), dim).alias("w"),
+        )
+        .groupBy(id_col, group_col)
+        .agg(F.sum("w").alias("w_sum"))
+    )
+
+
+def adaptive_quality_cuts(
+    scores: DataFrame,
+    q: tuple[int, int] = (3, 10),
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-group top-``q`` cut table from a score HISTOGRAM:
+    ``(group_col, cut_score, need_at_cut)`` where keeping everything
+    strictly above ``cut_score`` plus the ``need_at_cut`` smallest-id
+    docs AT it yields exactly k = ceil(n * num / den) per group. The
+    window runs over (group, distinct score) rows — a fraction of
+    docs — never the corpus. This small table is what a production
+    deployment refreshes offline and broadcasts onto ingest (st23)."""
+    from pyspark.sql import Window as W
+
+    num, den = q
+    hist = scores.groupBy(group_col, "w_sum").agg(F.count("*").alias("n"))
+    wd = (
+        W.partitionBy(group_col)
+        .orderBy(F.desc("w_sum"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wg = W.partitionBy(group_col)
+    ranked = hist.select(
+        group_col,
+        "w_sum",
+        "n",
+        F.sum("n").over(wd).alias("cum"),
+        F.sum("n").over(wg).alias("tot"),
+    )
+    # k = ceil(tot * num / den) in pure integer arithmetic (`div`, not
+    # `/` — double division would misround once tot * num nears 2^53)
+    k = F.expr(f"(tot * {num} + {den} - 1) div {den}").cast("long")
+    return (
+        ranked.withColumn("k", k)
+        .filter(F.col("cum") >= F.col("k"))
+        .groupBy(group_col)
+        .agg(
+            F.max("w_sum").alias("cut_score"),
+            (
+                F.max_by(F.col("k") - (F.col("cum") - F.col("n")), "w_sum")
+            ).alias("need_at_cut"),
+        )
+    )
+
+
 def adaptive_quality_topq(
     docs: DataFrame,
     q: tuple[int, int] = (3, 10),
@@ -409,46 +479,10 @@ def adaptive_quality_topq(
     from ekati_spark.checkpoint import cut_lineage
 
     num, den = q
-    t = F.col(text_col)
-    scores = (
-        docs.select(id_col, group_col, F.explode(tokens(t)).alias("tok"))
-        .select(
-            id_col,
-            group_col,
-            hashed_token_weight_milli(F.col("tok"), dim).alias("w"),
-        )
-        .groupBy(id_col, group_col)
-        .agg(F.sum("w").alias("w_sum"))
-        .transform(cut_lineage)  # consumed by histogram + both keep paths
-    )
-    hist = scores.groupBy(group_col, "w_sum").agg(F.count("*").alias("n"))
-    wd = (
-        W.partitionBy(group_col)
-        .orderBy(F.desc("w_sum"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    wg = W.partitionBy(group_col)
-    ranked = hist.select(
-        group_col,
-        "w_sum",
-        "n",
-        F.sum("n").over(wd).alias("cum"),
-        F.sum("n").over(wg).alias("tot"),
-    )
-    # k = ceil(tot * num / den) in pure integer arithmetic (`div`, not
-    # `/` — double division would misround once tot * num nears 2^53)
-    k = F.expr(f"(tot * {num} + {den} - 1) div {den}").cast("long")
-    cuts = (
-        ranked.withColumn("k", k)
-        .filter(F.col("cum") >= F.col("k"))
-        .groupBy(group_col)
-        .agg(
-            F.max("w_sum").alias("cut_score"),
-            (
-                F.max_by(F.col("k") - (F.col("cum") - F.col("n")), "w_sum")
-            ).alias("need_at_cut"),
-        )
-    )
+    scores = quality_score_sums(
+        docs, group_col=group_col, text_col=text_col, id_col=id_col, dim=dim
+    ).transform(cut_lineage)  # consumed by histogram + both keep paths
+    cuts = adaptive_quality_cuts(scores, q=(num, den), group_col=group_col)
     above = scores.join(F.broadcast(cuts), group_col).filter(
         F.col("w_sum") > F.col("cut_score")
     )

@@ -1057,3 +1057,102 @@ def st22_stream_bm25_maintenance(spark, sf_dir):
     )
     dl = ops.read_committed_batches(spark, stores["dl"])
     return _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]))
+
+
+@register(
+    "st23_stream_quality_gate",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             (CAST(('0x' || substr(md5(unnest(
+                string_split_regex(trim(lower(text)), ' +'))), 1, 15))
+                AS BIGINT) % 4096) * 2654435761 % 2001 AS seed_mod
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, source,
+             CAST(SUM((seed_mod + 12345) % 2001 - 1000) AS BIGINT) AS w_sum
+      FROM w GROUP BY doc_id, source
+    ),
+    r AS (
+      SELECT doc_id, source, w_sum,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY w_sum DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM s
+    ),
+    cut AS (
+      SELECT source, w_sum AS cut_score
+      FROM r WHERE rn = (n * 3 + 9) // 10
+    )
+    SELECT s.doc_id, s.source, s.w_sum
+    FROM s JOIN cut USING (source)
+    WHERE s.w_sum > cut.cut_score
+    """,
+)
+def st23_stream_quality_gate(spark, sf_dir):
+    """STREAMING per-source quality gating — l89's production
+    deployment shape: the per-source cut table is refreshed OFFLINE
+    from the full corpus (the histogram-cutover pass,
+    operators/text.adaptive_quality_cuts — #sources rows) and
+    broadcast onto ingest; documents arrive in three ordered
+    micro-batches, each batch scores its docs (explode -> codegen
+    weight -> per-doc agg, all within the batch) and keeps those
+    STRICTLY above their source's cut, landing through the
+    epoch-marker exactly-once sink (batch replays cannot re-admit a
+    doc). A stream can't rank ties at the cut score (that needs the
+    whole corpus), so the gate admits the strictly-above set — the
+    oracle derives the same cut from the naive rank window and
+    applies the same strict inequality, so the streamed table is
+    hash-attested. At 100 TB: per-trigger cost ∝ batch tokens + one
+    broadcast of a KB-sized cut table; the gate never shuffles the
+    stream."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.operators.text import (
+        adaptive_quality_cuts,
+        quality_score_sums,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cuts = adaptive_quality_cuts(quality_score_sums(docs)).transform(
+        cut_lineage
+    )  # the offline-refreshed table; reused by every micro-batch
+    tmp = Path(tempfile.mkdtemp(prefix="st23_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "kept")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        kept = (
+            quality_score_sums(b)
+            .join(F.broadcast(cuts), "source")
+            .filter(F.col("w_sum") > F.col("cut_score"))
+            .select("doc_id", "source", "w_sum")
+        )
+        sink(kept, batch_id)
+
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m}"))
+        parts = sorted((tmp / f"b{m}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"b{m}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return ops.read_committed_batches(spark, store).select(
+        "doc_id", "source", "w_sum"
+    )
