@@ -2276,3 +2276,107 @@ def kcenter_coreset(
             F.coalesce("radius_sq", F.lit(0)).alias("radius_sq"),
         )
     )
+
+
+def kcenter_composable(
+    corpus: DataFrame,
+    k: int = 8,
+    n_buckets: int = 4,
+    k_local: int = 4,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Composable-coreset k-center — the ONE-SCAN scale path that
+    ``kcenter_coreset``'s k-scan greedy can't take at percent-of-corpus
+    k: each id-bucket runs greedy k-center LOCALLY over its own rows
+    (one ``applyInPandas`` pass, buckets in parallel), the union of
+    per-bucket candidates (n_buckets x k_local rows — KB) merges on
+    the driver with the same greedy, and one labeling scan reports
+    coverage. Union-of-local-greedy is the classic composable-core-set
+    candidate construction for k-center: the merged result is a
+    constant-factor approximation of the direct greedy, at one corpus
+    scan + one tiny driver merge instead of k scans.
+
+    Determinism (and the DuckDB replay) comes from keying buckets by
+    ``id % n_buckets`` — NOT by physical partition: repartitioning or
+    changing ``spark.sql.shuffle.partitions`` never changes any
+    bucket's membership, so every local greedy (seed = bucket-min id,
+    ties -> smaller id, exact int64 L2^2 on the quantized grid) and
+    the driver merge replay bit-for-bit.
+
+    Returns (sel_order, vec_id, n_assigned, radius_sq) like
+    ``kcenter_coreset``.
+    """
+    dim = _infer_dim(corpus, vec_col)
+    quant = _quant_udf(scale)
+    c = (
+        corpus.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        )
+        .select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
+        .transform(cut_lineage)  # consumed by candidates + labeling
+    )
+
+    def _greedy(ids, Q, kk):
+        """Exact-int greedy k-center over rows sorted by id: seed =
+        min id; then argmax of min-dist-to-selected, ties -> smaller
+        id (numpy argmax returns the FIRST max; rows are id-sorted)."""
+        order = np.argsort(ids, kind="stable")
+        ids, Q = ids[order], Q[order]
+        sel = [0]
+        md = ((Q - Q[0]) ** 2).sum(axis=1)
+        for _ in range(min(kk, len(ids)) - 1):
+            j = int(md.argmax())
+            sel.append(j)
+            md = np.minimum(md, ((Q - Q[j]) ** 2).sum(axis=1))
+        return [(i, int(ids[j]), Q[j]) for i, j in enumerate(sel)]
+
+    def local(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        picks = _greedy(ids, Q, k_local)
+        return pd.DataFrame(
+            {
+                "vec_id": [p[1] for p in picks],
+                "qv": [p[2].tolist() for p in picks],
+            }
+        )
+
+    cand = (
+        c.withColumn("bucket", F.col("id") % n_buckets)
+        .groupBy("bucket")
+        .applyInPandas(local, schema="vec_id long, qv array<long>")
+        .collect()
+    )  # n_buckets x k_local rows — the composable core-set
+    ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
+    Q = np.array([list(r["qv"]) for r in cand], dtype=np.int64)
+    centers = [(cid, qv.tolist()) for _, cid, qv in _greedy(ids, Q, k)]
+
+    C = np.array([qv for _, qv in centers], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+
+    def label(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            P = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d = (P * P).sum(axis=1)[:, None] - 2 * (P @ C.T) + cc[None, :]
+            out = pdf[["id"]].copy()
+            out["md"] = d.min(axis=1)
+            out["so"] = d.argmin(axis=1)
+            yield out
+
+    cover = c.mapInPandas(label, schema="id long, md long, so int").groupBy(
+        "so"
+    ).agg(F.count("*").alias("n_assigned"), F.max("md").alias("radius_sq"))
+    sel = corpus.sparkSession.createDataFrame(
+        [(i, cid) for i, (cid, _) in enumerate(centers)],
+        "so int, vec_id long",
+    )
+    return sel.join(F.broadcast(cover), "so", "left").select(
+        F.col("so").cast("long").alias("sel_order"),
+        "vec_id",
+        F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
+        F.coalesce("radius_sq", F.lit(0)).alias("radius_sq"),
+    )

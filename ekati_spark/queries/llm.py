@@ -5813,3 +5813,124 @@ def l89_adaptive_quality_threshold(spark, sf_dir):
     histogram cutover selects identically."""
     docs = load_table(spark, sf_dir, "documents")
     return X.adaptive_quality_topq(docs, q=(3, 10))
+
+
+def _l90_oracle(k: int = 8, n_buckets: int = 4, k_local: int = 4) -> str:
+    """Composable k-center replay: per-bucket greedy chains (one CTE
+    level per local pick), a candidate union, the driver-merge greedy
+    replayed over the candidate CTE, and the full-corpus labeling —
+    all MATERIALIZED (the g39 inlining lesson), all exact int64."""
+
+    def dist(x: str, cqv: str) -> str:
+        return (
+            f"CAST(list_dot_product({x}, {x})"
+            f" - 2 * list_dot_product({x}, {cqv})"
+            f" + list_dot_product({cqv}, {cqv}) AS BIGINT)"
+        )
+
+    parts = [
+        """e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    )"""
+    ]
+    cand_rows = []
+    for b in range(n_buckets):
+        parts.append(
+            f"e{b} AS MATERIALIZED"
+            f" (SELECT vec_id, qv FROM e WHERE vec_id % {n_buckets} = {b})"
+        )
+        parts.append(
+            f"b{b}c0 AS MATERIALIZED"
+            f" (SELECT vec_id, qv FROM e{b} ORDER BY vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"""b{b}m1 AS MATERIALIZED (
+      SELECT s.vec_id, s.qv, {dist('s.qv', 'c.qv')} AS md
+      FROM e{b} s CROSS JOIN b{b}c0 c
+    )"""
+        )
+        cand_rows.append(f"SELECT vec_id, qv FROM b{b}c0")
+        for i in range(1, k_local):
+            parts.append(
+                f"b{b}c{i} AS MATERIALIZED (SELECT vec_id, qv FROM b{b}m{i}"
+                f" ORDER BY md DESC, vec_id LIMIT 1)"
+            )
+            cand_rows.append(f"SELECT vec_id, qv FROM b{b}c{i}")
+            if i < k_local - 1:
+                parts.append(
+                    f"""b{b}m{i + 1} AS MATERIALIZED (
+      SELECT m.vec_id, m.qv, least(m.md, {dist('m.qv', 'c.qv')}) AS md
+      FROM b{b}m{i} m CROSS JOIN b{b}c{i} c
+    )"""
+                )
+    parts.append(
+        "cand AS MATERIALIZED (" + " UNION ALL ".join(cand_rows) + ")"
+    )
+    parts.append(
+        "g0 AS MATERIALIZED"
+        " (SELECT vec_id, qv FROM cand ORDER BY vec_id LIMIT 1)"
+    )
+    parts.append(
+        f"""n1 AS MATERIALIZED (
+      SELECT s.vec_id, s.qv, {dist('s.qv', 'c.qv')} AS md
+      FROM cand s CROSS JOIN g0 c
+    )"""
+    )
+    for i in range(1, k):
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT vec_id, qv FROM n{i}"
+            f" ORDER BY md DESC, vec_id LIMIT 1)"
+        )
+        if i < k - 1:
+            parts.append(
+                f"""n{i + 1} AS MATERIALIZED (
+      SELECT m.vec_id, m.qv, least(m.md, {dist('m.qv', 'c.qv')}) AS md
+      FROM n{i} m CROSS JOIN g{i} c
+    )"""
+            )
+    cents = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS so, vec_id, qv FROM g{i}"
+        for i in range(k)
+    )
+    parts.append(f"cents AS MATERIALIZED ({cents})")
+    parts.append(
+        f"""assign AS MATERIALIZED (
+      SELECT vec_id, so, d FROM (
+        SELECT e.vec_id, cents.so, {dist('e.qv', 'cents.qv')} AS d,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist('e.qv', 'cents.qv')}, cents.so) AS rn
+        FROM e CROSS JOIN cents
+      ) WHERE rn = 1
+    )"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + """
+    SELECT c.so AS sel_order, c.vec_id,
+           CAST(count(a.vec_id) AS BIGINT) AS n_assigned,
+           coalesce(max(a.d), 0) AS radius_sq
+    FROM cents c LEFT JOIN assign a ON a.so = c.so
+    GROUP BY c.so, c.vec_id
+    """
+    )
+
+
+@register("l90_kcenter_composable", oracle=_l90_oracle())
+def l90_kcenter_composable(spark, sf_dir):
+    """Composable-coreset k-center — the SCALE path to l88's greedy:
+    one corpus scan runs greedy k-center locally inside each id-keyed
+    bucket (applyInPandas, buckets in parallel), the tiny candidate
+    union (n_buckets x k_local rows) merges on the driver with the
+    same greedy, and one labeling scan reports coverage counts and
+    radius. The classic composable-core-set construction for k-center:
+    constant-factor approximation of the direct greedy at ONE scan +
+    KB-sized merge instead of k scans — the regime for large k where
+    l88's k sequential passes stop being affordable. Buckets key on
+    id % n_buckets, never physical partitions, so the result is
+    invariant under repartitioning and replays bit-for-bit in the
+    generated DuckDB chain (_l90_oracle)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kcenter_composable(emb, k=8, n_buckets=4, k_local=4)

@@ -709,3 +709,57 @@ def test_kcenter_coreset_tie_breaks_to_smaller_id(spark):
         for r in S.kcenter_coreset(df, k=2).collect()
     )
     assert out == [(0, 7), (1, 8)]  # 8 beats 9 on the id tie-break
+
+
+def test_kcenter_composable_matches_python_reference(spark):
+    """The bucket-local greedy + driver merge must equal a pure-Python
+    replay of the same construction (exact ints), and the merged
+    centers must be drawn from the per-bucket candidate union."""
+    import numpy as np
+
+    import ekati_spark.operators.similarity as S
+
+    rng = np.random.RandomState(7)
+    pts = rng.randint(-2000, 2000, size=(40, 4))
+    rows = [
+        (int(i), [float(v) / 1024.0 for v in p]) for i, p in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["sel_order"]: (r["vec_id"], r["n_assigned"], r["radius_sq"])
+        for r in S.kcenter_composable(
+            df, k=5, n_buckets=3, k_local=3
+        ).collect()
+    }
+
+    def greedy(ids, Q, kk):
+        order = np.argsort(ids)
+        ids, Q = ids[order], Q[order]
+        sel = [0]
+        md = ((Q - Q[0]) ** 2).sum(axis=1)
+        for _ in range(min(kk, len(ids)) - 1):
+            j = int(md.argmax())
+            sel.append(j)
+            md = np.minimum(md, ((Q - Q[j]) ** 2).sum(axis=1))
+        return [(int(ids[j]), Q[j]) for j in sel]
+
+    ids = np.arange(40, dtype=np.int64)
+    cand = []
+    for b in range(3):
+        m = ids % 3 == b
+        cand += greedy(ids[m], pts[m].astype(np.int64), 3)
+    cids = np.array([c[0] for c in cand], dtype=np.int64)
+    cq = np.array([c[1] for c in cand], dtype=np.int64)
+    centers = greedy(cids, cq, 5)
+    assert [got[i][0] for i in range(5)] == [c[0] for c in centers]
+    assert set(got[i][0] for i in range(5)) <= set(int(x) for x in cids)
+    # coverage adds up to the corpus and radii are exact mins
+    C = np.array([c[1] for c in centers], dtype=np.int64)
+    d = ((pts.astype(np.int64)[:, None, :] - C[None, :, :]) ** 2).sum(
+        axis=2
+    )
+    so = d.argmin(axis=1)
+    md = d.min(axis=1)
+    for i in range(5):
+        assert got[i][1] == int((so == i).sum())
+        assert got[i][2] == int(md[so == i].max())
