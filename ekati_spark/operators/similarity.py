@@ -2380,3 +2380,63 @@ def kcenter_composable(
         F.coalesce("n_assigned", F.lit(0)).alias("n_assigned"),
         F.coalesce("radius_sq", F.lit(0)).alias("radius_sq"),
     )
+
+
+def maxsim_topk(
+    corpus_chunks: DataFrame,
+    query_chunks: DataFrame,
+    k: int = 5,
+    doc_col: str = "doc",
+    chunk_col: str = "chunk",
+    vec_col: str = "v",
+) -> DataFrame:
+    """ColBERT-style late-interaction retrieval: every document is a BAG
+    of chunk vectors and score(q, d) = Σ over q's chunks of the MAX
+    cosine against any of d's chunks (MaxSim) — multi-vector retrieval,
+    where one hot chunk can carry a match that a single pooled vector
+    (l74) averages away.
+
+    This is the EXACT baseline (the l06 contract): the benchmark-sized
+    query chunk table broadcasts against one corpus-chunk scan (|Qc|·n
+    pair scores — per-pair cosine in the post-join projection, never
+    the join condition), then two aggregations: max per (query doc,
+    corpus doc, query chunk) and a decimal sum per (query doc, corpus
+    doc) — both map-side-combining, shuffle ∝ docs·|Q|. Rounded-6
+    cosines (floor form) make the max deterministic and the
+    DECIMAL(25,6) sum merge-order-exact, so top-k replays in DuckDB.
+    At 100 TB the corpus side comes pre-filtered by an ANN candidate
+    stage (IVF l70/l75 or sign-LSH l07 over chunk vectors); the
+    scoring plan here is unchanged by that substitution.
+
+    Returns (query_doc, doc, maxsim, rank), rank ties -> smaller doc.
+    """
+    c = corpus_chunks.select(
+        F.col(doc_col).alias("doc"),
+        _as_double(F.col(vec_col)).alias("cv"),
+    ).withColumn("nc", norm(F.col("cv")))
+    q = query_chunks.select(
+        F.col(doc_col).alias("query_doc"),
+        F.col(chunk_col).alias("qchunk"),
+        _as_double(F.col(vec_col)).alias("qv"),
+    ).withColumn("nq", norm(F.col("qv")))
+    cos = F.try_divide(
+        dot(F.col("qv"), F.col("cv")), F.col("nq") * F.col("nc")
+    )
+    scored = c.join(F.broadcast(q), F.lit(True)).select(
+        "query_doc",
+        "doc",
+        "qchunk",
+        (F.floor(cos * 1000000 + F.lit(0.5)) / 1000000).alias("cos6"),
+    )
+    mx = scored.groupBy("query_doc", "doc", "qchunk").agg(
+        F.max("cos6").alias("mx")
+    )
+    sc = mx.groupBy("query_doc", "doc").agg(
+        F.sum(F.col("mx").cast("decimal(25,6)"))
+        .cast("double")
+        .alias("maxsim")
+    )
+    w = W.partitionBy("query_doc").orderBy(F.desc("maxsim"), F.asc("doc"))
+    return sc.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -5934,3 +5934,70 @@ def l90_kcenter_composable(spark, sf_dir):
     generated DuckDB chain (_l90_oracle)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kcenter_composable(emb, k=8, n_buckets=4, k_local=4)
+
+
+@register(
+    "l91_maxsim_late_interaction",
+    oracle="""
+    WITH ch AS (
+      SELECT vec_id // 4 AS doc, vec_id % 4 AS chunk,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS (
+      SELECT doc AS query_doc, chunk AS qchunk, v,
+             sqrt(list_dot_product(v, v)) AS nq
+      FROM ch WHERE doc < 3
+    ),
+    c AS (
+      SELECT doc, v, sqrt(list_dot_product(v, v)) AS nc
+      FROM ch WHERE doc >= 3
+    ),
+    s AS (
+      SELECT q.query_doc, c.doc, q.qchunk,
+             floor(list_dot_product(q.v, c.v) / (q.nq * c.nc)
+                   * 1000000 + 0.5) / 1000000 AS cos6
+      FROM c CROSS JOIN q
+    ),
+    m AS (
+      SELECT query_doc, doc, qchunk, max(cos6) AS mx
+      FROM s GROUP BY 1, 2, 3
+    ),
+    sc AS (
+      SELECT query_doc, doc,
+             CAST(SUM(CAST(mx AS DECIMAL(25,6))) AS DOUBLE) AS maxsim
+      FROM m GROUP BY 1, 2
+    )
+    SELECT query_doc, doc, maxsim, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_doc
+                    ORDER BY maxsim DESC, doc) AS rn FROM sc)
+    WHERE rn <= 5
+    """,
+)
+def l91_maxsim_late_interaction(spark, sf_dir):
+    """ColBERT-style late-interaction retrieval (MaxSim): documents are
+    BAGS of chunk vectors (vec_id div 4 groups the embedding corpus
+    into 4-chunk docs — the l74 chunking convention) and
+    score(q, d) = Σ over q's chunks of the max cosine against any of
+    d's chunks, so one hot chunk carries a match that pooled
+    single-vector retrieval (l74) averages away. Exact |Qc|·n baseline
+    per the l06 contract — the 12-row query chunk table broadcasts,
+    per-pair cosine stays in the post-join projection, and the
+    max-then-decimal-sum two-level aggregation makes top-5 replay
+    bit-for-bit in DuckDB. At 100 TB the corpus side is pre-filtered
+    by an ANN candidate stage (IVF l70/l75, sign-LSH l07) feeding the
+    identical scoring plan."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    ch = emb.select(
+        F.expr("vec_id div 4").alias("doc"),
+        (F.col("vec_id") % 4).alias("chunk"),
+        F.col("embedding").alias("v"),
+    )
+    return S.maxsim_topk(
+        ch.filter(F.col("doc") >= 3),
+        ch.filter(F.col("doc") < 3),
+        k=5,
+    )

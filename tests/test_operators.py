@@ -547,7 +547,10 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     rows), and r67_kmv_set_ops (the final one-row report: the ≤2k-row
     sketch sample joined with four 1-row aggregates — nm/c/n_a/n_b —
     all broadcast; the data-sized work upstream is distinct-agg +
-    bottom-k windows)."""
+    bottom-k windows), and l91_maxsim_late_interaction (the l06 shape:
+    the benchmark-sized query CHUNK table broadcasts against the
+    corpus-chunk scan — the exact MaxSim baseline; production feeds
+    ANN candidates into the identical scoring plan)."""
     from ekati_spark.queries import REGISTRY
 
     allowed = {
@@ -568,6 +571,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l64_skipgram_collocations",
         "g28_engine_metrics",
         "r67_kmv_set_ops",
+        "l91_maxsim_late_interaction",
     }
     flagged = {}
     for name in list(REGISTRY):

@@ -763,3 +763,41 @@ def test_kcenter_composable_matches_python_reference(spark):
     for i in range(5):
         assert got[i][1] == int((so == i).sum())
         assert got[i][2] == int(md[so == i].max())
+
+
+def test_maxsim_finds_hot_chunk_match_that_pooling_misses(spark):
+    """Late interaction's reason to exist: a doc with ONE chunk
+    identical to a query chunk (others orthogonal) must outrank a doc
+    whose chunks are all mildly similar, even though mean-pooled
+    vectors would prefer the latter."""
+    from pyspark.sql import functions as F
+
+    import ekati_spark.operators.similarity as S
+
+    q = [(0, 0, [1.0, 0.0, 0.0, 0.0]), (0, 1, [0.0, 1.0, 0.0, 0.0])]
+    corpus = [
+        # doc 10: one chunk == query chunk 0 exactly, one orthogonal
+        (10, 0, [1.0, 0.0, 0.0, 0.0]),
+        (10, 1, [0.0, 0.0, 0.0, 1.0]),
+        # doc 11: both chunks mildly similar to both query chunks
+        # (cos ≈ 0.448 each -> MaxSim ≈ 0.896 < doc 10's 1.0, while
+        # its pooled cosine ≈ 0.633 beats doc 10's pooled 0.5)
+        (11, 0, [0.45, 0.45, 0.55, 0.55]),
+        (11, 1, [0.45, 0.45, 0.55, 0.55]),
+    ]
+    schema = "doc long, chunk long, v array<double>"
+    out = S.maxsim_topk(
+        spark.createDataFrame(corpus, schema),
+        spark.createDataFrame(q, schema),
+        k=2,
+    ).collect()
+    ranked = {r["rank"]: (r["doc"], r["maxsim"]) for r in out}
+    assert ranked[1][0] == 10  # the exact-chunk doc wins under MaxSim
+    # mean-pooled cosine prefers doc 11 — assert the premise holds
+    import numpy as np
+
+    qp = np.mean([x[2] for x in q], axis=0)
+    p10 = np.mean([corpus[0][2], corpus[1][2]], axis=0)
+    p11 = np.mean([corpus[2][2], corpus[3][2]], axis=0)
+    cos = lambda a, b: a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos(qp, p11) > cos(qp, p10)
