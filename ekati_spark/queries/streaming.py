@@ -1156,3 +1156,113 @@ def st23_stream_quality_gate(spark, sf_dir):
     return ops.read_committed_batches(spark, store).select(
         "doc_id", "source", "w_sum"
     )
+
+
+from ekati_spark.queries.base import REGISTRY as _REGISTRY  # noqa: E402
+
+
+@register(
+    "st24_stream_ivf_maintenance",
+    oracle=_REGISTRY["l70_ivf_append_parity"].oracle,
+)
+def st24_stream_ivf_maintenance(spark, sf_dir):
+    """STREAMING maintenance of the persisted integer IVF index —
+    l70's append path fed by a stream: the index is built and frozen
+    on the base corpus (vec_id % 5 != 4, the l15 build), then the
+    remaining vectors arrive in two ordered micro-batches; each batch
+    assigns to the FROZEN centroids (one Arrow pass, centroids ride
+    the closure) and its assignments land through the epoch-marker
+    exactly-once sink (a replayed trigger cannot double-insert a
+    vector into a list). Probing base lists ∪ committed streamed
+    segments answers l70's query EXACTLY (the oracle is l70's —
+    base-only Lloyd, assign-all, probe), proving stream-append ≡
+    batch-append ≡ assign-into-frozen-index. Scale shape: per-trigger
+    cost ∝ batch size; the base scan still partition-prunes to probed
+    lists, streamed segments are batch-sized side files that
+    compact_ivf_lists folds into the list partitions offline — the
+    always-fresh vector index, completing the index-maintenance
+    lifecycle (BM25 l86/st22, chunk store l82/st21, rollups
+    r73/st20)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.operators.similarity import (
+        _int_assign,
+        _int_probe_rows,
+        _int_probe_topk,
+        _quant_udf,
+        _read_int_centroids,
+        build_ivf_index_int,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim, scale, n_probe = 64, 1024, 6
+    base = emb.filter(F.col("vec_id") % 5 != 4)
+    fresh = emb.filter(F.col("vec_id") % 5 == 4)
+    tmp = Path(tempfile.mkdtemp(prefix="st24_"))
+    idx = str(tmp / "ivf")
+    build_ivf_index_int(base, idx, n_lists=16, kmeans_iters=2)
+    cents = _read_int_centroids(spark, idx)
+    quant = _quant_udf(scale)
+    store = str(tmp / "appended")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        f = b.filter(
+            F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+        ).select(
+            F.col("vec_id").alias("id"), quant(F.col("embedding")).alias("qv")
+        )
+        sink(
+            _int_assign(f, cents).withColumnRenamed("id", "neighbor_id"),
+            batch_id,
+        )
+
+    src = tmp / "src"
+    src.mkdir()
+    for m in range(2):
+        fresh.filter((F.col("vec_id") % 10) == (4 if m == 0 else 9)).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp / f"b{m}"))
+        parts = sorted((tmp / f"b{m}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"b{m}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    probe_rows = _int_probe_rows(cents, queries, n_probe, scale, dim)
+    probed = sorted({r[2] for r in probe_rows})
+    base_lists = (
+        spark.read.parquet(f"{idx}/lists")
+        .filter(F.col("list_id").isin(probed))
+        .select("neighbor_id", "qv", "list_id")
+    )
+    streamed = (
+        ops.read_committed_batches(spark, store)
+        .filter(F.col("list_id").isin(probed))
+        .select("neighbor_id", "qv", "list_id")
+    )
+    return _int_probe_topk(
+        base_lists.unionByName(streamed),
+        cents,
+        queries,
+        k=5,
+        n_probe=n_probe,
+        scale=scale,
+        dim=dim,
+        probe_rows=probe_rows,
+    )
