@@ -28,7 +28,7 @@ from ekati_spark.queries import stats  # noqa: F401
 # least-recently attested names (last green row in CORRECTNESS_r02).
 # After this window lands, every query registered THROUGH round 8 is
 # driver-attested-ever (228/228 of that era); the queries ADDED in
-# round 9 (l85-l89, r75, st22 — registry now 235) are verify_local-
+# round 9 (l85-l93, r75, st22-st24 — registry now 241) are verify_local-
 # attested this round and take the never-attested slots in the
 # round-10 rotation.
 #

@@ -100,7 +100,11 @@ def _minhash_sql_parts(num_hashes: int, bands: int) -> tuple[str, str]:
     return mins, band_eq
 
 
-def _l03_oracle(num_hashes: int = 64, bands: int = 32) -> str:
+def _l03_oracle(
+    num_hashes: int = 64, bands: int = 32, where: str = ""
+) -> str:
+    """``where`` (e.g. "WHERE doc_id % 7 <> 3") restricts the corpus —
+    the l92 GC parity uses it to replay the pipeline over survivors."""
     from ekati_spark.operators.dedup import MERSENNE_31
 
     mins, band_eq = _minhash_sql_parts(num_hashes, bands)
@@ -108,7 +112,7 @@ def _l03_oracle(num_hashes: int = 64, bands: int = 32) -> str:
     WITH toks AS (
       SELECT doc_id AS id,
              string_split_regex(trim(lower(text)), ' +') AS t
-      FROM documents
+      FROM documents {where}
     ),
     sh AS (
       SELECT id, unnest(list_distinct(list_transform(
@@ -6001,3 +6005,111 @@ def l91_maxsim_late_interaction(spark, sf_dir):
         ch.filter(F.col("doc") < 3),
         k=5,
     )
+
+
+@register(
+    "l92_signature_store_gc",
+    oracle=_l03_oracle(where="WHERE doc_id % 7 <> 3"),
+)
+def l92_signature_store_gc(spark, sf_dir):
+    """Deletion lifecycle for the persisted MinHash signature store —
+    the third leg of the l77 (persist) / l79 (incremental append)
+    triad, mirroring the chunk store's l82/st21/l84: a deletion feed
+    (doc_id % 7 = 3 — takedowns, opt-outs, retention expiry) anti-joins
+    the stored signature table, the survivors REWRITE the store (a
+    compaction, never an in-place mutate), and the banded-LSH pair
+    pipeline runs from the GC'd store. The oracle replays l03's full
+    pipeline over the SURVIVING corpus, so a hash match proves
+    GC ≡ rebuild-from-survivors: no deleted doc leaks into a pair, no
+    surviving pair is lost. At 100 TB the GC pass costs one store scan
+    + anti-join against the (tiny) deletion feed — never a corpus
+    re-shingle; the signature store is what makes deletion cheap."""
+    import tempfile
+
+    from ekati_spark.operators.dedup import (
+        _signatures_from_rows,
+        band_candidates_from_signatures,
+        shingle_hash_rows,
+        verify_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="l92_sigs_")
+    path, path_v2 = base + "/signatures", base + "/signatures_v2"
+    # build-once store over the full corpus (the l77 artifact)
+    sh_all = shingle_hash_rows(docs).transform(cut_lineage)
+    _signatures_from_rows(sh_all, 64).write.mode("overwrite").parquet(path)
+    # deletion feed -> anti-join -> compacting rewrite
+    feed = docs.filter(F.col("doc_id") % 7 == 3).select(
+        F.col("doc_id").alias("id")
+    )
+    spark.read.parquet(path).join(feed, "id", "left_anti").write.mode(
+        "overwrite"
+    ).parquet(path_v2)
+    stored = spark.read.parquet(path_v2)
+    cand = band_candidates_from_signatures(stored, num_hashes=64, bands=32)
+    # verification shingles come from the surviving docs only (the GC
+    # discipline applies to every derived table, not just signatures)
+    sh = shingle_hash_rows(
+        docs.filter(F.col("doc_id") % 7 != 3)
+    ).transform(cut_lineage)
+    return verify_candidate_pairs(cand, sh, threshold=0.1)
+
+
+def _l93_oracle() -> str:
+    """l15's full replay (full-corpus Lloyd — GC never refits frozen
+    centroids) with deleted vectors excluded from the CANDIDATE side
+    only: exactly what a GC'd index serves."""
+    from ekati_spark.queries.base import REGISTRY
+
+    base = REGISTRY["l15_knn_ivf"].oracle
+    anchor = "WHERE a3.vec_id <> p.query_id"
+    assert base.count(anchor) == 1
+    return base.replace(
+        anchor, anchor + " AND a3.vec_id % 7 <> 3"
+    )
+
+
+@register("l93_ivf_delete_parity", oracle=_l93_oracle())
+def l93_ivf_delete_parity(spark, sf_dir):
+    """Deletion lifecycle for the persisted integer IVF index — the
+    third leg of build (l15) / append (l70) / compaction, and the
+    vector-index mirror of l92's signature GC: a deletion feed
+    (vec_id % 7 = 3) anti-joins the list partitions, survivors REWRITE
+    the lists (centroids stay FROZEN — deletion never refits; drift
+    telemetry decides re-fits separately), and the standard probe runs
+    against the GC'd index. The oracle replays l15's full build (Lloyd
+    over the ORIGINAL corpus — the centroids the index actually has)
+    and drops deleted vectors from the candidate side only, so a hash
+    match proves GC ≡ serve-the-survivors: no deleted vector can be
+    returned, no surviving neighbor is lost, and ranks re-close over
+    the survivors. At 100 TB the GC pass is one list-partitioned scan
+    + anti-join against the (tiny) feed, append-compatible with l70's
+    incremental segments."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.operators.similarity import (
+        build_ivf_index_int,
+        ivf_topk_int_from_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = Path(tempfile.mkdtemp(prefix="l93_ivf_"))
+    idx, idx_v2 = str(base / "ivf"), str(base / "ivf_v2")
+    build_ivf_index_int(emb, idx, n_lists=16, kmeans_iters=2)
+    feed = emb.filter(F.col("vec_id") % 7 == 3).select(
+        F.col("vec_id").alias("neighbor_id")
+    )
+    spark.read.parquet(f"{idx}/lists").join(
+        feed, "neighbor_id", "left_anti"
+    ).write.partitionBy("list_id").mode("overwrite").parquet(
+        f"{idx_v2}/lists"
+    )
+    shutil.copytree(f"{idx}/centroids", f"{idx_v2}/centroids")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_topk_int_from_index(spark, idx_v2, q, k=5, n_probe=6)

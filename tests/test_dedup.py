@@ -501,3 +501,27 @@ def test_minhash_collapse_exact_is_output_identical(spark, sf_dir):
         )
     )
     assert heavy_auto == heavy_plain
+
+
+def test_signature_store_gc_drops_deleted_docs(spark):
+    """l92's contract at unit level: after the GC rewrite, no pair may
+    touch a deleted doc, and surviving pairs equal the from-scratch
+    pipeline on survivors."""
+    from ekati_spark.queries import REGISTRY
+
+    pairs = REGISTRY["l92_signature_store_gc"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(
+        r["id_a"] % 7 != 3 and r["id_b"] % 7 != 3 for r in pairs
+    )
+    survivors = D.minhash_lsh_pairs(
+        load_table(spark, "/root/testdata/sf0.001", "documents").filter(
+            "doc_id % 7 != 3"
+        ),
+        threshold=0.1,
+        num_hashes=64,
+        bands=32,
+        collapse_exact=False,
+    ).collect()
+    assert sorted(map(tuple, pairs)) == sorted(map(tuple, survivors))

@@ -801,3 +801,18 @@ def test_maxsim_finds_hot_chunk_match_that_pooling_misses(spark):
     p11 = np.mean([corpus[2][2], corpus[3][2]], axis=0)
     cos = lambda a, b: a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos(qp, p11) > cos(qp, p10)
+
+
+def test_ivf_delete_parity_never_returns_deleted(spark):
+    """l93's contract at unit level: the GC'd index cannot return a
+    deleted vector, and every query still gets k survivors."""
+    from ekati_spark.queries import REGISTRY
+
+    out = REGISTRY["l93_ivf_delete_parity"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert all(r["neighbor_id"] % 7 != 3 for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
