@@ -2305,6 +2305,14 @@ def kcenter_composable(
     ties -> smaller id, exact int64 L2^2 on the quantized grid) and
     the driver merge replay bit-for-bit.
 
+    Sizing at scale: each bucket materializes as ONE pandas frame on
+    an executor, so pick n_buckets ≈ corpus_rows x row_bytes /
+    executor_budget (id-keyed buckets are uniform — no skew); the
+    merge input is n_buckets x k_local rows, fine on the driver up to
+    ~10^6 candidates. Beyond that, recurse: the candidate union is
+    itself a corpus this same function shrinks (two-level merge) —
+    composable core-sets compose.
+
     Returns (sel_order, vec_id, n_assigned, radius_sq) like
     ``kcenter_coreset``.
     """
