@@ -19,18 +19,16 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. This round-9 window keeps the 5-query
-# sentinel core (one per family, green in every prior window), adds
-# the 22 names that had NEVER had a driver CORRECTNESS row as of the
-# round-8 grading (round 8's additions: g45-g47, l05b/l45b, l72, l76,
-# l79-l84, r71-r74, st18-st21, and g28, the documented rows-only
-# telemetry query), and fills the remaining 23 slots with the
-# least-recently attested names (last green row in CORRECTNESS_r02).
-# After this window lands, every query registered THROUGH round 8 is
-# driver-attested-ever (228/228 of that era); the queries ADDED in
-# round 9 (l85-l93, r75, st22-st24 — registry now 241) are verify_local-
-# attested this round and take the never-attested slots in the
-# round-10 rotation.
+# order IS the graded set. Round 9 produced NO driver CORRECTNESS
+# artifact (like round 7), so the never-driver-attested set at the
+# round-10 start is 35 names: the 22 round-8 additions the round-9
+# window targeted (g45-g47, g28, l05b/l45b, l72, l76, l79-l84,
+# r71-r74, st18-st21) PLUS the 13 round-9 additions (l85-l93, r75,
+# st22-st24; registry now 241). This window = the 5-query sentinel
+# core (one per family, green in every prior graded window) + all 35
+# never-attested names + 10 least-recently attested fillers (last
+# green row: CORRECTNESS_r02). If this window is graded, every query
+# registered through round 9 is driver-attested-ever (241/241).
 #
 # ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
 # mid-round (the driver grades at round end; a mid-round rotation
@@ -40,31 +38,31 @@ _GRADED_FIRST = [
     "r03_pricing_summary", "g01_follow_one_hop",
     "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
     # --- never driver-attested: round-8 additions ---
-    # relational
     "r71_dup_drift_daily", "r72_topk_with_ties",
     "r73_rollup_router", "r74_ordered_set_aggs",
-    # graph
     "g45_bucketed_follow_parity", "g46_dsl_end_to_end",
     "g47_reverse_follow", "g28_engine_metrics",
-    # LLM pipeline
     "l05b_dup_pairs_ann", "l45b_bitext_margin_ann",
     "l72_audio_dedup_resampled", "l76_pii_source_report",
     "l79_minhash_incremental", "l80_bm25_topk", "l81_warc_ingest",
     "l82_cdc_chunk_dedup", "l83_pca_power_iteration",
     "l84_chunk_store_gc",
-    # streaming
     "st18_rocksdb_state_parity", "st19_warc_tail_ingest",
     "st20_stream_rollup_maintenance", "st21_stream_chunk_dedup_ingest",
+    # --- never driver-attested: round-9 additions ---
+    "r75_percentile_cont",
+    "l85_ann_recall_audit", "l86_bm25_index_incremental",
+    "l87_semantic_decontamination", "l88_kcenter_coreset",
+    "l89_adaptive_quality_threshold", "l90_kcenter_composable",
+    "l91_maxsim_late_interaction", "l92_signature_store_gc",
+    "l93_ivf_delete_parity",
+    "st22_stream_bm25_maintenance", "st23_stream_quality_gate",
+    "st24_stream_ivf_maintenance",
     # --- least-recently attested (last green: CORRECTNESS_r02) ---
     "r02_filter_project", "r04_single_row_agg", "r07_cube",
     "r11_local_supplier_volume", "r12_join_left", "r14_join_semi",
     "r15_join_anti", "r16_cross_theta", "r18_window_running_sum",
-    "r19_window_lag_lead", "r21_window_range_frame",
-    "r22_global_topk", "r23_offset_limit", "r25_string_funcs",
-    "r27_math_funcs", "r28_case_null", "r30_array_ops",
-    "r32_in_subquery", "r33_scalar_subquery", "r36_unpivot",
-    "r41_map_functions", "r42_rank_distributions",
-    "r44_stats_aggregates",
+    "r19_window_lag_lead",
 ]
 
 
