@@ -1,0 +1,136 @@
+"""Bloom-filter membership operators for cross-corpus set probes.
+
+The 100-TB pattern this module packages: when a reference set (a
+benchmark's n-grams, a previously-ingested corpus's digests) must be
+probed by EVERY row of a huge corpus, an exact broadcast join ships
+8+ bytes per distinct member plus a hash table; a Bloom filter ships a
+fixed ``m/8``-byte bitmap no matter how large the reference grows, at
+the cost of a tunable one-sided error (false positives only, never
+false negatives). The probe stays a broadcast — the corpus never
+shuffles — and the (rare) candidates are confirmed by an exact join
+that carries candidate rows only.
+
+Determinism contract: bit positions are md5-derived (``pos_j(v) =
+int(md5(j ':' v)[:15 hex]) mod m``), so a DuckDB oracle replays the
+exact same bitmap and candidate set — the false positives themselves
+are attested, not just the confirmed hits.
+
+Sizing rule (document, don't guess): for ``n`` reference members and
+target fp rate ``p``, ``m = -n ln p / (ln 2)^2`` and ``k = (m/n) ln 2``
+(k=3 serves p ≈ 1-5%). An undersized bitmap saturates gracefully —
+every probe becomes a candidate and the exact confirm join does all
+the work — wrong speed, never wrong answers.
+
+Spark built-ins (``BloomFilterAggregate`` / ``might_contain``) are not
+used deliberately: their xxhash-based layout is not replayable in the
+DuckDB oracle, and the explicit word table is what the streaming twin
+joins against. Reference analog: none (LLM-data extension; the graph
+engine uses the same idea for traversal dedup — see
+``graph/traverse.py``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "bloom_position",
+    "bloom_word_table",
+    "bloom_bitmap",
+    "bloom_probe",
+    "BLOOM_POS_SQL",
+]
+
+# DuckDB twin of ``bloom_position`` — .format(j=..., val=..., m=...)
+# into oracle texts so both engines derive identical bit positions.
+BLOOM_POS_SQL = (
+    "CAST(('0x' || substr(md5(CAST({j} AS VARCHAR) || ':' || {val}),"
+    " 1, 15)) AS BIGINT) % {m}"
+)
+
+
+def bloom_position(value: Column, j: int, m: int) -> Column:
+    """Bit position of hash ``j`` for ``value``: first 60 md5 bits of
+    ``"j:value"`` mod ``m``. Non-negative (60-bit magnitude), codegen
+    string/conv ops only — identical in DuckDB via ``BLOOM_POS_SQL``."""
+    h = F.md5(F.concat(F.lit(f"{j}:"), value))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % m
+
+
+def _positions(df: DataFrame, value_col: str, m: int, k: int) -> Column:
+    return F.explode(
+        F.array(*[bloom_position(F.col(value_col), j, m) for j in range(k)])
+    )
+
+
+def bloom_word_table(
+    df: DataFrame, value_col: str, m: int, k: int
+) -> DataFrame:
+    """The filter as data: ``(word_idx, word)`` rows packing the ``m``
+    bits into 64-bit words, built with one distributed aggregate
+    (map-side ``bit_or`` partials, shuffle ≤ ``m/64`` rows per
+    partition regardless of input size). This is the form a streaming
+    gate joins against (stream-static, broadcast) and what lands on
+    disk next to an ingest ledger."""
+    assert m % 64 == 0, "m must pack into 64-bit words"
+    return (
+        df.select(_positions(df, value_col, m, k).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+
+def bloom_bitmap(
+    df: DataFrame, value_col: str, m: int, k: int
+) -> np.ndarray:
+    """Collect the word table into a packed ``int64[m/64]`` bitmap.
+
+    The collect is bounded by ``m/64`` rows — a filter sized for 10^10
+    members at 1% fp is ~12 GB of BITS but the driver only ever holds
+    the words actually set, scattered into the dense array; for the
+    filters this repo sizes (m ≤ 2^27) it is a few MB. At cluster
+    scale the bitmap rides to executors once per job as a broadcast
+    closure — the constant-size alternative to an ever-growing
+    broadcast-join hash table."""
+    words = np.zeros(m // 64, dtype=np.int64)
+    for r in bloom_word_table(df, value_col, m, k).collect():
+        words[int(r["word_idx"])] = r["word"]
+    return words
+
+
+def bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    bitmap: np.ndarray,
+    m: int,
+    k: int,
+    out_col: str = "is_candidate",
+) -> DataFrame:
+    """Append boolean ``out_col``: true iff all ``k`` bits for
+    ``value_col`` are set in ``bitmap`` (Bloom candidate — a superset
+    of true members). Positions are computed JVM-side (same codegen
+    exprs as the build); only the k small ints cross into one
+    Arrow-batched pandas UDF that indexes the closure-captured packed
+    bitmap. ``&1`` after an arithmetic shift reads the target bit
+    correctly even for bit 63 of a negative int64 word."""
+    words = bitmap  # closure capture; ships once per executor
+
+    @F.pandas_udf("boolean")
+    def _probe(pos: pd.Series) -> pd.Series:
+        p = np.stack(pos.to_numpy())  # (rows, k) int64
+        hit = ((words[p >> 6] >> (p & 63)) & 1).all(axis=1)
+        return pd.Series(hit)
+
+    arr = F.array(
+        *[bloom_position(F.col(value_col), j, m) for j in range(k)]
+    )
+    return df.withColumn(out_col, _probe(arr))

@@ -934,6 +934,88 @@ def duplicate_ngram_spans(
     )
 
 
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """REWRITE pass over ``duplicate_ngram_spans``: drop every token
+    covered by a corpus-duplicated n-gram and reassemble what's left —
+    the "remove duplicated substrings" recipe applied as a bulk
+    transform (detection finds the spans; this produces the cleaned
+    corpus a tokenizer actually consumes).
+
+    Returns one row per input document: ``(doc_id, n_tokens,
+    n_removed, scrubbed_digest)`` where the digest is md5 of the kept
+    tokens joined by single spaces (md5, not the text, so the oracle
+    hash-attests the rewrite without hauling rewritten bodies through
+    the comparator). Fully-duplicated documents scrub to the empty
+    string (digest of ``''``), never disappear.
+
+    Plan shape on top of the detector's three shuffles: duplicated
+    gram-start positions explode to covered positions (``explode ∝
+    duplicated tokens only``, not corpus tokens), one left anti join
+    of token rows against covered positions, and a per-doc
+    ``listagg WITHIN GROUP`` — the order-by rides the existing
+    per-doc clustering, so the rewrite adds one aggregate exchange
+    over kept tokens. At 100 TB the dominant cost stays the gram-count
+    shuffle documented on ``duplicate_ngram_spans``."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", kk).over(w) for kk in range(1, n)]
+    occ = (
+        toks.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("g"),
+            parts[-1].alias("last"),
+        )
+        .filter(F.col("last").isNotNull())
+        .select("id", "pos", "g")
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("g")
+    )
+    covered = (
+        occ.join(dup, "g", "left_semi")
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    totals = toks.groupBy("id").agg(F.count("*").alias("n_tokens"))
+    kept = toks.join(covered, ["id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("id").agg(
+        F.count("*").alias("n_kept"),
+        F.expr("listagg(tok, ' ') WITHIN GROUP (ORDER BY pos)").alias(
+            "scrubbed"
+        ),
+    )
+    return totals.join(kept_agg, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.md5(F.coalesce("scrubbed", F.lit(""))).alias("scrubbed_digest"),
+    )
+
+
 def containment_pairs(
     docs: DataFrame,
     threshold: float,

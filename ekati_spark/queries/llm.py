@@ -6113,3 +6113,145 @@ def l93_ivf_delete_parity(spark, sf_dir):
         F.col("embedding").alias("query_vec"),
     )
     return ivf_topk_int_from_index(spark, idx_v2, q, k=5, n_probe=6)
+
+
+_L94_GRAMS = """
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - 6),
+               i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+                    t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]
+             ))) AS g
+      FROM tk
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0),
+    apos AS (
+      SELECT DISTINCT {pos} AS pos
+      FROM bench, (SELECT unnest(range({k})) AS j)
+    ),
+    probe AS (
+      SELECT doc_id, g, j, {pos} AS pos
+      FROM grams, (SELECT unnest(range({k})) AS j)
+      WHERE doc_id % 10 <> 0
+    ),
+    cand AS (
+      SELECT doc_id, g
+      FROM probe JOIN apos USING (pos)
+      GROUP BY doc_id, g
+      HAVING count(DISTINCT j) = {k}
+    )
+"""
+
+
+def _l94_oracle(m: int = 16384, k: int = 3) -> str:
+    from ekati_spark.operators.bloom import BLOOM_POS_SQL
+
+    return (
+        _L94_GRAMS
+        + """
+    SELECT c.doc_id,
+           CAST(count(*) FILTER (b.g IS NOT NULL) AS BIGINT)
+             AS n_hit_ngrams,
+           CAST(count(*) FILTER (b.g IS NULL) AS BIGINT) AS n_fp_grams
+    FROM cand c LEFT JOIN bench b USING (g)
+    GROUP BY c.doc_id
+    """
+    ).format(pos=BLOOM_POS_SQL.format(j="j", val="g", m=m), k=k)
+
+
+@register("l94_bloom_decontaminate", oracle=_l94_oracle())
+def l94_bloom_decontaminate(spark, sf_dir):
+    """l30's benchmark decontamination behind a BLOOM prefilter — the
+    shape that survives a reference set too large to broadcast-join
+    exactly (cross-CORPUS dedup, multi-GB eval suites): the benchmark
+    8-gram set packs into a fixed m/16384-bit bitmap (one distributed
+    bit_or aggregate, operators/bloom.py), the corpus probes it in one
+    Arrow pass with ZERO shuffle, and only the candidate grams (true
+    hits + the bounded false positives) reach the exact confirm join.
+    Output per contaminated doc: confirmed-hit and false-positive gram
+    counts — the fp column attests the one-sided error honestly, and
+    the md5-derived bit positions let the oracle replay the exact same
+    bitmap, so the attestation covers the filter itself, not just the
+    survivors. Saturation note (documented on the module): at this
+    fixed test-size m the sf0.1 bench run fills ~99% of the bits —
+    the probe degrades to pass-through and the exact join does the
+    work; sizing m by the -n*ln(p)/(ln 2)^2 rule is the deployment
+    contract. Reference analog: none (LLM-data extension)."""
+    import ekati_spark.operators.bloom as BL
+
+    M, K = 16384, 3
+    docs = load_table(spark, sf_dir, "documents")
+    bench_pred = F.col("doc_id") % 10 == 0
+    bench_grams = (
+        D.shingle_rows(docs.filter(bench_pred), 8).select("g").distinct()
+    ).transform(cut_lineage)
+    bitmap = BL.bloom_bitmap(bench_grams, "g", M, K)
+    corpus_grams = D.shingle_rows(docs.filter(~bench_pred), 8)
+    cand = BL.bloom_probe(corpus_grams, "g", bitmap, M, K).filter(
+        "is_candidate"
+    )
+    return (
+        cand.join(
+            F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "g", "left"
+        )
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("hit").alias("n_hit_ngrams"),
+            (F.count("*") - F.count("hit")).alias("n_fp_grams"),
+        )
+    )
+
+
+@register(
+    "l95_substring_scrub",
+    oracle="""
+    WITH tkl AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, unnest(range(1, len(t) + 1)) AS i, t
+      FROM tkl
+    ),
+    occ AS (
+      SELECT doc_id, unnest(range(1, len(t) - 6)) AS i, t
+      FROM tkl
+    ),
+    occ2 AS (
+      SELECT doc_id, i,
+             t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||
+             t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7] AS g
+      FROM occ
+    ),
+    dup AS (SELECT g FROM occ2 GROUP BY g HAVING count(*) >= 2),
+    rem AS (
+      SELECT DISTINCT doc_id, unnest(range(i, i + 8)) AS p
+      FROM occ2 JOIN dup USING (g)
+    ),
+    tok2 AS (SELECT doc_id, i, t[i] AS tok FROM tok)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (r.p IS NOT NULL) AS BIGINT) AS n_removed,
+           md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.i)
+                 FILTER (r.p IS NULL), '')) AS scrubbed_digest
+    FROM tok2 t LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.i = r.p
+    GROUP BY t.doc_id
+    """,
+)
+def l95_substring_scrub(spark, sf_dir):
+    """Corpus-duplicated substring REMOVAL (the rewrite l28 only
+    detects): every token covered by an 8-gram occurring >= 2 times
+    corpus-wide is dropped and the survivors reassemble in order —
+    the "dedup training data" scrub as a bulk transform
+    (operators/dedup.py::scrub_duplicate_spans). The result carries
+    md5 digests of the rewritten bodies, so the oracle hash-attests
+    the exact reassembled strings for all 500+ docs without the
+    comparator hauling text. Cost on top of the detector: covered
+    positions explode only over DUPLICATED tokens, one anti join, one
+    per-doc ordered listagg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.scrub_duplicate_spans(docs, n=8, min_count=2)

@@ -1266,3 +1266,112 @@ def st24_stream_ivf_maintenance(spark, sf_dir):
         dim=dim,
         probe_rows=probe_rows,
     )
+
+
+def _st25_oracle(m: int = 16384, k: int = 3) -> str:
+    from ekati_spark.operators.bloom import BLOOM_POS_SQL
+    from ekati_spark.queries.llm import _L94_GRAMS
+
+    return (
+        _L94_GRAMS
+        + """
+    SELECT d.doc_id, d.source
+    FROM documents d
+    WHERE d.doc_id % 10 <> 0
+      AND NOT EXISTS (SELECT 1 FROM cand c WHERE c.doc_id = d.doc_id)
+    """
+    ).format(pos=BLOOM_POS_SQL.format(j="j", val="g", m=m), k=k)
+
+
+@register("st25_stream_bloom_gate", oracle=_st25_oracle())
+def st25_stream_bloom_gate(spark, sf_dir):
+    """STREAMING decontamination gate — l94's bloom probe deployed on
+    ingest: the benchmark 8-gram Bloom filter is built OFFLINE as a
+    word table (operators/bloom.py::bloom_word_table, <= m/64 rows)
+    and every micro-batch broadcast-joins it; a document is REJECTED
+    the moment any of its grams has all k bits set (candidate =
+    possible benchmark overlap — bloom's no-false-negative side means
+    nothing contaminated ever passes; the bounded fp rate quarantines
+    a few clean docs, the deliberately safe direction). Admitted docs
+    land through the epoch-marker exactly-once sink. Per-trigger cost:
+    one codegen shingle pass + a KB-scale broadcast + ONE
+    within-batch per-doc aggregate — the stream itself never
+    shuffles corpus-wide, and the gate's memory is O(m) regardless of
+    how much history the filter summarizes. The oracle replays the
+    identical bitmap from the md5 positions, so the admitted set is
+    hash-attested including the fp quarantines."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import ekati_spark.operators.bloom as BL
+    from ekati_spark.operators import dedup as D
+
+    M, K = 16384, 3
+    docs = load_table(spark, sf_dir, "documents")
+    bench_pred = F.col("doc_id") % 10 == 0
+    bench_grams = (
+        D.shingle_rows(docs.filter(bench_pred), 8).select("g").distinct()
+    )
+    words = BL.bloom_word_table(bench_grams, "g", M, K).transform(
+        cut_lineage
+    )  # the offline-refreshed filter; reused by every micro-batch
+    corpus = docs.filter(~bench_pred)
+
+    tmp = Path(tempfile.mkdtemp(prefix="st25_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "admitted")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        pos = D.shingle_rows(b, 8).select(
+            "id",
+            "g",
+            F.explode(
+                F.array(
+                    *[BL.bloom_position(F.col("g"), j, M) for j in range(K)]
+                )
+            ).alias("pos"),
+        )
+        bits = pos.withColumn(
+            "word_idx", (F.col("pos") / 64).cast("long")
+        ).join(F.broadcast(words), "word_idx", "left")
+        setbit = F.expr(
+            "word IS NOT NULL AND "
+            "(shiftright(word, CAST(pos % 64 AS INT)) & CAST(1 AS BIGINT))"
+            " = 1"
+        )
+        rejected = (
+            bits.groupBy("id", "g")
+            .agg(F.bool_and(setbit).alias("cand"))
+            .filter("cand")
+            .select("id")
+            .distinct()
+        )
+        admitted = b.join(
+            rejected.withColumnRenamed("id", "doc_id"), "doc_id", "left_anti"
+        ).select("doc_id", "source")
+        sink(admitted, batch_id)
+
+    for m_ in range(3):
+        corpus.filter(F.col("doc_id") % 3 == m_).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m_}"))
+        parts = sorted((tmp / f"b{m_}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m_}.parquet"))
+        shutil.rmtree(tmp / f"b{m_}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(corpus.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return ops.read_committed_batches(spark, store).select(
+        "doc_id", "source"
+    )
