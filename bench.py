@@ -98,6 +98,13 @@ HEADLINE = [
     # driver-loop cost is already represented by g32/g43, and its
     # local wall is job overhead, not plan cost.
     "l89_adaptive_quality_threshold",
+    # round-10 additions: the bloom-prefiltered decontamination probe
+    # (zero-shuffle Arrow bitmap pass + candidate-only confirm join)
+    # and the duplicated-substring scrub rewrite (detector + anti-join
+    # + ordered reassembly). st25 is the st23-shaped streaming twin
+    # and stays verify-only like the other foreachBatch feeds.
+    "l94_bloom_decontaminate",
+    "l95_substring_scrub",
 ]
 
 

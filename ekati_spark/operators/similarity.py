@@ -2181,6 +2181,67 @@ def pca_top_component(
     return v
 
 
+def debias_top_component(
+    corpus: DataFrame,
+    component: list[int],
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-but-the-top embedding debias: remove the top principal
+    component (``pca_top_component``'s integer vector) from every
+    embedding — the standard post-processing that recovers isotropy
+    before cosine retrieval ("All-but-the-Top", ICLR'18), run entirely
+    on the integer grid so the projection is oracle-replayable.
+
+    For quantized vector q and component v: the exact projection
+    residual is (q·vv − (q·v)·v) / vv with vv = Σv² — computed as an
+    integer numerator and ONE trunc division per coordinate (Spark
+    ``div`` == DuckDB ``//``), so both engines produce the identical
+    debiased grid vector. Returns per-vector attestation scalars:
+    ``(vec_id, dot_qv, norm2_q, resid_dot, resid_norm2)`` — resid_dot
+    is the debiased vector's dot with v (0 up to trunc error, the
+    honest success measure), norm2 before/after shows the removed
+    energy.
+
+    Scale shape: one codegen posexplode + broadcast join with the
+    dim-row component table, one per-vector aggregate for dots, one
+    re-join for the residual, one final aggregate — shuffle is two
+    per-vector aggregates of dim-row groups, nothing quadratic; the
+    component itself comes from the mapInPandas covariance pass
+    (dim² longs per partition). Bounds: |q|,|v| ≤ scale keeps every
+    product ≤ scale³·dim < 2^53 at scale=1024, dim=64."""
+    dim = len(component)
+    vv = sum(int(x) * int(x) for x in component)
+    quant = _quant_udf(scale)
+    spark = corpus.sparkSession
+    vtab = spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(component)], "i int, v long"
+    )
+    q = corpus.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(F.col(id_col), quant(F.col(vec_col)).alias("qv"))
+    rows = q.select(
+        id_col, F.posexplode("qv").alias("i", "q")
+    ).join(F.broadcast(vtab), "i")
+    dots = rows.groupBy(id_col).agg(
+        F.sum(F.col("q") * F.col("v")).alias("d"),
+        F.sum(F.col("q") * F.col("q")).alias("n2"),
+    )
+    deb = rows.join(dots, id_col).withColumn(
+        "ev",
+        F.expr(
+            f"(q * CAST({vv} AS BIGINT) - d * v) div CAST({vv} AS BIGINT)"
+        ),
+    )
+    return deb.groupBy(id_col).agg(
+        F.max("d").alias("dot_qv"),
+        F.max("n2").alias("norm2_q"),
+        F.sum(F.col("ev") * F.col("v")).alias("resid_dot"),
+        F.sum(F.col("ev") * F.col("ev")).alias("resid_norm2"),
+    )
+
+
 def kcenter_coreset(
     corpus: DataFrame,
     k: int = 8,

@@ -5266,9 +5266,9 @@ def l82_cdc_chunk_dedup(spark, sf_dir):
     )
 
 
-def _l83_oracle(dim: int = 64, scale: int = 1024, iters: int = 3) -> str:
-    """Unrolled MATERIALIZED power-iteration replay (the l54 generated-
-    oracle pattern): HUGEINT covariance numerator, trunc // rescale."""
+def _l83_ctes(dim: int = 64, scale: int = 1024, iters: int = 3) -> list:
+    """The power-iteration CTE chain, shared by l83 (component output)
+    and l96 (all-but-the-top debias built ON the component)."""
     ctes = [
         f"""q AS MATERIALIZED (
       SELECT vec_id, i,
@@ -5309,9 +5309,15 @@ def _l83_oracle(dim: int = 64, scale: int = 1024, iters: int = 3) -> str:
       FROM u{k}, m{k}
     )"""
         )
+    return ctes
+
+
+def _l83_oracle(dim: int = 64, scale: int = 1024, iters: int = 3) -> str:
+    """Unrolled MATERIALIZED power-iteration replay (the l54 generated-
+    oracle pattern): HUGEINT covariance numerator, trunc // rescale."""
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_l83_ctes(dim, scale, iters))
         + f"""
     SELECT CAST(i AS BIGINT) AS dim, CAST(v AS BIGINT) AS pc1_q
     FROM v{iters}
@@ -6255,3 +6261,61 @@ def l95_substring_scrub(spark, sf_dir):
     per-doc ordered listagg."""
     docs = load_table(spark, sf_dir, "documents")
     return D.scrub_duplicate_spans(docs, n=8, min_count=2)
+
+
+def _l96_oracle(dim: int = 64, scale: int = 1024, iters: int = 3) -> str:
+    ctes = _l83_ctes(dim, scale, iters) + [
+        f"vv AS MATERIALIZED (SELECT sum(v * v) AS vv FROM v{iters})",
+        f"""dots AS MATERIALIZED (
+      SELECT q.vec_id, sum(q.qv * v{iters}.v) AS d,
+             sum(CAST(q.qv AS HUGEINT) * q.qv) AS n2
+      FROM q JOIN v{iters} ON q.i = v{iters}.i GROUP BY q.vec_id
+    )""",
+        f"""e AS MATERIALIZED (
+      SELECT q.vec_id, q.i,
+             (q.qv * vv.vv - dots.d * v{iters}.v) // vv.vv AS ev
+      FROM q JOIN v{iters} ON q.i = v{iters}.i
+             JOIN dots ON q.vec_id = dots.vec_id, vv
+    )""",
+    ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.vec_id,
+           CAST(dots.d AS BIGINT) AS dot_qv,
+           CAST(dots.n2 AS BIGINT) AS norm2_q,
+           CAST(sum(e.ev * v{iters}.v) AS BIGINT) AS resid_dot,
+           CAST(sum(e.ev * e.ev) AS BIGINT) AS resid_norm2
+    FROM e JOIN v{iters} ON e.i = v{iters}.i
+           JOIN dots ON e.vec_id = dots.vec_id
+    GROUP BY e.vec_id, dots.d, dots.n2
+    """
+    )
+
+
+@register("l96_embedding_debias", oracle=_l96_oracle())
+def l96_embedding_debias(spark, sf_dir):
+    """ALL-BUT-THE-TOP embedding debias — remove l83's top principal
+    component from every corpus vector on the integer grid
+    (operators/similarity.py::debias_top_component), the standard
+    isotropy-restoring post-process before cosine retrieval. The
+    whole pipeline is oracle-replayed end-to-end: the component via
+    the unrolled power-iteration CTE chain (shared with l83), then
+    the projection residual as an exact integer numerator with ONE
+    trunc division per coordinate — so the DuckDB hash attests the
+    DEBIASED VECTORS themselves through their dot/norm scalars
+    (resid_dot ≈ 0 up to trunc error is the success measure;
+    norm2_q − resid_norm2 is the energy the component carried). At
+    100 TB: the N-proportional work is one posexplode + broadcast
+    dim-row join + two per-vector aggregates; the covariance pass
+    ships dim² longs per partition. Reference analog: none
+    (LLM-data extension)."""
+    from ekati_spark.operators.similarity import (
+        debias_top_component,
+        pca_top_component,
+    )
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    v = pca_top_component(embs, iters=3)
+    return debias_top_component(embs, v)

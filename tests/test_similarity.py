@@ -627,6 +627,46 @@ def test_pca_top_component_matches_float_eigenvector(spark):
     assert cos > 0.99, cos
 
 
+def test_debias_removes_planted_component(spark):
+    """All-but-the-top on a planted-anisotropy corpus: the debiased
+    vectors must be (near-)orthogonal to the removed component —
+    |resid_dot| bounded by the trunc-error budget (dim/2 ulps of v per
+    coordinate) — and the removed energy must dominate for vectors
+    riding the planted direction."""
+    import numpy as np
+
+    from ekati_spark.operators.similarity import (
+        debias_top_component,
+        pca_top_component,
+    )
+
+    rng = np.random.default_rng(11)
+    d = rng.normal(size=16)
+    d /= np.linalg.norm(d)
+    X = rng.normal(scale=0.05, size=(300, 16)) + np.outer(
+        rng.normal(scale=1.0, size=300), d
+    )
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(X)],
+        "vec_id long, embedding array<float>",
+    )
+    v = pca_top_component(df, iters=3)
+    vmax = max(abs(x) for x in v)
+    rows = {r["vec_id"]: r for r in debias_top_component(df, v).collect()}
+    assert len(rows) == 300
+    # trunc error: each coordinate off by < 1 grid unit, dot with v off
+    # by < dim * max|v|
+    budget = 16 * vmax
+    removed = 0
+    for r in rows.values():
+        assert abs(r["resid_dot"]) < budget, r
+        assert r["resid_norm2"] <= r["norm2_q"] + 16  # energy removed
+        removed += r["norm2_q"] - r["resid_norm2"]
+    # the planted direction carries most of the corpus energy
+    total = sum(r["norm2_q"] for r in rows.values())
+    assert removed > 0.5 * total
+
+
 def test_dup_pairs_ann_fetch_paths_bit_identical(spark, sf_dir):
     """The broadcast-gather scorer and the per-pair join scorer must
     return the SAME pair set with bit-identical cosines: both run the
