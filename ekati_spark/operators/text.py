@@ -496,3 +496,91 @@ def adaptive_quality_topq(
     return above.select(id_col, group_col, "w_sum").unionByName(
         tied.select(id_col, group_col, "w_sum")
     )
+
+
+def bpe_encode_greedy(
+    docs: DataFrame,
+    rules: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Single-pass greedy BPE-style ENCODE: apply a learned merge
+    table (``(tok_a, tok_b)`` pairs, e.g. l44's top-k) to every
+    document in ONE left-to-right scan — position i merges with i+1
+    iff the pair is in the table and i wasn't consumed by the previous
+    merge. This is the deterministic streaming-scan variant of BPE
+    application (classic BPE re-applies rules in rank order with
+    cascades; since these rules pair BASE tokens only, a merged symbol
+    can never re-match, so rank order affects nothing here and one
+    scan is the whole algorithm — exactly the property that makes the
+    encode a single distributed pass at 100 TB instead of k
+    sequential corpus rewrites).
+
+    The sequential "wasn't consumed" chain has a closed form: within
+    each maximal run of consecutive rule-matching positions, merges
+    land on even offsets — an island analysis (``pos − row_number``),
+    so the whole encode is windows + one broadcast semi-join, no
+    iteration and no Python. Returns ``(doc_id, n_tokens, n_merges,
+    encoded_digest)`` with the digest = md5 of the encoded symbol
+    sequence (merged pairs joined as ``a_b``), attesting the exact
+    token stream without hauling it."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias(
+            "pos", "tok"
+        ),
+    )
+    w = W.partitionBy("id").orderBy("pos")
+    pr = toks.select("id", "pos", "tok", F.lead("tok").over(w).alias("nxt"))
+    m = pr.join(
+        F.broadcast(rules.select("tok_a", "tok_b")),
+        (F.col("tok") == F.col("tok_a")) & (F.col("nxt") == F.col("tok_b")),
+        "left_semi",
+    ).select("id", "pos")
+    isl = m.select(
+        "id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    wg = W.partitionBy("id", "grp")
+    mg = isl.select(
+        "id",
+        "pos",
+        (((F.col("pos") - F.min("pos").over(wg)) % 2) == 0).alias("mrg"),
+    )
+    fl = pr.join(mg, ["id", "pos"], "left").select(
+        "id",
+        "pos",
+        "tok",
+        "nxt",
+        F.coalesce("mrg", F.lit(False)).alias("mrg"),
+    )
+    # symbol, merge flag, and consumed-by-previous flag in the SAME
+    # select (window-after-filter trap), then filter
+    em = fl.select(
+        "id",
+        "pos",
+        F.when(
+            F.col("mrg"), F.concat_ws("_", F.col("tok"), F.col("nxt"))
+        )
+        .otherwise(F.col("tok"))
+        .alias("sym"),
+        "mrg",
+        F.coalesce(F.lag("mrg").over(w), F.lit(False)).alias("prev"),
+    )
+    tot = em.groupBy("id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("mrg").cast("long")).alias("n_merges"),
+    )
+    enc = (
+        em.filter(~F.col("prev"))
+        .groupBy("id")
+        .agg(
+            F.md5(
+                F.expr("listagg(sym, ' ') WITHIN GROUP (ORDER BY pos)")
+            ).alias("encoded_digest")
+        )
+    )
+    return tot.join(enc, "id").select(
+        F.col("id").alias(id_col), "n_tokens", "n_merges", "encoded_digest"
+    )

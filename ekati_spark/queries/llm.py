@@ -6319,3 +6319,124 @@ def l96_embedding_debias(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     v = pca_top_component(embs, iters=3)
     return debias_top_component(embs, v)
+
+
+@register(
+    "l97_bpe_encode",
+    oracle="""
+    WITH t0 AS (
+      SELECT string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    pc AS (
+      SELECT z[1] AS tok_a, z[2] AS tok_b, count(*) AS pair_cnt
+      FROM (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z
+            FROM t0 WHERE len(t) >= 2)
+      GROUP BY 1, 2
+    ),
+    rules AS (
+      SELECT tok_a, tok_b
+      FROM (SELECT tok_a, tok_b,
+                   row_number() OVER (ORDER BY pair_cnt DESC,
+                                      tok_a, tok_b) AS rn
+            FROM pc)
+      WHERE rn <= 30
+    ),
+    tkl AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    posed AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tkl
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok FROM posed
+    ),
+    pr AS (
+      SELECT doc_id, pos, tok,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+      FROM toks
+    ),
+    m AS (
+      SELECT doc_id, pos
+      FROM pr JOIN rules ON pr.tok = rules.tok_a AND pr.nxt = rules.tok_b
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             pos - row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY pos) AS grp
+      FROM m
+    ),
+    mg AS (
+      SELECT doc_id, pos,
+             (pos - min(pos) OVER (PARTITION BY doc_id, grp)) % 2 = 0
+               AS mrg
+      FROM isl
+    ),
+    fl AS (
+      SELECT p.doc_id, p.pos, p.tok, p.nxt, coalesce(mg.mrg, false) AS mrg
+      FROM pr p LEFT JOIN mg ON p.doc_id = mg.doc_id AND p.pos = mg.pos
+    ),
+    em AS (
+      SELECT doc_id, pos,
+             CASE WHEN mrg THEN tok || '_' || nxt ELSE tok END AS sym,
+             mrg,
+             coalesce(lag(mrg) OVER (PARTITION BY doc_id ORDER BY pos),
+                      false) AS prev
+      FROM fl
+    ),
+    tot AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(*) FILTER (mrg) AS BIGINT) AS n_merges
+      FROM em GROUP BY doc_id
+    ),
+    enc AS (
+      SELECT doc_id, md5(string_agg(sym, ' ' ORDER BY pos))
+               AS encoded_digest
+      FROM em WHERE NOT prev GROUP BY doc_id
+    )
+    SELECT tot.doc_id, tot.n_tokens, tot.n_merges, enc.encoded_digest
+    FROM tot JOIN enc USING (doc_id)
+    """,
+)
+def l97_bpe_encode(spark, sf_dir):
+    """BPE ENCODE over the corpus with l44's learned top-30 merge
+    table — the missing half of the tokenizer story (l44 trains, this
+    applies): every document's token stream is rewritten in one
+    left-to-right greedy pass (operators/text.py::bpe_encode_greedy),
+    whose "consumed by previous merge" chain reduces to an island
+    analysis — windows + one 30-row broadcast semi-join, no iteration,
+    no Python. Because the learned rules pair base tokens only, rank
+    cascades cannot occur and the single scan IS classic BPE apply
+    here; the oracle replays learn + encode end-to-end and the
+    per-doc md5 digests attest the exact encoded symbol sequences.
+    At 100 TB the encode is one scan-shaped pass (the window shuffle
+    is the per-doc sort the detector family already pays), vs k
+    sequential corpus rewrites for rank-ordered application."""
+    from ekati_spark.operators.text import bpe_encode_greedy
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.split(F.trim(F.lower(F.col("text"))), " +").alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1), "
+                "i -> struct(element_at(t, i) AS tok_a, "
+                "element_at(t, i + 1) AS tok_b))"
+            )
+        ).alias("z")
+    ).select("z.tok_a", "z.tok_b")
+    cnt = pairs.groupBy("tok_a", "tok_b").agg(F.count("*").alias("pair_cnt"))
+    rules = (
+        cnt.withColumn(
+            "rank",
+            F.row_number().over(
+                W.orderBy(F.desc("pair_cnt"), F.asc("tok_a"), F.asc("tok_b"))
+            ),
+        )
+        .filter(F.col("rank") <= 30)
+        .select("tok_a", "tok_b")
+    )
+    return bpe_encode_greedy(docs, rules)

@@ -131,3 +131,44 @@ def test_scrub_merges_overlapping_spans(spark):
     assert (
         out[1]["scrubbed_digest"] == hashlib.md5(b"head tail").hexdigest()
     )
+
+
+def test_bpe_encode_greedy_semantics(spark):
+    """Hand-checked greedy single-pass semantics: run-alternation on
+    repeated pairs, no cascade onto merged symbols, digest equals the
+    md5 of the expected symbol stream."""
+    import hashlib
+
+    from ekati_spark.operators.text import bpe_encode_greedy
+
+    rules = spark.createDataFrame(
+        [("a", "a"), ("b", "c"), ("x", "y")],
+        "tok_a string, tok_b string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a"),        # run of 3: merge (0,1), emit a
+            (2, "a a a a"),      # run of 4: two merges
+            (3, "b c d"),        # plain pair merge
+            (4, "x b c y"),      # x_y must NOT fire across the merge
+            (5, "q r s"),        # no rules apply
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in bpe_encode_greedy(docs, rules).collect()
+    }
+
+    def dg(s):
+        return hashlib.md5(s.encode()).hexdigest()
+
+    assert (out[1]["n_tokens"], out[1]["n_merges"]) == (3, 1)
+    assert out[1]["encoded_digest"] == dg("a_a a")
+    assert (out[2]["n_tokens"], out[2]["n_merges"]) == (4, 2)
+    assert out[2]["encoded_digest"] == dg("a_a a_a")
+    assert out[3]["encoded_digest"] == dg("b_c d")
+    # b_c consumed c, so (x,y) never becomes adjacent: x b_c y
+    assert out[4]["n_merges"] == 1
+    assert out[4]["encoded_digest"] == dg("x b_c y")
+    assert out[5]["n_merges"] == 0
+    assert out[5]["encoded_digest"] == dg("q r s")
