@@ -134,3 +134,68 @@ def bloom_probe(
         *[bloom_position(F.col(value_col), j, m) for j in range(k)]
     )
     return df.withColumn(out_col, _probe(arr))
+
+
+def counting_bloom_counts(
+    adds: DataFrame,
+    deletes: DataFrame,
+    value_col: str,
+    m: int,
+    k: int,
+) -> DataFrame:
+    """COUNTING Bloom filter as data: ``(pos, cnt)`` rows where cnt =
+    (# add occurrences hashing to pos) − (# delete occurrences).
+    The deletable variant of ``bloom_word_table`` — the piece a plain
+    bitmap can't do: with the standard contract (every delete was
+    previously added), a member's k counters each keep ≥ 1 until ITS
+    delete arrives, so membership (all k counters ≥ 1) has no false
+    negatives even after arbitrary interleaved GC — the ingest-ledger
+    twin of the chunk-store/signature/IVF delete paths (l84/l92/l93):
+    retire corpus slices from the dedup gate WITHOUT rebuilding the
+    filter over surviving history. Build is one union + one aggregate
+    (map-side partial sums; shuffle ≤ m rows per partition); zero-cnt
+    rows are dropped so the table stays ≤ min(m, live positions)."""
+    a = adds.select(_positions(adds, value_col, m, k).alias("pos")).select(
+        "pos", F.lit(1).cast("long").alias("d")
+    )
+    d = deletes.select(
+        _positions(deletes, value_col, m, k).alias("pos")
+    ).select("pos", F.lit(-1).cast("long").alias("d"))
+    return (
+        a.unionByName(d)
+        .groupBy("pos")
+        .agg(F.sum("d").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def counting_bloom_probe(
+    df: DataFrame,
+    value_col: str,
+    counts: DataFrame,
+    m: int,
+    k: int,
+    out_col: str = "is_candidate",
+) -> DataFrame:
+    """Append boolean ``out_col``: true iff all ``k`` counters for
+    ``value_col`` are ≥ 1 in the counting filter. Pure JVM and ZERO
+    corpus shuffle: the k positions are plain columns and each checks
+    against the (≤ m row) counts table with its own broadcast hash
+    join — k map-side probes, no explode/regroup cycle (an exploded
+    formulation would shuffle the corpus ×k just to reassemble it)."""
+    out = df
+    checks = []
+    for j in range(k):
+        cj = counts.select(
+            F.col("pos").alias(f"__pos{j}"), F.col("cnt").alias(f"__cnt{j}")
+        )
+        out = out.withColumn(
+            f"__pos{j}", bloom_position(F.col(value_col), j, m)
+        ).join(F.broadcast(cj), f"__pos{j}", "left")
+        checks.append(F.coalesce(F.col(f"__cnt{j}"), F.lit(0)) >= 1)
+    cond = checks[0]
+    for c in checks[1:]:
+        cond = cond & c
+    return out.withColumn(out_col, cond).drop(
+        *[f"__pos{j}" for j in range(k)], *[f"__cnt{j}" for j in range(k)]
+    )

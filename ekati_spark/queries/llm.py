@@ -6440,3 +6440,92 @@ def l97_bpe_encode(spark, sf_dir):
         .select("tok_a", "tok_b")
     )
     return bpe_encode_greedy(docs, rules)
+
+
+def _l98_oracle(m: int = 4096, k: int = 3) -> str:
+    from ekati_spark.operators.bloom import BLOOM_POS_SQL
+
+    pos = BLOOM_POS_SQL.format(j="j", val="v", m=m)
+    return f"""
+    WITH vals AS (
+      SELECT doc_id, trim(lower(text)) AS v FROM documents
+    ),
+    adds AS (SELECT v FROM vals WHERE doc_id % 4 <> 3),
+    dels AS (SELECT v FROM vals WHERE doc_id % 8 = 1),
+    cnts AS (
+      SELECT pos, sum(d) AS cnt
+      FROM (
+        SELECT {pos} AS pos, 1 AS d
+        FROM adds, (SELECT unnest(range({k})) AS j)
+        UNION ALL
+        SELECT {pos} AS pos, -1 AS d
+        FROM dels, (SELECT unnest(range({k})) AS j)
+      )
+      GROUP BY pos HAVING sum(d) <> 0
+    ),
+    surv AS (
+      SELECT v FROM (
+        SELECT v,
+               count(*) FILTER (side = 'a')
+                 - count(*) FILTER (side = 'd') AS c
+        FROM (SELECT v, 'a' AS side FROM adds
+              UNION ALL SELECT v, 'd' AS side FROM dels)
+        GROUP BY v
+      ) WHERE c >= 1
+    ),
+    probe AS (
+      SELECT doc_id, v, j, {pos} AS pos
+      FROM vals, (SELECT unnest(range({k})) AS j)
+    ),
+    cand AS (
+      SELECT p.doc_id, bool_and(coalesce(c.cnt, 0) >= 1) AS candidate
+      FROM probe p LEFT JOIN cnts c USING (pos) GROUP BY p.doc_id
+    )
+    SELECT cand.doc_id, cand.candidate, (s.v IS NOT NULL) AS member
+    FROM cand JOIN vals USING (doc_id) LEFT JOIN surv s USING (v)
+    """
+
+
+@register("l98_counting_bloom_gc", oracle=_l98_oracle())
+def l98_counting_bloom_gc(spark, sf_dir):
+    """COUNTING-bloom ingest ledger with DELETION — the GC leg of the
+    bloom family, completing the same lifecycle theme as the
+    chunk-store (l84), signature-store (l92), and IVF (l93) delete
+    paths: history documents register their normalized-text values
+    into per-position COUNTERS (operators/bloom.py::
+    counting_bloom_counts), a deletion feed (docs with doc_id % 8 = 1)
+    decrements the same positions, and membership stays all-k-counters
+    ≥ 1 — so corpus slices retire from the dedup gate WITHOUT
+    rebuilding the filter over surviving history, and the counting
+    contract preserves no-false-negatives for every survivor through
+    arbitrary interleaved GC. Every document then probes the GC'd
+    filter with k broadcast hash joins (zero corpus shuffle, no
+    Python) and the output attests candidate vs exact-member verdicts
+    side by side: fps are visible, false negatives would break the
+    hash. Reference analog: none (LLM-data extension)."""
+    import ekati_spark.operators.bloom as BL
+
+    M, K = 4096, 3
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("v")
+    )
+    adds = vals.filter(F.col("doc_id") % 4 != 3).select("v")
+    dels = vals.filter(F.col("doc_id") % 8 == 1).select("v")
+    counts = BL.counting_bloom_counts(adds, dels, "v", M, K).transform(
+        cut_lineage
+    )
+    probed = BL.counting_bloom_probe(vals, "v", counts, M, K, "candidate")
+    surv = (
+        adds.withColumn("d", F.lit(1))
+        .unionByName(dels.withColumn("d", F.lit(-1)))
+        .groupBy("v")
+        .agg(F.sum("d").alias("c"))
+        .filter(F.col("c") >= 1)
+        .select("v", F.lit(True).alias("mem"))
+    )
+    return probed.join(F.broadcast(surv), "v", "left").select(
+        "doc_id",
+        "candidate",
+        F.coalesce("mem", F.lit(False)).alias("member"),
+    )

@@ -172,3 +172,64 @@ def test_bpe_encode_greedy_semantics(spark):
     assert out[4]["encoded_digest"] == dg("x b_c y")
     assert out[5]["n_merges"] == 0
     assert out[5]["encoded_digest"] == dg("q r s")
+
+
+def test_counting_bloom_delete_preserves_survivors(spark):
+    """The counting-filter contract: after deleting any subset of what
+    was added, every SURVIVOR still probes candidate (no false
+    negatives through GC), and a deleted value whose counters aren't
+    aliased probes absent."""
+    from ekati_spark.operators.bloom import (
+        counting_bloom_counts,
+        counting_bloom_probe,
+    )
+
+    m, k = 4096, 3
+    adds = spark.createDataFrame(
+        [(f"v{i}",) for i in range(120)], "v string"
+    )
+    dels = spark.createDataFrame(
+        [(f"v{i}",) for i in range(0, 120, 2)], "v string"  # evens out
+    )
+    counts = counting_bloom_counts(adds, dels, "v", m, k)
+    probed = {
+        r["v"]: r["is_candidate"]
+        for r in counting_bloom_probe(adds, "v", counts, m, k).collect()
+    }
+    survivors = [f"v{i}" for i in range(1, 120, 2)]
+    assert all(probed[v] for v in survivors)  # NEVER a false negative
+    # at 360 add-positions in 4096 bits, alias fp on deleted values is
+    # rare: most evens must now probe absent
+    deleted = [f"v{i}" for i in range(0, 120, 2)]
+    absent = sum(1 for v in deleted if not probed[v])
+    assert absent > len(deleted) * 0.8
+
+
+def test_counting_bloom_multiset_semantics(spark):
+    """Add twice, delete once -> still a member (counters track
+    multiplicity, the property a plain bitmap cannot provide)."""
+    from ekati_spark.operators.bloom import (
+        counting_bloom_counts,
+        counting_bloom_probe,
+    )
+
+    m, k = 1024, 3
+    adds = spark.createDataFrame([("x",), ("x",), ("y",)], "v string")
+    dels = spark.createDataFrame([("x",)], "v string")
+    counts = counting_bloom_counts(adds, dels, "v", m, k)
+    probe = spark.createDataFrame([("x",), ("y",)], "v string")
+    got = {
+        r["v"]: r["is_candidate"]
+        for r in counting_bloom_probe(probe, "v", counts, m, k).collect()
+    }
+    assert got == {"x": True, "y": True}
+    # delete the second x: now absent (y's 3 counters can alias at
+    # most 3 of x's; with distinct positions x drops to 0)
+    dels2 = spark.createDataFrame([("x",), ("x",)], "v string")
+    counts2 = counting_bloom_counts(adds, dels2, "v", m, k)
+    got2 = {
+        r["v"]: r["is_candidate"]
+        for r in counting_bloom_probe(probe, "v", counts2, m, k).collect()
+    }
+    assert got2["y"] is True
+    assert got2["x"] is False
