@@ -1375,3 +1375,103 @@ def st25_stream_bloom_gate(spark, sf_dir):
     return ops.read_committed_batches(spark, store).select(
         "doc_id", "source"
     )
+
+
+@register(
+    "st26_stream_counting_bloom",
+    oracle=_REGISTRY["l98_counting_bloom_gc"].oracle,
+)
+def st26_stream_counting_bloom(spark, sf_dir):
+    """STREAMING maintenance of the deletable counting-bloom ledger —
+    l98's lifecycle fed by an interleaved add/delete stream: each
+    micro-batch computes its per-position counter DELTAS (one batch-
+    local aggregate, ≤ m rows) and appends them through the epoch-
+    marker exactly-once sink; the live filter is the SUM of committed
+    partials — the st15 mergeable-partial pattern, so replays are
+    absorbed by the marker protocol and no read-modify-overwrite ever
+    touches the state dir. The final probe (k broadcast joins against
+    the merged counters) classifies every document candidate-vs-
+    exact-member, answering l98's query exactly — the oracle is l98's
+    by construction. At 100 TB: per-trigger cost ∝ batch values + an
+    m-bounded aggregate; the filter state on disk is O(m + batches),
+    compactable by re-summing."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import ekati_spark.operators.bloom as BL
+
+    M, K = 4096, 3
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        "doc_id", F.trim(F.lower(F.col("text"))).alias("v")
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="st26_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "partials")
+    sink = ops.idempotent_batch_sink(store)
+
+    # interleaved feed: op-tagged adds and deletes in doc_id order
+    feed = (
+        vals.filter(F.col("doc_id") % 4 != 3)
+        .select("doc_id", "v", F.lit("add").alias("op"))
+        .unionByName(
+            vals.filter(F.col("doc_id") % 8 == 1).select(
+                "doc_id", "v", F.lit("del").alias("op")
+            )
+        )
+    )
+
+    def land(b, batch_id):
+        deltas = BL.counting_bloom_counts(
+            b.filter(F.col("op") == "add"),
+            b.filter(F.col("op") == "del"),
+            "v",
+            M,
+            K,
+        ).withColumnRenamed("cnt", "d")
+        sink(deltas, batch_id)
+
+    for m_ in range(3):
+        feed.filter(F.col("doc_id") % 3 == m_).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m_}"))
+        parts = sorted((tmp / f"b{m_}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m_}.parquet"))
+        shutil.rmtree(tmp / f"b{m_}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(feed.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    counts = (
+        ops.read_committed_batches(spark, store)
+        .groupBy("pos")
+        .agg(F.sum("d").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    ).transform(cut_lineage)
+    probed = BL.counting_bloom_probe(vals, "v", counts, M, K, "candidate")
+    adds = vals.filter(F.col("doc_id") % 4 != 3).select("v")
+    dels = vals.filter(F.col("doc_id") % 8 == 1).select("v")
+    surv = (
+        adds.withColumn("d", F.lit(1))
+        .unionByName(dels.withColumn("d", F.lit(-1)))
+        .groupBy("v")
+        .agg(F.sum("d").alias("c"))
+        .filter(F.col("c") >= 1)
+        .select("v", F.lit(True).alias("mem"))
+    )
+    return probed.join(F.broadcast(surv), "v", "left").select(
+        "doc_id",
+        "candidate",
+        F.coalesce("mem", F.lit(False)).alias("member"),
+    )
