@@ -29,6 +29,9 @@ from ekati_spark.queries import stats  # noqa: F401
 # never-attested names + 10 least-recently attested fillers (last
 # green row: CORRECTNESS_r02). If this window is graded, every query
 # registered through round 9 is driver-attested-ever (241/241).
+# The queries ADDED in round 10 (l94-l99, st25, st26 — registry now
+# 249) are attested by LOCAL_CORRECTNESS_r10.json this round and take
+# the never-attested slots in the round-11 rotation.
 #
 # ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
 # mid-round (the driver grades at round end; a mid-round rotation
