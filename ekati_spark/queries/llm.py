@@ -6675,3 +6675,138 @@ def l99_video_neardup(spark, sf_dir):
     return out.filter(F.col("jaccard_ppm") >= 200000).select(
         "id_a", "id_b", "jaccard_ppm"
     )
+
+
+@register(
+    "l100_classifier_pr_audit",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5(unnest(
+                string_split_regex(trim(lower(text)), ' +'))), 1, 15))
+                AS BIGINT) % 4096) * 2654435761 % 2001 AS seed_mod
+      FROM documents
+    ),
+    score AS (
+      SELECT doc_id,
+             CAST(SUM((seed_mod + 12345) % 2001 - 1000) AS BIGINT) AS w_sum
+      FROM w GROUP BY doc_id
+    ),
+    lab AS (
+      SELECT doc_id,
+             (len(string_split_regex(trim(lower(text)), ' +'))
+                BETWEEN 20 AND 400
+              AND CAST(len(list_distinct(string_split_regex(
+                    trim(lower(text)), ' +'))) AS DOUBLE)
+                  / len(string_split_regex(trim(lower(text)), ' +'))
+                  > 0.3) AS label
+      FROM documents
+    ),
+    thr AS (SELECT unnest([-5000, -2000, -1000, 0, 1000, 2000, 5000])
+              AS thr),
+    cells AS (
+      SELECT t.thr,
+             CAST(count(*) FILTER (s.w_sum > t.thr AND l.label)
+               AS BIGINT) AS tp,
+             CAST(count(*) FILTER (s.w_sum > t.thr AND NOT l.label)
+               AS BIGINT) AS fp,
+             CAST(count(*) FILTER (s.w_sum <= t.thr AND l.label)
+               AS BIGINT) AS fn,
+             CAST(count(*) FILTER (s.w_sum <= t.thr AND NOT l.label)
+               AS BIGINT) AS tn
+      FROM score s JOIN lab l USING (doc_id), thr t
+      GROUP BY t.thr
+    )
+    SELECT CAST(thr AS BIGINT) AS thr, tp, fp, fn, tn,
+           CAST(CASE WHEN tp + fp = 0 THEN -1
+                ELSE (1000000 * tp) // (tp + fp) END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN tp + fn = 0 THEN -1
+                ELSE (1000000 * tp) // (tp + fn) END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1
+                ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT)
+             AS f1_ppm
+    FROM cells
+    """,
+)
+def l100_classifier_pr_audit(spark, sf_dir):
+    """CLASSIFIER CALIBRATION AUDIT — the evaluation step every
+    learned quality filter needs before it gates a corpus: sweep the
+    frozen hashed-BoW classifier's integer score (l48/l89's shared
+    scoring stage, operators/text.quality_score_sums) across a fixed
+    threshold grid and report the confusion matrix + integer-ppm
+    precision/recall/F1 against the HEURISTIC keep labels (l10's
+    length + distinct-ratio rule) as reference. Shape: one scoring
+    pass (shuffle ∝ docs), labels from the same scan, then each doc
+    explodes onto the 7-threshold grid and ONE aggregate builds every
+    cell — at 100 TB the sweep costs 7× one count-aggregate's shuffle
+    rows (tiny), never 7 corpus passes. Trunc-division ppm keeps the
+    curve hash-exact; -1 marks undefined cells (empty predicted/actual
+    positives) instead of a float NaN."""
+    from ekati_spark.operators.text import quality_score_sums, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    score = quality_score_sums(docs).select("doc_id", "w_sum")
+    t = F.split(F.trim(F.lower(F.col("text"))), " +")
+    lab = docs.select(
+        "doc_id",
+        (
+            F.size(t).between(20, 400)
+            & (
+                F.size(F.array_distinct(t)).cast("double") / F.size(t)
+                > 0.3
+            )
+        ).alias("label"),
+    )
+    grid = [-5000, -2000, -1000, 0, 1000, 2000, 5000]
+    cells = (
+        score.join(lab, "doc_id")
+        .select(
+            "w_sum",
+            "label",
+            F.explode(F.array(*[F.lit(x) for x in grid])).alias("thr"),
+        )
+        .groupBy("thr")
+        .agg(
+            F.sum(
+                ((F.col("w_sum") > F.col("thr")) & F.col("label")).cast(
+                    "long"
+                )
+            ).alias("tp"),
+            F.sum(
+                ((F.col("w_sum") > F.col("thr")) & ~F.col("label")).cast(
+                    "long"
+                )
+            ).alias("fp"),
+            F.sum(
+                ((F.col("w_sum") <= F.col("thr")) & F.col("label")).cast(
+                    "long"
+                )
+            ).alias("fn"),
+            F.sum(
+                ((F.col("w_sum") <= F.col("thr")) & ~F.col("label")).cast(
+                    "long"
+                )
+            ).alias("tn"),
+        )
+    )
+    return cells.select(
+        F.col("thr").cast("long").alias("thr"),
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr(
+            "CAST(CASE WHEN tp + fp = 0 THEN -1"
+            " ELSE (1000000 * tp) div (tp + fp) END AS BIGINT)"
+        ).alias("precision_ppm"),
+        F.expr(
+            "CAST(CASE WHEN tp + fn = 0 THEN -1"
+            " ELSE (1000000 * tp) div (tp + fn) END AS BIGINT)"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN -1"
+            " ELSE (2000000 * tp) div (2 * tp + fp + fn) END AS BIGINT)"
+        ).alias("f1_ppm"),
+    )
