@@ -105,6 +105,11 @@ HEADLINE = [
     # and stays verify-only like the other foreachBatch feeds.
     "l94_bloom_decontaminate",
     "l95_substring_scrub",
+    # the one-pass BPE encode (window + 30-row broadcast semi-join)
+    # and the video frame-signature near-dup (inverted-index pair
+    # join over temporal shingles)
+    "l97_bpe_encode",
+    "l99_video_neardup",
 ]
 
 

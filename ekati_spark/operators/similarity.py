@@ -2133,6 +2133,22 @@ def pca_top_component(
     driver-side scalars (same contract as k-means centroids). At 100 TB
     the partials stay int64-safe for |q| ≤ scale and ≤2^30 rows per
     partition; the driver combine is unbounded-int Python."""
+    rows = covariance_partials(corpus, id_col, vec_col, scale).collect()
+    dim = _infer_dim(corpus, vec_col)
+    return component_from_partials(rows, dim, scale, iters)
+
+
+def covariance_partials(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """The N-proportional half of ``pca_top_component`` as a reusable
+    DataFrame of MERGEABLE integer partials ``(spq, si, n)`` — integer
+    sums are associative, so partials from disjoint corpus slices (or
+    stream micro-batches: st27) merge by plain addition and the merged
+    component is bit-identical to a from-scratch build."""
     import numpy as np
 
     dim = _infer_dim(corpus, vec_col)
@@ -2154,10 +2170,18 @@ def pca_top_component(
                 }
             )
 
-    rows = q.mapInPandas(
+    return q.mapInPandas(
         partials, schema="spq array<long>, si array<long>, n long"
-    ).collect()
-    # driver combine in unbounded Python ints (a handful of partial rows)
+    )
+
+
+def component_from_partials(
+    rows, dim: int, scale: int = 1024, iters: int = 3
+) -> list[int]:
+    """Driver-side half of ``pca_top_component``: combine integer
+    covariance partials in unbounded Python ints and run the
+    power-iteration steps (trunc-division rescale, the DuckDB
+    ``//``/HUGEINT contract)."""
     n = sum(r["n"] for r in rows)
     spq = [0] * (dim * dim)
     si = [0] * dim

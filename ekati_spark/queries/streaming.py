@@ -1475,3 +1475,66 @@ def st26_stream_counting_bloom(spark, sf_dir):
         "candidate",
         F.coalesce("mem", F.lit(False)).alias("member"),
     )
+
+
+@register(
+    "st27_stream_pca_maintenance",
+    oracle=_REGISTRY["l83_pca_power_iteration"].oracle,
+)
+def st27_stream_pca_maintenance(spark, sf_dir):
+    """STREAMING maintenance of the corpus covariance — l83's PCA
+    lifecycle closed (build l83 / apply l96 / MAINTAIN here): each
+    micro-batch of arriving vectors computes its integer covariance
+    partials (``covariance_partials`` — dim² longs per partition, the
+    only N-proportional work) and appends them through the
+    epoch-marker exactly-once sink; integer sums are associative, so
+    the merged partials yield a component BIT-IDENTICAL to a
+    from-scratch build — increment ≡ rebuild, proven by answering
+    l83's query against its unchanged oracle. At 100 TB this is how
+    whitening/index-prep stays current under ingest: per-trigger cost
+    ∝ batch rows, the stored state is O(batches·dim²) longs
+    (compactable by re-summing), and the power iteration stays a
+    driver-side dim×dim scalar loop at read."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.operators.similarity import (
+        component_from_partials,
+        covariance_partials,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tmp = Path(tempfile.mkdtemp(prefix="st27_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "partials")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        sink(covariance_partials(b), batch_id)
+
+    for m_ in range(3):
+        emb.filter(F.col("vec_id") % 3 == m_).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m_}"))
+        parts = sorted((tmp / f"b{m_}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m_}.parquet"))
+        shutil.rmtree(tmp / f"b{m_}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    rows = ops.read_committed_batches(spark, store).collect()
+    v = component_from_partials(rows, dim=64, scale=1024, iters=3)
+    return spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], "dim long, pc1_q long"
+    )
