@@ -574,6 +574,73 @@ def read_committed_batches(spark: SparkSession, base_path: str) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
+def compact_committed_batches(
+    spark: SparkSession,
+    base_path: str,
+    merge=None,
+) -> int:
+    """Compact an ``idempotent_batch_sink`` store: fold every committed
+    ``batch_id=<n>`` directory into ONE compacted batch (id =
+    ``-(max_id + 1)`` — negative, so it can never collide with the
+    stream's own future epoch ids), optionally re-aggregating with
+    ``merge`` (e.g. ``groupBy(pos).sum`` for counting-bloom deltas,
+    st26) so the stored state stops growing with batch count. Returns
+    the number of source batches folded (0 = nothing to do).
+
+    Crash contract (the ``compact_ivf_lists`` precedent — recoverable,
+    not atomic, and NOT safe under concurrent readers; run it as the
+    offline maintenance step it is): a ``_compact_inprogress`` sentinel
+    records the source ids and target id BEFORE any visible change.
+    Crash before the compacted marker lands → old batches intact,
+    compacted dir invisible; re-run restarts cleanly. Crash after →
+    the sentinel tells the re-run to finish removing exactly the
+    recorded sources (never re-reading state), so the brief
+    double-visibility window closes deterministically."""
+    import json
+    import os
+    import shutil
+
+    sentinel = os.path.join(base_path, "_compact_inprogress")
+    if os.path.exists(sentinel):
+        plan = json.load(open(sentinel))
+        ids, cid = plan["ids"], plan["cid"]
+    else:
+        ids = sorted(
+            int(f.rsplit("_", 1)[1])
+            for f in os.listdir(base_path)
+            if f.startswith("_committed_")
+        )
+        if len(ids) <= 1:
+            return 0
+        # negative and below every existing id (including prior
+        # compactions), so it can never collide with the stream's own
+        # future epoch ids or a re-compaction
+        cid = min(-(max(ids) + 1), min(ids) - 1)
+        with open(sentinel, "w") as fh:
+            json.dump({"ids": ids, "cid": cid}, fh)
+    cmark = os.path.join(base_path, f"_committed_{cid}")
+    if not os.path.exists(cmark):
+        df = spark.read.parquet(
+            *[os.path.join(base_path, f"batch_id={i}") for i in ids]
+        )
+        if merge is not None:
+            df = merge(df)
+        df.write.mode("overwrite").parquet(
+            os.path.join(base_path, f"batch_id={cid}")
+        )
+        with open(cmark, "w"):
+            pass
+    for i in ids:
+        m = os.path.join(base_path, f"_committed_{i}")
+        if os.path.exists(m):
+            os.remove(m)
+        d = os.path.join(base_path, f"batch_id={i}")
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+    os.remove(sentinel)
+    return len(ids)
+
+
 SCD2_OUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),

@@ -530,3 +530,75 @@ def test_countmin_stream_replay_exactly_once(spark, tmp_path):
         ).collect()
     }
     assert g2 == g1
+
+
+def test_compact_committed_batches_preserves_state(spark, tmp_path):
+    """Counter-delta store: compaction with a re-sum merge must leave
+    read_committed_batches' merged view IDENTICAL, fold every source
+    batch, and survive a crash between the compacted marker landing
+    and source removal (sentinel-driven recovery)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ekati_spark.streaming import ops
+
+    store = str(tmp_path / "partials")
+    os.makedirs(store)
+    sink = ops.idempotent_batch_sink(store)
+    for b in range(4):
+        df = spark.createDataFrame(
+            [(p, 1) for p in range(b, b + 8)], "pos long, d long"
+        )
+        sink(df, b)
+
+    def merged_view():
+        return {
+            r["pos"]: r["cnt"]
+            for r in ops.read_committed_batches(spark, store)
+            .groupBy("pos")
+            .agg(F.sum("d").alias("cnt"))
+            .collect()
+        }
+
+    before = merged_view()
+    n = ops.compact_committed_batches(
+        spark, store, merge=lambda df: df.groupBy("pos").agg(
+            F.sum("d").alias("d")
+        )
+    )
+    assert n == 4
+    assert merged_view() == before
+    markers = [f for f in os.listdir(store) if f.startswith("_committed_")]
+    assert len(markers) == 1 and markers[0].startswith("_committed_-")
+
+    # append more epochs, compact again: the new id must go below the
+    # previous compaction's, never collide with stream epochs
+    sink(spark.createDataFrame([(99, 5)], "pos long, d long"), 7)
+    before2 = merged_view()
+    assert ops.compact_committed_batches(spark, store) == 2
+    assert merged_view() == before2
+
+    # crash window: sentinel present, compacted marker present, sources
+    # not yet removed -> re-run finishes removal without re-reading
+    ids = sorted(
+        int(f.rsplit("_", 1)[1])
+        for f in os.listdir(store)
+        if f.startswith("_committed_")
+    )
+    sink(spark.createDataFrame([(100, 1)], "pos long, d long"), 9)
+    all_ids = ids + [9]
+    cid = min(-(max(all_ids) + 1), min(all_ids) - 1)
+    with open(os.path.join(store, "_compact_inprogress"), "w") as fh:
+        json.dump({"ids": all_ids, "cid": cid}, fh)
+    ops.read_committed_batches(spark, store).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(store, f"batch_id={cid}"))
+    with open(os.path.join(store, f"_committed_{cid}"), "w"):
+        pass
+    want = merged_view()  # double-visible window: cid + sources
+    assert ops.compact_committed_batches(spark, store) == len(all_ids)
+    got = merged_view()
+    # recovery removed the doubled sources; cid's contents alone remain
+    assert set(got) == set(want)
