@@ -1225,3 +1225,74 @@ def cdc_chunk_table(
         ).alias("chash"),
         F.count("*").alias("n_tok"),
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """WINNOWING document fingerprints (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every word ``k``-gram, slide a ``w``-wide
+    window over the hash sequence, and keep each window's minimum
+    (rightmost on ties) — the guarantee is that any shared substring of
+    ≥ w+k−1 tokens yields at least one shared fingerprint, at a
+    selection density of ~2/(w+1). Returns distinct ``(id, fph)`` rows.
+
+    Distributed shape: gram hashing is the shingle codegen pass; the
+    per-window argmin folds into ONE trailing-frame window min over an
+    integer key ``h·2²¹ + (2²¹−1−pos)`` — min of the key IS
+    (min hash, rightmost position), so selection needs no join and no
+    UDF, and the decode back to the hash is one integer division.
+    Strict full-window semantics: docs with fewer than w grams emit no
+    fingerprints (short docs belong to exact dedup). Key bounds:
+    h < 2³¹, gram position < 2²¹ (2M tokens/doc) keeps the key < 2⁵²,
+    exact in both engines. The only shuffles are the per-doc window
+    sort and the final distinct — fingerprint volume is ~2/(w+1) of
+    gram volume, the winnowing compression that makes corpus-wide
+    fingerprint joins tractable at 100 TB."""
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias(
+            "pos", "tok"
+        ),
+    )
+    wd = W.partitionBy("id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(wd) for j in range(1, k)]
+    grams = (
+        toks.select(
+            "id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("g"),
+            parts[-1].alias("last"),
+        )
+        .filter(F.col("last").isNotNull())
+        .select(
+            "id",
+            "pos",
+            (
+                F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long")
+                % F.lit(MERSENNE_31)
+            ).alias("h"),
+        )
+    )
+    keyed = grams.select(
+        "id",
+        "pos",
+        (
+            F.col("h") * F.lit(2097152) + (F.lit(2097151) - F.col("pos"))
+        ).alias("key"),
+    )
+    frame = W.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    sel = keyed.select(
+        "id",
+        F.row_number().over(W.partitionBy("id").orderBy("pos")).alias("rn"),
+        F.min("key").over(frame).alias("wmin"),
+    ).filter(F.col("rn") >= w)
+    return sel.select(
+        "id", F.expr("wmin div 2097152").alias("fph")
+    ).distinct()

@@ -6810,3 +6810,81 @@ def l100_classifier_pr_audit(spark, sf_dir):
             " ELSE (2000000 * tp) div (2 * tp + fp + fn) END AS BIGINT)"
         ).alias("f1_ppm"),
     )
+
+
+@register(
+    "l101_winnow_fingerprint_pairs",
+    oracle="""
+    WITH tkl AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    posed AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tkl
+    ),
+    toks AS (
+      SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, t[i] AS tok FROM posed
+    ),
+    led AS (
+      SELECT doc_id, pos, tok,
+             lead(tok, 1) OVER w AS t1, lead(tok, 2) OVER w AS t2,
+             lead(tok, 3) OVER w AS t3
+      FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    grams AS (
+      SELECT doc_id, pos,
+             CAST(('0x' || substr(md5(tok || ' ' || t1 || ' ' || t2 || ' '
+               || t3), 1, 15)) AS BIGINT) % 2147483647 AS h
+      FROM led WHERE t3 IS NOT NULL
+    ),
+    keyed AS (
+      SELECT doc_id, pos, h * 2097152 + (2097151 - pos) AS key FROM grams
+    ),
+    sel AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn,
+             min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+               AS wmin
+      FROM keyed
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, wmin // 2097152 AS fph FROM sel WHERE rn >= 5
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fph = b.fph AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= 2
+    """,
+)
+def l101_winnow_fingerprint_pairs(spark, sf_dir):
+    """WINNOWING document fingerprints (the MOSS algorithm) + overlap
+    pairs — the brief's "document fingerprinting (rolling hash)" item
+    as Schleimer/Wilkerson/Aiken define it: hash every word 4-gram,
+    keep each 5-window's minimum hash (rightmost on ties), and report
+    document pairs sharing ≥ 2 fingerprints. The selection guarantee
+    (any shared run of ≥ w+k−1 = 8 tokens yields a shared fingerprint)
+    makes this the sub-Jaccard-cost plagiarism/quote detector: the
+    corpus-wide join runs over the ~2/(w+1)-density fingerprint table,
+    not the full shingle table. The per-window argmin is ONE trailing
+    window min over the integer key h·2²¹+(2²¹−1−pos) — no UDF, no
+    join — and the oracle replays key arithmetic, tie-break, and
+    full-window rule exactly (operators/dedup.py::
+    winnow_fingerprints). Reference analog: none (LLM-data
+    extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = D.winnow_fingerprints(docs, k=4, w=5)
+    a = fp.select(F.col("id").alias("id_a"), "fph")
+    b = fp.select(
+        F.col("id").alias("id_b"), F.col("fph").alias("fph_b")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("fph") == F.col("fph_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )

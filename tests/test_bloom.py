@@ -233,3 +233,36 @@ def test_counting_bloom_multiset_semantics(spark):
     }
     assert got2["y"] is True
     assert got2["x"] is False
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """The winnowing guarantee: two documents sharing a run of
+    >= w+k-1 = 8 tokens MUST share at least one fingerprint; disjoint
+    docs share none; selection density ~ 2/(w+1)."""
+    import random
+
+    from ekati_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(3)
+    shared = " ".join(f"s{i}" for i in range(8))
+    noise = lambda n: " ".join(  # noqa: E731
+        f"n{rng.randint(0, 10**9)}" for _ in range(n)
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"{noise(15)} {shared} {noise(15)}"),
+            (2, f"{noise(20)} {shared}"),
+            (3, noise(40)),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs, k=4, w=5)
+    by_doc = {
+        i: {r["fph"] for r in fp.filter(F.col("id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "shared 8-token run must collide"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+    # density: doc 3 has 37 grams, expect ~2/(w+1)=1/3 selected
+    assert 4 <= len(by_doc[3]) <= 25
