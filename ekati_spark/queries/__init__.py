@@ -29,8 +29,8 @@ from ekati_spark.queries import stats  # noqa: F401
 # never-attested names + 10 least-recently attested fillers (last
 # green row: CORRECTNESS_r02). If this window is graded, every query
 # registered through round 9 is driver-attested-ever (241/241).
-# The queries ADDED in round 10 (l94-l100, st25-st27 — registry now
-# 251) are attested by LOCAL_CORRECTNESS_r10.json this round and take
+# The queries ADDED in round 10 (l94-l101, st25-st27 — registry now
+# 252) are attested by LOCAL_CORRECTNESS_r10.json this round and take
 # the never-attested slots in the round-11 rotation.
 #
 # ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
