@@ -128,3 +128,51 @@ def test_video_shingle_jaccard_matches_reference(spark, sf_dir):
         ppm = (1000000 * shared) // (len(sa) + len(sb) - shared)
         assert ppm == r["jaccard_ppm"], (r["id_a"], r["id_b"])
         assert ppm >= 200000
+
+
+def test_winnowing_matches_python_reference(spark):
+    """Winnowing selection (k=4, w=5) against a positionally-faithful
+    Python reference over a seeded random corpus — pins the integer-key
+    encoding (min hash, rightmost position), the full-window rule, and
+    the distinct-fingerprint semantics."""
+    import random
+
+    from ekati_spark.operators.dedup import MERSENNE_31, winnow_fingerprints
+
+    rng = random.Random(13)
+    alpha = [f"w{i}" for i in range(7)]
+    corpus = {
+        i: [rng.choice(alpha) for _ in range(rng.randint(1, 40))]
+        for i in range(120)
+    }
+    docs_df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in corpus.items()],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in winnow_fingerprints(docs_df, k=4, w=5).collect():
+        got.setdefault(r["id"], set()).add(r["fph"])
+
+    def ref(toks, k=4, w=5):
+        hs = [
+            int(
+                hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[
+                    :15
+                ],
+                16,
+            )
+            % MERSENNE_31
+            for i in range(len(toks) - k + 1)
+        ]
+        out = set()
+        for e in range(w - 1, len(hs)):  # full windows only
+            win = hs[e - w + 1 : e + 1]
+            m = min(win)
+            # rightmost occurrence of the min
+            j = max(idx for idx, h in enumerate(win) if h == m)
+            out.add(win[j])
+        return out
+
+    for i, toks in corpus.items():
+        want = ref(toks)
+        assert got.get(i, set()) == want, i
