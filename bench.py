@@ -110,6 +110,9 @@ HEADLINE = [
     # join over temporal shingles)
     "l97_bpe_encode",
     "l99_video_neardup",
+    # winnowing fingerprints + overlap join (the ~2/(w+1)-density
+    # fingerprint table replaces the full shingle table in the join)
+    "l101_winnow_fingerprint_pairs",
 ]
 
 
