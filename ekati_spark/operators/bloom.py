@@ -15,11 +15,18 @@ int(md5(j ':' v)[:15 hex]) mod m``), so a DuckDB oracle replays the
 exact same bitmap and candidate set — the false positives themselves
 are attested, not just the confirmed hits.
 
-Sizing rule (document, don't guess): for ``n`` reference members and
-target fp rate ``p``, ``m = -n ln p / (ln 2)^2`` and ``k = (m/n) ln 2``
-(k=3 serves p ≈ 1-5%). An undersized bitmap saturates gracefully —
-every probe becomes a candidate and the exact confirm join does all
-the work — wrong speed, never wrong answers.
+Sizing rule (applied by default, not just documented): the textbook
+formulae are ``m = -n ln p / (ln 2)^2`` and ``k = (m/n) ln 2``; this
+module fixes ``k = 3`` (serves p ≈ 1-5%) and sizes the bitmap with the
+INTEGER-EXACT equivalent ``m = next multiple of 64 ≥ 13·n``
+(at k=3, fp = (1 − e^(−3n/m))³ ≈ 0.9% for m = 13n). Integer
+arithmetic, not ln/ceil floats, so a DuckDB oracle reproduces the
+exact same ``m`` from the same reference count — no cross-libm ulp
+hazard deciding a boundary. ``bloom_word_table``/``bloom_bitmap``
+auto-size when ``m`` is omitted; passing fixed ``m`` is the explicit
+test/fixture lever (an undersized bitmap saturates gracefully — every
+probe becomes a candidate and the exact confirm join does all the
+work — wrong speed, never wrong answers).
 
 Spark built-ins (``BloomFilterAggregate`` / ``might_contain``) are not
 used deliberately: their xxhash-based layout is not replayable in the
@@ -37,12 +44,35 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bloom_params",
     "bloom_position",
     "bloom_word_table",
     "bloom_bitmap",
     "bloom_probe",
     "BLOOM_POS_SQL",
+    "BLOOM_M_SQL",
+    "BITS_PER_MEMBER",
+    "DEFAULT_K",
 ]
+
+# Integer-exact sizing constants (see module docstring): m = next
+# multiple of 64 >= BITS_PER_MEMBER * n, probed with DEFAULT_K hashes.
+BITS_PER_MEMBER = 13
+DEFAULT_K = 3
+
+# DuckDB twin of ``bloom_params`` — .format(n=<count expr>) yields the
+# same m for the same reference-set count, pure integer arithmetic.
+BLOOM_M_SQL = "(({bpm} * ({n}) + 63) // 64) * 64".replace(
+    "{bpm}", str(BITS_PER_MEMBER)
+)
+
+
+def bloom_params(n: int) -> int:
+    """Bitmap size for ``n`` reference members: next multiple of 64
+    ≥ ``BITS_PER_MEMBER·n`` (≈0.9% fp at k=3). Integer-exact so an
+    oracle replays it from the same count — see module docstring."""
+    n = max(int(n), 1)
+    return ((BITS_PER_MEMBER * n + 63) // 64) * 64
 
 # DuckDB twin of ``bloom_position`` — .format(j=..., val=..., m=...)
 # into oracle texts so both engines derive identical bit positions.
@@ -67,14 +97,22 @@ def _positions(df: DataFrame, value_col: str, m: int, k: int) -> Column:
 
 
 def bloom_word_table(
-    df: DataFrame, value_col: str, m: int, k: int
+    df: DataFrame, value_col: str, m: int | None = None, k: int = DEFAULT_K
 ) -> DataFrame:
     """The filter as data: ``(word_idx, word)`` rows packing the ``m``
     bits into 64-bit words, built with one distributed aggregate
     (map-side ``bit_or`` partials, shuffle ≤ ``m/64`` rows per
     partition regardless of input size). This is the form a streaming
     gate joins against (stream-static, broadcast) and what lands on
-    disk next to an ingest ledger."""
+    disk next to an ingest ledger.
+
+    ``m=None`` (the default) auto-sizes from the reference-set row
+    count via ``bloom_params`` — one count job over the (small)
+    reference set, never the corpus. Pass fixed ``m`` only as a
+    test/fixture lever; an undersized filter stays correct but
+    degrades the probe to pass-through."""
+    if m is None:
+        m = bloom_params(df.count())
     assert m % 64 == 0, "m must pack into 64-bit words"
     return (
         df.select(_positions(df, value_col, m, k).alias("pos"))
@@ -90,9 +128,12 @@ def bloom_word_table(
 
 
 def bloom_bitmap(
-    df: DataFrame, value_col: str, m: int, k: int
+    df: DataFrame, value_col: str, m: int | None = None, k: int = DEFAULT_K
 ) -> np.ndarray:
     """Collect the word table into a packed ``int64[m/64]`` bitmap.
+    ``m=None`` auto-sizes via ``bloom_params`` (see
+    ``bloom_word_table``); the chosen m is recoverable from the result
+    as ``bitmap.size * 64`` — ``bloom_probe`` does exactly that.
 
     The collect is bounded by ``m/64`` rows — a filter sized for 10^10
     members at 1% fp is ~12 GB of BITS but the driver only ever holds
@@ -101,6 +142,8 @@ def bloom_bitmap(
     scale the bitmap rides to executors once per job as a broadcast
     closure — the constant-size alternative to an ever-growing
     broadcast-join hash table."""
+    if m is None:
+        m = bloom_params(df.count())
     words = np.zeros(m // 64, dtype=np.int64)
     for r in bloom_word_table(df, value_col, m, k).collect():
         words[int(r["word_idx"])] = r["word"]
@@ -111,8 +154,8 @@ def bloom_probe(
     df: DataFrame,
     value_col: str,
     bitmap: np.ndarray,
-    m: int,
-    k: int,
+    m: int | None = None,
+    k: int = DEFAULT_K,
     out_col: str = "is_candidate",
 ) -> DataFrame:
     """Append boolean ``out_col``: true iff all ``k`` bits for
@@ -121,11 +164,16 @@ def bloom_probe(
     exprs as the build); only the k small ints cross into one
     Arrow-batched pandas UDF that indexes the closure-captured packed
     bitmap. ``&1`` after an arithmetic shift reads the target bit
-    correctly even for bit 63 of a negative int64 word."""
+    correctly even for bit 63 of a negative int64 word. ``m=None``
+    derives the build-time m from the bitmap itself (size·64)."""
+    if m is None:
+        m = int(bitmap.size) * 64
     words = bitmap  # closure capture; ships once per executor
 
     @F.pandas_udf("boolean")
     def _probe(pos: pd.Series) -> pd.Series:
+        if not len(pos):  # empty Arrow batch: np.stack would raise
+            return pd.Series([], dtype=bool)
         p = np.stack(pos.to_numpy())  # (rows, k) int64
         hit = ((words[p >> 6] >> (p & 63)) & 1).all(axis=1)
         return pd.Series(hit)

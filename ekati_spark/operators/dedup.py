@@ -1280,11 +1280,28 @@ def winnow_fingerprints(
             ).alias("h"),
         )
     )
+    # The packed key is only order-correct for pos < 2^21 (2M grams per
+    # doc); beyond that the (2^21-1 - pos) term goes negative and would
+    # silently corrupt both the tie-break and the `wmin div 2^21`
+    # decode. Fail loudly instead: raise_error is codegen, costs one
+    # comparison per gram, and oversized docs belong upstream in a
+    # length gate anyway.
+    pos_guarded = F.when(
+        F.col("pos") < 2097152, F.col("pos")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("winnow_fingerprints: doc "),
+                F.col("id").cast("string"),
+                F.lit(" exceeds 2^21 grams; split or length-gate it"),
+            )
+        ).cast("int")
+    )
     keyed = grams.select(
         "id",
         "pos",
         (
-            F.col("h") * F.lit(2097152) + (F.lit(2097151) - F.col("pos"))
+            F.col("h") * F.lit(2097152) + (F.lit(2097151) - pos_guarded)
         ).alias("key"),
     )
     frame = W.partitionBy("id").orderBy("pos").rowsBetween(-(w - 1), 0)

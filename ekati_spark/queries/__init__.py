@@ -19,53 +19,82 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. Round 9 produced NO driver CORRECTNESS
-# artifact (like round 7), so the never-driver-attested set at the
-# round-10 start is 35 names: the 22 round-8 additions the round-9
-# window targeted (g45-g47, g28, l05b/l45b, l72, l76, l79-l84,
-# r71-r74, st18-st21) PLUS the 13 round-9 additions (l85-l93, r75,
-# st22-st24; registry now 241). This window = the 5-query sentinel
-# core (one per family, green in every prior graded window) + all 35
-# never-attested names + 10 least-recently attested fillers (last
-# green row: CORRECTNESS_r02). If this window is graded, every query
-# registered through round 9 is driver-attested-ever (241/241).
-# The queries ADDED in round 10 (l94-l101, st25-st27 — registry now
-# 252) are attested by LOCAL_CORRECTNESS_r10.json this round and take
-# the never-attested slots in the round-11 rotation.
+# order IS the graded set. CORRECTNESS_r10.json graded the round-10
+# window green (49 hash + g28 rows-only), so every query registered
+# through round 9 is now driver-attested-ever (241/241). The remaining
+# never-driver-attested set is exactly the 11 round-10 additions
+# (l94-l101, st25-st27); this round-11 window = the 5-query sentinel
+# core + those 11 + 34 least-recently-attested fillers (last green:
+# CORRECTNESS_r02/r03). If this window is graded, the whole 252-query
+# registry is driver-attested-ever.
+#
+# This list is DERIVED, not hand-curated: `python tools/rotate_window.py`
+# regenerates it from the committed CORRECTNESS/JUDGE artifacts, and
+# tests/test_schema_canary.py asserts the committed list matches the
+# derived one (so the list can't drift from the artifact record).
 #
 # ROTATION RULE (round 5+): rotate ONCE at the START of a round, never
 # mid-round (the driver grades at round end; a mid-round rotation
 # orphans the current window).
+#
+# Queries ADDED mid-round are listed here: they stay OUT of the graded
+# window this round (the window was fixed at round start) and become
+# the never-attested block of the NEXT round's rotation, at which point
+# this list is cleared. tools/rotate_window.py excludes these names
+# when re-deriving the window.
+_POST_WINDOW: list[str] = []
+
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round
     "r03_pricing_summary", "g01_follow_one_hop",
     "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
-    # --- never driver-attested: round-8 additions ---
-    "r71_dup_drift_daily", "r72_topk_with_ties",
-    "r73_rollup_router", "r74_ordered_set_aggs",
-    "g45_bucketed_follow_parity", "g46_dsl_end_to_end",
-    "g47_reverse_follow", "g28_engine_metrics",
-    "l05b_dup_pairs_ann", "l45b_bitext_margin_ann",
-    "l72_audio_dedup_resampled", "l76_pii_source_report",
-    "l79_minhash_incremental", "l80_bm25_topk", "l81_warc_ingest",
-    "l82_cdc_chunk_dedup", "l83_pca_power_iteration",
-    "l84_chunk_store_gc",
-    "st18_rocksdb_state_parity", "st19_warc_tail_ingest",
-    "st20_stream_rollup_maintenance", "st21_stream_chunk_dedup_ingest",
-    # --- never driver-attested: round-9 additions ---
-    "r75_percentile_cont",
-    "l85_ann_recall_audit", "l86_bm25_index_incremental",
-    "l87_semantic_decontamination", "l88_kcenter_coreset",
-    "l89_adaptive_quality_threshold", "l90_kcenter_composable",
-    "l91_maxsim_late_interaction", "l92_signature_store_gc",
-    "l93_ivf_delete_parity",
-    "st22_stream_bm25_maintenance", "st23_stream_quality_gate",
-    "st24_stream_ivf_maintenance",
-    # --- least-recently attested (last green: CORRECTNESS_r02) ---
-    "r02_filter_project", "r04_single_row_agg", "r07_cube",
-    "r11_local_supplier_volume", "r12_join_left", "r14_join_semi",
-    "r15_join_anti", "r16_cross_theta", "r18_window_running_sum",
-    "r19_window_lag_lead",
+    # --- never driver-attested: round-10 additions ---
+    "l94_bloom_decontaminate",
+    "l95_substring_scrub",
+    "l96_embedding_debias",
+    "l97_bpe_encode",
+    "l98_counting_bloom_gc",
+    "l99_video_neardup",
+    "l100_classifier_pr_audit",
+    "l101_winnow_fingerprint_pairs",
+    "st25_stream_bloom_gate",
+    "st26_stream_counting_bloom",
+    "st27_stream_pca_maintenance",
+    # --- least-recently attested fillers ---
+    "r21_window_range_frame",  # last green r02
+    "r22_global_topk",  # last green r02
+    "r23_offset_limit",  # last green r02
+    "r25_string_funcs",  # last green r02
+    "r27_math_funcs",  # last green r02
+    "r28_case_null",  # last green r02
+    "r30_array_ops",  # last green r02
+    "r32_in_subquery",  # last green r02
+    "r33_scalar_subquery",  # last green r02
+    "r36_unpivot",  # last green r02
+    "r41_map_functions",  # last green r02
+    "r42_rank_distributions",  # last green r02
+    "r44_stats_aggregates",  # last green r02
+    "r45_conditional_agg",  # last green r02
+    "r46_string_agg",  # last green r02
+    "r49_data_quality_audit",  # last green r02
+    "r06_rollup",  # last green r03
+    "r09_join_broadcast_dims",  # last green r03
+    "r10_shipping_priority",  # last green r03
+    "r17_window_topk_per_group",  # last green r03
+    "r24_set_ops",  # last green r03
+    "r26_date_funcs",  # last green r03
+    "r29_json_extract",  # last green r03
+    "r31_higher_order_funcs",  # last green r03
+    "r35_pivot",  # last green r03
+    "r38_range_join",  # last green r03
+    "r40_resample_gapfill",  # last green r03
+    "r43_sessionize_batch",  # last green r03
+    "r47_hll_sketch_rollup",  # last green r03
+    "r48_salted_join",  # last green r03
+    "r50_time_weighted_avg",  # last green r03
+    "g02_follow_two_hop",  # last green r03
+    "g03_follow_any_range",  # last green r03
+    "g04_follow_label_windows",  # last green r03
 ]
 
 

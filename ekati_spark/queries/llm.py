@@ -6153,9 +6153,19 @@ _L94_GRAMS = """
 """
 
 
-def _l94_oracle(m: int = 65536, k: int = 3) -> str:
-    from ekati_spark.operators.bloom import BLOOM_POS_SQL
+def _l94_oracle(k: int | None = None) -> str:
+    from ekati_spark.operators.bloom import (
+        BLOOM_M_SQL,
+        BLOOM_POS_SQL,
+        DEFAULT_K,
+    )
 
+    if k is None:
+        k = DEFAULT_K
+    # The oracle re-derives the auto-sized m from the SAME reference
+    # count the Spark side uses (bloom_params: integer arithmetic, no
+    # ln/ceil floats), so the replayed bitmap is bit-identical.
+    m_sql = "(SELECT " + BLOOM_M_SQL.format(n="count(*)") + " FROM bench)"
     return (
         _L94_GRAMS
         + """
@@ -6166,7 +6176,7 @@ def _l94_oracle(m: int = 65536, k: int = 3) -> str:
     FROM cand c LEFT JOIN bench b USING (g)
     GROUP BY c.doc_id
     """
-    ).format(pos=BLOOM_POS_SQL.format(j="j", val="g", m=m), k=k)
+    ).format(pos=BLOOM_POS_SQL.format(j="j", val="g", m=m_sql), k=k)
 
 
 @register("l94_bloom_decontaminate", oracle=_l94_oracle())
@@ -6174,33 +6184,33 @@ def l94_bloom_decontaminate(spark, sf_dir):
     """l30's benchmark decontamination behind a BLOOM prefilter — the
     shape that survives a reference set too large to broadcast-join
     exactly (cross-CORPUS dedup, multi-GB eval suites): the benchmark
-    8-gram set packs into a fixed m=65536-bit bitmap (one distributed
+    8-gram set packs into an AUTO-SIZED bitmap (bloom_params: next
+    multiple of 64 >= 13 bits/member, ~0.9% fp at k=3; one distributed
     bit_or aggregate, operators/bloom.py), the corpus probes it in one
     Arrow pass with ZERO shuffle, and only the candidate grams (true
     hits + the bounded false positives) reach the exact confirm join.
     Output per contaminated doc: confirmed-hit and false-positive gram
     counts — the fp column attests the one-sided error honestly, and
-    the md5-derived bit positions let the oracle replay the exact same
-    bitmap, so the attestation covers the filter itself, not just the
-    survivors. m is sized by the module's -n*ln(p)/(ln 2)^2 rule for
-    the BENCH corpus (sf0.1: 23k benchmark grams -> 65 Kbit, ~35%
-    fill, fp ~5%); at sf0.01 the same filter runs at 11% fill with a
-    ~0.1% fp tail that stays nonzero — both regimes hash-attested.
-    Undersizing saturates gracefully (probe degrades to pass-through,
-    the exact join does the work — the l98/st25 fixtures exercise
-    that path deliberately). Reference analog: none (LLM-data
+    the md5-derived bit positions + integer-exact sizing let the
+    oracle replay the exact same bitmap from the same reference count,
+    so the attestation covers the filter itself, not just the
+    survivors. Auto-sizing keeps the fill ratio scale-invariant (~20%
+    at any corpus size), fixing the round-10 fixture's saturation at
+    sf1 (fixed m=65536 hit ~100% fill -> every probe a candidate);
+    deliberate undersizing still saturates gracefully (probe degrades
+    to pass-through, the exact join does the work — the l98/st25
+    fixtures exercise that path). Reference analog: none (LLM-data
     extension)."""
     import ekati_spark.operators.bloom as BL
 
-    M, K = 65536, 3
     docs = load_table(spark, sf_dir, "documents")
     bench_pred = F.col("doc_id") % 10 == 0
     bench_grams = (
         D.shingle_rows(docs.filter(bench_pred), 8).select("g").distinct()
     ).transform(cut_lineage)
-    bitmap = BL.bloom_bitmap(bench_grams, "g", M, K)
+    bitmap = BL.bloom_bitmap(bench_grams, "g")  # auto-sized from count
     corpus_grams = D.shingle_rows(docs.filter(~bench_pred), 8)
-    cand = BL.bloom_probe(corpus_grams, "g", bitmap, M, K).filter(
+    cand = BL.bloom_probe(corpus_grams, "g", bitmap).filter(
         "is_candidate"
     )
     return (

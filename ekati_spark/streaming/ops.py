@@ -525,35 +525,114 @@ def type_window_baseline(events: DataFrame, width: str = "15 minutes") -> DataFr
     )
 
 
+class _SinkFS:
+    """Marker/metadata operations for the idempotent sink family,
+    routed through the Hadoop FileSystem API so ``base_path`` may live
+    on any store Spark can reach (HDFS, s3a, gs, local file://) — the
+    sink contract says shared storage in deployment, and a
+    ``os.listdir``/``shutil.rmtree`` implementation would silently only
+    work on POSIX-visible paths. All calls are driver-side metadata
+    ops on KB-scale marker files, never data reads."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        jvm = spark._jvm
+        self._jvm = jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._base = self._Path(base_path)
+        self._fs = self._base.getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _p(self, name: str):
+        return self._Path(self._base, name)
+
+    def exists(self, name: str) -> bool:
+        return self._fs.exists(self._p(name))
+
+    def touch(self, name: str, payload: bytes = b"") -> None:
+        out = self._fs.create(self._p(name), True)
+        try:
+            if payload:
+                out.write(bytearray(payload))
+        finally:
+            out.close()
+
+    def read(self, name: str) -> bytes:
+        # py4j passes bytearray args by VALUE (Java-side writes don't
+        # come back), so a read-into-buffer loop silently returns
+        # zeros; IOUtils returns the byte[] as the call result, which
+        # py4j converts correctly. commons-io ships with Spark.
+        inp = self._fs.open(self._p(name))
+        try:
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(inp)
+            return bytes(data)
+        finally:
+            inp.close()
+
+    def delete(self, name: str) -> None:
+        self._fs.delete(self._p(name), True)
+
+    def names(self) -> list[str]:
+        if not self._fs.exists(self._base):
+            return []
+        return [
+            st.getPath().getName() for st in self._fs.listStatus(self._base)
+        ]
+
+    def committed_ids(self) -> list[int]:
+        return sorted(
+            int(n.rsplit("_", 1)[1])
+            for n in self.names()
+            if n.startswith("_committed_")
+        )
+
+    def compacted_through(self) -> int | None:
+        """High-water mark of epochs folded by compaction (see
+        ``compact_committed_batches``): max over the
+        ``_compacted_through_<id>`` markers, None if never compacted."""
+        hwms = [
+            int(n.rsplit("_", 1)[1])
+            for n in self.names()
+            if n.startswith("_compacted_through_")
+        ]
+        return max(hwms) if hwms else None
+
+
 def idempotent_batch_sink(base_path: str):
     """Exactly-once ``foreachBatch`` sink: the transactional pattern that
     makes Structured Streaming's at-least-once batch replay safe against
     a non-transactional store. Each micro-batch writes to its own
     ``batch_id=<n>`` directory (mode=overwrite — a re-run of a partially
     written batch replaces, never appends) and then drops a commit
-    marker; a replayed batch whose marker exists is skipped entirely.
-    The (epoch, write, commit) protocol is the same one Delta's
+    marker; a replayed batch whose marker exists — or whose id is at or
+    below the compaction high-water mark (its marker was folded away by
+    ``compact_committed_batches``) — is skipped entirely. The (epoch,
+    write, commit) protocol is the same one Delta's
     ``txnAppId``/``txnVersion`` and the Kafka sink's epoch dedup encode.
 
-    ``base_path`` must be on storage shared by driver and executors
-    (object store / HDFS in deployment — foreachBatch bodies run on the
-    driver, so the marker check is a driver-side metadata read, never a
-    data read). Read the sink with ``read_committed_batches``: it lists
-    marker files (tiny, driver-side) and reads ONLY committed batch
-    directories, so a crash between data write and marker write exposes
-    nothing (write-ahead ordering).
+    ``base_path`` may be any Spark-reachable store (HDFS/object store in
+    deployment — foreachBatch bodies run on the driver, so the marker
+    check is a driver-side metadata read, never a data read; all marker
+    I/O goes through the Hadoop FileSystem API). Read the sink with
+    ``read_committed_batches``: it lists marker files (tiny,
+    driver-side) and reads ONLY committed batch directories, so a crash
+    between data write and marker write exposes nothing (write-ahead
+    ordering).
     """
-    import os
 
     def sink(df: DataFrame, batch_id: int) -> None:
-        marker = os.path.join(base_path, f"_committed_{batch_id}")
-        if os.path.exists(marker):
+        fs = _SinkFS(df.sparkSession, base_path)
+        if fs.exists(f"_committed_{batch_id}"):
             return  # replayed epoch: already committed, exactly-once skip
+        hwm = fs.compacted_through()
+        if hwm is not None and batch_id <= hwm:
+            # Replay of an epoch whose per-epoch marker compaction
+            # folded away: its rows already live in the compacted
+            # batch. Without this check a crash-replay after an
+            # offline compaction would double-land the epoch.
+            return
         df.write.mode("overwrite").parquet(
-            os.path.join(base_path, f"batch_id={batch_id}")
+            f"{base_path}/batch_id={batch_id}"
         )
-        with open(marker, "w"):
-            pass
+        fs.touch(f"_committed_{batch_id}")
 
     return sink
 
@@ -563,14 +642,8 @@ def read_committed_batches(spark: SparkSession, base_path: str) -> DataFrame:
     ``idempotent_batch_sink`` output (uncommitted/partial batches are
     invisible). Returns an empty-schema-less error only if nothing has
     committed yet — callers should gate on at least one marker."""
-    import os
-
-    ids = sorted(
-        int(f.rsplit("_", 1)[1])
-        for f in os.listdir(base_path)
-        if f.startswith("_committed_")
-    )
-    paths = [os.path.join(base_path, f"batch_id={i}") for i in ids]
+    ids = _SinkFS(spark, base_path).committed_ids()
+    paths = [f"{base_path}/batch_id={i}" for i in ids]
     return spark.read.parquet(*paths)
 
 
@@ -595,49 +668,58 @@ def compact_committed_batches(
     compacted dir invisible; re-run restarts cleanly. Crash after →
     the sentinel tells the re-run to finish removing exactly the
     recorded sources (never re-reading state), so the brief
-    double-visibility window closes deterministically."""
-    import json
-    import os
-    import shutil
+    double-visibility window closes deterministically.
 
-    sentinel = os.path.join(base_path, "_compact_inprogress")
-    if os.path.exists(sentinel):
-        plan = json.load(open(sentinel))
+    Replay safety: folding deletes the per-epoch ``_committed_<n>``
+    markers — the sink's only replay-dedup evidence — so BEFORE any
+    marker is removed, a ``_compacted_through_<max_folded_epoch>``
+    high-water mark lands; ``idempotent_batch_sink`` skips any epoch at
+    or below it. Epochs are sequential per stream and compaction is
+    offline, so every epoch ≤ the fold max had a marker and is covered
+    by the compacted batch. All metadata I/O goes through the Hadoop
+    FileSystem API (shared-storage safe)."""
+    import json
+
+    fs = _SinkFS(spark, base_path)
+    sentinel = "_compact_inprogress"
+    if fs.exists(sentinel):
+        plan = json.loads(fs.read(sentinel).decode())
         ids, cid = plan["ids"], plan["cid"]
     else:
-        ids = sorted(
-            int(f.rsplit("_", 1)[1])
-            for f in os.listdir(base_path)
-            if f.startswith("_committed_")
-        )
+        ids = fs.committed_ids()
         if len(ids) <= 1:
             return 0
         # negative and below every existing id (including prior
         # compactions), so it can never collide with the stream's own
         # future epoch ids or a re-compaction
         cid = min(-(max(ids) + 1), min(ids) - 1)
-        with open(sentinel, "w") as fh:
-            json.dump({"ids": ids, "cid": cid}, fh)
-    cmark = os.path.join(base_path, f"_committed_{cid}")
-    if not os.path.exists(cmark):
+        fs.touch(sentinel, json.dumps({"ids": ids, "cid": cid}).encode())
+    cmark = f"_committed_{cid}"
+    if not fs.exists(cmark):
         df = spark.read.parquet(
-            *[os.path.join(base_path, f"batch_id={i}") for i in ids]
+            *[f"{base_path}/batch_id={i}" for i in ids]
         )
         if merge is not None:
             df = merge(df)
-        df.write.mode("overwrite").parquet(
-            os.path.join(base_path, f"batch_id={cid}")
-        )
-        with open(cmark, "w"):
-            pass
+        df.write.mode("overwrite").parquet(f"{base_path}/batch_id={cid}")
+        fs.touch(cmark)
+    # High-water mark BEFORE removing any per-epoch marker (write-ahead
+    # ordering: a crash in between leaves both, and the HWM wins).
+    # Prior compactions' ids fold in too; only real epochs (>= 0) gate.
+    folded_max = max((i for i in ids if i >= 0), default=None)
+    if folded_max is not None:
+        prior = fs.compacted_through()
+        if prior is None or folded_max > prior:
+            fs.touch(f"_compacted_through_{folded_max}")
+        for n in fs.names():
+            if n.startswith("_compacted_through_"):
+                if int(n.rsplit("_", 1)[1]) < max(folded_max, prior or 0):
+                    fs.delete(n)
     for i in ids:
-        m = os.path.join(base_path, f"_committed_{i}")
-        if os.path.exists(m):
-            os.remove(m)
-        d = os.path.join(base_path, f"batch_id={i}")
-        if os.path.isdir(d):
-            shutil.rmtree(d)
-    os.remove(sentinel)
+        if fs.exists(f"_committed_{i}"):
+            fs.delete(f"_committed_{i}")
+        fs.delete(f"batch_id={i}")
+    fs.delete(sentinel)
     return len(ids)
 
 

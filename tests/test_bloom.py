@@ -266,3 +266,46 @@ def test_winnowing_shared_run_guarantee(spark):
     assert not (by_doc[2] & by_doc[3])
     # density: doc 3 has 37 grams, expect ~2/(w+1)=1/3 selected
     assert 4 <= len(by_doc[3]) <= 25
+
+
+def test_bloom_auto_sizing(spark, members):
+    """m=None applies the integer sizing rule (13 bits/member, word
+    aligned), the probe derives m from the bitmap itself, and the fp
+    rate lands near the ~0.9% design point instead of fixture-m luck."""
+    bitmap = BL.bloom_bitmap(members, "v")  # 200 members
+    assert bitmap.size * 64 == BL.bloom_params(200) == 2624
+    probed = BL.bloom_probe(members, "v", bitmap)  # m from bitmap
+    assert probed.filter(~F.col("is_candidate")).count() == 0
+    others = spark.createDataFrame(
+        [(f"other-{i}",) for i in range(2000)], "v string"
+    )
+    fp = (
+        BL.bloom_probe(others, "v", bitmap)
+        .filter("is_candidate")
+        .count()
+    )
+    assert fp <= 2000 * 0.03  # ~0.9% design fp, 3x headroom
+
+
+def test_bloom_m_sql_matches_python(spark):
+    """The oracle-side sizing expression reproduces bloom_params for
+    counts spanning word boundaries."""
+    import duckdb
+
+    for n in (1, 2, 4, 5, 63, 64, 65, 200, 4921, 65536):
+        (got,) = duckdb.sql(
+            "SELECT " + BL.BLOOM_M_SQL.format(n=n)
+        ).fetchone()
+        assert got == BL.bloom_params(n), n
+
+
+def test_winnow_rejects_oversized_docs(spark):
+    """Positions >= 2^21 would silently corrupt the packed winnowing
+    key; the guard must abort the job instead."""
+    from ekati_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "w " * (2097152 + 16))], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="exceeds 2\\^21 grams"):
+        winnow_fingerprints(docs, k=4, w=5).collect()

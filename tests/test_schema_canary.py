@@ -152,8 +152,30 @@ def test_graded_first_window_is_complete():
     assert not missing, missing
     assert list(REGISTRY)[:50] == _GRADED_FIRST
     rows_only = sorted(n for n in _GRADED_FIRST if n not in oracle_sql())
-    # g28 is the registry's one documented rows-only query (engine
-    # telemetry, not SQL-expressible); the round-9 window includes it
-    # deliberately so it receives its driver row. Nothing else may be
-    # rows-only in the graded window.
-    assert rows_only == ["g28_engine_metrics"], rows_only
+    # g28 (the registry's one documented rows-only query) received its
+    # driver row in CORRECTNESS_r10; the round-11 window is all
+    # oracle-backed, so nothing may be rows-only in it.
+    assert rows_only == [], rows_only
+
+
+def test_graded_first_window_matches_artifact_record():
+    """_GRADED_FIRST is derived, not hand-curated: it must equal the
+    window tools/rotate_window.py computes from the committed
+    CORRECTNESS/JUDGE artifacts (sentinels + never-attested +
+    least-recently-attested fillers), so the list can't drift from the
+    attestation record."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotate_window",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "rotate_window.py"),
+    )
+    rw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rw)
+
+    import ekati_spark.queries as q
+
+    names = [n for n in q.REGISTRY if n not in set(q._POST_WINDOW)]
+    derived = rw.derive_window(names, rw.attestation_record())
+    assert q._GRADED_FIRST == derived

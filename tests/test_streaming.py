@@ -602,3 +602,48 @@ def test_compact_committed_batches_preserves_state(spark, tmp_path):
     got = merged_view()
     # recovery removed the doubled sources; cid's contents alone remain
     assert set(got) == set(want)
+
+
+def test_compaction_high_water_mark_blocks_folded_replays(spark, tmp_path):
+    """Compaction deletes the per-epoch _committed_<n> markers — the
+    sink's only replay-dedup evidence. The _compacted_through_<max>
+    high-water mark must make the sink skip a replay of any folded
+    epoch (crash-after-sink-commit + offline compaction scenario),
+    while epochs above the mark still land."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ekati_spark.streaming import ops
+
+    store = str(tmp_path / "hwm")
+    os.makedirs(store)
+    sink = ops.idempotent_batch_sink(store)
+    for b in range(3):
+        sink(spark.createDataFrame([(b, 1)], "pos long, d long"), b)
+    assert ops.compact_committed_batches(spark, store) == 3
+    hwms = [f for f in os.listdir(store)
+            if f.startswith("_compacted_through_")]
+    assert hwms == ["_compacted_through_2"]
+
+    def total():
+        return (
+            ops.read_committed_batches(spark, store)
+            .agg(F.sum("d")).collect()[0][0]
+        )
+
+    before = total()
+    # replay of folded epoch 1: marker gone, HWM must block the re-land
+    sink(spark.createDataFrame([(1, 100)], "pos long, d long"), 1)
+    assert total() == before
+    assert not os.path.exists(os.path.join(store, "_committed_1"))
+    # a NEW epoch above the mark still lands
+    sink(spark.createDataFrame([(9, 7)], "pos long, d long"), 3)
+    assert total() == before + 7
+    # second compaction advances the mark and retires the old one
+    assert ops.compact_committed_batches(spark, store) == 2
+    hwms = sorted(f for f in os.listdir(store)
+                  if f.startswith("_compacted_through_"))
+    assert hwms == ["_compacted_through_3"]
+    sink(spark.createDataFrame([(3, 50)], "pos long, d long"), 2)
+    assert total() == before + 7
