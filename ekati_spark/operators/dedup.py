@@ -518,6 +518,67 @@ def lsh_recall_audit(
     )
 
 
+def winnow_recall_audit(
+    docs: DataFrame,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Empirical recall audit of the winnowing pair finder (l101's
+    production parameters: k-gram hashes, w-window, pairs sharing ≥
+    ``min_shared`` fingerprints) against exact all-pairs k-gram
+    Jaccard, per similarity decile — the l55 LSH-audit methodology
+    applied to the MOSS fingerprints.
+
+    Winnowing's guarantee is run-based (any shared token run of ≥
+    w+k−1 yields a shared fingerprint), NOT Jaccard-based, so unlike
+    the LSH audit there is no closed-form predicted curve; the report
+    shows the empirically achieved recall per exact-Jaccard decile —
+    low deciles are expected to be largely un-caught (pairs sharing
+    scattered grams but no run, exactly the join volume winnowing
+    saves), high deciles must approach 1. Exact side is the bounded
+    inverted-index all-pairs join (run on a sample at 100 TB; recall
+    is a per-decile ratio, unbiased under pair subsampling)."""
+    exact = ngram_jaccard_pairs(docs, 0.0, n=k)
+    fp = winnow_fingerprints(docs, k=k, w=w)
+    a = fp.select(F.col("id").alias("id_a"), "fph")
+    b = fp.select(F.col("id").alias("id_b"), F.col("fph").alias("fph_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("fph") == F.col("fph_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_fp"))
+        .filter(F.col("n_fp") >= min_shared)
+        .select("id_a", "id_b", F.lit(1).alias("caught"))
+    )
+    flagged = exact.join(cand, ["id_a", "id_b"], "left")
+    floor6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
+    return (
+        flagged.withColumn(
+            "j_bucket",
+            F.least(
+                F.floor(F.col("jaccard") * 10), F.lit(9).cast("bigint")
+            ).cast("int"),
+        )
+        .groupBy("j_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.coalesce("caught", F.lit(0))).alias("n_caught"),
+        )
+        .select(
+            "j_bucket",
+            "n_pairs",
+            "n_caught",
+            floor6(
+                F.col("n_caught").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
 def dedup_groups(
     docs: DataFrame,
     pairs: DataFrame,

@@ -23,6 +23,7 @@ the Spark plumbing.
 
 from __future__ import annotations
 
+import hashlib
 import struct
 import zlib
 
@@ -226,6 +227,25 @@ def planted_png(doc_id: int) -> bytes:
             qi = (2 if y >= h // 2 else 0) + (1 if x >= w // 2 else 0)
             px[y * w + x] = q[qi]
     return encode_png(w, h, bytes(px), channels=1)
+
+
+def planted_frame_png(key: int, frame_s: int) -> bytes:
+    """Deterministic 9x8 grayscale VIDEO-FRAME fixture: pixel row ``y``
+    is the first 9 bytes of ``md5("vf:<key>:<frame_s>:<y>")``, so the
+    image carries full-entropy content per (content stream, second) —
+    ``dhash_words`` of it is a genuinely distinct 64-bit perceptual
+    hash (a smooth arithmetic gradient would collapse the hash space
+    to a few hundred values and drown near-dup detection in spurious
+    collisions). 9x8 exactly matches the dHash sample grid, so the
+    nearest-neighbor resample is the identity and a SQL oracle can
+    replay each gradient bit directly from the md5 hex (queries/llm.py
+    ::l99). Real bytes end-to-end: encode_png here, zlib inflate +
+    unfilter in the decode."""
+    px = bytearray(9 * 8)
+    for y in range(8):
+        row = hashlib.md5(f"vf:{key}:{frame_s}:{y}".encode()).digest()
+        px[y * 9 : (y + 1) * 9] = row[:9]
+    return encode_png(9, 8, bytes(px), channels=1)
 
 
 def planted_png16(doc_id: int) -> bytes:
