@@ -113,13 +113,39 @@ HEADLINE = [
     # winnowing fingerprints + overlap join (the ~2/(w+1)-density
     # fingerprint table replaces the full shingle table in the join)
     "l101_winnow_fingerprint_pairs",
+    # round-11 additions l102-l104 (frame decode telemetry, winnow /
+    # temporal-shingle recall audits) stay verify-only like the other
+    # diagnostics (l55/l85): their cost is the audited generator's own
+    # join plus a bounded exact side already represented here.
 ]
+
+
+# Entries with documented run-to-run spread at the synthetic sf1
+# (r10 record: l05 13.8-25.3s, l32 1.0-3.8s, l71 68% spread at sf0.1):
+# at sf >= 1 these run INTERLEAVED median-of-5 (round-robin passes, so
+# a transient machine-load spike lands on all of them, not on one
+# query's whole sample) and the per-entry run lists go to the detail
+# sidecar — round deltas stop needing prose explanations.
+NOISY_SF1 = {
+    "l05_embedding_dup_pairs",
+    "l32_global_shuffle",
+    "l71_dedup_threshold_sweep",
+}
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # The synthetic sf1 is generated data, not driver testdata; keep
+    # `sf` NUMERIC (tools/bench_compare.py diffs rounds arithmetically
+    # — the r10 artifact shipped a prose string here and broke that)
+    # and carry the provenance in a separate `gen` field.
+    gen = (
+        "sf0.1x10 key-shifted (tools/gen_scale.py)"
+        if "testdata_sf1" in sf_dir
+        else None
+    )
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from ekati_spark.session import get_spark
@@ -136,8 +162,12 @@ def main() -> None:
 
     _graph(spark, sf_dir).edges.count()
 
+    sf1_mode = sf is not None and sf >= 1
+    deferred = [n for n in HEADLINE if sf1_mode and n in NOISY_SF1]
     times: dict[str, float] = {}
     for name in HEADLINE:
+        if name in deferred:
+            continue
         fn = Q.REGISTRY[name].fn
         runs = []
         for _ in range(3):
@@ -149,6 +179,21 @@ def main() -> None:
         print(
             f"# {name}: median {times[name]:.3f}s of "
             f"{[round(r, 3) for r in runs]} ({n} rows)",
+            file=sys.stderr,
+        )
+    noisy_runs: dict[str, list[float]] = {n: [] for n in deferred}
+    for _ in range(5):  # interleaved passes (see NOISY_SF1)
+        for name in deferred:
+            t0 = time.perf_counter()
+            Q.REGISTRY[name].fn(spark, sf_dir).count()
+            noisy_runs[name].append(
+                round(time.perf_counter() - t0, 3)
+            )
+    for name in deferred:
+        times[name] = sorted(noisy_runs[name])[2]
+        print(
+            f"# {name}: interleaved median {times[name]:.3f}s of "
+            f"{noisy_runs[name]}",
             file=sys.stderr,
         )
 
@@ -414,6 +459,10 @@ def main() -> None:
         "bucketed_follow": bucketed_follow,
         "skew_join": skew_join,
     }
+    if gen is not None:
+        detail["gen"] = gen
+    if noisy_runs:
+        detail["noisy_runs"] = noisy_runs
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -423,17 +472,17 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
         fh.write("\n")
     print(f"# detail maps written to {detail_path}", file=sys.stderr)
-    compact = json.dumps(
-        {
-            "metric": "headline_queries_total_wall_clock",
-            "value": total,
-            "unit": "sec",
-            "queries": times,
-            "sf": sf,
-            "ingest_fragments_per_s": ingest["fragments_per_s"],
-        },
-        separators=(",", ":"),
-    )
+    compact_head = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "ingest_fragments_per_s": ingest["fragments_per_s"],
+    }
+    if gen is not None:
+        compact_head["gen"] = gen
+    compact = json.dumps(compact_head, separators=(",", ":"))
     if len(compact) > 1500:  # headroom guard: trim per-query map first
         print(
             f"# WARNING compact line {len(compact)} chars > 1500; "
@@ -443,18 +492,9 @@ def main() -> None:
         top = dict(
             sorted(times.items(), key=lambda kv: -kv[1])[:25]
         )
-        compact = json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": top,
-                "queries_truncated_see": "BENCH_DETAIL.json",
-                "sf": sf,
-                "ingest_fragments_per_s": ingest["fragments_per_s"],
-            },
-            separators=(",", ":"),
-        )
+        compact_head["queries"] = top
+        compact_head["queries_truncated_see"] = "BENCH_DETAIL.json"
+        compact = json.dumps(compact_head, separators=(",", ":"))
     print(compact)
 
 

@@ -165,23 +165,33 @@ def bloom_probe(
     Arrow-batched pandas UDF that indexes the closure-captured packed
     bitmap. ``&1`` after an arithmetic shift reads the target bit
     correctly even for bit 63 of a negative int64 word. ``m=None``
-    derives the build-time m from the bitmap itself (size·64)."""
+    derives the build-time m from the bitmap itself (size·64).
+
+    The k positions cross as k separate int64 columns, NOT one array
+    column: an Arrow list column lands in pandas as object-dtype rows
+    of tiny ndarrays whose re-stack is Python-speed — measured +6 s on
+    a 21M-gram sf1 probe vs near-zero for the columnar form (and a
+    chain of k JVM broadcast word-joins was 7× worse still; see
+    SCALE.md probe-path note)."""
     if m is None:
         m = int(bitmap.size) * 64
     words = bitmap  # closure capture; ships once per executor
 
     @F.pandas_udf("boolean")
-    def _probe(pos: pd.Series) -> pd.Series:
-        if not len(pos):  # empty Arrow batch: np.stack would raise
+    def _probe(*pos: pd.Series) -> pd.Series:
+        n = len(pos[0])
+        if not n:  # empty Arrow batch
             return pd.Series([], dtype=bool)
-        p = np.stack(pos.to_numpy())  # (rows, k) int64
-        hit = ((words[p >> 6] >> (p & 63)) & 1).all(axis=1)
+        hit = np.ones(n, dtype=bool)
+        for p in pos:
+            v = p.to_numpy()
+            hit &= ((words[v >> 6] >> (v & 63)) & 1).astype(bool)
         return pd.Series(hit)
 
-    arr = F.array(
-        *[bloom_position(F.col(value_col), j, m) for j in range(k)]
+    return df.withColumn(
+        out_col,
+        _probe(*[bloom_position(F.col(value_col), j, m) for j in range(k)]),
     )
-    return df.withColumn(out_col, _probe(arr))
 
 
 def counting_bloom_counts(

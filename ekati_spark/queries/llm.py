@@ -6187,8 +6187,10 @@ def l94_bloom_decontaminate(spark, sf_dir):
     8-gram set packs into an AUTO-SIZED bitmap (bloom_params: next
     multiple of 64 >= 13 bits/member, ~0.9% fp at k=3; one distributed
     bit_or aggregate, operators/bloom.py), the corpus probes it in one
-    Arrow pass with ZERO shuffle, and only the candidate grams (true
-    hits + the bounded false positives) reach the exact confirm join.
+    Arrow pass with ZERO shuffle (k positions cross as k int64
+    COLUMNS, not an array — the sf1-measured fast probe form), and
+    only the candidate grams (true hits + the bounded false
+    positives) reach the exact confirm join.
     Output per contaminated doc: confirmed-hit and false-positive gram
     counts — the fp column attests the one-sided error honestly, and
     the md5-derived bit positions + integer-exact sizing let the
