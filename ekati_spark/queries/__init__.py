@@ -46,6 +46,10 @@ _POST_WINDOW: list[str] = [
     "l102_frame_decode_coverage",
     "l103_winnow_recall_audit",
     "l104_temporal_shingle_recall_audit",
+    "l105_temperature_mixing",
+    "l106_jl_projection_recall",
+    "l107_soft_dedup_weights",
+    "st28_stream_winnow_maintenance",
 ]
 
 _GRADED_FIRST = [

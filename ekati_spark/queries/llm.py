@@ -7256,3 +7256,371 @@ def l104_temporal_shingle_recall_audit(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+@register(
+    "l105_temperature_mixing",
+    oracle="""
+    WITH c AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT source, n,
+             CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wgt
+      FROM c
+    ),
+    t AS (SELECT SUM(wgt) AS tot FROM w),
+    q AS (
+      SELECT source, n, wgt,
+             (300 * wgt) // tot AS fl, (300 * wgt) % tot AS rem
+      FROM w, t
+    ),
+    s AS (
+      SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr,
+             (SELECT 300 - SUM(fl) FROM q) AS extra
+      FROM q
+    ),
+    quota AS (
+      SELECT source, n, wgt,
+             CAST(fl + CASE WHEN rr <= extra THEN 1 ELSE 0 END AS BIGINT)
+               AS quota
+      FROM s
+    ),
+    ranked AS (
+      SELECT d.source, d.doc_id,
+             row_number() OVER (PARTITION BY d.source
+               ORDER BY md5('mix:' || CAST(d.doc_id AS VARCHAR)),
+                        d.doc_id) AS rn
+      FROM documents d
+    ),
+    picked AS (
+      SELECT r.source, r.doc_id
+      FROM ranked r JOIN quota USING (source)
+      WHERE r.rn <= quota.quota
+    )
+    SELECT q.source, q.n AS n_docs, q.wgt AS weight, q.quota,
+           md5(coalesce(string_agg(CAST(p.doc_id AS VARCHAR), ','
+                 ORDER BY p.doc_id), '')) AS picked_md5
+    FROM quota q LEFT JOIN picked p ON q.source = p.source
+    GROUP BY q.source, q.n, q.wgt, q.quota
+    """,
+)
+def l105_temperature_mixing(spark, sf_dir):
+    """TEMPERATURE-SCALED multi-source mixing (the mT5/Pile rule):
+    sampling weights ∝ n^α with α = 1/2, realized EXACTLY — weight =
+    floor(sqrt(n)) (IEEE sqrt is correctly rounded, so floor(sqrt) is
+    bit-identical in every engine; no pow/libm hazard), a 300-doc
+    budget apportioned over the tempered weights by largest remainder
+    (l60's method — Σ quota == budget exactly), and each source's
+    quota filled by the deterministic md5 draw (the repo-wide
+    replay-reproducible sampling primitive). Output per source: doc
+    count, tempered weight, exact quota, and the md5 digest of the
+    picked doc ids — the oracle attests the ACTUAL sample, not just
+    the allocation. Upweights tail sources (α<1 flattens the source
+    distribution) without starving the head — the standard fix for
+    majority-language domination in multilingual pretraining mixes.
+    Scale: one partial-agg groupBy + windows over #sources rows; the
+    per-source pick is one rank window over docs (at extreme scale,
+    threshold the uniform md5 key via l89's histogram cutover instead
+    of ranking). Reference analog: none (LLM-data extension)."""
+    from pyspark.sql import Window as W2
+
+    B = 300
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count("*").alias("n"))
+    w = c.select(
+        "source",
+        "n",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)"
+        ).alias("wgt"),
+    )
+    wall = W2.partitionBy()
+    q = w.select(
+        "source", "n", "wgt", F.sum("wgt").over(wall).alias("tot")
+    ).select(
+        "source",
+        "n",
+        "wgt",
+        F.expr(f"({B} * wgt) div tot").alias("fl"),
+        F.expr(f"({B} * wgt) % tot").alias("rem"),
+    )
+    s = q.select(
+        "source",
+        "n",
+        "wgt",
+        "fl",
+        F.row_number()
+        .over(W2.partitionBy().orderBy(F.col("rem").desc(), "source"))
+        .alias("rr"),
+        (F.lit(B) - F.sum("fl").over(wall)).alias("extra"),
+    )
+    quota = s.select(
+        "source",
+        "n",
+        "wgt",
+        (F.col("fl") + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0))
+        .cast("long")
+        .alias("quota"),
+    ).transform(cut_lineage)  # consumed by the pick AND the report
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.row_number()
+        .over(
+            W2.partitionBy("source").orderBy(
+                F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))),
+                "doc_id",
+            )
+        )
+        .alias("rn"),
+    )
+    picked = ranked.join(F.broadcast(quota.select("source", "quota")), "source").filter(
+        F.col("rn") <= F.col("quota")
+    )
+    digests = picked.groupBy("source").agg(
+        F.md5(
+            F.expr(
+                "listagg(CAST(doc_id AS STRING), ',')"
+                " WITHIN GROUP (ORDER BY doc_id)"
+            )
+        ).alias("picked_md5")
+    )
+    return (
+        quota.join(digests, "source", "left")
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.col("wgt").alias("weight"),
+            "quota",
+            F.coalesce("picked_md5", F.md5(F.lit(""))).alias("picked_md5"),
+        )
+    )
+
+
+_L106_DIM, _L106_PDIM = 64, 16
+
+
+@register(
+    "l106_jl_projection_recall",
+    oracle=f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {_L106_DIM}
+    ),
+    rj AS MATERIALIZED (
+      SELECT i.i, j.j,
+             1 - 2 * (CAST(('0x' || substr(md5('jl:' || CAST(i.i AS VARCHAR)
+               || ':' || CAST(j.j AS VARCHAR)), 1, 15)) AS BIGINT) % 2) AS r
+      FROM (SELECT unnest(range({_L106_DIM})) AS i) i,
+           (SELECT unnest(range({_L106_PDIM})) AS j) j
+    ),
+    pl AS MATERIALIZED (
+      SELECT vec_id, i, qv FROM (
+        SELECT vec_id, unnest(range({_L106_DIM})) AS i, qv FROM e
+      )
+    ),
+    proj AS MATERIALIZED (
+      SELECT vec_id, j, CAST(SUM(qv[i + 1] * r) AS BIGINT) AS p
+      FROM pl JOIN rj USING (i)
+      GROUP BY vec_id, j
+    ),
+    dp AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(SUM((q.p - c.p) * (q.p - c.p)) AS BIGINT) AS d
+      FROM proj q JOIN proj c
+        ON q.j = c.j AND q.vec_id < 10 AND c.vec_id <> q.vec_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY d, neighbor_id) AS rn FROM dp
+      ) WHERE rn <= 20
+    ),
+    ex AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_dot_product(q.qv, q.qv)
+                  - 2 * list_dot_product(q.qv, c.qv)
+                  + list_dot_product(c.qv, c.qv) AS BIGINT) AS d
+      FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+    ),
+    ex5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY d, neighbor_id) AS rn FROM ex
+      ) WHERE rn <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(*) FILTER (c.neighbor_id IS NOT NULL) AS BIGINT)
+             AS n_caught,
+           CAST(count(*) FILTER (c.neighbor_id IS NOT NULL) AS DOUBLE) / 5
+             AS recall_at_5
+    FROM ex5 e LEFT JOIN cand c
+      ON e.query_id = c.query_id AND e.neighbor_id = c.neighbor_id
+    GROUP BY 1
+    """,
+)
+def l106_jl_projection_recall(spark, sf_dir):
+    """Johnson-Lindenstrauss RANDOM PROJECTION as an ANN coarse
+    ranker, with its recall measured: project the 64-dim integer-grid
+    embeddings to 16 dims through a ±1 matrix (entries = md5 parity
+    of (i, j) — a database, not 1024 literals: the l54 lesson that
+    unrolled literal trees blow up Catalyst), rank by projected
+    integer L2, take 20 candidates per query, and report recall@5
+    against the exact integer-L2 top-5. The dimensionality-reduction
+    quantization family, complementing PQ (l54), SQ8 (l58) and
+    sign-LSH (l85) — JL keeps magnitudes, not just signs, so the
+    16-int code re-ranks where 1-bit codes can't. Everything stays on
+    the integer grid (|p_j| ≤ 2^17, distances ≤ 2^40 — exact in both
+    engines), so the oracle replays the projection, both rankings,
+    and the recall bit-for-bit. Scale: projection is one 1024-row
+    broadcast join + a (vec × 16)-row aggregate; candidate scoring
+    shuffles ∝ queries × corpus × 16 — 4× lighter than the 64-dim
+    exact join it approximates, and the block-grid/Arrow kernel
+    (similarity.py) is the 100-TB scoring path. Reference analog:
+    none (LLM-data extension)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == _L106_DIM)
+    )
+    ql = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        "i",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)"
+        ).alias("q"),
+    ).transform(cut_lineage)  # consumed by projection AND exact side
+    rj = (
+        spark.range(_L106_DIM)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            spark.range(_L106_PDIM).select(F.col("id").cast("int").alias("j"))
+        )
+        .select(
+            "i",
+            "j",
+            (
+                1
+                - 2
+                * (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "",
+                                    F.lit("jl:"),
+                                    F.col("i").cast("string"),
+                                    F.lit(":"),
+                                    F.col("j").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+            ).alias("r"),
+        )
+    )
+    proj = (
+        ql.join(F.broadcast(rj), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("q") * F.col("r")).alias("p"))
+        .transform(cut_lineage)  # query AND corpus sides below
+    )
+    pq = proj.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "j", F.col("p").alias("pq")
+    )
+    dp = (
+        proj.join(F.broadcast(pq), "j")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(
+                (F.col("pq") - F.col("p")) * (F.col("pq") - F.col("p"))
+            ).alias("d")
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    cand = (
+        dp.select("query_id", "neighbor_id", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("query_id", "neighbor_id", F.lit(1).alias("caught"))
+    )
+    eq = ql.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "i", F.col("q").alias("qa")
+    )
+    ex = (
+        ql.join(F.broadcast(eq), "i")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.sum(
+                (F.col("qa") - F.col("q")) * (F.col("qa") - F.col("q"))
+            ).alias("d")
+        )
+    )
+    ex5 = (
+        ex.select("query_id", "neighbor_id", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= 5)
+    )
+    return (
+        ex5.join(cand, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("caught", F.lit(0))).alias("n_caught"),
+            (
+                F.sum(F.coalesce("caught", F.lit(0))).cast("double") / 5
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+@register(
+    "l107_soft_dedup_weights",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS digest, CAST(count(*) AS BIGINT) AS dup_count
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, g.dup_count,
+           CAST(1000000 // g.dup_count AS BIGINT) AS weight_ppm
+    FROM documents d JOIN g ON md5(d.text) = g.digest
+    """,
+)
+def l107_soft_dedup_weights(spark, sf_dir):
+    """SOFT dedup: instead of dropping exact duplicates (l01 keeps one
+    per digest group), every copy survives with training weight
+    1/dup_count — the duplicate-aware loss-weighting scheme (SoftDeDup
+    style) that preserves naturally-frequent content (boilerplate
+    licenses, common headers) at its deduplicated influence without a
+    hard keep/drop cliff. Weight is integer ppm (one trunc division),
+    so the oracle replays it exactly. Scale shape: one hash-groupBy on
+    the digest (shuffle ∝ docs, l01's shape) + one digest join back —
+    at 100 TB the join is shuffle-on-digest co-partitioned with the
+    groupBy, so AQE reuses the exchange. Reference analog: none
+    (LLM-data extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(F.md5("text").alias("digest"))
+        .groupBy("digest")
+        .agg(F.count("*").alias("dup_count"))
+    )
+    return (
+        docs.select("doc_id", F.md5("text").alias("digest"))
+        .join(g, "digest")
+        .select(
+            "doc_id",
+            "dup_count",
+            F.expr("1000000 div dup_count").alias("weight_ppm"),
+        )
+    )

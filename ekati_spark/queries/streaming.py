@@ -1538,3 +1538,80 @@ def st27_stream_pca_maintenance(spark, sf_dir):
     return spark.createDataFrame(
         [(i, int(x)) for i, x in enumerate(v)], "dim long, pc1_q long"
     )
+
+
+def _st28_oracle() -> str:
+    from ekati_spark.queries.base import REGISTRY
+
+    return REGISTRY["l101_winnow_fingerprint_pairs"].oracle
+
+
+@register("st28_stream_winnow_maintenance", oracle=_st28_oracle())
+def st28_stream_winnow_maintenance(spark, sf_dir):
+    """STREAMING maintenance of l101's winnowing fingerprint index —
+    documents arrive in three micro-batches; each batch's (id, fph)
+    fingerprints (per-doc local computation, so increment ≡ rebuild by
+    construction — the property that makes winnowing streamable at
+    all) append through the epoch-marker exactly-once sink, and the
+    store is COMPACTED between batches 2 and 3 (the offline-window
+    contract), so the final read crosses a compaction high-water mark:
+    a replayed epoch at or below it must be skipped even though its
+    per-epoch marker is gone (streaming/ops.py round-11 fix, here
+    attested under the oracle, not just in pytest). The overlap-pair
+    join over the streamed store must equal l101's batch output
+    exactly. At 100 TB this is the always-fresh plagiarism/overlap
+    index: per-trigger cost ∝ batch grams, the stored table stays
+    ~2/(w+1) of gram volume, and compaction bounds file count without
+    rebuilding history."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = Path(tempfile.mkdtemp(prefix="st28_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "fp")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        sink(D.winnow_fingerprints(b, k=4, w=5), batch_id)
+
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m}"))
+        parts = sorted((tmp / f"b{m}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"b{m}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if m == 1:
+            # offline window between triggers: fold epochs 0-1 into a
+            # compacted batch; the high-water mark now guards their
+            # replay-dedup evidence
+            ops.compact_committed_batches(spark, store)
+    fp = ops.read_committed_batches(spark, store)
+    a = fp.select(F.col("id").alias("id_a"), "fph")
+    b = fp.select(F.col("id").alias("id_b"), F.col("fph").alias("fph_b"))
+    return (
+        a.join(
+            b,
+            (F.col("fph") == F.col("fph_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
