@@ -50,6 +50,9 @@ _POST_WINDOW: list[str] = [
     "l106_jl_projection_recall",
     "l107_soft_dedup_weights",
     "st28_stream_winnow_maintenance",
+    "l108_knn_label_consistency",
+    "l109_shingle_containment_pairs",
+    "l110_image_hamming_neardup",
 ]
 
 _GRADED_FIRST = [

