@@ -53,6 +53,7 @@ _POST_WINDOW: list[str] = [
     "l108_knn_label_consistency",
     "l109_shingle_containment_pairs",
     "l110_image_hamming_neardup",
+    "l111_kmv_containment_audit",
 ]
 
 _GRADED_FIRST = [

@@ -7965,3 +7965,153 @@ def l110_image_hamming_neardup(spark, sf_dir):
         )
     )
     return out.filter(F.col("hamming").between(1, 6))
+
+
+@register(
+    "l111_kmv_containment_audit",
+    oracle="""
+    WITH tkl AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    shx AS (
+      SELECT doc_id AS id,
+             list_distinct(list_transform(
+               range(1, greatest(len(t) - 3, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+                    t[i+3] || ' ' || t[i+4]
+             )) AS sh
+      FROM tkl
+    ),
+    rows_ AS (SELECT id, unnest(sh) AS g FROM shx),
+    hashed AS (
+      SELECT id, g,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS h
+      FROM rows_
+    ),
+    sz AS (SELECT id, count(*) AS sz FROM rows_ GROUP BY id),
+    samp AS (
+      SELECT id, g FROM (
+        SELECT id, g, row_number() OVER (PARTITION BY id
+                      ORDER BY h, g) AS rn
+        FROM hashed
+      ) WHERE rn <= 64
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM samp a JOIN samp b ON a.g = b.g AND a.id < b.id
+    ),
+    hits AS (
+      SELECT c.id_a, c.id_b, count(*) AS nhit
+      FROM cand c
+      JOIN samp s ON s.id = c.id_a
+      JOIN rows_ r ON r.id = c.id_b AND r.g = s.g
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT c.id_a, c.id_b,
+             (1000000 * coalesce(h.nhit, 0))
+               // least(CAST(64 AS BIGINT), sa.sz) AS est_ppm,
+             (1000000 * len(list_intersect(xa.sh, xb.sh))) // sa.sz
+               AS exact_ppm
+      FROM cand c
+      LEFT JOIN hits h ON c.id_a = h.id_a AND c.id_b = h.id_b
+      JOIN sz sa ON c.id_a = sa.id
+      JOIN shx xa ON c.id_a = xa.id
+      JOIN shx xb ON c.id_b = xb.id
+    )
+    SELECT CAST(least(exact_ppm // 100000, 9) AS INTEGER) AS c_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(est_ppm - exact_ppm)) // count(*) AS BIGINT)
+             AS mean_abs_err_ppm
+    FROM est GROUP BY 1
+    """,
+)
+def l111_kmv_containment_audit(spark, sf_dir):
+    """KMV (bottom-k) CONTAINMENT estimator + error audit — the
+    sub-quadratic scale path for l109's exact containment: each doc
+    keeps only its 64 smallest-md5 5-gram shingles (a bottom-k sketch
+    of the set — fixed size however long the doc), candidate pairs
+    come from sampled-shingle collisions (blocking density
+    min(64,|A|)/|A|, so the self-join runs over the SKETCH table, not
+    the corpus shingle table), and C(A→B) is estimated as the fraction
+    of A's sampled shingles present in B — an unbiased uniform-sample
+    estimate needing one bounded semi-join per candidate pair. The
+    audit reports, per exact-containment decile, the pair count and
+    mean |estimate − exact| in integer ppm (trunc divisions only), so
+    the estimator's error curve is hash-attested the way l55 attests
+    LSH recall. At 100 TB: sketches are 64 rows/doc however large the
+    corpus; the exact side exists only in this audit (run on a
+    sample); production thresholds on the estimate alone. Reference
+    analog: none (LLM-data extension)."""
+    rows = D.shingle_rows(load_table(spark, sf_dir, "documents"), 5)
+    rows = rows.transform(cut_lineage)  # sketch + sizes + exact side
+    hashed = rows.select(
+        "id",
+        "g",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias(
+            "h"
+        ),
+    )
+    sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
+    wk = W.partitionBy("id").orderBy("h", "g")
+    samp = (
+        hashed.select("id", "g", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") <= 64)
+        .select("id", "g")
+        .transform(cut_lineage)  # joined three times below
+    )
+    a = samp.select(F.col("id").alias("id_a"), "g")
+    b = samp.select(F.col("id").alias("id_b"), F.col("g").alias("g_b"))
+    cand = (
+        a.join(
+            b,
+            (F.col("g") == F.col("g_b")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+        .transform(cut_lineage)  # hits join + est join
+    )
+    rows_b = rows.select(F.col("id").alias("id_b"), "g")
+    hits = (
+        cand.join(samp.select(F.col("id").alias("id_a"), "g"), "id_a")
+        .join(rows_b, ["id_b", "g"])  # two-key equi-join: (doc, gram)
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("nhit"))
+    )
+    shared = (
+        cand.join(rows.select(F.col("id").alias("id_a"), "g"), "id_a")
+        .join(rows_b, ["id_b", "g"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    est = (
+        cand.join(hits, ["id_a", "id_b"], "left")
+        .join(shared, ["id_a", "id_b"], "left")
+        .join(sz.select(F.col("id").alias("id_a"), "sz"), "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.expr(
+                "(1000000 * coalesce(nhit, 0))"
+                " div least(CAST(64 AS BIGINT), sz)"
+            ).alias("est_ppm"),
+            F.expr("(1000000 * coalesce(shared, 0)) div sz").alias(
+                "exact_ppm"
+            ),
+        )
+    )
+    return (
+        est.withColumn(
+            "c_bucket",
+            F.least(F.expr("exact_ppm div 100000"), F.lit(9).cast("bigint"))
+            .cast("int"),
+        )
+        .groupBy("c_bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.expr(
+                "CAST(SUM(abs(est_ppm - exact_ppm)) div COUNT(*) AS BIGINT)"
+            ).alias("mean_abs_err_ppm"),
+        )
+    )
