@@ -54,6 +54,7 @@ _POST_WINDOW: list[str] = [
     "l109_shingle_containment_pairs",
     "l110_image_hamming_neardup",
     "l111_kmv_containment_audit",
+    "g48_bloom_visited_traversal",
 ]
 
 _GRADED_FIRST = [

@@ -2962,3 +2962,113 @@ def g47_reverse_follow(spark, sf_dir):
             Or(Edge("contains", 2, 2), Edge("placed", 3, 3)),
         ),
     ).filter(~F.col("node_id").startswith("lineitem:"))
+
+
+def _g48_oracle(m: int = 2048, k: int = 3) -> str:
+    from ekati_spark.operators.bloom import BLOOM_POS_SQL
+
+    pos = BLOOM_POS_SQL.format(j="j", val="id", m=m)
+    return f"""
+    WITH j AS (SELECT unnest(range({k})) AS j),
+    seeds AS (
+      SELECT 'customer:' || CAST(c_custkey AS VARCHAR) AS id
+      FROM customer WHERE c_custkey <= 10
+    ),
+    vp1 AS (SELECT DISTINCT {pos} AS pos FROM seeds, j),
+    h1c AS (
+      SELECT DISTINCT 'order:' || CAST(o_orderkey AS VARCHAR) AS id
+      FROM orders WHERE o_custkey <= 10
+      UNION
+      SELECT DISTINCT 'nation:' || CAST(c_nationkey AS VARCHAR)
+      FROM customer WHERE c_custkey <= 10
+    ),
+    k1 AS (
+      SELECT id FROM (
+        SELECT id, SUM(CASE WHEN {pos} IN (SELECT pos FROM vp1)
+                       THEN 1 ELSE 0 END) AS s
+        FROM h1c, j GROUP BY id
+      ) WHERE s < {k}
+    ),
+    vp2 AS (
+      SELECT pos FROM vp1
+      UNION SELECT DISTINCT {pos} FROM k1, j
+    ),
+    h2c AS (
+      SELECT DISTINCT 'lineitem:' || CAST(l_orderkey AS VARCHAR) || ':'
+               || CAST(l_linenumber AS VARCHAR) AS id
+      FROM lineitem
+      WHERE 'order:' || CAST(l_orderkey AS VARCHAR) IN (SELECT id FROM k1)
+      UNION
+      SELECT DISTINCT 'region:' || CAST(n_regionkey AS VARCHAR)
+      FROM nation
+      WHERE 'nation:' || CAST(n_nationkey AS VARCHAR) IN (SELECT id FROM k1)
+    ),
+    k2 AS (
+      SELECT id FROM (
+        SELECT id, SUM(CASE WHEN {pos} IN (SELECT pos FROM vp2)
+                       THEN 1 ELSE 0 END) AS s
+        FROM h2c, j GROUP BY id
+      ) WHERE s < {k}
+    )
+    SELECT CAST(1 AS INTEGER) AS hop, id AS node_id FROM k1
+    UNION ALL
+    SELECT CAST(2 AS INTEGER), id FROM k2
+    """
+
+
+@register("g48_bloom_visited_traversal", oracle=_g48_oracle())
+def g48_bloom_visited_traversal(spark, sf_dir):
+    """The REFERENCE's traversal-dedup semantics, reproduced and
+    attested: the reference deduplicates its follow frontier with a
+    BLOOM visited-set that accepts false-positive DROPS (a never-seen
+    node whose k bits happen to be set is silently treated as visited
+    — SURVEY §2 row 17; our production `follow` uses the exact
+    anti-join superset instead). Here the same semantics run under the
+    oracle: visited = md5-replayable bloom bits (operators/bloom.py)
+    seeded with the frontier, each hop's candidates are kept only if
+    some bit is unset, kept nodes' bits join the filter, and dropped
+    nodes do NOT expand. The fixture m=2048 is deliberately tight so
+    drops actually occur at the graded SF, and the oracle replays the
+    exact kept/dropped partition — the reference's lossy behavior
+    becomes a hash-attested contract instead of an implementation
+    accident. At 100 TB the trade is explicit: O(m) visited-set memory
+    per hop (vs the anti-join's shuffle over the visited table) priced
+    at a sized, attested drop rate. Reference analog: FileStore.fs
+    follow-stream bloom dedup (row 17)."""
+    import numpy as np
+
+    import ekati_spark.operators.bloom as BL
+
+    M, K = 2048, 3
+    g = _graph(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    seeds = cust.filter(F.col("c_custkey") <= 10).select(
+        F.concat(
+            F.lit("customer:"), F.col("c_custkey").cast("string")
+        ).alias("v")
+    )
+    bm = BL.bloom_bitmap(seeds, "v", M, K)
+    frontier = seeds.withColumnRenamed("v", "src")
+    out = []
+    for hop in (1, 2):
+        cand = (
+            g.edges.join(F.broadcast(frontier), "src")
+            .select(F.col("dst").alias("v"))
+            .distinct()
+        )
+        kept = (
+            BL.bloom_probe(cand, "v", bm, M, K)
+            .filter(~F.col("is_candidate"))
+            .select("v")
+            .transform(cut_lineage)  # expands next hop AND lands in out
+        )
+        out.append(
+            kept.select(
+                F.lit(hop).cast("int").alias("hop"),
+                F.col("v").alias("node_id"),
+            )
+        )
+        if hop == 1:
+            bm = np.bitwise_or(bm, BL.bloom_bitmap(kept, "v", M, K))
+            frontier = kept.withColumnRenamed("v", "src")
+    return out[0].unionByName(out[1])
