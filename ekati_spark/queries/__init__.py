@@ -25,8 +25,10 @@ from ekati_spark.queries import stats  # noqa: F401
 # never-driver-attested set is exactly the 11 round-10 additions
 # (l94-l101, st25-st27); this round-11 window = the 5-query sentinel
 # core + those 11 + 34 least-recently-attested fillers (last green:
-# CORRECTNESS_r02/r03). If this window is graded, the whole 252-query
-# registry is driver-attested-ever.
+# CORRECTNESS_r02/r03). If this window is graded, every query
+# registered through round 10 is driver-attested-ever; the 12
+# round-11 additions sit in _POST_WINDOW below and rotate in next
+# round.
 #
 # This list is DERIVED, not hand-curated: `python tools/rotate_window.py`
 # regenerates it from the committed CORRECTNESS/JUDGE artifacts, and
