@@ -57,6 +57,7 @@ _POST_WINDOW: list[str] = [
     "l110_image_hamming_neardup",
     "l111_kmv_containment_audit",
     "g48_bloom_visited_traversal",
+    "l112_source_stopword_scrub",
 ]
 
 _GRADED_FIRST = [

@@ -8115,3 +8115,86 @@ def l111_kmv_containment_audit(spark, sf_dir):
             ).alias("mean_abs_err_ppm"),
         )
     )
+
+
+@register(
+    "l112_source_stopword_scrub",
+    oracle="""
+    WITH tok AS (
+      SELECT d.source, d.doc_id, t.i, t.tok FROM documents d,
+        LATERAL (SELECT unnest(range(1, len(string_split_regex(
+                   trim(lower(d.text)), ' +')) + 1)) AS i,
+                 unnest(string_split_regex(trim(lower(d.text)), ' +'))
+                   AS tok) t
+    ),
+    nsrc AS (SELECT source, count(DISTINCT doc_id) AS n FROM tok GROUP BY 1),
+    df AS (
+      SELECT source, tok, count(DISTINCT doc_id) AS df
+      FROM tok GROUP BY 1, 2
+    ),
+    vocab AS (
+      SELECT df.source, df.tok
+      FROM df JOIN nsrc USING (source)
+      WHERE 10 * df.df >= 6 * nsrc.n
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(*) FILTER (v.tok IS NOT NULL) AS BIGINT)
+             AS n_removed,
+           md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.i)
+                 FILTER (v.tok IS NULL), '')) AS scrubbed_digest
+    FROM tok t LEFT JOIN vocab v
+      ON t.source = v.source AND t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def l112_source_stopword_scrub(spark, sf_dir):
+    """Per-SOURCE boilerplate vocabulary removal — the
+    document-frequency stopword filter (CCNet/RefinedWeb style,
+    applied per domain): a token appearing in ≥ 60% of a source's
+    documents is that source's boilerplate (navigation chrome,
+    domain-specific fillers) and is dropped from every document of
+    the source; survivors reassemble in order and the result carries
+    per-doc md5 digests — the oracle hash-attests the exact rewritten
+    bodies without hauling text (l95's attestation pattern at
+    vocabulary granularity; the ratio threshold is integer-exact:
+    10·df ≥ 6·n). Complements l95 (exact corpus-duplicated n-grams)
+    with the frequency-ratio axis: l95 catches verbatim duplication,
+    this catches domain chrome that never repeats as a full 8-gram.
+    Scale: DF counting is one (source, token) hash-groupBy (shuffle ∝
+    distinct tokens); the vocab is a per-source broadcast; the scrub
+    is one token-stream pass + per-doc ordered listagg — no
+    corpus-wide joins. Reference analog: none (LLM-data extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), " +")).alias(
+            "i", "tok"
+        ),
+    ).transform(cut_lineage)  # DF counting AND the scrub pass
+    nsrc = tok.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n")
+    )
+    df = tok.groupBy("source", "tok").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    vocab = (
+        df.join(F.broadcast(nsrc), "source")
+        .filter(10 * F.col("df") >= 6 * F.col("n"))
+        .select("source", "tok", F.lit(1).alias("bp"))
+    )
+    flagged = tok.join(F.broadcast(vocab), ["source", "tok"], "left")
+    return flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.count("bp").alias("n_removed"),
+        F.md5(
+            F.coalesce(
+                F.expr(
+                    "listagg(CASE WHEN bp IS NULL THEN tok END, ' ')"
+                    " WITHIN GROUP (ORDER BY i)"
+                ),
+                F.lit(""),
+            )
+        ).alias("scrubbed_digest"),
+    )
