@@ -846,3 +846,33 @@ def test_adaptive_quality_topq_exact_rational_k(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     kept = adaptive_quality_topq(df, q=(3, 10)).collect()
     assert len(kept) == 3
+
+
+def test_round11_plans_broadcast_their_small_sides(spark, sf_dir):
+    """The round-11 operators' dimension-sized sides must broadcast:
+    l105's quota table, l106's 1024-row projection matrix, l112's
+    per-source boilerplate vocab. A SortMergeJoin on any of these
+    would shuffle the big side against a KB-scale table."""
+    import ekati_spark.queries as Q
+
+    for name in (
+        "l105_temperature_mixing",
+        "l106_jl_projection_recall",
+        "l112_source_stopword_scrub",
+    ):
+        plan = _plan(Q.REGISTRY[name].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_bloom_probe_plan_has_no_shuffle_before_filter(spark, sf_dir):
+    """l94's probe contract: the corpus reaches the bloom verdict
+    without an Exchange — positions are codegen exprs and the bitmap
+    rides in the UDF closure, so the only shuffles in the whole plan
+    belong to the shingle window and the final groupBy, never to the
+    probe itself. Guard: the plan contains exactly the ArrowEvalPython
+    probe node and no SortMergeJoin anywhere."""
+    import ekati_spark.queries as Q
+
+    plan = _plan(Q.REGISTRY["l94_bloom_decontaminate"].fn(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan
