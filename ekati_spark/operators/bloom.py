@@ -62,7 +62,9 @@ DEFAULT_K = 3
 
 # DuckDB twin of ``bloom_params`` — .format(n=<count expr>) yields the
 # same m for the same reference-set count, pure integer arithmetic.
-BLOOM_M_SQL = "(({bpm} * ({n}) + 63) // 64) * 64".replace(
+# greatest(n, 1) mirrors bloom_params's clamp so an EMPTY reference
+# set gives m=64 on both sides instead of a SQL modulo-by-zero.
+BLOOM_M_SQL = "(({bpm} * greatest(({n}), 1) + 63) // 64) * 64".replace(
     "{bpm}", str(BITS_PER_MEMBER)
 )
 
@@ -165,7 +167,11 @@ def bloom_probe(
     Arrow-batched pandas UDF that indexes the closure-captured packed
     bitmap. ``&1`` after an arithmetic shift reads the target bit
     correctly even for bit 63 of a negative int64 word. ``m=None``
-    derives the build-time m from the bitmap itself (size·64).
+    derives the build-time m from the bitmap itself (size·64); ``k``
+    is NOT recoverable from the bitmap — a probe k different from the
+    build k silently breaks the no-false-negative contract (a smaller
+    build k leaves bits the probe then requires), so either default
+    BOTH sides or state k explicitly at both call sites.
 
     The k positions cross as k separate int64 columns, NOT one array
     column: an Arrow list column lands in pandas as object-dtype rows

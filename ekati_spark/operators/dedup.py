@@ -553,7 +553,16 @@ def winnow_recall_audit(
         .filter(F.col("n_fp") >= min_shared)
         .select("id_a", "id_b", F.lit(1).alias("caught"))
     )
-    flagged = exact.join(cand, ["id_a", "id_b"], "left")
+    return decile_recall_report(exact.join(cand, ["id_a", "id_b"], "left"))
+
+
+def decile_recall_report(flagged: DataFrame) -> DataFrame:
+    """Shared tail of the recall audits (l55-family): given exact
+    pairs left-joined with a ``caught`` marker column and a
+    ``jaccard`` score, aggregate per similarity decile (capped at
+    bucket 9) the pair count, caught count, and recall rounded
+    half-up at 6 decimals via the engine-portable ``floor(x·1e6+0.5)``
+    form (NOT ``round``: engine tie policies differ)."""
     floor6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
     return (
         flagged.withColumn(

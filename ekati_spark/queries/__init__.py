@@ -26,7 +26,7 @@ from ekati_spark.queries import stats  # noqa: F401
 # (l94-l101, st25-st27); this round-11 window = the 5-query sentinel
 # core + those 11 + 34 least-recently-attested fillers (last green:
 # CORRECTNESS_r02/r03). If this window is graded, every query
-# registered through round 10 is driver-attested-ever; the 12
+# registered through round 10 is driver-attested-ever; the 13
 # round-11 additions sit in _POST_WINDOW below and rotate in next
 # round.
 #

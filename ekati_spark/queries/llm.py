@@ -6592,7 +6592,10 @@ def _planted_frame_dhashes(spark, sf_dir):
         F.concat_ws(
             ":", F.col("d.hi").cast("string"), F.col("d.lo").cast("string")
         ).alias("h"),
-    )
+    ).transform(cut_lineage)  # the decode stage feeds 2+ subtrees in
+    # both consumers (l99: shingle sz + pair sides; l104: exact +
+    # candidate sides) — without the cut, the zlib/dHash Arrow pass
+    # re-executes once per non-reused exchange
 
 
 # Shared oracle prelude for l99/l104: replays the planted-frame dHash
@@ -7232,30 +7235,7 @@ def l104_temporal_shingle_recall_audit(spark, sf_dir):
         .distinct()
         .withColumn("caught", F.lit(1))
     )
-    flagged = ex.join(cand, ["id_a", "id_b"], "left")
-    floor6 = lambda c: F.floor(c * 1000000 + F.lit(0.5)) / 1000000  # noqa: E731
-    return (
-        flagged.withColumn(
-            "j_bucket",
-            F.least(
-                F.floor(F.col("jaccard") * 10), F.lit(9).cast("bigint")
-            ).cast("int"),
-        )
-        .groupBy("j_bucket")
-        .agg(
-            F.count("*").alias("n_pairs"),
-            F.sum(F.coalesce("caught", F.lit(0))).alias("n_caught"),
-        )
-        .select(
-            "j_bucket",
-            "n_pairs",
-            "n_caught",
-            floor6(
-                F.col("n_caught").cast("double")
-                / F.col("n_pairs").cast("double")
-            ).alias("recall"),
-        )
-    )
+    return D.decile_recall_report(ex.join(cand, ["id_a", "id_b"], "left"))
 
 
 @register(

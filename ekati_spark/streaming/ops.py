@@ -570,7 +570,18 @@ class _SinkFS:
     def delete(self, name: str) -> None:
         self._fs.delete(self._p(name), True)
 
-    def names(self) -> list[str]:
+    def names(self, pattern: str | None = None) -> list[str]:
+        """Child names of base_path; with ``pattern``, a glob over the
+        children (``globStatus`` — one prefix listing of the MATCHING
+        names, not an enumeration of every batch directory; the sink
+        calls this per micro-batch, so on an object store with
+        thousands of committed epochs the difference is the trigger
+        latency)."""
+        if pattern is not None:
+            sts = self._fs.globStatus(self._p(pattern))
+            return (
+                [st.getPath().getName() for st in sts] if sts else []
+            )
         if not self._fs.exists(self._base):
             return []
         return [
@@ -580,8 +591,7 @@ class _SinkFS:
     def committed_ids(self) -> list[int]:
         return sorted(
             int(n.rsplit("_", 1)[1])
-            for n in self.names()
-            if n.startswith("_committed_")
+            for n in self.names("_committed_*")
         )
 
     def compacted_through(self) -> int | None:
@@ -590,8 +600,7 @@ class _SinkFS:
         ``_compacted_through_<id>`` markers, None if never compacted."""
         hwms = [
             int(n.rsplit("_", 1)[1])
-            for n in self.names()
-            if n.startswith("_compacted_through_")
+            for n in self.names("_compacted_through_*")
         ]
         return max(hwms) if hwms else None
 
@@ -711,10 +720,9 @@ def compact_committed_batches(
         prior = fs.compacted_through()
         if prior is None or folded_max > prior:
             fs.touch(f"_compacted_through_{folded_max}")
-        for n in fs.names():
-            if n.startswith("_compacted_through_"):
-                if int(n.rsplit("_", 1)[1]) < max(folded_max, prior or 0):
-                    fs.delete(n)
+        for n in fs.names("_compacted_through_*"):
+            if int(n.rsplit("_", 1)[1]) < max(folded_max, prior or 0):
+                fs.delete(n)
     for i in ids:
         if fs.exists(f"_committed_{i}"):
             fs.delete(f"_committed_{i}")
