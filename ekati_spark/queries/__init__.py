@@ -19,16 +19,15 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. CORRECTNESS_r10.json graded the round-10
-# window green (49 hash + g28 rows-only), so every query registered
-# through round 9 is now driver-attested-ever (241/241). The remaining
-# never-driver-attested set is exactly the 11 round-10 additions
-# (l94-l101, st25-st27); this round-11 window = the 5-query sentinel
-# core + those 11 + 34 least-recently-attested fillers (last green:
-# CORRECTNESS_r02/r03). If this window is graded, every query
-# registered through round 10 is driver-attested-ever; the 13
-# round-11 additions sit in _POST_WINDOW below and rotate in next
-# round.
+# order IS the graded set. CORRECTNESS_r11.json graded the round-11
+# window green (50/50 hash-match), so every query registered through
+# round 10 is now driver-attested-ever (252/252). The remaining
+# never-driver-attested set is exactly the 13 round-11 additions
+# (l102-l112, st28, g48); this round-12 window = the 5-query sentinel
+# core + those 13 + 32 least-recently-attested fillers (last green:
+# CORRECTNESS_r03/r05). If this window is graded, every query
+# registered through round 11 is driver-attested-ever; queries added
+# during round 12 go into _POST_WINDOW below and rotate in next round.
 #
 # This list is DERIVED, not hand-curated: `python tools/rotate_window.py`
 # regenerates it from the committed CORRECTNESS/JUDGE artifacts, and
@@ -44,74 +43,61 @@ from ekati_spark.queries import stats  # noqa: F401
 # the never-attested block of the NEXT round's rotation, at which point
 # this list is cleared. tools/rotate_window.py excludes these names
 # when re-deriving the window.
-_POST_WINDOW: list[str] = [
+_POST_WINDOW: list[str] = []
+
+_GRADED_FIRST = [
+    # sentinel core: one per family, re-attested every round
+    "r03_pricing_summary", "g01_follow_one_hop",
+    "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
+    # --- never driver-attested ---
+    "g48_bloom_visited_traversal",
     "l102_frame_decode_coverage",
     "l103_winnow_recall_audit",
     "l104_temporal_shingle_recall_audit",
     "l105_temperature_mixing",
     "l106_jl_projection_recall",
     "l107_soft_dedup_weights",
-    "st28_stream_winnow_maintenance",
     "l108_knn_label_consistency",
     "l109_shingle_containment_pairs",
     "l110_image_hamming_neardup",
     "l111_kmv_containment_audit",
-    "g48_bloom_visited_traversal",
     "l112_source_stopword_scrub",
+    "st28_stream_winnow_maintenance",
+    # --- least-recently attested fillers ---
+    "g05_filter_then_follow",  # last green r03
+    "g06_fields_projection",  # last green r03
+    "g07_skip_limit",  # last green r03
+    "g08_reverse_traversal",  # last green r03
+    "g09_degrees",  # last green r03
+    "g18_asof_snapshot",  # last green r03
+    "g22_trade_reachability",  # last green r03
+    "g26_graph_stats",  # last green r03
+    "l02_ngram_jaccard_pairs",  # last green r03
+    "l05_embedding_dup_pairs",  # last green r03
+    "l08_text_stats",  # last green r03
+    "l09_lang_id",  # last green r03
+    "l10_quality_filter",  # last green r03
+    "l13_tfidf_top_terms",  # last green r03
+    "l16_grouped_normalize",  # last green r03
+    "l17_fuzzy_dedup_pairs",  # last green r03
+    "l24_pii_redact",  # last green r03
+    "l28_duplicate_spans",  # last green r03
+    "l30_decontaminate",  # last green r03
+    "st02_sliding_window",  # last green r03
+    "st03_session_window",  # last green r03
+    "st09_stream_stream_left_join",  # last green r03
+    "r01_scan_count",  # last green r05
+    "r05_count_distinct",  # last green r05
+    "r08_grouping_sets",  # last green r05
+    "r13_join_full_outer",  # last green r05
+    "r20_window_rank_ntile",  # last green r05
+    "r34_correlated_exists",  # last green r05
+    "r37_asof_join",  # last green r05
+    "r39_percentiles",  # last green r05
+    "r52_lateral_topk",  # last green r05
+    "r54_merge_upsert",  # last green r05
 ]
 
-_GRADED_FIRST = [
-    # sentinel core: one per family, re-attested every round
-    "r03_pricing_summary", "g01_follow_one_hop",
-    "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
-    # --- never driver-attested: round-10 additions ---
-    "l94_bloom_decontaminate",
-    "l95_substring_scrub",
-    "l96_embedding_debias",
-    "l97_bpe_encode",
-    "l98_counting_bloom_gc",
-    "l99_video_neardup",
-    "l100_classifier_pr_audit",
-    "l101_winnow_fingerprint_pairs",
-    "st25_stream_bloom_gate",
-    "st26_stream_counting_bloom",
-    "st27_stream_pca_maintenance",
-    # --- least-recently attested fillers ---
-    "r21_window_range_frame",  # last green r02
-    "r22_global_topk",  # last green r02
-    "r23_offset_limit",  # last green r02
-    "r25_string_funcs",  # last green r02
-    "r27_math_funcs",  # last green r02
-    "r28_case_null",  # last green r02
-    "r30_array_ops",  # last green r02
-    "r32_in_subquery",  # last green r02
-    "r33_scalar_subquery",  # last green r02
-    "r36_unpivot",  # last green r02
-    "r41_map_functions",  # last green r02
-    "r42_rank_distributions",  # last green r02
-    "r44_stats_aggregates",  # last green r02
-    "r45_conditional_agg",  # last green r02
-    "r46_string_agg",  # last green r02
-    "r49_data_quality_audit",  # last green r02
-    "r06_rollup",  # last green r03
-    "r09_join_broadcast_dims",  # last green r03
-    "r10_shipping_priority",  # last green r03
-    "r17_window_topk_per_group",  # last green r03
-    "r24_set_ops",  # last green r03
-    "r26_date_funcs",  # last green r03
-    "r29_json_extract",  # last green r03
-    "r31_higher_order_funcs",  # last green r03
-    "r35_pivot",  # last green r03
-    "r38_range_join",  # last green r03
-    "r40_resample_gapfill",  # last green r03
-    "r43_sessionize_batch",  # last green r03
-    "r47_hll_sketch_rollup",  # last green r03
-    "r48_salted_join",  # last green r03
-    "r50_time_weighted_avg",  # last green r03
-    "g02_follow_two_hop",  # last green r03
-    "g03_follow_any_range",  # last green r03
-    "g04_follow_label_windows",  # last green r03
-]
 
 
 def _curate_order() -> None:
