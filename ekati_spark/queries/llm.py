@@ -4107,12 +4107,152 @@ def l70_ivf_append_parity(spark, sf_dir):
     )
 
 
-@register(
-    "l71_dedup_threshold_sweep",
-    oracle="""
+def _threshold_sweep(jm):
+    """Shared sweep tail for l71/l113: per-threshold pair + doc counts
+    from a ``(id_a, id_b, jm)`` milli-Jaccard pair table (jm ≥ 100).
+    Each pair explodes into its qualifying threshold levels
+    (sequence(1, jm div 100)) — pure equi-shuffles, reducer-invariant;
+    doc counts use each doc's MAX pair score, same explode trick."""
+    lvl = F.explode(
+        F.sequence(F.lit(1), F.least(F.expr("jm div 100"), F.lit(9)))
+    ).alias("t")
+    np_ = jm.select(lvl).groupBy("t").agg(F.count("*").alias("n_pairs"))
+    dmax = (
+        jm.select(F.col("id_a").alias("id"), "jm")
+        .unionByName(jm.select(F.col("id_b").alias("id"), "jm"))
+        .groupBy("id")
+        .agg(F.max("jm").alias("jm"))
+    )
+    nd = dmax.select(lvl).groupBy("t").agg(
+        F.count("*").alias("n_dup_docs")
+    )
+    return np_.join(nd, "t").select(
+        (F.col("t") * 100).cast("long").alias("jaccard_milli_ge"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
+    )
+
+
+_SWEEP_TAIL_SQL = """
+    pt AS (
+      SELECT unnest(range(1, least(jm // 100, 9) + 1)) AS t
+      FROM jm WHERE jm >= 100
+    ),
+    np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM pt GROUP BY t),
+    dmax AS (
+      SELECT id, max(jm) AS mj FROM (
+        SELECT id_a AS id, jm FROM jm UNION ALL SELECT id_b, jm FROM jm
+      ) GROUP BY id
+    ),
+    dt AS (
+      SELECT unnest(range(1, least(mj // 100, 9) + 1)) AS t
+      FROM dmax WHERE mj >= 100
+    ),
+    nd AS (SELECT t, CAST(count(*) AS BIGINT) AS n_dup_docs FROM dt GROUP BY t)
+    SELECT CAST(np.t * 100 AS BIGINT) AS jaccard_milli_ge,
+           np.n_pairs, nd.n_dup_docs
+    FROM np JOIN nd ON np.t = nd.t
+"""
+
+
+def _l71_oracle(num_hashes: int = 64, bands: int = 32) -> str:
+    """Replays the FULL banded pipeline (l03 precedent): md5 shingle
+    hashes → permutation-min signatures → band-slice-equality candidacy
+    → exact shared-shingle verification → milli-Jaccard → sweep."""
+    from ekati_spark.operators.dedup import MERSENNE_31
+
+    mins, band_eq = _minhash_sql_parts(num_hashes, bands)
+    return f"""
     WITH toks AS (
       SELECT doc_id AS id, string_split_regex(trim(lower(text)), ' +') AS t
       FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks
+    ),
+    h AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+               % {MERSENNE_31} AS h
+      FROM sh
+    ),
+    sig AS (SELECT id, count(*) AS sz, {mins} FROM h GROUP BY id),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+      FROM sig a JOIN sig b ON a.id < b.id AND ({band_eq})
+    ),
+    shared AS (
+      SELECT cd.id_a, cd.id_b, cd.sz_a, cd.sz_b, count(*) AS c
+      FROM cand cd
+      JOIN h ha ON ha.id = cd.id_a
+      JOIN h hb ON hb.id = cd.id_b AND hb.h = ha.h
+      GROUP BY 1, 2, 3, 4
+    ),
+    jm AS (
+      SELECT id_a, id_b, 1000 * c // (sz_a + sz_b - c) AS jm
+      FROM shared
+    ),
+    {_SWEEP_TAIL_SQL}
+    """
+
+
+@register("l71_dedup_threshold_sweep", oracle=_l71_oracle())
+def l71_dedup_threshold_sweep(spark, sf_dir):
+    """Near-dup THRESHOLD TUNING table — the question every dedup
+    deployment asks before committing a cutoff: for each Jaccard
+    threshold 0.1..0.9, how many candidate pairs and how many distinct
+    documents would be implicated? Jaccard is integer milli-units
+    (1000·|∩| div |∪| — no float anywhere).
+
+    The pair substrate is the PRODUCTION one — MinHash-banded LSH
+    candidates (operators.dedup.minhash_band_candidates, the l03
+    pipeline: cost ∝ band-bucket², never all-pairs) verified with
+    exact shared-shingle counts. The oracle replays the banding
+    bit-for-bit (_l71_oracle — md5 shingle hashes, 64 permutation
+    mins, slice-equality candidacy), so the sweep is hash-attested
+    on exactly the candidate set a 100 TB run would see; recall at
+    low thresholds is governed by the (64, 32)-band S-curve, which
+    l55_lsh_recall_audit measures per decile, and l113 keeps the
+    exact all-pairs sweep as the bounded-subset twin. The sweep tail
+    adds one narrow explode (≤9 rows per pair) and two small
+    aggregations (_threshold_sweep)."""
+    docs = load_table(spark, sf_dir, "documents")
+    jm = _l71_pair_source(docs).transform(
+        cut_lineage  # consumed by pair sweep + doc sweep
+    )
+    return _threshold_sweep(jm)
+
+
+def _l71_pair_source(docs):
+    """l71's pair substrate, pre-lineage-cut (seam for the plan-shape
+    test: tests/test_operators.py asserts the banded candidacy and the
+    absence of any all-pairs shingle self-join)."""
+    from ekati_spark.operators.dedup import minhash_band_candidates
+
+    cand, sh_rows = minhash_band_candidates(docs, num_hashes=64, bands=32)
+    return (
+        cand.join(sh_rows.select(F.col("id").alias("id_a"), "h"), "id_a")
+        .join(sh_rows.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.count("*").alias("c"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("1000 * c div (sz_a + sz_b - c)").alias("jm"),
+        )
+        .filter(F.col("jm") >= 100)
+    )
+
+
+@register(
+    "l113_dedup_sweep_exact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents WHERE doc_id < 400
     ),
     sh AS (
       SELECT id, unnest(list_distinct(list_transform(
@@ -4132,46 +4272,23 @@ def l70_ivf_append_parity(spark, sf_dir):
              1000 * p.c // (sa.sz + sb.sz - p.c) AS jm
       FROM pairs p JOIN sz sa ON sa.id = p.id_a JOIN sz sb ON sb.id = p.id_b
     ),
-    pt AS (
-      SELECT unnest(range(1, least(jm // 100, 9) + 1)) AS t
-      FROM jm WHERE jm >= 100
-    ),
-    np AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM pt GROUP BY t),
-    dmax AS (
-      SELECT id, max(jm) AS mj FROM (
-        SELECT id_a AS id, jm FROM jm UNION ALL SELECT id_b, jm FROM jm
-      ) GROUP BY id
-    ),
-    dt AS (
-      SELECT unnest(range(1, least(mj // 100, 9) + 1)) AS t
-      FROM dmax WHERE mj >= 100
-    ),
-    nd AS (SELECT t, CAST(count(*) AS BIGINT) AS n_dup_docs FROM dt GROUP BY t)
-    SELECT CAST(np.t * 100 AS BIGINT) AS jaccard_milli_ge,
-           np.n_pairs, nd.n_dup_docs
-    FROM np JOIN nd ON np.t = nd.t
+    {_SWEEP_TAIL_SQL}
     """,
 )
-def l71_dedup_threshold_sweep(spark, sf_dir):
-    """Near-dup THRESHOLD TUNING table — the question every dedup
-    deployment asks before committing a cutoff: for each Jaccard
-    threshold 0.1..0.9, how many candidate pairs and how many distinct
-    documents would be implicated? Jaccard is integer milli-units
-    (1000·|∩| div |∪| — no float anywhere), and the per-threshold
-    rollup avoids a thresholds×pairs non-equi join: each pair explodes
-    into its qualifying threshold levels (sequence(1, jm div 100)) and
-    aggregates by level — pure equi-shuffles, reducer-invariant.
-    Doc counts come from each doc's MAX pair score (a doc is implicated
-    at t iff its best pair clears t), same explode trick.
-
-    Scale shape: the pair source is the shingle inverted-index
-    self-join (cost ∝ Σ bucket², the l02/l03 substrate — at 100 TB
-    swap in the MinHash-banded candidate set, same downstream sweep);
-    the sweep itself adds one narrow explode (≤9 rows per pair) and
-    two small aggregations."""
+def l113_dedup_sweep_exact(spark, sf_dir):
+    """EXACT all-pairs twin of l71's threshold sweep, on a bounded
+    subset (doc_id < 400): the shingle inverted-index self-join gives
+    ground-truth Jaccard with no banding recall loss. Deliberately
+    NOT the headline path — cost is ∝ Σ shingle-bucket², quadratic in
+    per-shingle doc frequency, so at 100 TB it exists only as an
+    audit run over a sampled slice (exactly what the subset cap
+    models); l71 is the production sweep. Reference analog: none
+    (LLM-data extension)."""
     from ekati_spark.operators.dedup import shingle_rows
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < 400
+    )
     rows = shingle_rows(docs).transform(cut_lineage)
     sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
     ex = rows.join(sz, "id")
@@ -4193,24 +4310,7 @@ def l71_dedup_threshold_sweep(spark, sf_dir):
         .filter(F.col("jm") >= 100)
         .transform(cut_lineage)  # consumed by pair sweep + doc sweep
     )
-    lvl = F.explode(
-        F.sequence(F.lit(1), F.least(F.expr("jm div 100"), F.lit(9)))
-    ).alias("t")
-    np_ = jm.select(lvl).groupBy("t").agg(F.count("*").alias("n_pairs"))
-    dmax = (
-        jm.select(F.col("id_a").alias("id"), "jm")
-        .unionByName(jm.select(F.col("id_b").alias("id"), "jm"))
-        .groupBy("id")
-        .agg(F.max("jm").alias("jm"))
-    )
-    nd = dmax.select(lvl).groupBy("t").agg(
-        F.count("*").alias("n_dup_docs")
-    )
-    return np_.join(nd, "t").select(
-        (F.col("t") * 100).cast("long").alias("jaccard_milli_ge"),
-        F.col("n_pairs").cast("long").alias("n_pairs"),
-        F.col("n_dup_docs").cast("long").alias("n_dup_docs"),
-    )
+    return _threshold_sweep(jm)
 
 
 @register(

@@ -492,6 +492,24 @@ def test_fuzzy_dedup_plan_has_no_nested_loop_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
 
 
+def test_l71_headline_substrate_is_banded(spark, sf_dir):
+    """Perf contract (l71, round-11 verdict item 2): the threshold
+    sweep's headline pair source must be the MinHash-banded candidate
+    join, NOT the shingle inverted-index all-pairs self-join (cost ∝
+    Σ bucket² — a scale-killer at 100 TB). The banded plan joins on
+    the xxhash64 band key; after the shingle table's lineage cut, the
+    raw shingle string column ``g`` cannot appear in any join — an
+    ``a.g = b.g`` equi-join would surface it."""
+    from ekati_spark.queries.llm import _l71_pair_source
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(_l71_pair_source(docs))
+    assert "band_hash" in plan, plan
+    assert " g#" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_sliding_distinct_plan_explodes_after_distinct(spark, sf_dir):
     """Perf contract (r53): the 7x window explode runs on the reduced
     (day, user) pair set, i.e. the Generate sits above a shuffle-backed
