@@ -6315,10 +6315,16 @@ def l94_bloom_decontaminate(spark, sf_dir):
     cand = BL.bloom_probe(corpus_grams, "g", bitmap).filter(
         "is_candidate"
     )
+    # Confirm join: NO broadcast hint — the whole reason this query
+    # exists is a reference set too large to broadcast-join exactly, so
+    # hinting broadcast on bench_grams would die first at that size.
+    # bench_grams is materialized (cut_lineage above), so AQE sees its
+    # real size: small fixtures still get a runtime broadcast, oversized
+    # reference sets get a shuffle join on g with the candidate side
+    # already bloom-bounded (tests/test_bloom.py pins the non-broadcast
+    # plan under a lowered autoBroadcastJoinThreshold).
     return (
-        cand.join(
-            F.broadcast(bench_grams.withColumn("hit", F.lit(1))), "g", "left"
-        )
+        cand.join(bench_grams.withColumn("hit", F.lit(1)), "g", "left")
         .groupBy(F.col("id").alias("doc_id"))
         .agg(
             F.count("hit").alias("n_hit_ngrams"),

@@ -309,3 +309,31 @@ def test_winnow_rejects_oversized_docs(spark):
     )
     with pytest.raises(Exception, match="exceeds 2\\^21 grams"):
         winnow_fingerprints(docs, k=4, w=5).collect()
+
+
+def test_l94_confirm_join_survives_unbroadcastable_reference(spark, sf_dir):
+    """Round-11 verdict item 4: l94's stated reason to exist is a
+    reference set too large to broadcast-join exactly, so the exact
+    confirm must NOT hard-hint broadcast on the reference grams. With
+    autoBroadcastJoinThreshold forced below the reference-gram size,
+    the confirm join must plan (and run) as a shuffle join and produce
+    the same result as the unconstrained run."""
+    from ekati_spark.queries import REGISTRY
+
+    fn = REGISTRY["l94_bloom_decontaminate"].fn
+    baseline = {
+        (r.doc_id, r.n_hit_ngrams, r.n_fp_grams)
+        for r in fn(spark, sf_dir).collect()
+    }
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try:
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan, plan
+        got = {
+            (r.doc_id, r.n_hit_ngrams, r.n_fp_grams) for r in df.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert got == baseline
