@@ -34,6 +34,13 @@ Endpoints:
                     the executed physical plan as text, without
                     running the query (the is-this-the-plan-I-want
                     loop, over the wire).
+- ``POST /grpc/{Put,Get,GetMetrics,GetStats}`` — the reference's RPCs
+                    over REAL protobuf message bytes (types.proto
+                    codec in ``ekati_spark.wire``); request body = one
+                    unframed message, ``Get`` streams 5-byte-framed
+                    ``Node`` messages. Transport is HTTP/1.1 (documented
+                    deviation — no grpcio here), messages are
+                    reference-compatible.
 - ``GET /stats``    graph totals (GetStats analog).
 - ``GET /metrics``  executor gauges + stage counters (GetMetrics).
 - ``GET /plugins``  registered user operators (ListPolicies-shape).
@@ -158,10 +165,83 @@ class EkatiServer:
                 self.wfile.write(json.dumps(payload).encode() + b"\n")
                 self.wfile.flush()
 
+            def _reply_proto(self, payload: bytes, framed: bool) -> None:
+                ctype = (
+                    "application/grpc" if framed else "application/x-protobuf"
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+
+            def _do_grpc(self, method: str, raw: bytes) -> None:
+                """The reference's WatDbService RPCs (types.proto:231-239)
+                over protobuf message bytes. TRANSPORT deviation
+                (PARITY.md): HTTP/1.1 POST per RPC instead of
+                gRPC-over-HTTP/2 (no grpcio in this environment);
+                request body = one unframed message, streaming
+                responses use standard 5-byte gRPC framing."""
+                from ekati_spark.wire import bridge
+                from ekati_spark.wire import proto as W
+
+                if method == "Put":  # WatService.cs:97-130
+                    node = W.decode("Node", raw)
+                    outer.engine.run_put(bridge.node_msg_to_put(node))
+                    self._reply_proto(
+                        W.encode("PutResponse", {"success": True}), False
+                    )
+                elif method == "Get":  # WatService.cs:284-293 (stream)
+                    q = W.decode("Query", raw)
+                    df = outer.engine.run_get(bridge.query_msg_to_get(q))
+                    # same daemon-side cap as /query: never buffer an
+                    # unbounded result (page with skip/limit steps)
+                    rows = df.limit(100_000).collect()
+                    body = b"".join(
+                        W.frame(W.encode("Node", n))
+                        for n in bridge.rows_to_node_msgs(rows)
+                    )
+                    self._reply_proto(body, True)
+                elif method == "GetMetrics":  # WatService.cs:338-369
+                    from ekati_spark.metrics import stage_metrics
+
+                    names = W.decode("GetMetricsRequest", raw).get(
+                        "names", []
+                    )
+                    metrics = [
+                        # Metric{name, value}: per-stage executor run
+                        # time, named like the UI's stage list
+                        {
+                            "value": float(r[6]),
+                            "name": f"stage.{r[0]}.runtime_ms",
+                        }
+                        for r in stage_metrics(outer.engine.spark).collect()
+                        if not names or f"stage.{r[0]}.runtime_ms" in names
+                    ]
+                    self._reply_proto(
+                        W.encode("GetMetricsResponse", {"metrics": metrics}),
+                        False,
+                    )
+                elif method == "GetStats":
+                    row = _rows(outer.engine.graph.stats())[0]
+                    self._reply_proto(
+                        W.encode(
+                            "GetStatsResponse",
+                            {"names": [f"{k}={v}" for k, v in row.items()]},
+                        ),
+                        False,
+                    )
+                else:
+                    self._reply(404, {"error": f"no grpc method {method}"})
+
             def do_POST(self):  # noqa: N802 — http.server contract
                 try:
                     n = int(self.headers.get("Content-Length", 0))
-                    req = json.loads(self.rfile.read(n) or b"{}")
+                    raw = self.rfile.read(n)
+                    if self.path.startswith("/grpc/"):
+                        self._do_grpc(self.path[len("/grpc/") :], raw)
+                        return
+                    req = json.loads(raw or b"{}")
                     if self.path == "/query/stream":
                         q = req["q"]
                         out = outer.engine.execute(q)

@@ -219,3 +219,99 @@ def test_explain_endpoint(served, sf_dir):
     assert "PushedFilters" in out["plan"]
     code, out = _post(served, "/explain", {"q": 'get "s1"'})
     assert code == 200 and "plan" in out
+
+
+def _post_raw(server, path, body: bytes):
+    req = urllib.request.Request(
+        f"http://{server.host}:{server.port}{path}",
+        data=body,
+        headers={"Content-Type": "application/x-protobuf"},
+    )
+    with urllib.request.urlopen(req) as r:
+        return r.status, r.read()
+
+
+def test_grpc_put_get_roundtrip(served):
+    """The reference's put/get round-trip (Tests.fs:354-373) over the
+    WIRE messages: Put a protobuf Node, Get it back as a framed Node
+    stream, and check every attribute survives — including the
+    NodeID-valued edge."""
+    from ekati_spark.wire import proto as W
+
+    node = {
+        "id": {"iri": "w1"},
+        "attributes": [
+            {
+                "key": {"Data": {"str": "name"}},
+                "value": {"Data": {"str": "wire-ada"}},
+            },
+            {
+                "key": {"Data": {"str": "age"}},
+                "value": {"Data": {"i64": 41}},
+            },
+            {
+                "key": {"Data": {"str": "likes"}},
+                "value": {"Data": {"nodeid": {"iri": "s2"}}},
+            },
+        ],
+    }
+    code, raw = _post_raw(served, "/grpc/Put", W.encode("Node", node))
+    assert code == 200
+    assert W.decode("PutResponse", raw) == {"success": True}
+
+    code, raw = _post_raw(
+        served, "/grpc/Get", W.encode("Query", {"iris": ["w1"]})
+    )
+    assert code == 200
+    nodes = [W.decode("Node", f) for f in W.iter_frames(raw)]
+    assert len(nodes) == 1 and nodes[0]["id"] == {"iri": "w1"}
+    got = {
+        a["key"]["Data"]["str"]: a["value"]["Data"]
+        for a in nodes[0]["attributes"]
+    }
+    assert got["name"] == {"str": "wire-ada"}
+    assert got["age"] == {"i64": 41}
+    assert got["likes"] == {"nodeid": {"iri": "s2"}}
+
+
+def test_grpc_get_with_step_chain(served):
+    """Query message with a follow+limit Step chain executes the same
+    pipeline as the DSL form."""
+    from ekati_spark.wire import proto as W
+
+    q = {
+        "iris": ["s1"],
+        "step": {
+            "follow": {
+                "followEdge": {
+                    "edgeRange": {
+                        "edge": {"str": "likes"},
+                        "range": {"from": 1, "to": 1},
+                    }
+                }
+            },
+            "next": {"limit": {"value": 10}},
+        },
+    }
+    code, raw = _post_raw(served, "/grpc/Get", W.encode("Query", q))
+    assert code == 200
+    nodes = [W.decode("Node", f) for f in W.iter_frames(raw)]
+    assert {n["id"]["iri"] for n in nodes} == {"s2"}
+
+
+def test_grpc_stats_and_metrics(served):
+    from ekati_spark.wire import proto as W
+
+    code, raw = _post_raw(
+        served, "/grpc/GetStats", W.encode("GetStatsRequest", {})
+    )
+    assert code == 200
+    names = W.decode("GetStatsResponse", raw)["names"]
+    assert any(n.startswith("n_nodes=") for n in names)
+
+    code, raw = _post_raw(
+        served, "/grpc/GetMetrics", W.encode("GetMetricsRequest", {})
+    )
+    assert code == 200
+    resp = W.decode("GetMetricsResponse", raw)
+    assert all("name" in m for m in resp.get("metrics", []))
