@@ -37,6 +37,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from dataclasses import dataclass
 
+import pandas as pd  # noqa: F401 — resolves wat-plugin UDF type hints
 from pyspark.sql import Column, DataFrame, functions as F
 
 _KINDS = ("stream", "dataframe", "column", "table")
@@ -173,3 +174,56 @@ def load_plugins_from(directory: str) -> list[str]:
     return sorted(
         n for n, s in PLUGINS.items() if before.get(n) is not s
     )
+
+
+def register_wat_plugin(
+    name: str,
+    wat_source: str,
+    entry: str = "run",
+    host_funcs: dict | None = None,
+    kind: str = "column",
+):
+    """Register a ``.wat`` MODULE as a plugin — binary compatibility
+    with the reference's Wasmtime hosting (WasmInterop.cs:7-97): the
+    module's exported ``entry`` function becomes the operator.
+
+    ``column`` kind (default): the export must be i32 -> i32; it is
+    wrapped in a vectorized pandas UDF, so the module runs once per
+    Arrow batch element inside the Python worker sandbox — the same
+    isolation the reference gets from the WASM runtime. ``host_funcs``
+    maps (module, name) -> callable for the module's imports.
+
+    The interpreter is pure-stdlib (ekati_spark.wasm); modules using
+    instructions outside its i32/control subset fail loudly at run
+    time with NotImplementedError.
+    """
+    from ekati_spark.wasm import WatHost
+
+    if kind != "column":
+        raise ValueError("wat plugins support kind='column'")
+
+    def make_instance():
+        host = WatHost()
+        for (m, n), fn in (host_funcs or {}).items():
+            host.define_function(m, n, fn)
+        return host.instantiate_text(wat_source)
+
+    # validate eagerly: imports resolve, entry exists
+    probe = make_instance()
+    if entry not in probe.exports:
+        raise KeyError(f"wat module exports no {entry!r}")
+
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("long")
+    def _wat_udf(s: pd.Series) -> pd.Series:
+        inst = make_instance()  # fresh instance per executor batch
+        run = inst.exports[entry]
+        return s.map(lambda v: run(int(v)))
+
+    def column_fn(col: Column) -> Column:
+        return _wat_udf(col)
+
+    column_fn.__doc__ = f"wat module plugin ({entry})"
+    PLUGINS[name] = PluginSpec(name, "column", column_fn, column_fn.__doc__)
+    return column_fn
