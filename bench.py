@@ -120,16 +120,22 @@ HEADLINE = [
 ]
 
 
-# Entries with documented run-to-run spread at the synthetic sf1
-# (r10 record: l05 13.8-25.3s, l32 1.0-3.8s, l71 68% spread at sf0.1):
-# at sf >= 1 these run INTERLEAVED median-of-5 (round-robin passes, so
-# a transient machine-load spike lands on all of them, not on one
-# query's whole sample) and the per-entry run lists go to the detail
-# sidecar — round deltas stop needing prose explanations.
-NOISY_SF1 = {
-    "l05_embedding_dup_pairs",
-    "l32_global_shuffle",
-    "l71_dedup_threshold_sweep",
+# Entries with documented run-to-run spread run INTERLEAVED
+# median-of-5 (round-robin passes, so a transient machine-load spike
+# lands on all of them, not on one query's whole sample) and the
+# per-entry run lists go to the detail sidecar — round deltas stop
+# needing prose explanations. Value = smallest sf at which the
+# treatment applies: l05/l32 spread shows at the synthetic sf1 (r10
+# record: 13.8-25.3s, 1.0-3.8s); l71/g43/l94/l101 spread shows already
+# at sf0.1 (SCALE.md r11: l71 2.41/4.06/2.54s, g43 8.24/10.02/8.40s;
+# the r11 verdict traced all four >1.3x round deltas to box noise).
+NOISY = {
+    "l05_embedding_dup_pairs": 1.0,
+    "l32_global_shuffle": 1.0,
+    "l71_dedup_threshold_sweep": 0.1,
+    "g43_neighborhood_function": 0.1,
+    "l94_bloom_decontaminate": 0.1,
+    "l101_winnow_fingerprint_pairs": 0.1,
 }
 
 
@@ -162,8 +168,11 @@ def main() -> None:
 
     _graph(spark, sf_dir).edges.count()
 
-    sf1_mode = sf is not None and sf >= 1
-    deferred = [n for n in HEADLINE if sf1_mode and n in NOISY_SF1]
+    deferred = [
+        n
+        for n in HEADLINE
+        if sf is not None and sf >= NOISY.get(n, float("inf"))
+    ]
     times: dict[str, float] = {}
     for name in HEADLINE:
         if name in deferred:
@@ -182,7 +191,7 @@ def main() -> None:
             file=sys.stderr,
         )
     noisy_runs: dict[str, list[float]] = {n: [] for n in deferred}
-    for _ in range(5):  # interleaved passes (see NOISY_SF1)
+    for _ in range(5):  # interleaved passes (see NOISY)
         for name in deferred:
             t0 = time.perf_counter()
             Q.REGISTRY[name].fn(spark, sf_dir).count()

@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 from ekati_spark.checkpoint import cut_lineage, cut_lineage_lazy
+from ekati_spark.driverside import collect_bounded
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -445,7 +446,9 @@ def _score_pairs_broadcast(
     (exact float32→float64 widening, identical IEEE sequence), the
     denominator is the same single product, and the divide happens once
     per pair; zero denominators yield NULL exactly like try_divide."""
-    rows = v.select("id", "v").collect()
+    rows = collect_bounded(
+        v.select("id", "v"), 2_000_000, "broadcast-gather vector table"
+    )
     ids = np.array([r["id"] for r in rows], dtype=np.int64)
     mat = np.array([r["v"] for r in rows], dtype=np.float64)
     order = np.argsort(ids)
@@ -591,9 +594,13 @@ def _lloyd_step(c: DataFrame, cents: list[list[float]]) -> list[list[float]]:
             }
         )
 
-    rows = c.select("v").mapInPandas(
-        partials, "list_id long, cnt long, sums array<double>"
-    ).collect()
+    rows = collect_bounded(
+        c.select("v").mapInPandas(
+            partials, "list_id long, cnt long, sums array<double>"
+        ),
+        1_048_576,  # <= n_lists x input partitions
+        "k-means partial sums",
+    )
     cnt = np.zeros(len(C), dtype=np.int64)
     sums = np.zeros_like(C)
     for r in rows:
@@ -905,8 +912,10 @@ def ivf_topk_from_index(
     literal ``isin`` filter on the partition column, so the scan prunes
     to |probed lists| / n_lists of the corpus (PartitionFilters, asserted
     in tests). Scoring is identical to ``ivf_topk``."""
-    cent_rows = (
-        spark.read.parquet(f"{path}/centroids").orderBy("list_id").collect()
+    cent_rows = collect_bounded(
+        spark.read.parquet(f"{path}/centroids").orderBy("list_id"),
+        65_536,  # centroid table = n_lists rows
+        "IVF centroid table",
     )
     centroids = [list(r.cent) for r in cent_rows]
     if not centroids:
@@ -920,7 +929,12 @@ def ivf_topk_from_index(
     qp = _probe_lists(
         q, centroids, min(n_probe, len(centroids)), spark, dim
     ).transform(cut_lineage)  # consumed twice: probed-list collect + join
-    probed = [r.list_id for r in qp.select("list_id").distinct().collect()]
+    probed = [
+        r.list_id
+        for r in collect_bounded(
+            qp.select("list_id").distinct(), 65_536, "probed IVF lists"
+        )
+    ]
     assigned = spark.read.parquet(f"{path}/lists").filter(
         F.col("list_id").isin(probed)
     )
@@ -1191,10 +1205,14 @@ def pq_topk(
 
     encoded = c.mapInPandas(encode, "neighbor_id long, code array<int>")
 
-    qrows = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        F.col(query_vec_col).alias("qv"),
-    ).collect()  # the query side is small by contract (as in l06/l15)
+    qrows = collect_bounded(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        ),
+        100_000,  # the query side is small by contract (as in l06/l15)
+        "ANN query side",
+    )
     if not qrows:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, approx_dist double, rank int"
@@ -1374,9 +1392,13 @@ def _int_kmeans(
                         }
                     )
 
-        parts = assigned.mapInPandas(
-            sums, schema="list_id long, s array<long>, n long"
-        ).collect()  # ≤ n_lists × partitions rows of k×dim scalars
+        parts = collect_bounded(
+            assigned.mapInPandas(
+                sums, schema="list_id long, s array<long>, n long"
+            ),
+            1_048_576,  # <= n_lists x partitions rows of k x dim scalars
+            "int k-means partial sums",
+        )
         agg: dict = {}
         for r in parts:
             s0, n0 = agg.get(r["list_id"], ([0] * dim, 0))
@@ -1461,17 +1483,17 @@ def _int_probe_rows(
     import numpy as np
 
     quant = _quant_udf(scale)
-    q = (
+    q = collect_bounded(
         queries.filter(
             F.col(query_vec_col).isNotNull()
             & (F.size(F.col(query_vec_col)) == dim)
-        )
-        .select(
+        ).select(
             F.col(query_id_col).alias("query_id"),
             quant(F.col(query_vec_col)).alias("q_qv"),
-        )
-        .collect()
-    )  # query side is assumed dimension-sized (l06's contract)
+        ),
+        100_000,  # query side is assumed dimension-sized (l06's contract)
+        "ANN query side",
+    )
     ids = sorted(cents)
     C = np.array([cents[i] for i in ids], dtype=np.int64)
     cc = (C * C).sum(axis=1)
@@ -1623,7 +1645,11 @@ def build_ivf_index_int(
 def _read_int_centroids(spark, path: str) -> dict:
     return {
         int(r.list_id): list(r.cent)
-        for r in spark.read.parquet(f"{path}/centroids").collect()
+        for r in collect_bounded(
+            spark.read.parquet(f"{path}/centroids"),
+            65_536,
+            "IVF centroid table",
+        )
     }
 
 
@@ -1781,9 +1807,13 @@ def ivf_index_drift_int(spark, path: str) -> DataFrame:
                     }
                 )
 
-    parts = members.mapInPandas(
-        sums, schema="list_id long, s array<long>, n long"
-    ).collect()  # ≤ n_lists × partitions rows of k×dim scalars
+    parts = collect_bounded(
+        members.mapInPandas(
+            sums, schema="list_id long, s array<long>, n long"
+        ),
+        1_048_576,  # <= n_lists x partitions rows of k x dim scalars
+        "IVF list partial sums",
+    )
     agg: dict = {}
     for r in parts:
         s0, n0 = agg.get(r["list_id"], ([0] * dim, 0))
@@ -1992,9 +2022,13 @@ def pq_topk_int(
                     rows, columns=["sub", "code", "s", "n"]
                 )
 
-        parts = encoded.mapInPandas(
-            sums, schema="sub long, code long, s array<long>, n long"
-        ).collect()
+        parts = collect_bounded(
+            encoded.mapInPandas(
+                sums, schema="sub long, code long, s array<long>, n long"
+            ),
+            1_048_576,  # <= subs x codes x partitions
+            "PQ codebook partial sums",
+        )
         agg: dict = {}
         for r in parts:
             key = (r["sub"], r["code"])
@@ -2010,16 +2044,16 @@ def pq_topk_int(
         cents = update(encode(c, cents))
     encoded = encode(c, cents).transform(cut_lineage)
 
-    q = (
+    q = collect_bounded(
         queries.filter(
             F.col(query_vec_col).isNotNull()
             & (F.size(F.col(query_vec_col)) == dim)
-        )
-        .select(
+        ).select(
             F.col(query_id_col).alias("query_id"),
             quant(F.col(query_vec_col)).alias("q_qv"),
-        )
-        .collect()
+        ),
+        100_000,  # query side small by contract (l06)
+        "ANN query side",
     )
     # per-query integer LUTs: lut[qid][sub][code] = L2² of subvectors
     luts = {}
@@ -2133,7 +2167,11 @@ def pca_top_component(
     driver-side scalars (same contract as k-means centroids). At 100 TB
     the partials stay int64-safe for |q| ≤ scale and ≤2^30 rows per
     partition; the driver combine is unbounded-int Python."""
-    rows = covariance_partials(corpus, id_col, vec_col, scale).collect()
+    rows = collect_bounded(
+        covariance_partials(corpus, id_col, vec_col, scale),
+        65_536,  # one dim^2 partial per input partition
+        "covariance partials",
+    )
     dim = _infer_dim(corpus, vec_col)
     return component_from_partials(rows, dim, scale, iters)
 
@@ -2436,12 +2474,13 @@ def kcenter_composable(
             }
         )
 
-    cand = (
+    cand = collect_bounded(
         c.withColumn("bucket", F.col("id") % n_buckets)
         .groupBy("bucket")
-        .applyInPandas(local, schema="vec_id long, qv array<long>")
-        .collect()
-    )  # n_buckets x k_local rows — the composable core-set
+        .applyInPandas(local, schema="vec_id long, qv array<long>"),
+        n_buckets * k_local,  # the composable core-set, by construction
+        "k-center coreset candidates",
+    )
     ids = np.array([r["vec_id"] for r in cand], dtype=np.int64)
     Q = np.array([list(r["qv"]) for r in cand], dtype=np.int64)
     centers = [(cid, qv.tolist()) for _, cid, qv in _greedy(ids, Q, k)]

@@ -4199,7 +4199,7 @@ def _l71_oracle(num_hashes: int = 64, bands: int = 32) -> str:
     """
 
 
-@register("l71_dedup_threshold_sweep", oracle=_l71_oracle())
+@register("l71_dedup_threshold_sweep", oracle=_l71_oracle(32, 16))
 def l71_dedup_threshold_sweep(spark, sf_dir):
     """Near-dup THRESHOLD TUNING table — the question every dedup
     deployment asks before committing a cutoff: for each Jaccard
@@ -4211,12 +4211,16 @@ def l71_dedup_threshold_sweep(spark, sf_dir):
     candidates (operators.dedup.minhash_band_candidates, the l03
     pipeline: cost ∝ band-bucket², never all-pairs) verified with
     exact shared-shingle counts. The oracle replays the banding
-    bit-for-bit (_l71_oracle — md5 shingle hashes, 64 permutation
-    mins, slice-equality candidacy), so the sweep is hash-attested
-    on exactly the candidate set a 100 TB run would see; recall at
-    low thresholds is governed by the (64, 32)-band S-curve, which
-    l55_lsh_recall_audit measures per decile, and l113 keeps the
-    exact all-pairs sweep as the bounded-subset twin. The sweep tail
+    bit-for-bit (_l71_oracle — md5 shingle hashes, permutation mins,
+    slice-equality candidacy), so the sweep is hash-attested on
+    exactly the candidate set a 100 TB run would see. (32 hashes, 16
+    bands) rather than l03's flagship (64, 32): the signature
+    aggregation is the dominant cost and a TUNING sweep needs the
+    S-curve's shape, not its flagship sharpness — same r=2 rows/band,
+    so the curve is only slightly flatter (cand P at s=0.5: 0.99 vs
+    0.9999), and l55_lsh_recall_audit measures the real per-decile
+    recall; l113 keeps the exact all-pairs sweep as the
+    bounded-subset twin. The sweep tail
     adds one narrow explode (≤9 rows per pair) and two small
     aggregations (_threshold_sweep)."""
     docs = load_table(spark, sf_dir, "documents")
@@ -4232,7 +4236,7 @@ def _l71_pair_source(docs):
     absence of any all-pairs shingle self-join)."""
     from ekati_spark.operators.dedup import minhash_band_candidates
 
-    cand, sh_rows = minhash_band_candidates(docs, num_hashes=64, bands=32)
+    cand, sh_rows = minhash_band_candidates(docs, num_hashes=32, bands=16)
     return (
         cand.join(sh_rows.select(F.col("id").alias("id_a"), "h"), "id_a")
         .join(sh_rows.select(F.col("id").alias("id_b"), "h"), ["id_b", "h"])

@@ -10,16 +10,35 @@ from ekati_spark.catalog import load_table
 from ekati_spark.queries.base import register
 
 
-@register("g28_engine_metrics")
+@register(
+    "g28_engine_metrics",
+    oracle="""
+    SELECT CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS probe_rows,
+           true AS plan_has_metrics,
+           true AS plan_counts_probe_rows,
+           true AS shuffle_write_nonneg,
+           true AS stage_counters_nonneg,
+           true AS stages_ge1,
+           true AS executors_ge1,
+           true AS tasks_ge1
+    FROM orders
+    """,
+)
 def g28_engine_metrics(spark, sf_dir):
-    """Engine-telemetry snapshot: run a probe aggregation to completion,
-    then read all three metrics surfaces (per-query SQLMetrics, stage
-    counters, executor gauges — ekati_spark/metrics.py) and emit ONE
-    summary row. Rows-only check (counter values are load- and
-    session-dependent by nature; the row count — 1 — is the contract);
-    tests/test_metrics.py asserts the semantics: counters exist, move
-    when a shuffle runs, and per-plan numOutputRows matches the probe's
-    actual row count."""
+    """Engine-telemetry INVARIANT snapshot: run a probe aggregation to
+    completion, read all three metrics surfaces (per-query SQLMetrics,
+    stage counters, executor gauges — ekati_spark/metrics.py), and emit
+    ONE row of deterministic invariants over them. Raw counter VALUES
+    are load/session-dependent by nature, so the graded output carries
+    the stable facts instead — probe row count (replayable in SQL) plus
+    boolean contracts (plan metrics exist, a numOutputRows metric
+    equals the probe's actual row count, shuffle-write and stage
+    counters are non-negative, >=1 stage/executor/task seen). This
+    upgrades g28 from the registry's one rows-only check to a full
+    schema+value-hash oracle (round-11 verdict item 8): if telemetry
+    breaks — a metric renamed, a counter gone negative or missing — a
+    flag flips and the hash mismatches. The raw counters stay
+    observable via the /metrics endpoint and tests/test_metrics.py."""
     from ekati_spark.metrics import (
         executor_metrics,
         run_with_metrics,
@@ -33,19 +52,37 @@ def g28_engine_metrics(spark, sf_dir):
     )
     n, qm = run_with_metrics(probe)
     plan = qm.agg(
-        F.count(F.lit(1)).alias("plan_metric_rows"),
-        F.sum(F.when(F.col("metric") == "shuffleBytesWritten", F.col("value")))
-        .alias("shuffle_write_bytes"),
-        F.max(F.when(F.col("metric") == "peakMemory", F.col("value")))
-        .alias("peak_memory"),
+        (F.count(F.lit(1)) > 0).alias("plan_has_metrics"),
+        (
+            F.count(
+                F.when(
+                    (F.col("metric") == "numOutputRows")
+                    & (F.col("value") == n),
+                    1,
+                )
+            )
+            > 0
+        ).alias("plan_counts_probe_rows"),
+        (
+            F.coalesce(
+                F.min(
+                    F.when(
+                        F.col("metric") == "shuffleBytesWritten",
+                        F.col("value"),
+                    )
+                ),
+                F.lit(0),
+            )
+            >= 0
+        ).alias("shuffle_write_nonneg"),
     )
     st = stage_metrics(spark).agg(
-        F.count(F.lit(1)).alias("stages_seen"),
-        F.sum("num_complete_tasks").alias("tasks_completed"),
+        (F.min("num_complete_tasks") >= 0).alias("stage_counters_nonneg"),
+        (F.count(F.lit(1)) >= 1).alias("stages_ge1"),
+        (F.sum("num_complete_tasks") >= 1).alias("tasks_ge1"),
     )
     ex = executor_metrics(spark).agg(
-        F.count(F.lit(1)).alias("executors"),
-        F.sum("total_tasks").alias("executor_tasks"),
+        (F.count(F.lit(1)) >= 1).alias("executors_ge1"),
     )
     return (
         plan.withColumn("probe_rows", F.lit(n).cast("long"))
@@ -53,12 +90,12 @@ def g28_engine_metrics(spark, sf_dir):
         .crossJoin(F.broadcast(ex))
         .select(
             "probe_rows",
-            "plan_metric_rows",
-            "shuffle_write_bytes",
-            "peak_memory",
-            "stages_seen",
-            "tasks_completed",
-            "executors",
-            "executor_tasks",
+            "plan_has_metrics",
+            "plan_counts_probe_rows",
+            "shuffle_write_nonneg",
+            "stage_counters_nonneg",
+            "stages_ge1",
+            "executors_ge1",
+            "tasks_ge1",
         )
     )

@@ -489,11 +489,18 @@ def st16_stream_nt_ingest(spark, sf_dir):
     from ekati_spark.sources import pyds
 
     pyds.register(spark)
+    from ekati_spark.driverside import collect_bounded
+
+    # fixture builder: the NT feed file is written driver-side, so the
+    # id list must be test-SF sized — the bound makes that explicit
+    # (round-11 verdict minor #5)
     ids = sorted(
         r.doc_id
-        for r in load_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .collect()
+        for r in collect_bounded(
+            load_table(spark, sf_dir, "documents").select("doc_id"),
+            1_000_000,
+            "st16 NT feed fixture ids",
+        )
     )
     tmp = Path(tempfile.mkdtemp(prefix="st16_"))
     feed, out, ck = tmp / "feed.nt", str(tmp / "sink"), str(tmp / "ck")
@@ -1533,7 +1540,13 @@ def st27_stream_pca_maintenance(spark, sf_dir):
         )
         q.awaitTermination()
 
-    rows = ops.read_committed_batches(spark, store).collect()
+    from ekati_spark.driverside import collect_bounded
+
+    rows = collect_bounded(
+        ops.read_committed_batches(spark, store),
+        65_536,  # one dim^2 partial per (epoch, partition)
+        "streamed covariance partials",
+    )
     v = component_from_partials(rows, dim=64, scale=1024, iters=3)
     return spark.createDataFrame(
         [(i, int(x)) for i, x in enumerate(v)], "dim long, pc1_q long"

@@ -91,9 +91,11 @@ def test_g28_contract(spark, sf_dir):
     assert len(row) == 1
     r = row[0]
     assert r.probe_rows >= 1
-    assert r.plan_metric_rows > 0
-    assert r.executors >= 1
-    assert r.tasks_completed > 0
+    assert r.plan_has_metrics
+    assert r.plan_counts_probe_rows
+    assert r.shuffle_write_nonneg
+    assert r.stage_counters_nonneg
+    assert r.stages_ge1 and r.executors_ge1 and r.tasks_ge1
 
 
 def test_observation_metrics_no_second_pass(spark, sf_dir):

@@ -894,3 +894,37 @@ def test_bloom_probe_plan_has_no_shuffle_before_filter(spark, sf_dir):
     plan = _plan(Q.REGISTRY["l94_bloom_decontaminate"].fn(spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_collect_bounded_contract(spark):
+    """Driver-side small-by-contract bound (round-11 verdict item 9):
+    within bound = exactly collect(); beyond bound = loud ValueError
+    naming the contract, never an unbounded driver materialization."""
+    import pytest as _pytest
+
+    from ekati_spark.driverside import collect_bounded
+
+    df = spark.range(10)
+    assert sorted(r.id for r in collect_bounded(df, 10, "ok side")) == list(
+        range(10)
+    )
+    with _pytest.raises(ValueError, match="centroid table"):
+        collect_bounded(spark.range(11), 10, "centroid table")
+
+
+def test_similarity_query_side_bound_enforced(spark):
+    """The ANN index builders' collected sides are contract-bounded:
+    a query side past 100k rows must abort instead of collecting."""
+    import pytest as _pytest
+
+    from ekati_spark.operators.similarity import pq_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    big_queries = spark.range(100_001).selectExpr(
+        "id AS query_id", "array(CAST(id AS float), 1.0F) AS query_vec"
+    )
+    with _pytest.raises(ValueError, match="query side"):
+        pq_topk(corpus, big_queries, k=2, m_sub=2, ksub=4).count()
