@@ -45,6 +45,8 @@ from ekati_spark.queries import stats  # noqa: F401
 # when re-deriving the window.
 _POST_WINDOW: list[str] = [
     "l113_dedup_sweep_exact",
+    "l114_lsh_dedup_groups",
+    "l115_packing_efficiency",
 ]
 
 _GRADED_FIRST = [

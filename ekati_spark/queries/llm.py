@@ -8288,3 +8288,140 @@ def l112_source_stopword_scrub(spark, sf_dir):
             )
         ).alias("scrubbed_digest"),
     )
+
+
+def _l114_oracle(num_hashes: int = 32, bands: int = 16) -> str:
+    """l03's banding replay + exact verification + recursive-CTE
+    connected components — the full production dedup-group pipeline
+    attested end-to-end in SQL."""
+    from ekati_spark.operators.dedup import MERSENNE_31
+
+    mins, band_eq = _minhash_sql_parts(num_hashes, bands)
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id AS id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    sh AS (
+      SELECT id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(t) - 1, 1)),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM toks
+    ),
+    h AS (
+      SELECT id,
+             CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT)
+               % {MERSENNE_31} AS h
+      FROM sh
+    ),
+    sig AS (SELECT id, count(*) AS sz, {mins} FROM h GROUP BY id),
+    cand AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+      FROM sig a JOIN sig b ON a.id < b.id AND ({band_eq})
+    ),
+    shared AS (
+      SELECT cd.id_a, cd.id_b, cd.sz_a, cd.sz_b, count(*) AS c
+      FROM cand cd
+      JOIN h ha ON ha.id = cd.id_a
+      JOIN h hb ON hb.id = cd.id_b AND hb.h = ha.h
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM shared
+      WHERE floor(CAST(c AS DOUBLE) / (sz_a + sz_b - c)
+                  * 1000000 + 0.5) / 1000000 >= 0.5
+    ),
+    und AS MATERIALIZED (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.d, reach.r FROM und u JOIN reach ON u.s = reach.id
+    )
+    SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id
+    """
+
+
+@register("l114_lsh_dedup_groups", oracle=_l114_oracle())
+def l114_lsh_dedup_groups(spark, sf_dir):
+    """The PRODUCTION dedup end-product on the production substrate:
+    near-dup GROUPS (transitive closure into min-id-labeled clusters,
+    "keep one per group") over MinHash-banded, exactly-verified pairs
+    at Jaccard >= 0.5. Completes the family: l20 resolves groups over
+    the exact all-pairs substrate (bounded subset — cost ∝ bucket²),
+    l03 emits banded pairs without grouping; this is the composition a
+    100 TB corpus actually runs — banding bounds candidate generation,
+    verification keeps the threshold exact, and the alternating-star
+    CC kernel (operators/dedup.py::dedup_groups) iterates over the dup
+    subgraph only, never the corpus. Oracle replays banding,
+    verification, AND reachability (recursive CTE) end-to-end.
+    Reference analog: none (LLM-data extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(
+        docs, threshold=0.5, num_hashes=32, bands=16
+    )
+    return D.dedup_groups(docs, pairs)
+
+
+@register(
+    "l115_packing_efficiency",
+    oracle="""
+    WITH nt AS (
+      SELECT doc_id, doc_id % 64 AS bucket,
+             CAST(len(string_split_regex(trim(lower(text)), ' +')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT bucket,
+             CAST(floor(coalesce(sum(n_tokens) OVER (
+                    PARTITION BY bucket ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  / 2048) AS BIGINT) AS pack_id,
+             n_tokens
+      FROM nt
+    ),
+    per_pack AS (
+      SELECT bucket, pack_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS tokens
+      FROM packed GROUP BY 1, 2
+    )
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_packs,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS tokens,
+           CAST(sum(tokens) * 1000000 // (count(*) * 2048) AS BIGINT)
+             AS fill_ppm,
+           CAST(max(tokens) AS BIGINT) AS max_pack_tokens
+    FROM per_pack GROUP BY bucket
+    """,
+)
+def l115_packing_efficiency(spark, sf_dir):
+    """Packing-efficiency AUDIT of l25's training-sequence packing —
+    the KPI every packing deployment tracks (fill ratio = paid tokens
+    / budgeted capacity): per hash bucket, the pack count, doc count,
+    token total, integer-exact fill ppm (tokens·1e6 div n_packs·2048),
+    and the largest pack. Pure replay-then-aggregate: the packing
+    window is l25's exact bucketed prefix-sum (X.pack_sequences), the
+    audit adds one (bucket, pack_id) groupBy and a 64-row bucket
+    rollup — no new shuffle key beyond the bucket the packing already
+    partitions by. Reference analog: none (LLM-data extension)."""
+    packed = X.pack_sequences(
+        load_table(spark, sf_dir, "documents"), budget=2048, n_buckets=64
+    )
+    per_pack = packed.groupBy("bucket", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+    )
+    return per_pack.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_packs"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("tokens"),
+        F.expr("sum(tokens) * 1000000 div (count(*) * 2048)")
+        .cast("long")
+        .alias("fill_ppm"),
+        F.max("tokens").cast("long").alias("max_pack_tokens"),
+    )
