@@ -47,6 +47,7 @@ _POST_WINDOW: list[str] = [
     "l113_dedup_sweep_exact",
     "l114_lsh_dedup_groups",
     "l115_packing_efficiency",
+    "st29_stream_source_vocab",
 ]
 
 _GRADED_FIRST = [

@@ -8207,9 +8207,7 @@ def l111_kmv_containment_audit(spark, sf_dir):
     )
 
 
-@register(
-    "l112_source_stopword_scrub",
-    oracle="""
+_L112_ORACLE = """
     WITH tok AS (
       SELECT d.source, d.doc_id, t.i, t.tok FROM documents d,
         LATERAL (SELECT unnest(range(1, len(string_split_regex(
@@ -8236,8 +8234,10 @@ def l111_kmv_containment_audit(spark, sf_dir):
     FROM tok t LEFT JOIN vocab v
       ON t.source = v.source AND t.tok = v.tok
     GROUP BY t.doc_id
-    """,
-)
+"""
+
+
+@register("l112_source_stopword_scrub", oracle=_L112_ORACLE)
 def l112_source_stopword_scrub(spark, sf_dir):
     """Per-SOURCE boilerplate vocabulary removal — the
     document-frequency stopword filter (CCNet/RefinedWeb style,
@@ -8274,6 +8274,13 @@ def l112_source_stopword_scrub(spark, sf_dir):
         .filter(10 * F.col("df") >= 6 * F.col("n"))
         .select("source", "tok", F.lit(1).alias("bp"))
     )
+    return _scrub_with_vocab(tok, vocab)
+
+
+def _scrub_with_vocab(tok, vocab):
+    """l112's scrub tail, shared with the streaming twin (st29): drop
+    every token in the per-source boilerplate ``vocab``, reassemble
+    survivors in order, emit per-doc md5 digests."""
     flagged = tok.join(F.broadcast(vocab), ["source", "tok"], "left")
     return flagged.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),

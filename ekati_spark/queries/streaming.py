@@ -1628,3 +1628,99 @@ def st28_stream_winnow_maintenance(spark, sf_dir):
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+def _st29_oracle() -> str:
+    from ekati_spark.queries.llm import _L112_ORACLE
+
+    return _L112_ORACLE
+
+
+@register("st29_stream_source_vocab", oracle=_st29_oracle())
+def st29_stream_source_vocab(spark, sf_dir):
+    """STREAMING maintenance of l112's per-source boilerplate
+    vocabulary — documents arrive in three ordered micro-batches; each
+    batch appends its per-(source, token) distinct-doc counts and
+    per-source doc counts through the epoch-marker exactly-once sink
+    (batch replays cannot inflate a document frequency). Partials sum
+    exactly because a document exists in exactly one batch, so
+    count(DISTINCT doc_id) is additive across batches. The final scrub
+    derives the >= 60% vocabulary from the committed store and rewrites
+    the full corpus with l112's shared tail (_scrub_with_vocab); the
+    oracle is l112's batch replay, so a hash match proves continuous
+    DF maintenance ≡ re-counting — the text-hygiene analog of st22's
+    always-fresh BM25 index. At 100 TB: per-trigger cost ∝ batch
+    tokens; the vocab read is a per-source broadcast."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.queries.llm import _scrub_with_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = Path(tempfile.mkdtemp(prefix="st29_"))
+    src = tmp / "src"
+    src.mkdir()
+    stores = {k: str(tmp / k) for k in ("df", "nsrc")}
+    sinks = {k: ops.idempotent_batch_sink(p) for k, p in stores.items()}
+
+    def land(b, batch_id):
+        tok = b.select(
+            "source",
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"),
+        ).transform(cut_lineage)  # consumed by df AND nsrc partials
+        sinks["df"](
+            tok.groupBy("source", "tok").agg(
+                F.countDistinct("doc_id").alias("df")
+            ),
+            batch_id,
+        )
+        sinks["nsrc"](
+            tok.groupBy("source").agg(
+                F.countDistinct("doc_id").alias("n")
+            ),
+            batch_id,
+        )
+
+    for m in range(3):
+        docs.filter(F.col("doc_id") % 3 == m).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m}"))
+        parts = sorted((tmp / f"b{m}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"b{m}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    df = (
+        ops.read_committed_batches(spark, stores["df"])
+        .groupBy("source", "tok")
+        .agg(F.sum("df").alias("df"))
+    )
+    nsrc = (
+        ops.read_committed_batches(spark, stores["nsrc"])
+        .groupBy("source")
+        .agg(F.sum("n").alias("n"))
+    )
+    vocab = (
+        df.join(F.broadcast(nsrc), "source")
+        .filter(10 * F.col("df") >= 6 * F.col("n"))
+        .select("source", "tok", F.lit(1).alias("bp"))
+    )
+    tok = docs.select(
+        "source",
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.lower("text")), " +")).alias(
+            "i", "tok"
+        ),
+    )
+    return _scrub_with_vocab(tok, vocab)
