@@ -1201,7 +1201,15 @@ def _copurchase_edges(orders, li):
     when they bought >= 4 common parts, computed over per-part buyer
     neighborhoods capped at ``_CP_PART_CAP`` (see note above). The
     row_number window shuffles by p — the same key the pair join
-    needs, so the cap adds no extra exchange."""
+    needs, so the cap adds no extra exchange.
+
+    The result is LINEAGE-CUT here: e is tiny after the >=4-shared
+    filter, but the pair aggregation feeding it reduces ~Σd²/2 shuffle
+    records — and every consumer builds ``und = e ∪ swap(e)``, whose
+    two branches would otherwise each re-run that reduce (exchange
+    reuse shares the map side only; the sf1 stage trace showed the
+    final stage reading the 80M-record pair shuffle TWICE and spilling
+    15 GiB). Materializing e once runs the reduce once."""
     from pyspark.sql import Window as _W
 
     cp = (
@@ -1224,6 +1232,7 @@ def _copurchase_edges(orders, li):
         .agg(F.count("*").alias("sp"))
         .filter(F.col("sp") >= 4)
         .select("u", "v")
+        .transform(cut_lineage)
     )
 
 

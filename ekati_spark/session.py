@@ -32,7 +32,12 @@ def get_spark(app_name: str = "ekati_spark", cores: int | None = None) -> SparkS
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local-mode: the driver JVM IS the executor — 8g starved the
+        # 32 concurrent tasks (sf10 stress: AGGREGATE_OUT_OF_MEMORY in
+        # the first 60M-key hash agg at ~150 MB/task); 32g on the
+        # 128 GiB box gives each task the ~600 MB a real executor would
+        # have. On a cluster this conf is per-executor sizing instead.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS); read as long, the catalog
