@@ -34,7 +34,8 @@ Endpoints:
                     the executed physical plan as text, without
                     running the query (the is-this-the-plan-I-want
                     loop, over the wire).
-- ``POST /grpc/{Put,Get,GetMetrics,GetStats}`` — the reference's RPCs
+- ``POST /grpc/{Put,Get,GetMetrics,GetStats,ListStats,ListPolicies,Load}``
+                    — all seven of the reference's WatDbService RPCs
                     over REAL protobuf message bytes (types.proto
                     codec in ``ekati_spark.wire``); request body = one
                     unframed message, ``Get`` streams 5-byte-framed
@@ -231,6 +232,89 @@ class EkatiServer:
                         ),
                         False,
                     )
+                elif method == "ListStats":  # types.proto:237
+                    req_msg = W.decode("ListStatsRequest", raw)
+                    match = req_msg.get("match", [])
+                    row = _rows(outer.engine.graph.stats())[0]
+                    names = [
+                        k
+                        for k in row
+                        if not match or any(m in k for m in match)
+                    ]
+                    self._reply_proto(
+                        W.encode("ListStatsResponse", {"names": names}),
+                        False,
+                    )
+                elif method == "ListPolicies":  # types.proto:238 (stream)
+                    from ekati_spark.plugins import list_plugins
+
+                    req_msg = W.decode("ListPoliciesRequest", raw)
+                    iris = set(req_msg.get("iris", []))
+                    body = b"".join(
+                        W.frame(
+                            W.encode(
+                                "Node",
+                                {
+                                    "id": {"iri": f"plugin:{nm}"},
+                                    "attributes": [
+                                        {
+                                            "key": {"Data": {"str": "kind"}},
+                                            "value": {"Data": {"str": kd}},
+                                        },
+                                        {
+                                            "key": {"Data": {"str": "doc"}},
+                                            "value": {"Data": {"str": doc}},
+                                        },
+                                    ],
+                                },
+                            )
+                        )
+                        for nm, kd, doc in list_plugins()
+                        if not iris or f"plugin:{nm}" in iris
+                    )
+                    self._reply_proto(body, True)
+                elif method == "Load":  # WatService.cs:338-369 (stream)
+                    lf = W.decode("LoadFile", raw)
+                    kind, path = lf.get("type", ""), lf.get("path", "")
+                    if kind not in ("nt", "graphml"):
+                        self._reply(400, {"error": f"bad kind {kind!r}"})
+                        return
+                    progress: list[dict] = []
+                    with outer._load_lock:
+                        saved = outer.engine.on_progress
+                        outer.engine.on_progress = progress.append
+                        try:
+                            df = outer.engine.execute(
+                                f'load {kind} "{path}"'
+                            )
+                        finally:
+                            outer.engine.on_progress = saved
+                    n = df.count()
+                    # URL loads emit {"bytes_read", "total_bytes", ...}
+                    # (sources/ntriples.py:169) — map onto the RPC's
+                    # {progress, length} exactly as WatService does
+                    frames = [
+                        W.frame(
+                            W.encode(
+                                "LoadFileResponse",
+                                {
+                                    "progress": int(p.get("bytes_read", 0)),
+                                    "length": int(p.get("total_bytes", 0)),
+                                },
+                            )
+                        )
+                        for p in progress
+                        if isinstance(p, dict)
+                    ]
+                    frames.append(
+                        W.frame(
+                            W.encode(
+                                "LoadFileResponse",
+                                {"progress": n, "length": n},
+                            )
+                        )
+                    )
+                    self._reply_proto(b"".join(frames), True)
                 else:
                     self._reply(404, {"error": f"no grpc method {method}"})
 

@@ -315,3 +315,49 @@ def test_grpc_stats_and_metrics(served):
     assert code == 200
     resp = W.decode("GetMetricsResponse", raw)
     assert all("name" in m for m in resp.get("metrics", []))
+
+
+def test_grpc_liststats_listpolicies_load(served):
+    """The remaining WatDbService RPCs (types.proto:231-239): ListStats
+    name filtering, ListPolicies as a framed Node stream over the
+    plugin registry, Load as a framed LoadFileResponse stream."""
+    import os
+
+    from ekati_spark.plugins import register_plugin
+    from ekati_spark.wire import proto as W
+
+    code, raw = _post_raw(
+        served, "/grpc/ListStats", W.encode("ListStatsRequest", {"match": ["n_"]})
+    )
+    assert code == 200
+    names = W.decode("ListStatsResponse", raw).get("names", [])
+    assert names and all("n_" in n for n in names)
+
+    @register_plugin("wire_demo", kind="column")
+    def wire_demo(col):
+        """demo plugin for the ListPolicies wire test"""
+        return col
+
+    code, raw = _post_raw(
+        served,
+        "/grpc/ListPolicies",
+        W.encode("ListPoliciesRequest", {"iris": ["plugin:wire_demo"]}),
+    )
+    assert code == 200
+    nodes = [W.decode("Node", f) for f in W.iter_frames(raw)]
+    assert [n["id"]["iri"] for n in nodes] == ["plugin:wire_demo"]
+    kinds = {
+        a["key"]["Data"]["str"]: a["value"]["Data"]["str"]
+        for a in nodes[0]["attributes"]
+    }
+    assert kinds["kind"] == "column"
+
+    fixture = os.path.join(
+        os.path.dirname(__file__), "fixtures", "sample.nt"
+    )
+    code, raw = _post_raw(
+        served, "/grpc/Load", W.encode("LoadFile", {"type": "nt", "path": fixture})
+    )
+    assert code == 200
+    msgs = [W.decode("LoadFileResponse", f) for f in W.iter_frames(raw)]
+    assert msgs and msgs[-1]["progress"] > 0
