@@ -37,19 +37,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
-def misra_gries_heavy_hitters(
+def misra_gries_summaries(
     df: DataFrame,
     key_cols: list[str],
-    k: int = 20,
     capacity: int = 1024,
 ) -> DataFrame:
-    """Top-``k`` most frequent ``key_cols`` tuples of ``df``.
-
-    Returns ``key_cols + [n_events]`` ordered by (count desc, *keys) —
-    a total order, so ties at the k-boundary are deterministic. Null
-    keys are not counted (pandas groupby drops them; the callers'
-    key columns are non-nullable facts).
-    """
+    """Pass 1 alone: per-partition Misra-Gries summaries of ``df``'s
+    ``key_cols`` tuples — ``key_cols + [mg_lb]`` rows, ≤ capacity per
+    input partition. Summaries are MERGEABLE by summing ``mg_lb`` per
+    key (the union keeps the n_p/(capacity+1) undercount bound
+    additive), which is what the streaming maintenance twin (st30)
+    appends through the epoch sink; ``misra_gries_heavy_hitters``
+    composes this with the exact candidate re-count."""
     keyed = df.select(*key_cols)
     out_fields = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in keyed.schema.fields
@@ -77,7 +76,27 @@ def misra_gries_heavy_hitters(
             rows = [(*kk, v) for kk, v in counts.items()]
             yield pd.DataFrame(rows, columns=[*key_cols, "mg_lb"])
 
-    summaries = keyed.mapInPandas(mg_summaries, schema=summary_schema)
+    return keyed.mapInPandas(mg_summaries, schema=summary_schema)
+
+
+def misra_gries_heavy_hitters(
+    df: DataFrame,
+    key_cols: list[str],
+    k: int = 20,
+    capacity: int = 1024,
+    summaries: DataFrame | None = None,
+) -> DataFrame:
+    """Top-``k`` most frequent ``key_cols`` tuples of ``df``.
+
+    Returns ``key_cols + [n_events]`` ordered by (count desc, *keys) —
+    a total order, so ties at the k-boundary are deterministic. Null
+    keys are not counted (pandas groupby drops them; the callers'
+    key columns are non-nullable facts). Pass ``summaries`` to supply
+    a pre-built (possibly stream-maintained) summary table instead of
+    sketching ``df`` in-line; the exact re-count still runs on ``df``.
+    """
+    if summaries is None:
+        summaries = misra_gries_summaries(df, key_cols, capacity)
     candidates = summaries.select(*key_cols).distinct()
     exact = (
         df.join(F.broadcast(candidates), key_cols, "left_semi")

@@ -48,6 +48,9 @@ _POST_WINDOW: list[str] = [
     "l114_lsh_dedup_groups",
     "l115_packing_efficiency",
     "st29_stream_source_vocab",
+    "l116_sorted_neighborhood_pairs",
+    "l117_stupid_backoff_score",
+    "st30_stream_heavy_hitters",
 ]
 
 _GRADED_FIRST = [

@@ -8432,3 +8432,284 @@ def l115_packing_efficiency(spark, sf_dir):
         .alias("fill_ppm"),
         F.max("tokens").cast("long").alias("max_pack_tokens"),
     )
+
+
+@register(
+    "l116_sorted_neighborhood_pairs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk
+      FROM documents
+    ),
+    keys AS (
+      SELECT doc_id, list_distinct(tk) AS dt,
+             array_to_string(tk, ' ') AS k1,
+             array_to_string(list_sort(list_distinct(tk)), ' ') AS k2
+      FROM t
+    ),
+    p AS (
+      SELECT 1 AS pass, doc_id, dt, k1 AS key, substr(k1, 1, 2) AS blk
+      FROM keys
+      UNION ALL
+      SELECT 2, doc_id, dt, k2, substr(k2, 1, 2) FROM keys
+    ),
+    nb AS (
+      SELECT pass, doc_id, dt,
+             lead(doc_id, 1) OVER w AS id1, lead(dt, 1) OVER w AS dt1,
+             lead(doc_id, 2) OVER w AS id2, lead(dt, 2) OVER w AS dt2
+      FROM p WINDOW w AS (PARTITION BY pass, blk ORDER BY key, doc_id)
+    ),
+    cand AS (
+      SELECT pass, doc_id AS a, id1 AS b, dt, dt1 AS dtb
+      FROM nb WHERE id1 IS NOT NULL
+      UNION ALL
+      SELECT pass, doc_id, id2, dt, dt2 FROM nb WHERE id2 IS NOT NULL
+    ),
+    scored AS (
+      SELECT pass, least(a, b) AS doc_a, greatest(a, b) AS doc_b,
+             1000000 * len(list_intersect(dt, dtb))
+               // (len(dt) + len(dtb) - len(list_intersect(dt, dtb)))
+               AS jac
+      FROM cand
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(jac) AS BIGINT) AS jaccard_ppm,
+           CAST(count(DISTINCT pass) AS BIGINT) AS n_passes
+    FROM scored WHERE jac >= 400000
+    GROUP BY 1, 2
+    """,
+)
+def l116_sorted_neighborhood_pairs(spark, sf_dir):
+    """Multi-pass sorted-neighborhood dedup (Hernandez & Stolfo 1995,
+    the merge/purge method) — the third candidate-generation family
+    next to banded MinHash (l03) and inverted-index shingles (l02):
+    sort records by a discriminating key and compare each record only
+    with its w-1 successors, repeated under multiple independent keys
+    so records a single key ordering separates still meet under
+    another. Pass 1 key = the normalized text itself (catches shared
+    prefixes / exact dups); pass 2 key = the sorted distinct-token
+    string (token-ORDER-invariant — catches shuffled near-dups pass 1
+    misses). Candidates confirm by exact distinct-token Jaccard in
+    integer ppm (1e6*|a&&b| div |a||b|), kept at >= 0.4; output is the
+    pair with its score and how many passes surfaced it.
+
+    Distributed shape: classic SN needs a TOTAL order — a global sort
+    is the anti-pattern — so each pass partitions by a key-prefix
+    BLOCK (2 chars here) and runs the w-window as lead() inside the
+    block: the only shuffles are the two (pass, blk) window exchanges,
+    embarrassingly parallel across blocks, and scoring rides the
+    window projection (never a join condition — BNLJ hazard). Pairs
+    straddling a block boundary are the method's documented recall
+    loss; multi-passing is the standard mitigation (Hernandez &
+    Stolfo run 3+ passes). At 100 TB: lengthen the block prefix to
+    bound per-block rows, add passes instead of widening w (cost is
+    linear in passes, quadratic in w). Reference analog: none
+    (LLM-data extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    keys = docs.select(
+        "doc_id",
+        F.array_distinct(tk).alias("dt"),
+        F.concat_ws(" ", tk).alias("k1"),
+        F.concat_ws(" ", F.array_sort(F.array_distinct(tk))).alias("k2"),
+    )
+    passes = keys.select(
+        F.lit(1).alias("pass"), "doc_id", "dt",
+        F.col("k1").alias("key"), F.substring("k1", 1, 2).alias("blk"),
+    ).unionByName(
+        keys.select(
+            F.lit(2).alias("pass"), "doc_id", "dt",
+            F.col("k2").alias("key"), F.substring("k2", 1, 2).alias("blk"),
+        )
+    )
+    wsn = W.partitionBy("pass", "blk").orderBy("key", "doc_id")
+    me = F.struct(F.col("doc_id"), F.col("dt"))
+    nb = passes.select(
+        "pass", "doc_id", "dt",
+        F.lead(me, 1).over(wsn).alias("n1"),
+        F.lead(me, 2).over(wsn).alias("n2"),
+    )
+    cand = nb.filter(F.col("n1").isNotNull()).select(
+        "pass", F.col("doc_id").alias("a"), F.col("n1.doc_id").alias("b"),
+        "dt", F.col("n1.dt").alias("dtb"),
+    ).unionByName(
+        nb.filter(F.col("n2").isNotNull()).select(
+            "pass", F.col("doc_id").alias("a"), F.col("n2.doc_id").alias("b"),
+            "dt", F.col("n2.dt").alias("dtb"),
+        )
+    )
+    scored = cand.select(
+        "pass",
+        F.least("a", "b").alias("doc_a"),
+        F.greatest("a", "b").alias("doc_b"),
+        F.expr(
+            "1000000L * size(array_intersect(dt, dtb)) div "
+            "(size(dt) + size(dtb) - size(array_intersect(dt, dtb)))"
+        ).alias("jac"),
+    )
+    return (
+        scored.filter(F.col("jac") >= 400000)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max("jac").cast("long").alias("jaccard_ppm"),
+            F.countDistinct("pass").cast("long").alias("n_passes"),
+        )
+    )
+
+
+@register(
+    "l117_stupid_backoff_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, unnest(t) AS tok,
+             unnest(range(1, len(t) + 1)) AS pos
+      FROM toks
+    ),
+    ctx AS (
+      SELECT doc_id, pos, tok,
+             lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2
+      FROM pos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    train AS (SELECT * FROM ctx WHERE doc_id % 4 <> 0),
+    uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS c1
+            FROM train GROUP BY tok),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n FROM uni),
+    big AS (SELECT p1, tok, CAST(count(*) AS BIGINT) AS c2
+            FROM train WHERE p1 IS NOT NULL GROUP BY p1, tok),
+    tri AS (SELECT p2, p1, tok, CAST(count(*) AS BIGINT) AS c3
+            FROM train WHERE p2 IS NOT NULL GROUP BY p2, p1, tok),
+    scored AS (
+      SELECT c.doc_id,
+             CASE
+               WHEN t3.c3 IS NOT NULL
+                 THEN 1000000000 * t3.c3 // bctx.c2
+               WHEN b2.c2 IS NOT NULL
+                 THEN 400000000 * b2.c2 // uprev.c1
+               WHEN u.c1 IS NOT NULL
+                 THEN 160000000 * u.c1 // tot.n
+               ELSE 0
+             END AS nano,
+             CASE WHEN t3.c3 IS NOT NULL THEN 'tri'
+                  WHEN b2.c2 IS NOT NULL THEN 'bi'
+                  WHEN u.c1 IS NOT NULL THEN 'uni'
+                  ELSE 'oov' END AS path
+      FROM ctx c
+      LEFT JOIN tri t3 ON c.p2 = t3.p2 AND c.p1 = t3.p1 AND c.tok = t3.tok
+      LEFT JOIN big bctx ON c.p2 = bctx.p1 AND c.p1 = bctx.tok
+      LEFT JOIN big b2 ON c.p1 = b2.p1 AND c.tok = b2.tok
+      LEFT JOIN uni uprev ON c.p1 = uprev.tok
+      LEFT JOIN uni u ON c.tok = u.tok, tot
+      WHERE c.p2 IS NOT NULL
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN path = 'tri' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tri,
+           CAST(SUM(CASE WHEN path = 'bi' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bi_backoff,
+           CAST(SUM(CASE WHEN path IN ('uni', 'oov') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_uni_backoff,
+           CAST(SUM(nano) // count(*) AS BIGINT) AS sb_avg_nano
+    FROM scored GROUP BY doc_id
+    """,
+)
+def l117_stupid_backoff_score(spark, sf_dir):
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007, "Large
+    Language Models in Machine Translation" — THE web-scale data-
+    filtering LM: no discounting, no normalization, just count ratios
+    with a fixed 0.4 backoff multiplier, chosen precisely because it
+    needs nothing but mergeable n-gram counts at any corpus size).
+    Counts train on the doc_id%4!=0 split and score EVERY document
+    (held-out docs genuinely exercise the backoff chain — a model
+    trained on the scoring corpus itself would hit the trigram path
+    on every position): S(w|u,v) = c3(u,v,w)/c2(u,v), else
+    0.4*c2(v,w)/c1(v), else 0.4^2*c1(w)/N, else 0 (OOV). Per-doc
+    output = positions scored, per-path counts (the backoff-rate
+    audit), and the mean score.
+
+    Exactness: scores are integer fixed-point nanounits with ONE
+    truncating division per position (1e9*c3 div c2ctx / 4e8*c2 div
+    c1 / 16e7*c1 div N — Spark ``div`` == DuckDB ``//`` on positive
+    ints), summed as exact bigints — hash-identical across engines,
+    no libm log, no float accumulation. Scale shape: count tables are
+    vocabulary-sized groupBys; scoring is five left equi-joins keyed
+    on n-grams (partial-agg + shuffle on the same keys — the shape
+    n-gram LM training always has); the 1-row corpus total
+    broadcasts. Reference analog: none (LLM-data extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(X.tokens(F.col("text"))).alias("pos", "tok")
+    )
+    wd = W.partitionBy("doc_id").orderBy("pos")
+    ctx = pos.select(
+        "doc_id", "pos", "tok",
+        F.lag("tok", 1).over(wd).alias("p1"),
+        F.lag("tok", 2).over(wd).alias("p2"),
+    ).transform(cut_lineage)  # feeds 4 count tables + the scoring scan
+    train = ctx.filter(F.col("doc_id") % 4 != 0)
+    uni = train.groupBy("tok").agg(F.count("*").cast("long").alias("c1"))
+    tot = uni.agg(F.sum("c1").alias("n"))
+    big = (
+        train.filter(F.col("p1").isNotNull())
+        .groupBy("p1", "tok")
+        .agg(F.count("*").cast("long").alias("c2"))
+    )
+    tri = (
+        train.filter(F.col("p2").isNotNull())
+        .groupBy("p2", "p1", "tok")
+        .agg(F.count("*").cast("long").alias("c3"))
+    )
+    t3 = tri.select(
+        F.col("p2").alias("t_p2"), F.col("p1").alias("t_p1"),
+        F.col("tok").alias("t_tok"), "c3",
+    )
+    bctx = big.select(
+        F.col("p1").alias("bc_p1"), F.col("tok").alias("bc_tok"),
+        F.col("c2").alias("c2ctx"),
+    )
+    b2 = big.select(
+        F.col("p1").alias("b_p1"), F.col("tok").alias("b_tok"), "c2"
+    )
+    uprev = uni.select(F.col("tok").alias("up_tok"), F.col("c1").alias("c1prev"))
+    u = uni.select(F.col("tok").alias("u_tok"), "c1")
+    scored = (
+        ctx.filter(F.col("p2").isNotNull())
+        .join(t3, (F.col("p2") == F.col("t_p2"))
+              & (F.col("p1") == F.col("t_p1"))
+              & (F.col("tok") == F.col("t_tok")), "left")
+        .join(bctx, (F.col("p2") == F.col("bc_p1"))
+              & (F.col("p1") == F.col("bc_tok")), "left")
+        .join(b2, (F.col("p1") == F.col("b_p1"))
+              & (F.col("tok") == F.col("b_tok")), "left")
+        .join(uprev, F.col("p1") == F.col("up_tok"), "left")
+        .join(u, F.col("tok") == F.col("u_tok"), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN c3 IS NOT NULL THEN 1000000000L * c3 div c2ctx "
+                "WHEN c2 IS NOT NULL THEN 400000000L * c2 div c1prev "
+                "WHEN c1 IS NOT NULL THEN 160000000L * c1 div n "
+                "ELSE 0L END"
+            ).alias("nano"),
+            F.expr(
+                "CASE WHEN c3 IS NOT NULL THEN 'tri' "
+                "WHEN c2 IS NOT NULL THEN 'bi' "
+                "WHEN c1 IS NOT NULL THEN 'uni' ELSE 'oov' END"
+            ).alias("path"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_pos"),
+        F.sum(F.when(F.col("path") == "tri", 1).otherwise(0))
+        .cast("long").alias("n_tri"),
+        F.sum(F.when(F.col("path") == "bi", 1).otherwise(0))
+        .cast("long").alias("n_bi_backoff"),
+        F.sum(F.when(F.col("path").isin("uni", "oov"), 1).otherwise(0))
+        .cast("long").alias("n_uni_backoff"),
+        F.expr("sum(nano) div count(*)").cast("long").alias("sb_avg_nano"),
+    )

@@ -1724,3 +1724,79 @@ def st29_stream_source_vocab(spark, sf_dir):
         ),
     )
     return _scrub_with_vocab(tok, vocab)
+
+
+@register(
+    "st30_stream_heavy_hitters",
+    oracle=_REGISTRY["r60_heavy_hitters"].oracle,
+)
+def st30_stream_heavy_hitters(spark, sf_dir):
+    """STREAMING maintenance of the Misra-Gries frequent-items sketch —
+    r60's two-pass heavy hitters with pass 1 maintained incrementally
+    over the event stream: each micro-batch sketches ITSELF into
+    bounded per-partition summaries (``misra_gries_summaries``, ≤
+    capacity rows per task regardless of batch volume) and appends
+    them through the epoch-marker exactly-once sink. MG summaries are
+    MERGEABLE by summing ``mg_lb`` per key — the per-key undercount
+    bound is additive across batches (Σ n_b/(capacity+1) =
+    N/(capacity+1)), so the union of committed partials covers every
+    key with true total count > N/(capacity+1), exactly pass 1's
+    contract in the batch twin. The final exact re-count runs over
+    the landed corpus restricted to the merged candidate set; the
+    oracle is r60's by construction.
+
+    At 100 TB: per-trigger cost is one mapInPandas sweep of the batch
+    (no shuffle); sketch state on disk is O(capacity × partitions ×
+    epochs), compactable by re-summing per key — the same
+    merge-don't-rewrite ledger discipline as st15/st26. A replayed
+    epoch overwrites its own marker file, never double-counts."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.operators import sketch as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    feed = ev.select("event_id", "event_type", "user_id")
+
+    tmp = Path(tempfile.mkdtemp(prefix="st30_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "summaries")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        sink(
+            SK.misra_gries_summaries(
+                b, ["event_type", "user_id"], capacity=1024
+            ),
+            batch_id,
+        )
+
+    for m_ in range(3):
+        feed.filter(F.col("event_id") % 3 == m_).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m_}"))
+        parts = sorted((tmp / f"b{m_}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m_}.parquet"))
+        shutil.rmtree(tmp / f"b{m_}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(feed.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    merged = (
+        ops.read_committed_batches(spark, store)
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("mg_lb").alias("mg_lb"))
+    ).transform(cut_lineage)
+    return SK.misra_gries_heavy_hitters(
+        ev, ["event_type", "user_id"], k=20, capacity=1024, summaries=merged
+    )

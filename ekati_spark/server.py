@@ -42,6 +42,10 @@ Endpoints:
                     ``Node`` messages. Transport is HTTP/1.1 (documented
                     deviation — no grpcio here), messages are
                     reference-compatible.
+- ``GET /ui``       graph-explorer page (the reference's Blazor UI —
+                    ``src/UI/Pages/{Query,Graph,Metrics}.razor`` — as
+                    one self-contained HTML document; see
+                    ``ekati_spark.ui``).
 - ``GET /stats``    graph totals (GetStats analog).
 - ``GET /metrics``  executor gauges + stage counters (GetMetrics).
 - ``GET /plugins``  registered user operators (ListPolicies-shape).
@@ -112,9 +116,25 @@ class EkatiServer:
                 self.end_headers()
                 self.wfile.write(body)
 
+            def _reply_html(self, html: str) -> None:
+                body = html.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
             def do_GET(self):  # noqa: N802 — http.server contract
                 try:
-                    if self.path == "/stats":
+                    if self.path == "/ui" or self.path == "/ui/":
+                        # Graph-explorer page (reference src/UI Blazor app:
+                        # Query.razor editor+table, Graph.razor force
+                        # layout, Metrics.razor table) — one static HTML
+                        # document, zero external assets.
+                        from ekati_spark.ui import EXPLORER_HTML
+
+                        self._reply_html(EXPLORER_HTML)
+                    elif self.path == "/stats":
                         self._reply(
                             200, {"stats": _rows(outer.engine.graph.stats())[0]}
                         )

@@ -553,7 +553,8 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     cross-joined onto the #sources-row frame), l49_dsir_importance
     (the 1-row smoothing-totals aggregate broadcast onto the
     vocabulary frame), l52_bigram_interp_logprob (the 1-row corpus
-    total broadcast onto the scored-positions frame),
+    total broadcast onto the scored-positions frame — and
+    l117_stupid_backoff_score, the same shape at order 3),
     g31_nation_modularity (three 1-row integer aggregates cross-joined
     into the final scalar), l58_sq8_recall_audit (the l06/l33 shape
     twice: 10-row broadcast query side with the vec_id<>query_id
@@ -584,6 +585,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l47_token_waterfill",
         "l49_dsir_importance",
         "l52_bigram_interp_logprob",
+        "l117_stupid_backoff_score",
         "g31_nation_modularity",
         "l58_sq8_recall_audit",
         "l64_skipgram_collocations",

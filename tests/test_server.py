@@ -361,3 +361,28 @@ def test_grpc_liststats_listpolicies_load(served):
     assert code == 200
     msgs = [W.decode("LoadFileResponse", f) for f in W.iter_frames(raw)]
     assert msgs and msgs[-1]["progress"] > 0
+
+
+def test_ui_explorer_page(served):
+    """GET /ui serves the self-contained explorer (reference src/UI:
+    Query.razor editor+Run, Graph.razor force layout + label toggles,
+    Metrics.razor table) with zero external asset references."""
+    url = f"http://{served.host}:{served.port}/ui"
+    with urllib.request.urlopen(url) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.read().decode()
+    # Query.razor surface: editor + Run/Clear driving POST /query
+    assert 'id="q"' in html and 'id="run"' in html and 'id="clear"' in html
+    assert '"/query"' in html
+    # Graph.razor surface: SVG canvas + the three layout toggles
+    assert '<svg id="g">' in html
+    for toggle in ("nlab", "elab", "pause"):
+        assert f'id="{toggle}"' in html
+    # Metrics.razor surface: stats + metrics panes off the JSON routes
+    assert '"/stats"' in html and '"/metrics"' in html
+    # self-contained: no external scripts/styles/fonts
+    assert "<script src" not in html and "<link" not in html
+    body = html.split("<body>")[1]
+    assert "https://" not in body
+    assert body.count("http://") == body.count("http://www.w3.org/2000/svg")
