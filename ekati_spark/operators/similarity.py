@@ -2572,3 +2572,110 @@ def maxsim_topk(
     return sc.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def knn_graph_nndescent(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 1,
+) -> DataFrame:
+    """k-NN GRAPH over the whole corpus via one NN-Descent refinement
+    round (Dong/Moses/Li 2011) — the graph-ANN construction family
+    (the build step HNSW-likes start from), next to the table-based
+    LSH (l07) and partition-based IVF (l15) families: a deliberately
+    WEAK sign-LSH init (fewer tables than l07) produces a first
+    directed top-k graph G0; the refinement exploits "a neighbor of a
+    neighbor is likely a neighbor" — every vector's general-neighbor
+    set U(v) = N(v) ∪ R(v) (out- plus in-edges) is locally joined, so
+    members of the same U(v) become candidate pairs; the union of G0
+    and local-join pairs is exactly re-scored and re-ranked top-k.
+
+    Deterministic end-to-end (seeded planes, left-fold dots, round-6
+    cosines, ties on neighbor id) — a SQL oracle replays init,
+    local join, and re-rank bit-identically; recall-vs-exact is
+    asserted separately in pytest. Scale shape: init shuffle ∝ n·L
+    with output ∝ Σ bucket² (lsh_candidate_ids' narrow form); the
+    local join is an equi-join on the CENTER vector with per-center
+    fan-out ≤ (2k choose 2) — cost n·O(k²), the published NN-Descent
+    bound — and scoring joins stay id-keyed equi-joins. No stage
+    broadcasts the corpus; everything survives n in the billions with
+    k tens. ``rounds`` iterates the refinement (0 = the raw LSH init
+    graph, the recall baseline the pytest compares against; NN-Descent
+    converges in a handful of rounds because U(v) densifies fast)."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    cand, v = lsh_candidate_ids(
+        emb, n_planes, n_tables, seed, dim, id_col, vec_col
+    )
+
+    def score(pairs: DataFrame) -> DataFrame:
+        va = v.select(
+            F.col("id").alias("id_a"), F.col("v").alias("va"),
+            F.col("nv").alias("na"),
+        )
+        vb = v.select(
+            F.col("id").alias("id_b"), F.col("v").alias("vb"),
+            F.col("nv").alias("nb"),
+        )
+        cos = F.try_divide(
+            dot(F.col("va"), F.col("vb"), dim), F.col("na") * F.col("nb")
+        )
+        return (
+            pairs.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", F.round(cos, 6).alias("cosine"))
+        )
+
+    def topk(directed: DataFrame) -> DataFrame:
+        w = W.partitionBy("q").orderBy(F.desc("cosine"), F.asc("n"))
+        return directed.withColumn(
+            "rank", F.row_number().over(w)
+        ).filter(F.col("rank") <= k)
+
+    def both_dirs(scored: DataFrame) -> DataFrame:
+        return scored.select(
+            F.col("id_a").alias("q"), F.col("id_b").alias("n"), "cosine"
+        ).unionByName(
+            scored.select(
+                F.col("id_b").alias("q"), F.col("id_a").alias("n"), "cosine"
+            )
+        )
+
+    ranked = topk(both_dirs(score(cand)))
+    for _ in range(rounds):
+        g = ranked.select("q", "n").transform(
+            cut_lineage  # consumed 3x: U (2 branches) + pair union
+        )
+        u = (
+            g.select(F.col("q").alias("center"), F.col("n").alias("member"))
+            .unionByName(
+                g.select(F.col("n").alias("center"), F.col("q").alias("member"))
+            )
+            .distinct()
+        )
+        ua = u.select(F.col("center"), F.col("member").alias("id_a"))
+        ub = u.select(F.col("center"), F.col("member").alias("id_b"))
+        local = (
+            ua.join(ub, "center")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        allp = local.unionByName(
+            g.select(
+                F.least("q", "n").alias("id_a"),
+                F.greatest("q", "n").alias("id_b"),
+            )
+        ).distinct()
+        ranked = topk(both_dirs(score(allp)))
+    return ranked.select(
+        F.col("q").alias("query_id"),
+        F.col("n").alias("neighbor_id"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )

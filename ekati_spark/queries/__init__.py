@@ -51,6 +51,8 @@ _POST_WINDOW: list[str] = [
     "l116_sorted_neighborhood_pairs",
     "l117_stupid_backoff_score",
     "st30_stream_heavy_hitters",
+    "l118_scaling_law_subsets",
+    "l119_knn_graph_refine",
 ]
 
 _GRADED_FIRST = [

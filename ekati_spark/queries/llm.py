@@ -8713,3 +8713,206 @@ def l117_stupid_backoff_score(spark, sf_dir):
         .cast("long").alias("n_uni_backoff"),
         F.expr("sum(nano) div count(*)").cast("long").alias("sb_avg_nano"),
     )
+
+
+def _l119_oracle() -> str:
+    """Replay of knn_graph_nndescent(k=5, n_planes=8, n_tables=4):
+    seeded hyperplanes inline as DOUBLE literals (same construction as
+    _l07_oracle), init self-join on any-table bucket equality, top-5
+    per direction, one NN-Descent local join over the general-neighbor
+    sets, exact re-rank of the union."""
+    import numpy as np  # noqa: PLC0415
+
+    dim, n_planes, n_tables, seed = 64, 8, 4, 42
+    per_table = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((n_planes, dim))
+        bits = " + ".join(
+            f"(CASE WHEN list_dot_product(v, "
+            f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+            for p, plane in enumerate(planes)
+        )
+        per_table.append(f"({bits}) + {t << 32}::BIGINT")
+    bucket_exprs = ", ".join(per_table)
+    return f"""
+    WITH c AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+    ),
+    cb AS (SELECT id, unnest([{bucket_exprs}]) AS bucket FROM c),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM cb a JOIN cb b USING (bucket) WHERE a.id < b.id
+    ),
+    s0 AS (
+      SELECT id_a, id_b, round(list_cosine_similarity(ca.v, cc.v), 6) AS cosine
+      FROM cand JOIN c ca ON cand.id_a = ca.id JOIN c cc ON cand.id_b = cc.id
+    ),
+    d0 AS (SELECT id_a AS q, id_b AS n, cosine FROM s0
+           UNION ALL SELECT id_b, id_a, cosine FROM s0),
+    g0 AS (
+      SELECT q, n FROM (
+        SELECT q, n, row_number() OVER (
+          PARTITION BY q ORDER BY cosine DESC, n) AS rn FROM d0)
+      WHERE rn <= 5
+    ),
+    u AS (SELECT q AS center, n AS member FROM g0
+          UNION SELECT n, q FROM g0),
+    lj AS (
+      SELECT DISTINCT a.member AS id_a, b.member AS id_b
+      FROM u a JOIN u b ON a.center = b.center AND a.member < b.member
+    ),
+    allp AS (SELECT id_a, id_b FROM lj
+             UNION SELECT least(q, n), greatest(q, n) FROM g0),
+    s1 AS (
+      SELECT id_a, id_b, round(list_cosine_similarity(ca.v, cc.v), 6) AS cosine
+      FROM allp JOIN c ca ON allp.id_a = ca.id JOIN c cc ON allp.id_b = cc.id
+    ),
+    d1 AS (SELECT id_a AS q, id_b AS n, cosine FROM s1
+           UNION ALL SELECT id_b, id_a, cosine FROM s1)
+    SELECT q AS query_id, n AS neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT q, n, cosine, row_number() OVER (
+            PARTITION BY q ORDER BY cosine DESC, n) AS rn FROM d1)
+    WHERE rn <= 5
+    """
+
+
+@register("l119_knn_graph_refine", oracle=_l119_oracle())
+def l119_knn_graph_refine(spark, sf_dir):
+    """Whole-corpus k-NN GRAPH construction with one NN-Descent
+    refinement round (Dong/Moses/Li 2011) — the graph-based ANN
+    family alongside table-based LSH (l07) and partition-based IVF
+    (l15): weak 4-table sign-LSH init, general-neighbor local join
+    (neighbors-of-neighbors become candidates), exact re-score +
+    re-rank of the union. The k-NN graph is the artifact embedding
+    curation actually builds at corpus scale (SemDeDup clustering,
+    hard-negative mining, HNSW base layers all start from one).
+    Deterministic end-to-end, so the DuckDB oracle replays init,
+    local join, and re-rank exactly; the refinement's recall gain
+    over the weak init is asserted in tests/test_similarity.py.
+    Scale: see operators/similarity.py::knn_graph_nndescent —
+    init ∝ Σ bucket², refine ∝ n·k², nothing broadcasts the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.knn_graph_nndescent(emb, k=5, n_planes=8, n_tables=4)
+
+
+@register(
+    "l118_scaling_law_subsets",
+    oracle="""
+    WITH base AS (
+      SELECT CASE
+               WHEN substr(md5('abl' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '19999999' THEN 10
+               WHEN substr(md5('abl' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '40000000' THEN 25
+               WHEN substr(md5('abl' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '80000000' THEN 50
+               ELSE 100 END AS tier,
+             source,
+             len(string_split_regex(trim(lower(text)), ' +')) AS n_tokens
+      FROM documents
+    ),
+    cells AS (
+      SELECT tier, source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS toks
+      FROM base GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT DISTINCT source, unnest([10, 25, 50, 100]) AS subset_pct
+      FROM documents
+    ),
+    filled AS (
+      SELECT g.subset_pct, g.source,
+             coalesce(c.n_docs, 0) AS n_docs, coalesce(c.toks, 0) AS toks
+      FROM grid g LEFT JOIN cells c
+        ON c.tier = g.subset_pct AND c.source = g.source
+    ),
+    cum AS (
+      SELECT subset_pct, source,
+             SUM(n_docs) OVER (PARTITION BY source ORDER BY subset_pct)
+               AS n_docs,
+             SUM(toks) OVER (PARTITION BY source ORDER BY subset_pct)
+               AS n_tokens
+      FROM filled
+    )
+    SELECT CAST(subset_pct AS INTEGER) AS subset_pct, source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_tokens * 1000000
+                // SUM(n_tokens) OVER (PARTITION BY subset_pct) AS BIGINT)
+             AS token_share_ppm
+    FROM cum
+    """,
+)
+def l118_scaling_law_subsets(spark, sf_dir):
+    """Scaling-law ablation manifest: NESTED deterministic subsets at
+    10/25/50/100% of the corpus — the data-side artifact every
+    scaling-law / data-ablation study needs (Hoffmann et al. 2022
+    train the same recipe at geometric data fractions; the fractions
+    must NEST so a bigger run is strictly "more of the same data", and
+    must be reproducible without shipping id lists). A document's TIER
+    is the smallest subset containing it, assigned by one md5 draw
+    against fixed thresholds — nesting is by construction (same draw,
+    widening thresholds), no coordination, no RNG state. Output: per
+    (subset, source) the doc/token counts and the integer-ppm token
+    share — the manifest row a dataloader or a mixture audit consumes
+    (a subset that accidentally skews a source's share invalidates the
+    ablation; share_ppm makes that drift visible per tier).
+
+    Scale shape: one narrow scan-stage projection (md5 + CASE — no
+    shuffle), a (4 × n_sources)-cell aggregate, and window cumsums
+    over the completed tier grid (the grid completes via a per-source
+    literal explode, never a cross join) — output is 4·|sources| rows
+    at any corpus size. Reference analog: none (LLM-data extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("abl"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    tier = (
+        F.when(h < "19999999", 10)
+        .when(h < "40000000", 25)
+        .when(h < "80000000", 50)
+        .otherwise(100)
+    )
+    base = docs.select(
+        tier.alias("tier"), "source",
+        X.token_count(F.col("text")).alias("n_tokens"),
+    )
+    cells = base.groupBy("tier", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("toks"),
+    )
+    grid = docs.select("source").distinct().select(
+        "source",
+        F.explode(
+            F.array(F.lit(10), F.lit(25), F.lit(50), F.lit(100))
+        ).alias("subset_pct"),
+    )
+    filled = grid.join(
+        cells,
+        (cells.tier == grid.subset_pct) & (cells.source == grid.source),
+        "left",
+    ).select(
+        grid.subset_pct, grid.source,
+        F.coalesce(cells.n_docs, F.lit(0)).alias("n_docs"),
+        F.coalesce(cells.toks, F.lit(0)).alias("toks"),
+    )
+    wsrc = W.partitionBy("source").orderBy("subset_pct")
+    cum = filled.select(
+        "subset_pct", "source",
+        F.sum("n_docs").over(wsrc).alias("n_docs"),
+        F.sum("toks").over(wsrc).alias("n_tokens"),
+    )
+    wsub = W.partitionBy("subset_pct")
+    return cum.select(
+        F.col("subset_pct").cast("int").alias("subset_pct"),
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "n_tokens * 1000000L div sum(n_tokens) "
+            "OVER (PARTITION BY subset_pct)"
+        ).cast("long").alias("token_share_ppm"),
+    )

@@ -238,3 +238,33 @@ def test_temperature_mixing_quota_invariants(spark, sf_dir):
     top = max(out, key=lambda r: r["n_docs"])
     if top["n_docs"] * len(out) > tot_docs:  # strictly over-represented
         assert top["quota"] / 300 < top["n_docs"] / tot_docs
+
+
+def test_scaling_law_subsets_nest(spark, sf_dir):
+    """The ablation manifest's subsets NEST: per source, n_docs and
+    n_tokens are nondecreasing in subset_pct, and the 100% subset
+    accounts for every document; per subset, token shares sum to ~1e6
+    (integer-div truncation only)."""
+    from ekati_spark.queries.base import REGISTRY
+    import ekati_spark.queries  # noqa: F401 — registers
+
+    rows = REGISTRY["l118_scaling_law_subsets"].fn(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    total_docs = 0
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r.subset_pct)
+        assert [r.subset_pct for r in rs] == [10, 25, 50, 100], src
+        for a, b in zip(rs, rs[1:]):
+            assert a.n_docs <= b.n_docs and a.n_tokens <= b.n_tokens
+        total_docs += rs[-1].n_docs
+    from ekati_spark.catalog import load_table
+
+    assert total_docs == load_table(spark, sf_dir, "documents").count()
+    by_sub = {}
+    for r in rows:
+        by_sub.setdefault(r.subset_pct, 0)
+        by_sub[r.subset_pct] += r.token_share_ppm
+    for sub, s in by_sub.items():
+        assert 1_000_000 - len(by_src) <= s <= 1_000_000, (sub, s)
