@@ -117,6 +117,16 @@ HEADLINE = [
     # temporal-shingle recall audits) stay verify-only like the other
     # diagnostics (l55/l85): their cost is the audited generator's own
     # join plus a bounded exact side already represented here.
+    # round-12 additions — three NEW plan families: block-partitioned
+    # sorted-neighborhood windows (l116), the order-3 n-gram-count
+    # join cascade (l117; l27/l52 cover orders 1-2), and the
+    # whole-corpus k-NN graph build (LSH self-join init + NN-Descent
+    # local join, l119). l113-l115/l118 stay verify-only (bounded
+    # exact twin, CC cost covered by l20, l25 replay, 4xsources-row
+    # manifest); st29/st30 are foreachBatch feeds like st25-st28.
+    "l116_sorted_neighborhood_pairs",
+    "l117_stupid_backoff_score",
+    "l119_knn_graph_refine",
 ]
 
 

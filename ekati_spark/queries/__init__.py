@@ -53,6 +53,8 @@ _POST_WINDOW: list[str] = [
     "st30_stream_heavy_hitters",
     "l118_scaling_law_subsets",
     "l119_knn_graph_refine",
+    "l120_tokenizer_compression_audit",
+    "st31_stream_scaling_manifest",
 ]
 
 _GRADED_FIRST = [

@@ -8916,3 +8916,61 @@ def l118_scaling_law_subsets(spark, sf_dir):
             "OVER (PARTITION BY subset_pct)"
         ).cast("long").alias("token_share_ppm"),
     )
+
+
+def _l120_oracle() -> str:
+    from ekati_spark.queries.base import REGISTRY as _R  # noqa: PLC0415
+
+    return f"""
+    WITH enc AS ({_R["l97_bpe_encode"].oracle}),
+    d AS (SELECT doc_id, lang, source, length(text) AS n_chars
+          FROM documents)
+    SELECT d.lang, d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(SUM(e.n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(e.n_merges) AS BIGINT) AS n_merges,
+           CAST(SUM(e.n_tokens - e.n_merges) AS BIGINT) AS n_symbols,
+           CAST(SUM(e.n_merges) * 1000000 // SUM(e.n_tokens) AS BIGINT)
+             AS merge_rate_ppm,
+           CAST(SUM(d.n_chars) * 1000000
+                // SUM(e.n_tokens - e.n_merges) AS BIGINT)
+             AS chars_per_symbol_ppm
+    FROM enc e JOIN d ON e.doc_id = d.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register("l120_tokenizer_compression_audit", oracle=_l120_oracle())
+def l120_tokenizer_compression_audit(spark, sf_dir):
+    """Tokenizer COMPRESSION/FERTILITY audit per (lang, source) — the
+    governance table every multilingual tokenizer review starts from
+    (a vocab trained on the dominant language under-merges the tail:
+    its merge rate drops and its chars-per-symbol rises, which is
+    exactly per-token cost inflation for that slice): applies l97's
+    learned BPE encode to every document and rolls up doc counts,
+    whitespace tokens, merges fired, emitted symbols, integer-ppm
+    merge rate (merges*1e6 div tokens), and chars-per-symbol ppm.
+    Oracle = l97's learn+encode replay composed under the same
+    aggregate (the st26/l98 compositional-oracle pattern). Scale
+    shape: the encode is l97's single scan-shaped pass; the rollup
+    adds one (lang, source)-keyed aggregate over per-doc rows and a
+    doc_id equi-join — nothing new shuffles wider than the encode
+    itself. Reference analog: none (LLM-data extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enc = l97_bpe_encode(spark, sf_dir)
+    d = docs.select(
+        "doc_id", "lang", "source", F.length("text").alias("n_chars")
+    )
+    j = enc.join(d, "doc_id")
+    return j.groupBy("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("n_merges").cast("long").alias("n_merges"),
+        F.sum(F.col("n_tokens") - F.col("n_merges"))
+        .cast("long").alias("n_symbols"),
+        F.expr("sum(n_merges) * 1000000L div sum(n_tokens)")
+        .cast("long").alias("merge_rate_ppm"),
+        F.expr(
+            "sum(n_chars) * 1000000L div sum(n_tokens - n_merges)"
+        ).cast("long").alias("chars_per_symbol_ppm"),
+    )

@@ -1800,3 +1800,117 @@ def st30_stream_heavy_hitters(spark, sf_dir):
     return SK.misra_gries_heavy_hitters(
         ev, ["event_type", "user_id"], k=20, capacity=1024, summaries=merged
     )
+
+
+@register(
+    "st31_stream_scaling_manifest",
+    oracle=_REGISTRY["l118_scaling_law_subsets"].oracle,
+)
+def st31_stream_scaling_manifest(spark, sf_dir):
+    """STREAMING maintenance of l118's scaling-law ablation manifest —
+    documents land in three micro-batches and each batch appends its
+    per-(tier, source) doc/token DELTAS (a 4×|sources|-row batch-local
+    aggregate; the md5 tier draw is per-row and needs no cross-batch
+    state) through the epoch-marker exactly-once sink; the manifest at
+    read time is the SUM of committed cells run through l118's grid
+    completion + cumulative windows + share computation. Counts are
+    trivially mergeable, so replays are absorbed by the marker
+    protocol and the read-side result equals the batch computation
+    exactly — the oracle is l118's by construction. At 100 TB:
+    per-trigger cost ∝ batch rows with a cells-sized output; the
+    manifest store grows by ≤ 4·|sources| rows per epoch and compacts
+    by re-summing."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.substring(
+        F.md5(F.concat(F.lit("abl"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    tier = (
+        F.when(h < "19999999", 10)
+        .when(h < "40000000", 25)
+        .when(h < "80000000", 50)
+        .otherwise(100)
+    )
+    feed = docs.select(
+        "doc_id", tier.alias("tier"), "source",
+        F.size(F.split(F.trim(F.lower("text")), " +")).alias("n_tokens"),
+    )
+
+    tmp = Path(tempfile.mkdtemp(prefix="st31_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "cells")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        sink(
+            b.groupBy("tier", "source").agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("toks"),
+            ),
+            batch_id,
+        )
+
+    for m_ in range(3):
+        feed.filter(F.col("doc_id") % 3 == m_).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m_}"))
+        parts = sorted((tmp / f"b{m_}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m_}.parquet"))
+        shutil.rmtree(tmp / f"b{m_}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(feed.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cells = (
+        ops.read_committed_batches(spark, store)
+        .groupBy("tier", "source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("toks").cast("long").alias("toks"),
+        )
+    ).transform(cut_lineage)
+    grid = docs.select("source").distinct().select(
+        "source",
+        F.explode(
+            F.array(F.lit(10), F.lit(25), F.lit(50), F.lit(100))
+        ).alias("subset_pct"),
+    )
+    filled = grid.join(
+        cells,
+        (cells.tier == grid.subset_pct) & (cells.source == grid.source),
+        "left",
+    ).select(
+        grid.subset_pct, grid.source,
+        F.coalesce(cells.n_docs, F.lit(0)).alias("n_docs"),
+        F.coalesce(cells.toks, F.lit(0)).alias("toks"),
+    )
+    from pyspark.sql import Window as _W
+
+    wsrc = _W.partitionBy("source").orderBy("subset_pct")
+    cum = filled.select(
+        "subset_pct", "source",
+        F.sum("n_docs").over(wsrc).alias("n_docs"),
+        F.sum("toks").over(wsrc).alias("n_tokens"),
+    )
+    return cum.select(
+        F.col("subset_pct").cast("int").alias("subset_pct"),
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "n_tokens * 1000000L div sum(n_tokens) "
+            "OVER (PARTITION BY subset_pct)"
+        ).cast("long").alias("token_share_ppm"),
+    )
