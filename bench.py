@@ -146,6 +146,10 @@ NOISY = {
     "g43_neighborhood_function": 0.1,
     "l94_bloom_decontaminate": 0.1,
     "l101_winnow_fingerprint_pairs": 0.1,
+    # r12: in-context runs of [1.698, 5.562, 6.771] vs isolated
+    # steady-state ~1.5s — late-session JVM/GC aging lands on whichever
+    # query is in flight; interleaving spreads it
+    "l97_bpe_encode": 0.1,
 }
 
 
