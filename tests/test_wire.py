@@ -198,3 +198,126 @@ def test_grpc_framing_roundtrip():
     assert list(W.iter_frames(stream)) == msgs
     with pytest.raises(ValueError):
         list(W.iter_frames(b"\x01\x00\x00\x00\x00"))  # compressed flag
+
+
+# ---------------------------------------------------------------------------
+# property-based roundtrip: SCHEMA-driven random messages
+
+
+def _scalar_strategy(ftype):
+    import math
+    import struct as _struct
+
+    from hypothesis import strategies as st
+
+    if ftype == "bool":
+        return st.booleans()
+    if ftype in ("int32", "int64"):
+        # int32 rides the wire sign-extended to 64 bits (proto3), so
+        # the codec decodes both as signed-64; generate the full range
+        # the decoder hands back.
+        lo, hi = (-(2**31), 2**31 - 1) if ftype == "int32" else (
+            -(2**63), 2**63 - 1
+        )
+        return st.integers(lo, hi)
+    if ftype in ("uint32", "enum"):
+        return st.integers(0, 2**32 - 1)
+    if ftype == "uint64":
+        return st.integers(0, 2**64 - 1)
+    if ftype == "fixed32":
+        return st.integers(0, 2**32 - 1)
+    if ftype == "fixed64":
+        return st.integers(0, 2**64 - 1)
+    if ftype == "sfixed32":
+        return st.integers(-(2**31), 2**31 - 1)
+    if ftype == "sfixed64":
+        return st.integers(-(2**63), 2**63 - 1)
+    if ftype == "string":
+        return st.text(max_size=40)
+    if ftype == "bytes":
+        return st.binary(max_size=40)
+    if ftype == "double":
+        return st.floats(allow_nan=False)
+    if ftype == "float":
+        # quantize through float32 so roundtrip equality is exact
+        return st.floats(allow_nan=False, width=32).map(
+            lambda x: _struct.unpack("<f", _struct.pack("<f", x))[0]
+        )
+    raise AssertionError(ftype)
+
+
+def _message_strategy(msg_name, depth=0):
+    from hypothesis import strategies as st
+
+    from ekati_spark.wire.proto import SCHEMA
+
+    parts = {}
+    for no, spec in SCHEMA[msg_name].items():
+        name, ftype = spec[0], spec[1]
+        repeated = len(spec) > 2
+        if ftype.startswith("msg:"):
+            if depth >= 2:
+                continue  # bound recursion (Node -> attrs -> DataBlock...)
+            inner = _message_strategy(ftype[4:], depth + 1)
+        else:
+            inner = _scalar_strategy(ftype)
+        if repeated:
+            inner = st.lists(inner, max_size=3)
+        # presence is optional per field: omitted != default-encoded,
+        # and the codec skips absent names on encode
+        parts[name] = st.one_of(st.none(), inner)
+    return st.fixed_dictionaries({}, optional=parts).map(
+        lambda d: {k: v for k, v in d.items() if v is not None}
+    )
+
+
+def _prune_empty(obj):
+    """Drop empty repeated fields: absent and [] are indistinguishable
+    on the wire (proto3 has no presence for repeateds)."""
+    out = {}
+    for k, v in obj.items():
+        if isinstance(v, list):
+            v = [
+                _prune_empty(x) if isinstance(x, dict) else x for x in v
+            ]
+            if not v:
+                continue
+        elif isinstance(v, dict):
+            v = _prune_empty(v)
+        out[k] = v
+    return out
+
+
+def test_roundtrip_property_all_rpc_messages():
+    """decode(encode(x)) == x for schema-conforming random instances of
+    every RPC-surface message (hypothesis; empty-repeated normalization
+    is the only wire-inherent loss)."""
+    from hypothesis import HealthCheck, given, settings
+
+    from ekati_spark.wire.proto import SCHEMA, decode, encode
+
+    for msg in (
+        "Node",
+        "Query",
+        "GetMetricsRequest",
+        "GetMetricsResponse",
+        "GetStatsResponse",
+        "ListStatsResponse",
+        "ListPoliciesRequest",
+        "LoadFile",
+        "LoadFileResponse",
+        "Timestamp",
+    ):
+        if msg not in SCHEMA:
+            continue
+
+        def check(obj, _msg=msg):
+            want = _prune_empty(obj)
+            got = decode(_msg, encode(_msg, obj))
+            assert got == want, (_msg, want, got)
+
+        settings(
+            max_examples=60,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )(given(_message_strategy(msg))(lambda obj: check(obj)))()
