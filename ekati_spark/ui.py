@@ -92,7 +92,7 @@ EXPLORER_HTML = """<!DOCTYPE html>
 <script>
 "use strict";
 const $ = (id) => document.getElementById(id);
-let rows = [], nodes = [], links = [], skip = 0;
+let rows = [], nodes = [], links = [], skip = 0, animating = false;
 const TAKE = 15, NS = "http://www.w3.org/2000/svg";
 
 function status(t) { $("status").textContent = t; }
@@ -184,7 +184,11 @@ function tick() {
     }
   }
   draw();
-  if (nodes.length) requestAnimationFrame(tick);
+  if (nodes.length) { requestAnimationFrame(tick); } else { animating = false; }
+}
+
+function startAnim() {
+  if (!animating) { animating = true; requestAnimationFrame(tick); }
 }
 
 function draw() {
@@ -221,7 +225,7 @@ async function run() {
     rows = out.rows || []; skip = 0;
     renderTable(); buildGraph();
     status(rows.length + " rows" + (rows.length === 500 ? " (capped at 500)" : ""));
-    requestAnimationFrame(tick);
+    startAnim();
   } catch (e) {
     $("tbl").innerHTML = '<div class="err">' + esc(e.message) + "</div>";
     status("error");
