@@ -572,3 +572,112 @@ def k_truss(edges: DataFrame, k: int, max_iter: int = 40) -> DataFrame:
             break
         e, n = kept, m
     return e
+
+
+def boruvka_msf(
+    edges: DataFrame, max_rounds: int = 8, jump_rounds: int = 6
+) -> DataFrame:
+    """Maximum spanning forest via Borůvka hooking — THE distributed
+    MST algorithm (each round every component picks its best incident
+    edge and components contract; ≤ log2(V) rounds, each a constant
+    number of edge-keyed joins — Prim/Kruskal are inherently
+    sequential and never distribute).
+
+    ``edges`` is undirected ``(u, v, wkey)`` with DISTINCT wkey
+    (max-spanning: picks the LARGEST wkey; distinct keys make the MSF
+    unique, so any correct MST algorithm — e.g. the oracle's Prim
+    replay — produces the identical edge set). Returns the forest
+    edges ``(u, v, wkey)`` plus the final ``comp`` labels via the
+    second element of the returned tuple.
+
+    Hooking details: the per-component argmax is one ``max(struct)``
+    aggregate; the hook graph (component → other endpoint's component)
+    has only 2-cycles (mutual best pairs — a longer cycle would need
+    equal weights), broken by pointing the smaller id at itself;
+    pointer jumping (``jump_rounds`` doublings, 2^6 = 64 covers any
+    chain the contraction can build at ≤ 2^max_rounds components)
+    flattens every in-tree to its root in O(log chain) joins. Vertex
+    state is O(V); per round cost is a handful of shuffles on comp/
+    edge keys — nothing quadratic, nothing driver-side but the
+    empty-frontier test."""
+    nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    comp = nodes.select(
+        "node", F.col("node").alias("comp")
+    ).transform(cut_lineage)
+    chosen_all = None
+    for _ in range(max_rounds):
+        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        ec = (
+            edges.join(cu, "u")
+            .join(cv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .transform(cut_lineage)  # consumed 2x: emptiness probe + cand
+        )
+        if ec.limit(1).count() == 0:
+            break
+        cand = ec.select(
+            F.col("cu").alias("c"), "wkey", "u", "v", F.col("cv").alias("t")
+        ).unionByName(
+            ec.select(
+                F.col("cv").alias("c"), "wkey", "u", "v",
+                F.col("cu").alias("t"),
+            )
+        )
+        best = (
+            cand.groupBy("c")
+            .agg(F.max(F.struct("wkey", "u", "v", "t")).alias("b"))
+            .select(
+                "c",
+                F.col("b.wkey").alias("wkey"),
+                F.col("b.u").alias("u"),
+                F.col("b.v").alias("v"),
+                F.col("b.t").alias("t"),
+            )
+            .transform(cut_lineage)  # consumed 3x: chosen + hook sides
+        )
+        chosen = best.select("u", "v", "wkey").distinct()
+        chosen_all = (
+            chosen
+            if chosen_all is None
+            else chosen_all.unionByName(chosen)
+        )
+        h2 = best.select(F.col("c").alias("t2c"), F.col("t").alias("t2t"))
+        lab = (
+            best.select("c", "t")
+            .join(h2, F.col("t") == F.col("t2c"), "left")
+            .select(
+                "c",
+                F.when(
+                    (F.col("t2t") == F.col("c")) & (F.col("c") < F.col("t")),
+                    F.col("c"),
+                )
+                .otherwise(F.col("t"))
+                .alias("t"),
+            )
+        )
+        for _ in range(jump_rounds):
+            j = lab.select(F.col("c").alias("jc"), F.col("t").alias("jt"))
+            lab = (
+                lab.join(j, F.col("t") == F.col("jc"), "left")
+                .select("c", F.coalesce("jt", "t").alias("t"))
+                .transform(cut_lineage)
+            )
+        comp = (
+            comp.join(
+                lab.select(
+                    F.col("c").alias("comp"), F.col("t").alias("newc")
+                ),
+                "comp",
+                "left",
+            )
+            .select("node", F.coalesce("newc", "comp").alias("comp"))
+            .transform(cut_lineage)
+        )
+    if chosen_all is None:
+        chosen_all = edges.select("u", "v", "wkey").limit(0)
+    return chosen_all.distinct(), comp

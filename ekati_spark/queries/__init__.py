@@ -55,6 +55,8 @@ _POST_WINDOW: list[str] = [
     "l119_knn_graph_refine",
     "l120_tokenizer_compression_audit",
     "st31_stream_scaling_manifest",
+    "r76_scd2_lookup_join",
+    "g49_trade_backbone_mst",
 ]
 
 _GRADED_FIRST = [

@@ -3071,3 +3071,132 @@ def g48_bloom_visited_traversal(spark, sf_dir):
             bm = np.bitwise_or(bm, BL.bloom_bitmap(kept, "v", M, K))
             frontier = kept.withColumnRenamed("v", "src")
     return out[0].unionByName(out[1])
+
+
+@register(
+    "g49_trade_backbone_mst",
+    oracle="""
+    WITH RECURSIVE pair AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+             CAST(SUM(w) AS BIGINT) AS vol
+      FROM pair GROUP BY 1, 2
+    ),
+    wk AS (
+      SELECT u, v, vol, vol * 1000000 - (u * 1000 + v) AS wkey FROM und
+    ),
+    n0 AS (
+      SELECT min(x) AS s FROM (SELECT u AS x FROM wk
+                               UNION ALL SELECT v FROM wk)
+    ),
+    -- Prim from the min node, re-emitting the full visited set per
+    -- iteration (the g20 idiom): distinct wkeys make the MST unique,
+    -- so this sequential replay must equal the engine's Borůvka.
+    grow(it, node, eu, ev, evol) AS (
+      SELECT 0, s, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+             CAST(NULL AS BIGINT)
+      FROM n0
+      UNION ALL
+      SELECT * FROM (
+        WITH mi AS (SELECT max(it) AS mi FROM grow),
+        crossing AS (
+          SELECT wk.u, wk.v, wk.vol, wk.wkey,
+                 CASE WHEN EXISTS (SELECT 1 FROM grow g
+                                   WHERE g.node = wk.u)
+                      THEN wk.v ELSE wk.u END AS nn
+          FROM wk
+          WHERE EXISTS (SELECT 1 FROM grow g WHERE g.node = wk.u)
+             <> EXISTS (SELECT 1 FROM grow g WHERE g.node = wk.v)
+        ),
+        pick AS (SELECT * FROM crossing ORDER BY wkey DESC LIMIT 1)
+        SELECT mi.mi + 1, g.node, g.eu, g.ev, g.evol
+        FROM grow g, mi WHERE EXISTS (SELECT 1 FROM pick)
+        UNION ALL
+        SELECT mi.mi + 1, pick.nn, pick.u, pick.v, pick.vol
+        FROM pick, mi
+      )
+    )
+    SELECT CAST(eu AS INTEGER) AS u, CAST(ev AS INTEGER) AS v,
+           evol AS vol
+    FROM grow
+    WHERE it = (SELECT max(it) FROM grow) AND eu IS NOT NULL
+    """,
+)
+def g49_trade_backbone_mst(spark, sf_dir):
+    """TRADE BACKBONE: the maximum spanning tree of the inter-nation
+    trade graph (edge weight = total lineitems shipped between the two
+    nations in either direction) — the spanning subnetwork that keeps
+    every nation connected through its strongest trade relationships,
+    computed with BORŮVKA hooking (graph/algorithms.py::boruvka_msf),
+    the one MST algorithm that distributes (per-round per-component
+    argmax + star contraction, ≤ log2(V) rounds; Prim/Kruskal are
+    sequential by construction). Weights are made DISTINCT by folding
+    the edge id into integer nanokeys (vol*1e6 − (u*1000 + v); nation
+    ids < 1000 — at wider id spaces widen the fold), which makes the
+    MST unique — so the DuckDB oracle replays sequential PRIM from the
+    min node (the g20 full-set-re-emission recursive CTE) and must
+    produce the identical edge set: an algorithm-independent
+    cross-check, stronger than a step replay. Output restricted to
+    the min node's component on both sides (the trade graph is
+    connected at every test SF; the restriction keeps the contract
+    well-defined if a regenerated dataset ever disconnects it).
+
+    Scale shape: the weighted projection is one groupBy over the
+    4-table join (the g22/g23 substrate); Borůvka state is O(V) with
+    a handful of comp/edge-keyed shuffles per round. At 100 TB the
+    nation graph is still tiny — the kernel is registered for its
+    algorithm (it runs unchanged on a billion-node co-purchase
+    projection), the substrate for its oracle-checkable weights."""
+    from ekati_spark.graph.algorithms import boruvka_msf
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pair = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    und = pair.groupBy(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+    ).agg(F.sum("w").cast("long").alias("vol"))
+    wk = und.select(
+        "u", "v", "vol",
+        F.expr("vol * 1000000L - (u * 1000L + v)").alias("wkey"),
+    ).transform(cut_lineage)  # consumed per Borůvka round + node scan
+    msf, comp = boruvka_msf(wk)
+    root0 = (
+        comp.join(
+            comp.groupBy().agg(F.min("node").alias("node")), "node"
+        )
+        .select(F.col("comp").alias("root"))
+    )
+    kept = (
+        msf.join(
+            comp.select(F.col("node").alias("u"), "comp"), "u"
+        )
+        .join(F.broadcast(root0), F.col("comp") == F.col("root"), "left_semi")
+    )
+    return kept.select(
+        F.col("u").cast("int").alias("u"),
+        F.col("v").cast("int").alias("v"),
+        # exact inverse of the distinctness fold
+        F.expr("(wkey + u * 1000L + v) div 1000000L").alias("vol"),
+    )

@@ -3232,3 +3232,80 @@ def r75_percentile_cont(spark, sf_dir):
         ],
     )
     return out
+
+
+@register(
+    "r76_scd2_lookup_join",
+    oracle="""
+    WITH src AS (
+      SELECT user_id, ts, event_id, round(value, 2) AS state
+      FROM events WHERE event_type = 'purchase'
+    ),
+    ordered AS (
+      SELECT user_id, ts, event_id, state,
+             lag(state) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS prev
+      FROM src
+    ),
+    changed AS (
+      SELECT user_id, ts, event_id, state
+      FROM ordered
+      WHERE prev IS NULL OR state IS DISTINCT FROM prev
+    ),
+    dim AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INTEGER)
+               AS version,
+             state,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS valid_to
+      FROM changed
+    ),
+    facts AS (
+      SELECT event_id, user_id, ts
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           d.version, d.state AS state_asof
+    FROM facts f JOIN dim d
+      ON f.user_id = d.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def r76_scd2_lookup_join(spark, sf_dir):
+    """SCD2 LOOKUP join — the other half of r59 (which only BUILDS the
+    versioned dimension): every 'view' fact joins to the dimension
+    version valid AT its event time (user equi-key + half-open
+    validity-interval predicate), the canonical warehouse pattern for
+    effective-dated attributes. Facts preceding a user's first tracked
+    version drop out (inner join — the version simply did not exist);
+    [from, to) half-open semantics mean boundary facts land in the
+    NEWER version and zero-length intervals (two state changes at one
+    timestamp) match nothing — both replayed by the oracle verbatim.
+
+    Scale shape: the join is an equi-join on user_id with the interval
+    test as a residual — SortMergeJoin/shuffle-hash partitioned by the
+    dimension key, per-key fan-out bounded by that user's version
+    count (never a cross join, never an interval broadcast). The
+    dimension build is r59's two windows, partitioned by the same key
+    the join shuffles on — one partitioning end to end."""
+    (ev,) = _t(spark, sf_dir, "events")
+    dim = r59_scd2_history(spark, sf_dir).select(
+        F.col("user_id").alias("d_user"), "version", "state",
+        "valid_from", "valid_to",
+    )
+    facts = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return facts.join(
+        dim,
+        (facts.user_id == dim.d_user)
+        & (facts.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to)),
+    ).select(
+        "event_id", "user_id", "ts", "version",
+        F.col("state").alias("state_asof"),
+    )

@@ -309,3 +309,41 @@ def test_nation_modularity_two_cliques(spark):
         row = Q.REGISTRY["g31_nation_modularity"].fn(spark, d).collect()[0]
     assert (row.m, row.e_intra, row.d_sq) == (6, 6, 72)
     assert row.modularity == 0.5
+
+
+def test_boruvka_msf_known_graph(spark):
+    """Borůvka on a hand-checked graph: two components, known unique
+    MSF (distinct weights). Component A: path 1-2-3 with a heavy
+    triangle edge that must be EXCLUDED; component B: single edge.
+
+    Max-spanning on weights: A edges (1,2,w=50) (2,3,w=40) (1,3,w=10)
+    -> MSF keeps (1,2) and (2,3), drops (1,3) (it would close a
+    cycle and is the lightest). B: (7,8,w=5)."""
+    from ekati_spark.graph.algorithms import boruvka_msf
+
+    edges = spark.createDataFrame(
+        [(1, 2, 50), (2, 3, 40), (1, 3, 10), (7, 8, 5)],
+        "u int, v int, wkey long",
+    )
+    msf, comp = boruvka_msf(edges)
+    got = {(r.u, r.v) for r in msf.collect()}
+    assert got == {(1, 2), (2, 3), (7, 8)}, got
+    labels = {r.node: r.comp for r in comp.collect()}
+    assert labels[1] == labels[2] == labels[3]
+    assert labels[7] == labels[8]
+    assert labels[1] != labels[7]
+
+
+def test_boruvka_msf_mutual_pair_tiebreak(spark):
+    """The 2-cycle break: two components whose best edges point at
+    each other must contract into one component rooted at the smaller
+    id, with the shared edge emitted exactly once."""
+    from ekati_spark.graph.algorithms import boruvka_msf
+
+    edges = spark.createDataFrame(
+        [(10, 20, 100)], "u int, v int, wkey long"
+    )
+    msf, comp = boruvka_msf(edges)
+    assert [(r.u, r.v) for r in msf.collect()] == [(10, 20)]
+    labels = {r.node: r.comp for r in comp.collect()}
+    assert labels[10] == labels[20] == 10
