@@ -57,6 +57,8 @@ _POST_WINDOW: list[str] = [
     "st31_stream_scaling_manifest",
     "r76_scd2_lookup_join",
     "g49_trade_backbone_mst",
+    "l121_audio_vad_segments",
+    "l122_quality_tempered_resample",
 ]
 
 _GRADED_FIRST = [

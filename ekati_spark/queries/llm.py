@@ -8974,3 +8974,196 @@ def l120_tokenizer_compression_audit(spark, sf_dir):
             "sum(n_chars) * 1000000L div sum(n_tokens - n_merges)"
         ).cast("long").alias("chars_per_symbol_ppm"),
     )
+
+
+@register(
+    "l121_audio_vad_segments",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+    ),
+    samp AS (
+      SELECT doc_id, n, unnest(range(CAST(n AS BIGINT))) AS i FROM base
+    ),
+    vals AS (
+      SELECT doc_id, CAST(i // 16 AS INTEGER) AS frame,
+             (doc_id * 131 + i * 17) % 4096 - 2048 AS s
+      FROM samp
+    ),
+    frames AS (
+      SELECT doc_id, frame,
+             CAST(SUM(s * s) AS BIGINT) AS energy,
+             CAST(count(*) AS BIGINT) AS n_samp
+      FROM vals GROUP BY 1, 2
+      HAVING count(*) = 16
+    ),
+    active AS (
+      SELECT doc_id, frame, energy,
+             frame - row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY frame) AS isl
+      FROM frames WHERE energy > 20000000
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY min(frame)) AS INTEGER)
+             AS seg_id,
+           CAST(min(frame) AS INTEGER) AS start_frame,
+           CAST(max(frame) AS INTEGER) AS end_frame,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(min(frame) * 16 * 1000 // 8000 AS BIGINT) AS start_ms,
+           CAST(SUM(energy) AS BIGINT) AS energy_sum
+    FROM active
+    GROUP BY doc_id, isl
+    HAVING count(*) >= 2
+    """,
+)
+def l121_audio_vad_segments(spark, sf_dir):
+    """Energy-based voice-activity detection over REAL decoded audio —
+    the segmentation step every speech-data pipeline runs before
+    transcription/dedup (extract the voiced spans, drop silence):
+    plant l61's deterministic 16-bit PCM WAVs, DECODE them with the
+    pure-stdlib RIFF codec inside one Arrow pass emitting per-frame
+    (16-sample) integer energies, threshold to active frames, merge
+    consecutive actives into segments via the island analysis
+    (frame − row_number), and keep segments ≥ 2 frames (the classic
+    hangover/min-duration rule). Output = per-segment bounds, start
+    offset in ms, and exact integer energy mass. The oracle predicts
+    every frame energy from the planting arithmetic — a hash match
+    attests the real decode → frame → threshold → merge chain end to
+    end (the audio analog of l99's frame path).
+
+    Scale shape: decode + framing are per-row Arrow work (no shuffle,
+    payload bytes never leave the scan task — only (doc, frame,
+    energy) integers do); the island window partitions by doc. At
+    100 TB this is the embarrassing-parallel shape; the only tunables
+    are frame width and threshold, both scale-free."""
+    from ekati_spark.operators.audio import decode_wav, planted_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def frame_energies(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_doc, out_frame, out_energy = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                _, _, _, samples = decode_wav(planted_wav(did))
+                for f0 in range(0, len(samples) - 15, 16):
+                    fr = samples[f0 : f0 + 16]
+                    out_doc.append(did)
+                    out_frame.append(f0 // 16)
+                    out_energy.append(sum(x * x for x in fr))
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame": out_frame, "energy": out_energy}
+            )
+
+    frames = docs.mapInPandas(
+        frame_energies, "doc_id long, frame int, energy long"
+    )
+    wdoc = W.partitionBy("doc_id").orderBy("frame")
+    active = frames.filter(F.col("energy") > 20_000_000).select(
+        "doc_id", "frame", "energy",
+        (F.col("frame") - F.row_number().over(wdoc)).alias("isl"),
+    )
+    segs = (
+        active.groupBy("doc_id", "isl")
+        .agg(
+            F.min("frame").alias("start_frame"),
+            F.max("frame").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("energy_sum"),
+        )
+        .filter(F.col("n_frames") >= 2)
+    )
+    wseg = W.partitionBy("doc_id").orderBy("start_frame")
+    return segs.select(
+        "doc_id",
+        F.row_number().over(wseg).cast("int").alias("seg_id"),
+        F.col("start_frame").cast("int").alias("start_frame"),
+        F.col("end_frame").cast("int").alias("end_frame"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.expr("start_frame * 16 * 1000L div 8000").alias("start_ms"),
+        F.col("energy_sum").cast("long").alias("energy_sum"),
+    )
+
+
+@register(
+    "l122_quality_tempered_resample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+             (CAST(('0x' || substr(md5(unnest(
+                string_split_regex(trim(lower(text)), ' +'))), 1, 15))
+                AS BIGINT) % 4096) * 2654435761 % 2001 AS seed_mod
+      FROM documents
+    ),
+    agg AS (
+      SELECT doc_id, source,
+             CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(SUM((seed_mod + 12345) % 2001 - 1000) AS BIGINT) AS w_sum
+      FROM w GROUP BY doc_id, source
+    ),
+    scored AS (
+      SELECT doc_id, source, n_tok,
+             ((w_sum // n_tok) + 1000) * 500 AS acc_ppm,
+             CAST(('0x' || substr(md5('qtr' || CAST(doc_id AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 1000000 AS draw_ppm
+      FROM agg
+    )
+    SELECT doc_id, source, n_tok,
+           CAST(acc_ppm AS BIGINT) AS acc_ppm,
+           CAST(draw_ppm AS BIGINT) AS draw_ppm
+    FROM scored WHERE draw_ppm < acc_ppm
+    """,
+)
+def l122_quality_tempered_resample(spark, sf_dir):
+    """Quality-TEMPERED rejection resampling — the CCNet/phi-style
+    step between hard filtering and keeping everything: each document
+    survives with probability proportional to its classifier quality
+    (hard thresholds (l10/l48 keep-flags) discard the whole lower
+    half; tempering keeps a graded sample so the kept corpus still
+    covers the distribution's tail). Acceptance is EXACT integer ppm
+    from l48's frozen hashed-BoW model — acc_ppm = ((w_sum div
+    n_tok) + 1000) * 500, a linear ramp over the [-1000, 1000]
+    milli-logit range — and the Bernoulli draw is the deterministic
+    md5 idiom (draw_ppm from md5('qtr' || doc_id)): reproducible,
+    coordination-free, engine-portable; the oracle replays weights,
+    ramp, and draw bit-for-bit.
+
+    Scale shape: l48's explode → codegen-weight → per-doc hash-agg
+    (shuffle ∝ documents) plus one scan-local filter — no new
+    shuffle; the acceptance rule is a per-row expression at any
+    corpus size. Reference analog: none (LLM-data extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ekati_spark.operators.text import hashed_token_weight_milli
+
+    exploded = docs.select(
+        "doc_id", "source", F.explode(X.tokens(F.col("text"))).alias("tok")
+    ).select(
+        "doc_id", "source",
+        hashed_token_weight_milli(F.col("tok"), 4096).alias("w"),
+    )
+    agg = exploded.groupBy("doc_id", "source").agg(
+        F.count("*").cast("long").alias("n_tok"),
+        F.sum("w").cast("long").alias("w_sum"),
+    )
+    scored = agg.select(
+        "doc_id", "source", "n_tok",
+        F.expr("((w_sum div n_tok) + 1000L) * 500L").alias("acc_ppm"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("qtr"), F.col("doc_id").cast("string"))),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            % 1000000
+        ).alias("draw_ppm"),
+    )
+    return scored.filter(F.col("draw_ppm") < F.col("acc_ppm")).select(
+        "doc_id", "source", "n_tok",
+        F.col("acc_ppm").cast("long").alias("acc_ppm"),
+        F.col("draw_ppm").cast("long").alias("draw_ppm"),
+    )
