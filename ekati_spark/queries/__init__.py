@@ -59,6 +59,7 @@ _POST_WINDOW: list[str] = [
     "g49_trade_backbone_mst",
     "l121_audio_vad_segments",
     "l122_quality_tempered_resample",
+    "st32_stream_vad_maintenance",
 ]
 
 _GRADED_FIRST = [

@@ -1914,3 +1914,115 @@ def st31_stream_scaling_manifest(spark, sf_dir):
             "OVER (PARTITION BY subset_pct)"
         ).cast("long").alias("token_share_ppm"),
     )
+
+
+@register(
+    "st32_stream_vad_maintenance",
+    oracle=_REGISTRY["l121_audio_vad_segments"].oracle,
+)
+def st32_stream_vad_maintenance(spark, sf_dir):
+    """STREAMING maintenance of l121's voice-activity segmentation —
+    audio documents arrive in three micro-batches; each batch DECODES
+    its own WAVs (the Arrow frame-energy pass is batch-local, payload
+    bytes never cross epochs) and appends only its ACTIVE frames
+    (energy > threshold — the bounded ledger) through the epoch-marker
+    exactly-once sink. Segmentation happens at READ: the island
+    analysis runs over the merged active-frame ledger, so segments
+    that would straddle a batch boundary merge correctly — the
+    classic streaming-segmentation pitfall (per-batch segmentation
+    emits split segments; deferring the merge to the mergeable
+    representation, active FRAMES, makes replay and boundary order
+    irrelevant). Oracle = l121's by construction. At 100 TB:
+    per-trigger cost ∝ batch audio; ledger rows ∝ active frames
+    (compactable by re-writing distinct rows); the read-side window
+    partitions by doc."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.operators.audio import decode_wav, planted_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    tmp = Path(tempfile.mkdtemp(prefix="st32_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "active_frames")
+    sink = ops.idempotent_batch_sink(store)
+
+    def frame_energies(batches):
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out_doc, out_frame, out_energy = [], [], []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                _, _, _, samples = decode_wav(planted_wav(did))
+                for f0 in range(0, len(samples) - 15, 16):
+                    fr = samples[f0 : f0 + 16]
+                    e = sum(x * x for x in fr)
+                    if e > 20_000_000:
+                        out_doc.append(did)
+                        out_frame.append(f0 // 16)
+                        out_energy.append(e)
+            yield pd.DataFrame(
+                {"doc_id": out_doc, "frame": out_frame, "energy": out_energy}
+            )
+
+    def land(b, batch_id):
+        sink(
+            b.mapInPandas(
+                frame_energies, "doc_id long, frame int, energy long"
+            ),
+            batch_id,
+        )
+
+    for m_ in range(3):
+        docs.filter(F.col("doc_id") % 3 == m_).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m_}"))
+        parts = sorted((tmp / f"b{m_}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m_}.parquet"))
+        shutil.rmtree(tmp / f"b{m_}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(docs.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    from pyspark.sql import Window as _W
+
+    active = ops.read_committed_batches(spark, store).transform(cut_lineage)
+    wdoc = _W.partitionBy("doc_id").orderBy("frame")
+    act = active.select(
+        "doc_id", "frame", "energy",
+        (F.col("frame") - F.row_number().over(wdoc)).alias("isl"),
+    )
+    segs = (
+        act.groupBy("doc_id", "isl")
+        .agg(
+            F.min("frame").alias("start_frame"),
+            F.max("frame").alias("end_frame"),
+            F.count("*").alias("n_frames"),
+            F.sum("energy").alias("energy_sum"),
+        )
+        .filter(F.col("n_frames") >= 2)
+    )
+    wseg = _W.partitionBy("doc_id").orderBy("start_frame")
+    return segs.select(
+        "doc_id",
+        F.row_number().over(wseg).cast("int").alias("seg_id"),
+        F.col("start_frame").cast("int").alias("start_frame"),
+        F.col("end_frame").cast("int").alias("end_frame"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.expr("start_frame * 16 * 1000L div 8000").alias("start_ms"),
+        F.col("energy_sum").cast("long").alias("energy_sum"),
+    )
