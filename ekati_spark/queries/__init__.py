@@ -60,6 +60,7 @@ _POST_WINDOW: list[str] = [
     "l121_audio_vad_segments",
     "l122_quality_tempered_resample",
     "st32_stream_vad_maintenance",
+    "g50_trade_single_linkage",
 ]
 
 _GRADED_FIRST = [

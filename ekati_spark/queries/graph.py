@@ -3200,3 +3200,170 @@ def g49_trade_backbone_mst(spark, sf_dir):
         # exact inverse of the distinctness fold
         F.expr("(wkey + u * 1000L + v) div 1000000L").alias("vol"),
     )
+
+
+@register(
+    "g50_trade_single_linkage",
+    oracle="""
+    WITH RECURSIVE pair AS (
+      SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+             CAST(count(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE s.s_nationkey <> c.c_nationkey
+      GROUP BY 1, 2
+    ),
+    und AS (
+      SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+             CAST(SUM(w) AS BIGINT) AS vol
+      FROM pair GROUP BY 1, 2
+    ),
+    wk AS (
+      SELECT u, v, vol, vol * 1000000 - (u * 1000 + v) AS wkey FROM und
+    ),
+    n0 AS (
+      SELECT min(x) AS s FROM (SELECT u AS x FROM wk
+                               UNION ALL SELECT v FROM wk)
+    ),
+    grow(it, node, eu, ev, ewkey) AS (
+      SELECT 0, s, CAST(NULL AS INTEGER), CAST(NULL AS INTEGER),
+             CAST(NULL AS BIGINT)
+      FROM n0
+      UNION ALL
+      SELECT * FROM (
+        WITH mi AS (SELECT max(it) AS mi FROM grow),
+        crossing AS (
+          SELECT wk.u, wk.v, wk.wkey,
+                 CASE WHEN EXISTS (SELECT 1 FROM grow g
+                                   WHERE g.node = wk.u)
+                      THEN wk.v ELSE wk.u END AS nn
+          FROM wk
+          WHERE EXISTS (SELECT 1 FROM grow g WHERE g.node = wk.u)
+             <> EXISTS (SELECT 1 FROM grow g WHERE g.node = wk.v)
+        ),
+        pick AS (SELECT * FROM crossing ORDER BY wkey DESC LIMIT 1)
+        SELECT mi.mi + 1, g.node, g.eu, g.ev, g.ewkey
+        FROM grow g, mi WHERE EXISTS (SELECT 1 FROM pick)
+        UNION ALL
+        SELECT mi.mi + 1, pick.nn, pick.u, pick.v, pick.wkey
+        FROM pick, mi
+      )
+    ),
+    mst AS (
+      SELECT eu AS u, ev AS v, ewkey AS wkey
+      FROM grow
+      WHERE it = (SELECT max(it) FROM grow) AND eu IS NOT NULL
+    ),
+    -- single-linkage at k=4: cut the 3 weakest tree edges
+    kept AS (
+      SELECT u, v FROM (
+        SELECT u, v, row_number() OVER (ORDER BY wkey ASC) AS rn
+        FROM mst)
+      WHERE rn > 3
+    ),
+    nodes AS (SELECT DISTINCT x AS node FROM (
+      SELECT u AS x FROM wk UNION ALL SELECT v FROM wk)),
+    -- min-label propagation to fixpoint over the kept forest
+    lab(it, node, lbl) AS (
+      SELECT 0, node, node FROM nodes
+      UNION ALL
+      SELECT * FROM (
+        WITH mi AS (SELECT max(it) AS mi FROM lab),
+        nxt AS (
+          SELECT l.node, least(l.lbl, coalesce(min(nl.lbl), l.lbl)) AS lbl
+          FROM lab l
+          LEFT JOIN (
+            SELECT k.u AS a, k.v AS b FROM kept k
+            UNION ALL SELECT k.v, k.u FROM kept k
+          ) e ON l.node = e.a
+          LEFT JOIN lab nl ON nl.node = e.b
+          GROUP BY l.node, l.lbl
+        )
+        SELECT mi.mi + 1, nxt.node, nxt.lbl FROM nxt, mi
+        WHERE mi.mi < 30
+          AND EXISTS (
+            SELECT 1 FROM nxt n2 JOIN lab l2 ON n2.node = l2.node
+            WHERE n2.lbl < l2.lbl)
+      )
+    ),
+    final AS (
+      SELECT node, lbl FROM lab
+      WHERE it = (SELECT max(it) FROM lab)
+    )
+    SELECT CAST(f.lbl AS INTEGER) AS cluster,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           CAST(min(f.node) AS INTEGER) AS min_nation,
+           CAST(max(f.node) AS INTEGER) AS max_nation
+    FROM final f
+    GROUP BY f.lbl
+    """,
+)
+def g50_trade_single_linkage(spark, sf_dir):
+    """SINGLE-LINKAGE clustering of the nation trade graph at k=4 —
+    the classic MST-cut formulation (single-linkage dendrogram ==
+    maximum spanning tree; cutting the k−1 WEAKEST tree edges yields
+    exactly the k single-linkage clusters): composes g49's Borůvka
+    MST, drops the 3 smallest-wkey edges (a k−1-row top-k, never a
+    sort of the graph), and labels the surviving forest with
+    min-label propagation (graph/algorithms.connected_components).
+    Output: one row per cluster with size and id range. Distinct
+    weight keys make the dendrogram unique, so the oracle replays
+    Prim + the same cut + a min-label fixpoint CTE and must agree
+    exactly. Scale shape: g49's (O(V) state, ≤ log2 V rounds) plus a
+    CC pass over a TREE (≤ V−1 edges); the cut is a broadcast-sized
+    top-k. Single-linkage on a billion-node near-dup graph is this
+    exact plan with the co-purchase substrate swapped in."""
+    from ekati_spark.graph.algorithms import boruvka_msf, connected_components
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    pair = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("s_nationkey") != F.col("c_nationkey"))
+        .groupBy(
+            F.col("s_nationkey").alias("src"),
+            F.col("c_nationkey").alias("dst"),
+        )
+        .agg(F.count("*").alias("w"))
+    )
+    und = pair.groupBy(
+        F.least("src", "dst").alias("u"),
+        F.greatest("src", "dst").alias("v"),
+    ).agg(F.sum("w").cast("long").alias("vol"))
+    wk = und.select(
+        "u", "v",
+        F.expr("vol * 1000000L - (u * 1000L + v)").alias("wkey"),
+    ).transform(cut_lineage)
+    msf, _comp = boruvka_msf(wk)
+    from pyspark.sql import Window as _W
+
+    cut = (
+        msf.withColumn(
+            "rn", F.row_number().over(_W.orderBy(F.asc("wkey")))
+        )
+        .filter(F.col("rn") > 3)
+        .select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
+    nodes = wk.select(F.col("u").alias("node_id")).unionByName(
+        wk.select(F.col("v").alias("node_id"))
+    ).distinct()
+    labeled = connected_components(cut, max_iter=8)
+    # isolated nodes (everything their cluster lost) keep their own id
+    full = nodes.join(labeled, "node_id", "left").select(
+        "node_id",
+        F.coalesce("component", "node_id").alias("cluster"),
+    )
+    return full.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_nations"),
+        F.min("node_id").cast("int").alias("min_nation"),
+        F.max("node_id").cast("int").alias("max_nation"),
+    ).select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_nations", "min_nation", "max_nation",
+    )
