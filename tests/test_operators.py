@@ -930,3 +930,53 @@ def test_similarity_query_side_bound_enforced(spark):
     )
     with _pytest.raises(ValueError, match="query side"):
         pq_topk(corpus, big_queries, k=2, m_sub=2, ksub=4).count()
+
+
+def test_round12_plan_contracts(spark, sf_dir):
+    """Scale contracts for the round-12 operators:
+
+    - l116 sorted-neighborhood: candidate generation is WINDOWS, never
+      a join — the only joins allowed in the whole plan are none; all
+      pairing rides lead() inside (pass, blk) windows.
+    - l117 stupid-backoff: every scoring join is an equi-join on
+      n-gram keys (no nested loop); the 1-row corpus total is the one
+      sanctioned broadcast-nested-loop (allowlisted in the cartesian
+      sweep).
+    - l119 k-NN graph: the corpus never broadcasts — candidate
+      generation joins on the bucket key, scoring joins on vector ids;
+      no BroadcastNestedLoopJoin/CartesianProduct anywhere.
+    - g49/g50 Borůvka substrate: the 4-table projection joins are
+      equi-joins; no cartesian anywhere (also swept globally)."""
+    import ekati_spark.queries as Q
+
+    p116 = _plan(Q.REGISTRY["l116_sorted_neighborhood_pairs"].fn(spark, sf_dir))
+    assert "Window" in p116, p116
+    for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in p116, (bad, p116)
+
+    p117 = _plan(Q.REGISTRY["l117_stupid_backoff_score"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in p117
+    # the only BNLJ is the 1-row tot broadcast
+    assert p117.count("BroadcastNestedLoopJoin") <= 1, p117
+
+    p119 = _plan(Q.REGISTRY["l119_knn_graph_refine"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p119
+    assert "CartesianProduct" not in p119
+
+    for name in ("g49_trade_backbone_mst", "g50_trade_single_linkage"):
+        p = _plan(Q.REGISTRY[name].fn(spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_l121_frame_pass_emits_integers_only(spark, sf_dir):
+    """l121's Arrow pass must emit (doc_id, frame, energy) integers —
+    audio payload bytes never shuffle. Guard: the plan's only Python
+    node is the mapInPandas frame pass and no binary column appears
+    in any Exchange."""
+    import ekati_spark.queries as Q
+
+    plan = _plan(Q.REGISTRY["l121_audio_vad_segments"].fn(spark, sf_dir))
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
+    assert "binary" not in plan.lower().split("exchange", 1)[-1][:400], plan
