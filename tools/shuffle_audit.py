@@ -67,6 +67,11 @@ def main() -> None:
     _graph(spark, sf_dir).edges.count()
 
     names = [n for n in HEADLINE if not prefixes or n.startswith(prefixes)]
+    if prefixes and not names:
+        # prefixes naming non-headline queries: audit from the registry
+        # (any registered query is auditable; HEADLINE is the default
+        # set, not a limit of the instrumentation)
+        names = [n for n in Q.REGISTRY if n.startswith(prefixes)]
     rows = []
     for name in names:
         before = snapshot()
