@@ -61,6 +61,7 @@ _POST_WINDOW: list[str] = [
     "l122_quality_tempered_resample",
     "st32_stream_vad_maintenance",
     "g50_trade_single_linkage",
+    "l123_cluster_cards",
 ]
 
 _GRADED_FIRST = [

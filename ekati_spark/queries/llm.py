@@ -9167,3 +9167,100 @@ def l122_quality_tempered_resample(spark, sf_dir):
         F.col("acc_ppm").cast("long").alias("acc_ppm"),
         F.col("draw_ppm").cast("long").alias("draw_ppm"),
     )
+
+
+def _l123_oracle() -> str:
+    """l37's integer-k-means CTE chain (verbatim prefix, so the
+    clustering replay is BY CONSTRUCTION the same) + the c-TF-IDF
+    card tail."""
+    from ekati_spark.queries.base import REGISTRY as _R  # noqa: PLC0415
+
+    base = _R["l37_semantic_dedup"].oracle
+    prefix = base.split("pairs AS MATERIALIZED")[0].rstrip().rstrip(",")
+    return prefix + """,
+    dmap AS (SELECT a3.vec_id AS doc_id, a3.list_id FROM a3),
+    toks AS (
+      SELECT dm.list_id,
+             unnest(string_split_regex(trim(lower(d.text)), ' +')) AS tok
+      FROM documents d JOIN dmap dm ON d.doc_id = dm.doc_id
+    ),
+    tf AS (
+      SELECT list_id, tok, CAST(count(*) AS BIGINT) AS term_freq
+      FROM toks GROUP BY 1, 2
+    ),
+    cf AS (SELECT tok, CAST(SUM(term_freq) AS BIGINT) AS cf
+           FROM tf GROUP BY tok),
+    sizes AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n_docs
+              FROM dmap GROUP BY list_id),
+    scored AS (
+      SELECT tf.list_id, tf.tok, tf.term_freq,
+             tf.term_freq * 1000000 // cf.cf AS score_ppm
+      FROM tf JOIN cf USING (tok)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY list_id
+                 ORDER BY score_ppm DESC, term_freq DESC, tok) AS rnk
+      FROM scored
+    )
+    SELECT CAST(r.list_id AS BIGINT) AS cluster,
+           CAST(r.rnk AS INTEGER) AS rank, r.tok AS term,
+           r.term_freq, CAST(r.score_ppm AS BIGINT) AS score_ppm,
+           s.n_docs
+    FROM ranked r JOIN sizes s USING (list_id) WHERE rnk <= 5
+    """
+
+
+@register("l123_cluster_cards", oracle=_l123_oracle())
+def l123_cluster_cards(spark, sf_dir):
+    """CLUSTER CARDS — the Atlas/BERTopic-style data map a curation
+    team browses: k-means topic clusters over the embeddings (l37's
+    shared integer-deterministic core, so cluster assignment replays
+    bit-for-bit) joined back to the documents, each cluster summarized
+    by its size and top-5 characteristic terms under integer c-TF-IDF
+    (term's in-cluster frequency ppm-normalized by its corpus
+    frequency — the BERTopic class-TF-IDF shape with one truncating
+    division, no log). Ties break (score, term_freq, term) — total
+    order, hash-stable. The oracle reuses l37's k-means CTE chain as a
+    verbatim prefix, so the two queries can never drift apart on
+    clustering.
+
+    Scale shape: assignment is the l15/l37 k-means (partial-sum Lloyd
+    steps, centroids-only to the driver); the card rollup is two
+    vocabulary-keyed groupBys + a per-cluster top-5 rank window
+    partitioned by cluster — output 5·k rows at any corpus size.
+    Cards cover the embedded subset (doc ↔ vec ids join 1:1 where
+    both exist, the l35 contract)."""
+    from ekati_spark.operators.similarity import _int_kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    assigned, _ = _int_kmeans(emb, 16, 2, 1024, "vec_id", "embedding")
+    dmap = assigned.select(F.col("id").alias("doc_id"), "list_id")
+    toks = docs.join(dmap, "doc_id").select(
+        "list_id", F.explode(X.tokens(F.col("text"))).alias("tok")
+    )
+    tf = toks.groupBy("list_id", "tok").agg(
+        F.count("*").cast("long").alias("term_freq")
+    )
+    cf = tf.groupBy("tok").agg(F.sum("term_freq").cast("long").alias("cf"))
+    sizes = dmap.groupBy("list_id").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    scored = tf.join(cf, "tok").select(
+        "list_id", "tok", "term_freq",
+        F.expr("term_freq * 1000000L div cf").alias("score_ppm"),
+    )
+    wcl = W.partitionBy("list_id").orderBy(
+        F.desc("score_ppm"), F.desc("term_freq"), F.asc("tok")
+    )
+    ranked = scored.withColumn("rnk", F.row_number().over(wcl)).filter(
+        F.col("rnk") <= 5
+    )
+    return ranked.join(sizes, "list_id").select(
+        F.col("list_id").cast("long").alias("cluster"),
+        F.col("rnk").cast("int").alias("rank"),
+        F.col("tok").alias("term"),
+        "term_freq",
+        F.col("score_ppm").cast("long").alias("score_ppm"),
+        "n_docs",
+    )
