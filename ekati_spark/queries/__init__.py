@@ -62,6 +62,7 @@ _POST_WINDOW: list[str] = [
     "st32_stream_vad_maintenance",
     "g50_trade_single_linkage",
     "l123_cluster_cards",
+    "r77_linear_attribution",
 ]
 
 _GRADED_FIRST = [

@@ -3309,3 +3309,83 @@ def r76_scd2_lookup_join(spark, sf_dir):
         "event_id", "user_id", "ts", "version",
         F.col("state").alias("state_asof"),
     )
+
+
+@register(
+    "r77_linear_attribution",
+    oracle="""
+    WITH conv AS (
+      SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS t
+      FROM events WHERE event_type = 'purchase'
+    ),
+    touch AS (
+      SELECT user_id, event_id AS touch_id, event_type AS touch_type,
+             epoch_us(ts) AS t2
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    joined AS (
+      SELECT c.user_id, c.purchase_id, t.touch_id, t.touch_type, t.t2
+      FROM conv c JOIN touch t
+        ON t.user_id = c.user_id
+       AND t.t2 < c.t
+       AND t.t2 >= c.t - CAST(604800 AS BIGINT) * 1000000
+    ),
+    ranked AS (
+      SELECT *,
+             CAST(count(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS n,
+             row_number() OVER (PARTITION BY purchase_id
+                                ORDER BY t2 DESC, touch_id DESC) AS rnk
+      FROM joined
+    )
+    SELECT user_id, purchase_id, touch_id, touch_type,
+           CAST(1000 // n + CASE WHEN rnk <= 1000 % n THEN 1 ELSE 0 END
+                AS BIGINT) AS credit_milli
+    FROM ranked
+    """,
+)
+def r77_linear_attribution(spark, sf_dir):
+    """LINEAR multi-touch attribution — r66's last-touch twin at the
+    other end of the attribution spectrum: every click/view in the
+    purchase's 7-day lookback shares the conversion credit EQUALLY,
+    in exact integer milli-credits with largest-remainder correction
+    (base = 1000 div n; the 1000 mod n most recent touches get +1) so
+    each purchase's credits sum to exactly 1000 — the invariant a
+    downstream budget join relies on, unverifiable with floats.
+
+    Scale shape: the touch×purchase join is user-keyed (SMJ on the
+    user id with the lookback as a residual range predicate);
+    per-purchase fan-out is bounded by the user's touch count in 7
+    days. Both windows partition by purchase_id — one shuffle,
+    reused. Oracle replays join, ranking, and remainder rule
+    verbatim."""
+    (ev,) = _t(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.unix_micros("ts").alias("t"),
+    )
+    touch = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+        F.unix_micros("ts").alias("t2"),
+    )
+    joined = conv.join(
+        touch,
+        (conv.user_id == touch.t_user)
+        & (touch.t2 < conv.t)
+        & (touch.t2 >= conv.t - F.lit(604_800_000_000)),
+    ).select("user_id", "purchase_id", "touch_id", "touch_type", "t2")
+    wp = W.partitionBy("purchase_id")
+    wr = wp.orderBy(F.desc("t2"), F.desc("touch_id"))
+    ranked = joined.select(
+        "user_id", "purchase_id", "touch_id", "touch_type",
+        F.count("*").over(wp).cast("long").alias("n"),
+        F.row_number().over(wr).alias("rnk"),
+    )
+    return ranked.select(
+        "user_id", "purchase_id", "touch_id", "touch_type",
+        F.expr(
+            "1000L div n + CASE WHEN rnk <= 1000 % n THEN 1 ELSE 0 END"
+        ).cast("long").alias("credit_milli"),
+    )
