@@ -63,6 +63,7 @@ _POST_WINDOW: list[str] = [
     "g50_trade_single_linkage",
     "l123_cluster_cards",
     "r77_linear_attribution",
+    "l124_dedup_cascade_report",
 ]
 
 _GRADED_FIRST = [

@@ -9264,3 +9264,113 @@ def l123_cluster_cards(spark, sf_dir):
         F.col("score_ppm").cast("long").alias("score_ppm"),
         "n_docs",
     )
+
+
+def _l124_oracle() -> str:
+    """Verbatim reuse of the three stage oracles (l01/l03/l37) as
+    scoped subqueries — the cascade can't drift from its stages."""
+    from ekati_spark.queries.base import REGISTRY as _R  # noqa: PLC0415
+
+    return f"""
+    WITH s1 AS ({_R["l01_dedup_exact"].oracle}),
+    surv1 AS (SELECT kept_id AS doc_id FROM s1),
+    p AS ({_R["l03_minhash_lsh_pairs"].oracle}),
+    dom AS (
+      SELECT DISTINCT p.id_b AS doc_id FROM p
+      WHERE p.id_a IN (SELECT doc_id FROM surv1)
+        AND p.id_b IN (SELECT doc_id FROM surv1)
+    ),
+    surv2 AS (SELECT doc_id FROM surv1
+              WHERE doc_id NOT IN (SELECT doc_id FROM dom)),
+    sem AS ({_R["l37_semantic_dedup"].oracle}),
+    drop3 AS (SELECT vec_id AS doc_id FROM sem WHERE NOT kept),
+    surv3 AS (SELECT doc_id FROM surv2
+              WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM surv1),
+    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM surv2),
+    c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM surv3)
+    SELECT CAST(1 AS INTEGER) AS stage, 'exact' AS method,
+           tot.n AS n_in, tot.n - c1.n AS n_removed, c1.n AS n_out
+    FROM tot, c1
+    UNION ALL
+    SELECT 2, 'minhash_banded', c1.n, c1.n - c2.n, c2.n FROM c1, c2
+    UNION ALL
+    SELECT 3, 'semantic', c2.n, c2.n - c3.n, c3.n FROM c2, c3
+    """
+
+
+@register("l124_dedup_cascade_report", oracle=_l124_oracle())
+def l124_dedup_cascade_report(spark, sf_dir):
+    """STAGED dedup cascade accounting — the report a production
+    pipeline publishes for the sequence it actually runs (cheap →
+    expensive, each stage only on the previous stage's survivors):
+    stage 1 exact digest dedup (l01, keep min id per digest), stage 2
+    MinHash-banded near-dup (l03's confirmed pairs restricted to
+    survivors; a survivor with any smaller-id near-dup partner drops —
+    the deterministic keep-smallest rule), stage 3 SemDeDup semantic
+    dedup (l37's integer-cosine kept flags; docs without an embedding
+    pass through). Output: per stage, docs in / removed / out — the
+    three numbers every dedup review asks for. The oracle embeds the
+    three stage oracles VERBATIM as scoped subqueries, so the cascade
+    and its stages cannot disagree.
+
+    Scale shape: no new shuffles beyond the stages themselves
+    (already individually audited); the cascade adds semi/anti joins
+    on doc_id and three 1-row counts (the r49-pattern sanctioned
+    1-row cross joins). Reference analog: none (LLM-data extension)."""
+    from ekati_spark.queries.base import REGISTRY as _R
+
+    docs = load_table(spark, sf_dir, "documents")
+    s1 = _R["l01_dedup_exact"].fn(spark, sf_dir)
+    surv1 = s1.select(F.col("kept_id").alias("doc_id")).transform(cut_lineage)
+    pairs = _R["l03_minhash_lsh_pairs"].fn(spark, sf_dir)
+    dom = (
+        pairs.join(
+            surv1.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi"
+        )
+        .join(
+            surv1.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi"
+        )
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    surv2 = surv1.join(dom, "doc_id", "left_anti").transform(cut_lineage)
+    sem = _R["l37_semantic_dedup"].fn(spark, sf_dir)
+    drop3 = sem.filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
+    surv3 = surv2.join(drop3, "doc_id", "left_anti")
+
+    tot = docs.agg(F.count("*").cast("long").alias("n"))
+    c1 = surv1.agg(F.count("*").cast("long").alias("n1"))
+    c2 = surv2.agg(F.count("*").cast("long").alias("n2"))
+    c3 = surv3.agg(F.count("*").cast("long").alias("n3"))
+    row = (
+        tot.crossJoin(F.broadcast(c1))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(c3))
+    )
+    return (
+        row.select(
+            F.lit(1).alias("stage"), F.lit("exact").alias("method"),
+            F.col("n").alias("n_in"),
+            (F.col("n") - F.col("n1")).alias("n_removed"),
+            F.col("n1").alias("n_out"),
+        )
+        .unionByName(
+            row.select(
+                F.lit(2).alias("stage"),
+                F.lit("minhash_banded").alias("method"),
+                F.col("n1").alias("n_in"),
+                (F.col("n1") - F.col("n2")).alias("n_removed"),
+                F.col("n2").alias("n_out"),
+            )
+        )
+        .unionByName(
+            row.select(
+                F.lit(3).alias("stage"), F.lit("semantic").alias("method"),
+                F.col("n2").alias("n_in"),
+                (F.col("n2") - F.col("n3")).alias("n_removed"),
+                F.col("n3").alias("n_out"),
+            )
+        )
+    )

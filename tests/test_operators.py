@@ -563,7 +563,8 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
     l64_skipgram_collocations (the N and P corpus totals — two 1-row
     aggregates broadcast onto the scored-pairs frame), and
     g28_engine_metrics (driver-side telemetry frames, O(stages)
-    rows), and r67_kmv_set_ops (the final one-row report: the ≤2k-row
+    rows), and l124_dedup_cascade_report (the r49 shape: four 1-row
+    stage-count aggregates cross-joined into the 3-row report), and r67_kmv_set_ops (the final one-row report: the ≤2k-row
     sketch sample joined with four 1-row aggregates — nm/c/n_a/n_b —
     all broadcast; the data-sized work upstream is distinct-agg +
     bottom-k windows), and l91_maxsim_late_interaction (the l06 shape:
@@ -592,6 +593,7 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "g28_engine_metrics",
         "r67_kmv_set_ops",
         "l91_maxsim_late_interaction",
+        "l124_dedup_cascade_report",
     }
     flagged = {}
     for name in list(REGISTRY):
