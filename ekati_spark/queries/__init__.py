@@ -64,6 +64,8 @@ _POST_WINDOW: list[str] = [
     "l123_cluster_cards",
     "r77_linear_attribution",
     "l124_dedup_cascade_report",
+    "st33_stream_attribution",
+    "l125_template_families",
 ]
 
 _GRADED_FIRST = [

@@ -9374,3 +9374,76 @@ def l124_dedup_cascade_report(spark, sf_dir):
             )
         )
     )
+
+
+@register(
+    "l125_template_families",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS tk
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             array_to_string(tk[1:8], ' ') AS prefix
+      FROM t WHERE len(tk) >= 8
+    ),
+    fam AS (
+      SELECT prefix,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(doc_id) AS BIGINT) AS exemplar_id,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(n_tokens) // count(*) AS BIGINT) AS avg_tokens,
+             CAST(count(DISTINCT n_tokens) AS BIGINT) AS n_length_variants
+      FROM pre GROUP BY prefix
+      HAVING count(*) >= 3
+    )
+    SELECT md5(prefix) AS family_id, n_docs, exemplar_id,
+           total_tokens, avg_tokens, n_length_variants
+    FROM fam
+    """,
+)
+def l125_template_families(spark, sf_dir):
+    """TEMPLATE-family detection — the boilerplate axis l95 (exact
+    duplicated substrings) and l112 (per-source stopwords) both miss:
+    templated pages (error pages, listings, license headers) share a
+    fixed OPENING even when bodies differ, so grouping documents by
+    their 8-token normalized prefix and keeping families of >= 3
+    surfaces the template populations a curation pass then
+    strips/downweights (the RefinedWeb/C4 'templated page' class).
+    Per family: size, min-id exemplar, token mass, truncating-mean
+    length, and how many distinct lengths (1 length variant = a pure
+    form letter; many = a template with variable fill). Family id =
+    md5(prefix) so the artifact carries no raw text.
+
+    Scale shape: ONE scan-stage projection (split + slice + join — no
+    explode) and one prefix-keyed groupBy with map-side partials;
+    output ∝ families, not docs. The 8-token prefix is the blocking
+    key l116's pass-1 sorted-neighborhood ordering generalizes; here
+    the block IS the unit of report. Reference analog: none (LLM-data
+    extension)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    pre = docs.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.concat_ws(" ", F.slice(tk, 1, 8)).alias("prefix"),
+    ).filter(F.col("n_tokens") >= 8)
+    fam = (
+        pre.groupBy("prefix")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("exemplar_id"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.expr("sum(n_tokens) div count(*)")
+            .cast("long").alias("avg_tokens"),
+            F.countDistinct("n_tokens").cast("long")
+            .alias("n_length_variants"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )
+    return fam.select(
+        F.md5("prefix").alias("family_id"),
+        "n_docs", "exemplar_id", "total_tokens", "avg_tokens",
+        "n_length_variants",
+    )

@@ -2026,3 +2026,125 @@ def st32_stream_vad_maintenance(spark, sf_dir):
         F.expr("start_frame * 16 * 1000L div 8000").alias("start_ms"),
         F.col("energy_sum").cast("long").alias("energy_sum"),
     )
+
+
+@register(
+    "st33_stream_attribution",
+    oracle=_REGISTRY["r77_linear_attribution"].oracle,
+)
+def st33_stream_attribution(spark, sf_dir):
+    """STREAMING linear attribution — r77 computed incrementally as
+    events arrive in TIME ORDER (three tertile micro-batches): each
+    epoch first appends its click/view touches to a committed touch
+    LEDGER, then attributes its OWN purchases against ledger ∪ batch
+    touches. Because batches respect event time, every touch a
+    purchase can credit (t2 < t) has already landed — so per-purchase
+    credits computed once, in the purchase's epoch, equal the batch
+    computation exactly and the final read is just the union of
+    committed credit rows (r77's oracle by construction). This is the
+    honest streaming-attribution shape: a lookback join against an
+    accumulated store (the st21 accumulated-ledger pattern), not a
+    recompute-the-world at read.
+
+    At 100 TB: per-trigger cost = batch purchases × the user's
+    lookback touches (the ledger join is user-keyed and the 7-day
+    watermark bounds what must stay); the ledger compacts by dropping
+    touches older than any in-flight purchase's lookback."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("t")
+    ).filter(F.col("event_type").isin("purchase", "click", "view"))
+
+    # deterministic time-tertile epochs (fixture construction only —
+    # production is wall-clock triggers)
+    n = base.count()
+
+    def tertile(k: int):
+        if n < 3:
+            return None
+        return (
+            base.orderBy("t", "event_id")
+            .limit(k * n // 3)
+            .agg(F.max("t"))
+            .first()[0]
+        )
+
+    t1, t2 = tertile(1), tertile(2)  # two scalar jobs, nothing collects
+
+    tmp = Path(tempfile.mkdtemp(prefix="st33_"))
+    src = tmp / "src"
+    src.mkdir()
+    touch_store = str(tmp / "touches")
+    credit_store = str(tmp / "credits")
+    touch_sink = ops.idempotent_batch_sink(touch_store)
+    credit_sink = ops.idempotent_batch_sink(credit_store)
+
+    from pyspark.sql import Window as _W
+
+    def land(b, batch_id):
+        touches = b.filter(
+            F.col("event_type").isin("click", "view")
+        ).select(
+            F.col("user_id").alias("t_user"),
+            F.col("event_id").alias("touch_id"),
+            F.col("event_type").alias("touch_type"),
+            F.col("t").alias("t2"),
+        )
+        touch_sink(touches, batch_id)
+        ledger = ops.read_committed_batches(b.sparkSession, touch_store)
+        conv = b.filter(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), "t"
+        )
+        joined = conv.join(
+            ledger,
+            (conv.user_id == ledger.t_user)
+            & (ledger.t2 < conv.t)
+            & (ledger.t2 >= conv.t - F.lit(604_800_000_000)),
+        ).select("user_id", "purchase_id", "touch_id", "touch_type", "t2")
+        wp = _W.partitionBy("purchase_id")
+        wr = wp.orderBy(F.desc("t2"), F.desc("touch_id"))
+        credits = joined.select(
+            "user_id", "purchase_id", "touch_id", "touch_type",
+            F.count("*").over(wp).cast("long").alias("n"),
+            F.row_number().over(wr).alias("rnk"),
+        ).select(
+            "user_id", "purchase_id", "touch_id", "touch_type",
+            F.expr(
+                "1000L div n + CASE WHEN rnk <= 1000 % n THEN 1 ELSE 0 END"
+            ).cast("long").alias("credit_milli"),
+        )
+        credit_sink(credits, batch_id)
+
+    conds = [
+        F.col("t") < t1 if t1 is not None else F.lit(True),
+        (F.col("t") >= t1) & (F.col("t") < t2)
+        if t1 is not None and t2 is not None
+        else F.lit(False),
+        F.col("t") >= t2 if t2 is not None else F.lit(False),
+    ]
+    for m_, cond in enumerate(conds):
+        base.filter(cond).coalesce(1).write.mode("overwrite").parquet(
+            str(tmp / f"b{m_}")
+        )
+        parts = sorted((tmp / f"b{m_}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m_}.parquet"))
+        shutil.rmtree(tmp / f"b{m_}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(base.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    return ops.read_committed_batches(spark, credit_store).select(
+        "user_id", "purchase_id", "touch_id", "touch_type", "credit_milli"
+    )
