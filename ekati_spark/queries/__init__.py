@@ -66,6 +66,7 @@ _POST_WINDOW: list[str] = [
     "l124_dedup_cascade_report",
     "st33_stream_attribution",
     "l125_template_families",
+    "l126_curation_pipeline_v2",
 ]
 
 _GRADED_FIRST = [

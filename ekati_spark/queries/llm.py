@@ -9447,3 +9447,166 @@ def l125_template_families(spark, sf_dir):
         "n_docs", "exemplar_id", "total_tokens", "avg_tokens",
         "n_length_variants",
     )
+
+
+@register(
+    "l126_curation_pipeline_v2",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, string_split_regex(trim(lower(text)), ' +') AS tk
+      FROM documents
+    ),
+    pre AS (
+      SELECT doc_id,
+             CASE WHEN len(tk) >= 8
+                  THEN array_to_string(tk[1:8], ' ') END AS prefix,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS digest
+      FROM t
+    ),
+    fam AS (
+      SELECT prefix, min(doc_id) AS exemplar
+      FROM pre WHERE prefix IS NOT NULL
+      GROUP BY prefix HAVING count(*) >= 3
+    ),
+    a AS (  -- stage A: template strip (keep each family's exemplar)
+      SELECT p.doc_id, p.digest,
+             (f.prefix IS NOT NULL AND p.doc_id <> f.exemplar)
+               AS drop_template
+      FROM pre p LEFT JOIN fam f ON p.prefix = f.prefix
+    ),
+    b AS (  -- stage B: exact dedup among stage-A survivors
+      SELECT doc_id, drop_template,
+             (NOT drop_template) AND doc_id <> min(doc_id) FILTER (
+               WHERE NOT drop_template) OVER (PARTITION BY digest)
+               AS drop_exact
+      FROM a
+    ),
+    w AS (
+      SELECT doc_id,
+             (CAST(('0x' || substr(md5(unnest(
+                string_split_regex(trim(lower(text)), ' +'))), 1, 15))
+                AS BIGINT) % 4096) * 2654435761 % 2001 AS seed_mod
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             ((CAST(SUM((seed_mod + 12345) % 2001 - 1000) AS BIGINT)
+               // count(*)) + 1000) * 500 AS acc_ppm
+      FROM w GROUP BY doc_id
+    ),
+    c AS (  -- stage C: tempered resample of stage-B survivors
+      SELECT b.doc_id, b.drop_template, b.drop_exact,
+             (NOT b.drop_template) AND (NOT b.drop_exact)
+             AND CAST(('0x' || substr(md5('qtr' ||
+                   CAST(b.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000000 >= q.acc_ppm AS drop_resample
+      FROM b JOIN q ON b.doc_id = q.doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN drop_template THEN 'template'
+                WHEN drop_exact THEN 'exact_dup'
+                WHEN drop_resample THEN 'resample'
+                ELSE 'kept' END AS verdict
+    FROM c
+    """,
+)
+def l126_curation_pipeline_v2(spark, sf_dir):
+    """End-to-end curation pipeline over the ROUND-12 stages — l57's
+    successor wiring the new operators in production order (cheap
+    structural → exact → stochastic): stage A strips template families
+    (l125's 8-token prefix blocking, keep each family's min-id
+    exemplar), stage B exact-dedups the survivors (l01's normalized
+    digest, keep-min AMONG SURVIVORS — a template exemplar can still
+    lose to a smaller-id duplicate), stage C applies quality-tempered
+    rejection resampling (l122's integer ppm ramp + md5 draw) to what
+    remains. Output = one verdict per document ('template' /
+    'exact_dup' / 'resample' / 'kept'), the per-doc provenance a
+    curation audit needs (l124 reports counts; this reports WHY each
+    document left). All three stage rules are integer/md5-exact, so
+    one self-contained oracle replays the whole pipeline.
+
+    Scale shape: two scan-stage projections (prefix+digest, weights),
+    a prefix-keyed groupBy, a digest-keyed window, a doc-keyed agg —
+    every shuffle keyed on high-cardinality columns with map-side
+    partials, no stage sees more than the corpus once. The
+    keep-min-among-survivors rule is one conditional min window on
+    the digest partition (the window-after-filter trap avoided by
+    computing the filtered min IN the same select)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ekati_spark.operators.text import hashed_token_weight_milli
+
+    tk = X.tokens(F.col("text"))
+    pre = docs.select(
+        "doc_id",
+        F.when(F.size(tk) >= 8, F.concat_ws(" ", F.slice(tk, 1, 8)))
+        .alias("prefix"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+        ).alias("digest"),
+    )
+    fam = (
+        pre.filter(F.col("prefix").isNotNull())
+        .groupBy("prefix")
+        .agg(F.count("*").alias("nf"), F.min("doc_id").alias("exemplar"))
+        .filter(F.col("nf") >= 3)
+        .select("prefix", "exemplar")
+    )
+    a = pre.join(F.broadcast(fam), "prefix", "left").select(
+        "doc_id", "digest",
+        (
+            F.col("exemplar").isNotNull()
+            & (F.col("doc_id") != F.col("exemplar"))
+        ).alias("drop_template"),
+    )
+    wdig = W.partitionBy("digest")
+    b = a.select(
+        "doc_id", "drop_template",
+        (
+            ~F.col("drop_template")
+            & (
+                F.col("doc_id")
+                != F.min(
+                    F.when(~F.col("drop_template"), F.col("doc_id"))
+                ).over(wdig)
+            )
+        ).alias("drop_exact"),
+    )
+    weights = (
+        docs.select("doc_id", F.explode(tk).alias("tok"))
+        .select(
+            "doc_id", hashed_token_weight_milli(F.col("tok"), 4096).alias("w")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "((sum(w) div count(*)) + 1000L) * 500L"
+            ).alias("acc_ppm")
+        )
+    )
+    draw = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("qtr"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        % 1000000
+    )
+    c = b.join(weights, "doc_id").select(
+        "doc_id", "drop_template", "drop_exact",
+        (
+            ~F.col("drop_template")
+            & ~F.col("drop_exact")
+            & (draw >= F.col("acc_ppm"))
+        ).alias("drop_resample"),
+    )
+    return c.select(
+        "doc_id",
+        F.when(F.col("drop_template"), "template")
+        .when(F.col("drop_exact"), "exact_dup")
+        .when(F.col("drop_resample"), "resample")
+        .otherwise("kept")
+        .alias("verdict"),
+    )
