@@ -9271,32 +9271,43 @@ def _l124_oracle() -> str:
     scoped subqueries — the cascade can't drift from its stages."""
     from ekati_spark.queries.base import REGISTRY as _R  # noqa: PLC0415
 
+    # stage 3 clusters/judges ONLY the stage-2 survivors (the point of
+    # a cascade: cheap stages shrink the expensive stage's pair work —
+    # at the 10x-replicated sf1 this is ~100x fewer cluster pairs);
+    # the l37 chain is reused verbatim with its one corpus scan
+    # restricted to survivors, so k-means seeds/centroids replay over
+    # the same filtered set on both sides.
+    _sem_on_survivors = _R["l37_semantic_dedup"].oracle.replace(
+        "FROM embeddings",
+        "FROM embeddings WHERE vec_id IN (SELECT doc_id FROM xsurv2)",
+        1,
+    )
     return f"""
-    WITH s1 AS ({_R["l01_dedup_exact"].oracle}),
-    surv1 AS (SELECT kept_id AS doc_id FROM s1),
-    p AS ({_R["l03_minhash_lsh_pairs"].oracle}),
-    dom AS (
-      SELECT DISTINCT p.id_b AS doc_id FROM p
-      WHERE p.id_a IN (SELECT doc_id FROM surv1)
-        AND p.id_b IN (SELECT doc_id FROM surv1)
+    WITH xs1 AS MATERIALIZED ({_R["l01_dedup_exact"].oracle}),
+    xsurv1 AS MATERIALIZED (SELECT kept_id AS doc_id FROM xs1),
+    xp AS MATERIALIZED ({_R["l03_minhash_lsh_pairs"].oracle}),
+    xdom AS MATERIALIZED (
+      SELECT DISTINCT xp.id_b AS doc_id FROM xp
+      WHERE xp.id_a IN (SELECT doc_id FROM xsurv1)
+        AND xp.id_b IN (SELECT doc_id FROM xsurv1)
     ),
-    surv2 AS (SELECT doc_id FROM surv1
-              WHERE doc_id NOT IN (SELECT doc_id FROM dom)),
-    sem AS ({_R["l37_semantic_dedup"].oracle}),
-    drop3 AS (SELECT vec_id AS doc_id FROM sem WHERE NOT kept),
-    surv3 AS (SELECT doc_id FROM surv2
-              WHERE doc_id NOT IN (SELECT doc_id FROM drop3)),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-    c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM surv1),
-    c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM surv2),
-    c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM surv3)
+    xsurv2 AS MATERIALIZED (SELECT doc_id FROM xsurv1
+              WHERE doc_id NOT IN (SELECT doc_id FROM xdom)),
+    xsem AS ({_sem_on_survivors}),
+    xdrop3 AS (SELECT vec_id AS doc_id FROM xsem WHERE NOT kept),
+    xsurv3 AS (SELECT doc_id FROM xsurv2
+              WHERE doc_id NOT IN (SELECT doc_id FROM xdrop3)),
+    xtot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    xc1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xsurv1),
+    xc2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xsurv2),
+    xc3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM xsurv3)
     SELECT CAST(1 AS INTEGER) AS stage, 'exact' AS method,
-           tot.n AS n_in, tot.n - c1.n AS n_removed, c1.n AS n_out
-    FROM tot, c1
+           xtot.n AS n_in, xtot.n - xc1.n AS n_removed, xc1.n AS n_out
+    FROM xtot, xc1
     UNION ALL
-    SELECT 2, 'minhash_banded', c1.n, c1.n - c2.n, c2.n FROM c1, c2
+    SELECT 2, 'minhash_banded', xc1.n, xc1.n - xc2.n, xc2.n FROM xc1, xc2
     UNION ALL
-    SELECT 3, 'semantic', c2.n, c2.n - c3.n, c3.n FROM c2, c3
+    SELECT 3, 'semantic', xc2.n, xc2.n - xc3.n, xc3.n FROM xc2, xc3
     """
 
 
@@ -9336,7 +9347,14 @@ def l124_dedup_cascade_report(spark, sf_dir):
         .distinct()
     )
     surv2 = surv1.join(dom, "doc_id", "left_anti").transform(cut_lineage)
-    sem = _R["l37_semantic_dedup"].fn(spark, sf_dir)
+    emb2 = load_table(spark, sf_dir, "embeddings").join(
+        surv2.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+    )
+    from ekati_spark.operators.similarity import semantic_dedup_int
+
+    sem = semantic_dedup_int(
+        emb2, threshold_sq=(289, 400), n_lists=16, kmeans_iters=2
+    )
     drop3 = sem.filter(~F.col("kept")).select(F.col("vec_id").alias("doc_id"))
     surv3 = surv2.join(drop3, "doc_id", "left_anti")
 
