@@ -19,15 +19,16 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. CORRECTNESS_r11.json graded the round-11
+# order IS the graded set. CORRECTNESS_r12.json graded the round-12
 # window green (50/50 hash-match), so every query registered through
-# round 10 is now driver-attested-ever (252/252). The remaining
-# never-driver-attested set is exactly the 13 round-11 additions
-# (l102-l112, st28, g48); this round-12 window = the 5-query sentinel
-# core + those 13 + 32 least-recently-attested fillers (last green:
-# CORRECTNESS_r03/r05). If this window is graded, every query
-# registered through round 11 is driver-attested-ever; queries added
-# during round 12 go into _POST_WINDOW below and rotate in next round.
+# round 11 is now driver-attested-ever (265/265). The remaining
+# never-driver-attested set is exactly the 23 round-12 additions
+# (l113-l126, st29-st33, r76, r77, g49, g50); this round-13 window =
+# the 5-query sentinel core + those 23 + 22 least-recently-attested
+# fillers (last green: CORRECTNESS_r03/r05). If this window is graded,
+# every query registered through round 12 is driver-attested-ever;
+# queries added during round 13 go into _POST_WINDOW below and rotate
+# in next round.
 #
 # This list is DERIVED, not hand-curated: `python tools/rotate_window.py`
 # regenerates it from the committed CORRECTNESS/JUDGE artifacts, and
@@ -43,83 +44,59 @@ from ekati_spark.queries import stats  # noqa: F401
 # the never-attested block of the NEXT round's rotation, at which point
 # this list is cleared. tools/rotate_window.py excludes these names
 # when re-deriving the window.
-_POST_WINDOW: list[str] = [
-    "l113_dedup_sweep_exact",
-    "l114_lsh_dedup_groups",
-    "l115_packing_efficiency",
-    "st29_stream_source_vocab",
-    "l116_sorted_neighborhood_pairs",
-    "l117_stupid_backoff_score",
-    "st30_stream_heavy_hitters",
-    "l118_scaling_law_subsets",
-    "l119_knn_graph_refine",
-    "l120_tokenizer_compression_audit",
-    "st31_stream_scaling_manifest",
-    "r76_scd2_lookup_join",
-    "g49_trade_backbone_mst",
-    "l121_audio_vad_segments",
-    "l122_quality_tempered_resample",
-    "st32_stream_vad_maintenance",
-    "g50_trade_single_linkage",
-    "l123_cluster_cards",
-    "r77_linear_attribution",
-    "l124_dedup_cascade_report",
-    "st33_stream_attribution",
-    "l125_template_families",
-    "l126_curation_pipeline_v2",
-]
+_POST_WINDOW: list[str] = []
 
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round
     "r03_pricing_summary", "g01_follow_one_hop",
     "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
     # --- never driver-attested ---
-    "g48_bloom_visited_traversal",
-    "l102_frame_decode_coverage",
-    "l103_winnow_recall_audit",
-    "l104_temporal_shingle_recall_audit",
-    "l105_temperature_mixing",
-    "l106_jl_projection_recall",
-    "l107_soft_dedup_weights",
-    "l108_knn_label_consistency",
-    "l109_shingle_containment_pairs",
-    "l110_image_hamming_neardup",
-    "l111_kmv_containment_audit",
-    "l112_source_stopword_scrub",
-    "st28_stream_winnow_maintenance",
+    "r76_scd2_lookup_join",
+    "r77_linear_attribution",
+    "g49_trade_backbone_mst",
+    "g50_trade_single_linkage",
+    "l113_dedup_sweep_exact",
+    "l114_lsh_dedup_groups",
+    "l115_packing_efficiency",
+    "l116_sorted_neighborhood_pairs",
+    "l117_stupid_backoff_score",
+    "l119_knn_graph_refine",
+    "l118_scaling_law_subsets",
+    "l120_tokenizer_compression_audit",
+    "l121_audio_vad_segments",
+    "l122_quality_tempered_resample",
+    "l123_cluster_cards",
+    "l124_dedup_cascade_report",
+    "l125_template_families",
+    "l126_curation_pipeline_v2",
+    "st29_stream_source_vocab",
+    "st30_stream_heavy_hitters",
+    "st31_stream_scaling_manifest",
+    "st32_stream_vad_maintenance",
+    "st33_stream_attribution",
     # --- least-recently attested fillers ---
-    "g05_filter_then_follow",  # last green r03
-    "g06_fields_projection",  # last green r03
-    "g07_skip_limit",  # last green r03
-    "g08_reverse_traversal",  # last green r03
-    "g09_degrees",  # last green r03
-    "g18_asof_snapshot",  # last green r03
-    "g22_trade_reachability",  # last green r03
-    "g26_graph_stats",  # last green r03
-    "l02_ngram_jaccard_pairs",  # last green r03
-    "l05_embedding_dup_pairs",  # last green r03
-    "l08_text_stats",  # last green r03
-    "l09_lang_id",  # last green r03
-    "l10_quality_filter",  # last green r03
-    "l13_tfidf_top_terms",  # last green r03
-    "l16_grouped_normalize",  # last green r03
-    "l17_fuzzy_dedup_pairs",  # last green r03
-    "l24_pii_redact",  # last green r03
-    "l28_duplicate_spans",  # last green r03
-    "l30_decontaminate",  # last green r03
-    "st02_sliding_window",  # last green r03
-    "st03_session_window",  # last green r03
-    "st09_stream_stream_left_join",  # last green r03
-    "r01_scan_count",  # last green r05
-    "r05_count_distinct",  # last green r05
-    "r08_grouping_sets",  # last green r05
-    "r13_join_full_outer",  # last green r05
-    "r20_window_rank_ntile",  # last green r05
-    "r34_correlated_exists",  # last green r05
-    "r37_asof_join",  # last green r05
-    "r39_percentiles",  # last green r05
-    "r52_lateral_topk",  # last green r05
-    "r54_merge_upsert",  # last green r05
+    "g10_cycle_dedup",  # last green r05
+    "g11_latest_version",  # last green r05
+    "g12_multi_valued_keys",  # last green r05
+    "g13_pagerank",  # last green r05
+    "g14_connected_components",  # last green r05
+    "g15_shortest_hops",  # last green r05
+    "g16_motif_supply_path",  # last green r05
+    "g17_triangle_count",  # last green r05
+    "g20_kcore",  # last green r05
+    "g21_label_propagation",  # last green r05
+    "g23_cheapest_trade_route",  # last green r05
+    "g24_cosupplier_graph",  # last green r05
+    "g25_personalized_pagerank",  # last green r05
+    "g27_edge_label_histogram",  # last green r05
+    "l03_minhash_lsh_pairs",  # last green r05
+    "l04_simhash_pairs",  # last green r05
+    "l07_knn_lsh",  # last green r05
+    "l12_multimodal_features",  # last green r05
+    "l14_top_bigrams",  # last green r05
+    "l15_knn_ivf",  # last green r05
+    "l18_token_budget",  # last green r05
+    "l20_dedup_groups",  # last green r05
 ]
 
 
