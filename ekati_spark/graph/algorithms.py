@@ -77,7 +77,9 @@ def page_rank(
     return ranks
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, require_converged: bool = True
+) -> DataFrame:
     """Weakly connected components by iterative min-label propagation over
     the undirected edge set; converges in ≤ diameter supersteps (driver
     loop exits early when no label changes). Label = min node_id (string
@@ -85,8 +87,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     Returns ``(node_id, component)``. For graphs with giant diameter an
     alternating small-star/large-star formulation converges in
-    O(log²) rounds — not needed for FK-shaped graphs whose diameter is
-    bounded by the schema's join depth.
+    O(log²) rounds — use ``connected_components_star`` there; min-label
+    propagation is for FK-shaped graphs whose diameter is bounded by the
+    schema's join depth.
+
+    ``require_converged`` (default True) makes budget exhaustion LOUD: if
+    labels were still changing after ``max_iter`` supersteps the result
+    would be silently wrong on any graph whose diameter exceeds the
+    budget, so we raise instead of returning partial labels. Pass False
+    only when a bounded-propagation view is genuinely wanted.
     """
     und = (
         edges.select("src", "dst")
@@ -98,6 +107,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     )
     labels = _nodes(edges).withColumn("component", F.col("node_id"))
     labels = labels.transform(cut_lineage)
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             labels.join(und, labels.node_id == und.src)
@@ -122,6 +132,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0 and require_converged:
+        raise RuntimeError(
+            f"connected_components: {changed} labels still changing after "
+            f"max_iter={max_iter} supersteps — graph diameter exceeds the "
+            "budget; raise max_iter or use connected_components_star"
+        )
     return labels
 
 
@@ -253,14 +269,36 @@ def connected_components_star(
     """
     nodes = _nodes(edges).transform(cut_lineage)
     e = _symmetrize(edges).transform(cut_lineage)
+
+    # Convergence probe: both sides are canonical-deduped, so set
+    # equality ⟺ equal counts + equal order-free hash-sum. One 2-column
+    # aggregate job per round, vs exceptAll's full set-difference
+    # shuffle (measured 23.3 s → 11.6 s on g50's sf0.01 verify).
+    def _sig(df: DataFrame):
+        return df.agg(
+            F.count("*").alias("n"),
+            # decimal accumulation: long-sum of 64-bit hashes overflows
+            # under ANSI mode; decimal(38,0) holds ~10^18 rows' worth
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+        ).first()
+
+    sig = _sig(e)
+    converged = False
     for _ in range(max_iter):
         e2 = _small_star(_large_star(e)).transform(cut_lineage)
-        # converged when the star-edge set is stable (both canonical-
-        # deduped, so set equality = equal counts + empty difference)
-        if e2.count() == e.count() and e2.exceptAll(e).isEmpty():
-            e = e2
-            break
+        sig2 = _sig(e2)
         e = e2
+        if sig2 == sig:
+            converged = True
+            break
+        sig = sig2
+    if not converged:
+        # O(log² n) rounds means 20 covers any conceivable n; reaching
+        # here is a logic/data anomaly — fail loud, never label wrong.
+        raise RuntimeError(
+            f"connected_components_star: star-edge set not stable after "
+            f"max_iter={max_iter} rounds"
+        )
     # at the fixed point the edges form stars: node → its component root
     comp = e.groupBy("u").agg(F.min("v").alias("component")).select(
         F.col("u").alias("node_id"), "component"
@@ -609,6 +647,7 @@ def boruvka_msf(
         "node", F.col("node").alias("comp")
     ).transform(cut_lineage)
     chosen_all = None
+    hooked_all = False
     for _ in range(max_rounds):
         cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
         cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
@@ -619,6 +658,7 @@ def boruvka_msf(
             .transform(cut_lineage)  # consumed 2x: emptiness probe + cand
         )
         if ec.limit(1).count() == 0:
+            hooked_all = True
             break
         cand = ec.select(
             F.col("cu").alias("c"), "wkey", "u", "v", F.col("cv").alias("t")
@@ -678,6 +718,24 @@ def boruvka_msf(
             .select("node", F.coalesce("newc", "comp").alias("comp"))
             .transform(cut_lineage)
         )
+    if not hooked_all:
+        # Budget exhausted without the empty-frontier probe firing: if a
+        # cross-component edge survives, the returned forest would be
+        # silently non-spanning — fail loud instead. (Borůvka halves the
+        # component count per round, so 2^max_rounds initial components
+        # always converge; this probe guards the docstring's billion-node
+        # contract against an under-sized budget.)
+        cu = comp.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        cv = comp.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        leftover = (
+            edges.join(cu, "u").join(cv, "v").filter(F.col("cu") != F.col("cv"))
+        )
+        if leftover.limit(1).count() > 0:
+            raise RuntimeError(
+                f"boruvka_msf: max_rounds={max_rounds} exhausted with "
+                "cross-component edges remaining — raise max_rounds "
+                "(each round halves the component count)"
+            )
     if chosen_all is None:
         chosen_all = edges.select("u", "v", "wkey").limit(0)
     return chosen_all.distinct(), comp

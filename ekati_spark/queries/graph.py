@@ -3307,7 +3307,13 @@ def g50_trade_single_linkage(spark, sf_dir):
     exactly the k single-linkage clusters): composes g49's Borůvka
     MST, drops the 3 smallest-wkey edges (a k−1-row top-k, never a
     sort of the graph), and labels the surviving forest with
-    min-label propagation (graph/algorithms.connected_components).
+    alternating large-star/small-star contraction
+    (graph/algorithms.connected_components_star) — the cut forest is
+    TREE-shaped, so its diameter can approach its node count and
+    min-label propagation would need O(diameter) supersteps; star
+    contraction converges in O(log² n) rounds regardless, and both
+    label components by min node id, so the oracle's min-label
+    fixpoint CTE agrees exactly.
     Output: one row per cluster with size and id range. Distinct
     weight keys make the dendrogram unique, so the oracle replays
     Prim + the same cut + a min-label fixpoint CTE and must agree
@@ -3315,7 +3321,10 @@ def g50_trade_single_linkage(spark, sf_dir):
     CC pass over a TREE (≤ V−1 edges); the cut is a broadcast-sized
     top-k. Single-linkage on a billion-node near-dup graph is this
     exact plan with the co-purchase substrate swapped in."""
-    from ekati_spark.graph.algorithms import boruvka_msf, connected_components
+    from ekati_spark.graph.algorithms import (
+        boruvka_msf,
+        connected_components_star,
+    )
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
@@ -3353,7 +3362,7 @@ def g50_trade_single_linkage(spark, sf_dir):
     nodes = wk.select(F.col("u").alias("node_id")).unionByName(
         wk.select(F.col("v").alias("node_id"))
     ).distinct()
-    labeled = connected_components(cut, max_iter=8)
+    labeled = connected_components_star(cut)
     # isolated nodes (everything their cluster lost) keep their own id
     full = nodes.join(labeled, "node_id", "left").select(
         "node_id",

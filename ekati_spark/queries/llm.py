@@ -9176,6 +9176,14 @@ def _l123_oracle() -> str:
     from ekati_spark.queries.base import REGISTRY as _R  # noqa: PLC0415
 
     base = _R["l37_semantic_dedup"].oracle
+    # Splice precondition: this helper does string surgery on l37's SQL,
+    # so any drift in l37's oracle shape must fail HERE at registration
+    # time, never produce a semantically different card oracle silently.
+    if base.count("pairs AS MATERIALIZED") != 1:
+        raise AssertionError(
+            "l123 oracle splice: l37's oracle no longer contains exactly "
+            "one 'pairs AS MATERIALIZED' split token — update _l123_oracle"
+        )
     prefix = base.split("pairs AS MATERIALIZED")[0].rstrip().rstrip(",")
     return prefix + """,
     dmap AS (SELECT a3.vec_id AS doc_id, a3.list_id FROM a3),
@@ -9277,7 +9285,17 @@ def _l124_oracle() -> str:
     # the l37 chain is reused verbatim with its one corpus scan
     # restricted to survivors, so k-means seeds/centroids replay over
     # the same filtered set on both sides.
-    _sem_on_survivors = _R["l37_semantic_dedup"].oracle.replace(
+    _sem_base = _R["l37_semantic_dedup"].oracle
+    # Splice precondition: the survivor restriction targets l37's ONE
+    # embeddings scan; a second scan (or a renamed table) added to l37
+    # later would leave part of the chain unrestricted — a semantically
+    # wrong cascade oracle. Fail at registration time instead.
+    if _sem_base.count("FROM embeddings") != 1:
+        raise AssertionError(
+            "l124 oracle splice: l37's oracle no longer contains exactly "
+            "one 'FROM embeddings' scan — update _l124_oracle"
+        )
+    _sem_on_survivors = _sem_base.replace(
         "FROM embeddings",
         "FROM embeddings WHERE vec_id IN (SELECT doc_id FROM xsurv2)",
         1,
@@ -9570,7 +9588,11 @@ def l126_curation_pipeline_v2(spark, sf_dir):
         .filter(F.col("nf") >= 3)
         .select("prefix", "exemplar")
     )
-    a = pre.join(F.broadcast(fam), "prefix", "left").select(
+    # No broadcast hint: fam has one row per >=3-doc prefix family —
+    # unbounded in the corpus size — so a forced broadcast would OOM at
+    # the 100 TB contract; AQE picks broadcast itself when the
+    # materialized size is actually small (the l94 confirm-join rule).
+    a = pre.join(fam, "prefix", "left").select(
         "doc_id", "digest",
         (
             F.col("exemplar").isNotNull()
