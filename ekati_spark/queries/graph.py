@@ -937,10 +937,14 @@ def g23_cheapest_trade_route(spark, sf_dir):
     "g24_cosupplier_graph",
     oracle="""
     WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
-                FROM lineitem)
+                FROM lineitem),
+    psc AS (SELECT p, s FROM (
+              SELECT p, s, row_number() OVER (PARTITION BY p ORDER BY s) AS rn
+              FROM ps)
+            WHERE rn <= 32)
     SELECT a.s AS supp_a, b.s AS supp_b,
            CAST(count(*) AS BIGINT) AS shared_parts
-    FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+    FROM psc a JOIN psc b ON a.p = b.p AND a.s < b.s
     GROUP BY 1, 2
     HAVING count(*) >= 3
     """,
@@ -949,15 +953,27 @@ def g24_cosupplier_graph(spark, sf_dir):
     """Bipartite projection: the supplier co-supply graph (suppliers
     linked by >= 3 shared parts). One distinct pass over lineitem, one
     self-equi-join on the part key (canonical a < b orientation so each
-    pair counts once), one count aggregate. Scale note: projection cost
-    is sum over parts of (suppliers-per-part)^2 — hub parts dominate;
-    at 100 TB cap or sample each part's supplier list (or switch to the
-    MinHash path, l03) before the self-join. The s<t predicate rides on
-    the equi-join on p, so no nested-loop pair enumeration happens."""
+    pair counts once), one count aggregate. Projection cost is sum over
+    parts of (suppliers-per-part)^2 — hub parts dominate — so each
+    part's supplier list is CAPPED at the ``_CP_PART_CAP`` smallest
+    suppkeys first (deterministic row_number over (p ORDER BY s),
+    replayed verbatim in the oracle's psc CTE; binds on real data at
+    sf0.01, max suppliers-per-part 41), bounding per-part pair fan-out
+    at 496 no matter the hub. The s<t predicate rides on the equi-join
+    on p, so no nested-loop pair enumeration happens."""
+    from pyspark.sql import Window as _W
+
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select(
         F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
     ).distinct()
+    ps = (
+        ps.withColumn(
+            "rn", F.row_number().over(_W.partitionBy("p").orderBy("s"))
+        )
+        .filter(F.col("rn") <= _CP_PART_CAP)
+        .drop("rn")
+    )
     a, b = ps.alias("a"), ps.alias("b")
     return (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
@@ -1195,6 +1211,17 @@ def g29_follow_asof(spark, sf_dir):
 # bound where it is not (SHUFFLE_AUDIT_r12 attests both numbers).
 _CP_PART_CAP = 32
 
+# Per-HUB neighborhood cap for shared-neighbor pair joins over the
+# co-purchase graph (g30): even with _CP_PART_CAP bounding each part's
+# pair emission, a customer can accumulate a large co-purchase DEGREE
+# across many parts, and a join on the shared-neighbor key z then
+# generates deg(z)² candidates on that hub. Same guard, one level up:
+# keep each z's 64 smallest neighbor ids (row_number over (z ORDER BY
+# n) — total-order deterministic, replayed verbatim in the oracle's
+# undc CTE), bounding per-hub candidates at 64·63/2 = 2016 regardless
+# of degree. Binds on real data at sf0.01 (max degree 161).
+_CP_HUB_CAP = 64
+
 
 def _copurchase_edges(orders, li):
     """Customer co-purchase edges (u, v), u < v: customers adjacent
@@ -1256,11 +1283,16 @@ def _copurchase_edges(orders, li):
             FROM und GROUP BY u),
     undw AS (SELECT und.u AS z, und.v AS n, 1000000000 // deg.deg AS w
              FROM und JOIN deg ON und.u = deg.z),
+    undc AS (SELECT z, n, w FROM (
+               SELECT z, n, w,
+                      row_number() OVER (PARTITION BY z ORDER BY n) AS rn
+               FROM undw)
+             WHERE rn <= 64),
     cand AS (
       SELECT a.n AS cust_a, b.n AS cust_b,
              CAST(count(*) AS BIGINT) AS common_neighbors,
              CAST(SUM(a.w) AS BIGINT) AS ra_nano
-      FROM undw a JOIN undw b ON a.z = b.z AND a.n < b.n
+      FROM undc a JOIN undc b ON a.z = b.z AND a.n < b.n
       GROUP BY 1, 2
     )
     SELECT c.cust_a, c.cust_b, c.common_neighbors, c.ra_nano
@@ -1286,11 +1318,18 @@ def g30_link_prediction(spark, sf_dir):
     customer-part projection.)
 
     Shape: degree joins BEFORE the pair join (the weight rides the
-    same shuffle key, no second pass), candidate pairs meet on the
-    shared-neighbor key (cost sum of deg(z)^2 — at 100 TB cap or
-    sample hub neighborhoods first, same note as g24), existing edges
-    removed with a left-anti join, top-100 under a total order
-    (ra desc, a, b) -> TakeOrderedAndProject, no global sort."""
+    same shuffle key, no second pass); candidate pairs meet on the
+    shared-neighbor key, whose cost is sum of deg(z)^2 — so hub
+    neighborhoods are CAPPED first at ``_CP_HUB_CAP`` smallest
+    neighbor ids (deterministic row_number over (z ORDER BY n), the
+    ``_CP_PART_CAP`` pattern one level up), bounding per-hub fan-out
+    at 64·63/2 = 2016 candidates no matter the degree; the weight
+    keeps the TRUE degree (the cap samples which pairs are scored,
+    not what deg(z) is). The cap binds at sf0.01 (max co-purchase
+    degree 161), so the oracle's identical undc CTE replay is
+    hash-attested, not dormant. Existing edges removed with a
+    left-anti join, top-100 under a total order (ra desc, a, b) ->
+    TakeOrderedAndProject, no global sort."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     e = (
@@ -1303,7 +1342,16 @@ def g30_link_prediction(spark, sf_dir):
     undw = und.join(deg, und.u == deg.z).select(
         "z", F.col("v").alias("n"), F.expr("1000000000L div deg").alias("w")
     )
-    wa, wb = undw.alias("wa"), undw.alias("wb")
+    from pyspark.sql import Window as _W
+
+    undc = (
+        undw.withColumn(
+            "rn", F.row_number().over(_W.partitionBy("z").orderBy("n"))
+        )
+        .filter(F.col("rn") <= _CP_HUB_CAP)
+        .drop("rn")
+    )
+    wa, wb = undc.alias("wa"), undc.alias("wb")
     cand = (
         wa.join(wb, (F.col("wa.z") == F.col("wb.z")) & (F.col("wa.n") < F.col("wb.n")))
         .groupBy(
