@@ -2574,10 +2574,27 @@ def maxsim_topk(
     )
 
 
+def auto_n_planes(
+    n: int, target_occ: int = 16, lo: int = 6, hi: int = 16
+) -> int:
+    """Smallest plane count in ``[lo, hi]`` whose expected LSH bucket
+    occupancy ``n / 2^np`` is ≤ ``target_occ`` — i.e. the smallest np
+    with ``n ≤ target_occ · 2^np``. Init candidate volume is Σ bucket²
+    ≈ n²/2^np per table, so holding occupancy constant keeps the init
+    LINEAR in n (n · target_occ pairs) instead of quadratic: the knob
+    the l119 docstring used to leave manual, now derived from the
+    corpus count. Pure integer comparisons — replayed exactly by a SQL
+    CASE chain in the l119 oracle, so both sides always agree on np."""
+    np_ = lo
+    while np_ < hi and n > (target_occ << np_):
+        np_ += 1
+    return np_
+
+
 def knn_graph_nndescent(
     emb: DataFrame,
     k: int = 5,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
@@ -2607,9 +2624,23 @@ def knn_graph_nndescent(
     broadcasts the corpus; everything survives n in the billions with
     k tens. ``rounds`` iterates the refinement (0 = the raw LSH init
     graph, the recall baseline the pytest compares against; NN-Descent
-    converges in a handful of rounds because U(v) densifies fast)."""
+    converges in a handful of rounds because U(v) densifies fast).
+
+    ``n_planes=None`` (the default) AUTO-SCALES the init's plane count
+    from the corpus count via ``auto_n_planes``: expected bucket
+    occupancy is held at ≤ 16 vectors, so init pair volume stays
+    ~n·16·L instead of n²/2^np — the bounded-occupancy contract is
+    code, not a manual knob (one count() of the filtered corpus, a
+    single scalar to the driver; numpy plane draws are prefix-stable,
+    so np planes are always the first np rows of the seeded stream and
+    the oracle can inline the max and gate bits by np)."""
     if dim is None:
         dim = _infer_dim(emb, vec_col)
+    if n_planes is None:
+        n = emb.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        ).count()
+        n_planes = auto_n_planes(n)
     cand, v = lsh_candidate_ids(
         emb, n_planes, n_tables, seed, dim, id_col, vec_col
     )

@@ -8716,32 +8716,47 @@ def l117_stupid_backoff_score(spark, sf_dir):
 
 
 def _l119_oracle() -> str:
-    """Replay of knn_graph_nndescent(k=5, n_planes=8, n_tables=4):
+    """Replay of knn_graph_nndescent(k=5, n_planes=AUTO, n_tables=4):
     seeded hyperplanes inline as DOUBLE literals (same construction as
     _l07_oracle), init self-join on any-table bucket equality, top-5
     per direction, one NN-Descent local join over the general-neighbor
-    sets, exact re-rank of the union."""
+    sets, exact re-rank of the union.
+
+    The engine auto-scales the plane count from the corpus count
+    (similarity.auto_n_planes: smallest np in [6,16] with
+    n ≤ 16·2^np); the oracle replays that by inlining ALL 16 planes
+    per table (numpy standard_normal draws are prefix-stable, so the
+    engine's np-plane draw is exactly the first np rows) and GATING
+    each bit on ``p < np``, with np computed by the identical integer
+    CASE chain over count(c) — both sides derive np from the same
+    corpus, at any sf."""
     import numpy as np  # noqa: PLC0415
 
-    dim, n_planes, n_tables, seed = 64, 8, 4, 42
+    dim, max_planes, n_tables, seed = 64, 16, 4, 42
     per_table = []
     for t in range(n_tables):
         rng = np.random.default_rng(seed + t)
-        planes = rng.standard_normal((n_planes, dim))
+        planes = rng.standard_normal((max_planes, dim))
         bits = " + ".join(
-            f"(CASE WHEN list_dot_product(v, "
+            f"(CASE WHEN {p} < nps.np AND list_dot_product(v, "
             f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) > 0 "
             f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
             for p, plane in enumerate(planes)
         )
         per_table.append(f"({bits}) + {t << 32}::BIGINT")
     bucket_exprs = ", ".join(per_table)
+    # smallest np in [6,16] with cnt <= 16*2^np — auto_n_planes exactly
+    np_case = " ".join(
+        f"WHEN cnt <= {16 << p} THEN {p}" for p in range(6, 16)
+    )
     return f"""
     WITH c AS (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
       FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}
     ),
-    cb AS (SELECT id, unnest([{bucket_exprs}]) AS bucket FROM c),
+    nps AS (SELECT CASE {np_case} ELSE 16 END AS np
+            FROM (SELECT count(*) AS cnt FROM c)),
+    cb AS (SELECT id, unnest([{bucket_exprs}]) AS bucket FROM c, nps),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM cb a JOIN cb b USING (bucket) WHERE a.id < b.id
@@ -8793,9 +8808,13 @@ def l119_knn_graph_refine(spark, sf_dir):
     local join, and re-rank exactly; the refinement's recall gain
     over the weak init is asserted in tests/test_similarity.py.
     Scale: see operators/similarity.py::knn_graph_nndescent —
-    init ∝ Σ bucket², refine ∝ n·k², nothing broadcasts the corpus."""
+    init ∝ Σ bucket² with the plane count AUTO-SCALED from the corpus
+    count (auto_n_planes holds expected bucket occupancy ≤ 16, keeping
+    init pair volume ~linear in n), refine ∝ n·k², nothing broadcasts
+    the corpus. The oracle replays the same np via a count-driven CASE
+    chain over 16 inlined prefix-stable planes."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.knn_graph_nndescent(emb, k=5, n_planes=8, n_tables=4)
+    return S.knn_graph_nndescent(emb, k=5, n_planes=None, n_tables=4)
 
 
 @register(

@@ -85,8 +85,23 @@ def _json_safe(v):
     return str(v)
 
 
+# An explicit ?limit= caps the fetch; without one, the display/API
+# response is still bounded (a JSON body is a driver-side artifact —
+# an unbounded collect here was the one uncontracted collect in the
+# package). 10k rows ≈ the most any interactive client renders; bigger
+# extracts belong on the Get/stream path, which never collects.
+_ROWS_DEFAULT_BOUND = 10_000
+
+
 def _rows(df, limit: int | None = None):
-    collected = df.limit(limit).collect() if limit else df.collect()
+    if limit:
+        collected = df.limit(limit).collect()
+    else:
+        from ekati_spark.driverside import collect_bounded
+
+        collected = collect_bounded(
+            df, _ROWS_DEFAULT_BOUND, "server response body"
+        )
     return [_json_safe(r) for r in collected]
 
 

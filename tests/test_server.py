@@ -386,3 +386,21 @@ def test_ui_explorer_page(served):
     body = html.split("<body>")[1]
     assert "https://" not in body
     assert body.count("http://") == body.count("http://www.w3.org/2000/svg")
+
+
+def test_rows_collect_is_bounded(spark, monkeypatch):
+    """The no-limit response path goes through the same
+    ``collect_bounded`` contract as every other driver-side collect in
+    the package: a frame past the bound raises instead of materializing
+    an unbounded JSON body on the driver."""
+    import ekati_spark.server as srv
+
+    small = spark.range(5)
+    assert len(srv._rows(small)) == 5
+    assert len(srv._rows(spark.range(50), limit=3)) == 3
+
+    monkeypatch.setattr(srv, "_ROWS_DEFAULT_BOUND", 10)
+    with pytest.raises(ValueError, match="small-by-contract"):
+        srv._rows(spark.range(11))
+    # an explicit limit bypasses the default bound by design
+    assert len(srv._rows(spark.range(100), limit=20)) == 20

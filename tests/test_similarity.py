@@ -927,3 +927,25 @@ def test_nndescent_planted_clusters_near_perfect_recall(spark):
     r1 = recall(S.knn_graph_nndescent(emb, k=5, n_tables=2, rounds=1))
     assert r1 >= r0, (r0, r1)
     assert r1 >= 0.9, (r0, r1)
+
+
+def test_auto_n_planes_occupancy_contract():
+    """auto_n_planes returns the smallest np in [lo, hi] with expected
+    bucket occupancy n/2^np <= target — the l119 init's linear-volume
+    contract, and the exact integer formula the oracle's CASE chain
+    replays (so the two can never drift)."""
+    # the driver's corpora: sf0.01 -> 500 (clamped at lo), sf0.1 ->
+    # 2000 (first unclamped step), generated sf1 -> 20000
+    assert S.auto_n_planes(500) == 6
+    assert S.auto_n_planes(2000) == 7
+    assert S.auto_n_planes(20000) == 11
+    for n in (1, 100, 1024, 1025, 10**6, 10**9, 10**12):
+        np_ = S.auto_n_planes(n)
+        assert 6 <= np_ <= 16
+        # minimality + the bound itself (hi clamp excepted)
+        if np_ < 16:
+            assert n <= 16 * (1 << np_)
+        if np_ > 6:
+            assert n > 16 * (1 << (np_ - 1))
+    # billion-scale corpora hit the hi clamp, never exceed it
+    assert S.auto_n_planes(10**9) == 16
