@@ -9404,31 +9404,28 @@ def l124_dedup_cascade_report(spark, sf_dir):
         .crossJoin(F.broadcast(c2))
         .crossJoin(F.broadcast(c3))
     )
-    return (
-        row.select(
-            F.lit(1).alias("stage"), F.lit("exact").alias("method"),
-            F.col("n").alias("n_in"),
-            (F.col("n") - F.col("n1")).alias("n_removed"),
-            F.col("n1").alias("n_out"),
+    # one explode over the 1-row counts frame, NOT a 3-branch union of
+    # `row`: each union branch would re-contain row's whole subtree
+    # (3 count scans of documents in the executed plan instead of 1 —
+    # the lineage-cut plan test pins this shape)
+    def _stage(stage, method, n_in, n_out):
+        return F.struct(
+            F.lit(stage).alias("stage"),
+            F.lit(method).alias("method"),
+            n_in.alias("n_in"),
+            (n_in - n_out).alias("n_removed"),
+            n_out.alias("n_out"),
         )
-        .unionByName(
-            row.select(
-                F.lit(2).alias("stage"),
-                F.lit("minhash_banded").alias("method"),
-                F.col("n1").alias("n_in"),
-                (F.col("n1") - F.col("n2")).alias("n_removed"),
-                F.col("n2").alias("n_out"),
+
+    return row.select(
+        F.explode(
+            F.array(
+                _stage(1, "exact", F.col("n"), F.col("n1")),
+                _stage(2, "minhash_banded", F.col("n1"), F.col("n2")),
+                _stage(3, "semantic", F.col("n2"), F.col("n3")),
             )
-        )
-        .unionByName(
-            row.select(
-                F.lit(3).alias("stage"), F.lit("semantic").alias("method"),
-                F.col("n2").alias("n_in"),
-                (F.col("n2") - F.col("n3")).alias("n_removed"),
-                F.col("n3").alias("n_out"),
-            )
-        )
-    )
+        ).alias("s")
+    ).select("s.*")
 
 
 @register(

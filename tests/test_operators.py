@@ -982,3 +982,21 @@ def test_l121_frame_pass_emits_integers_only(spark, sf_dir):
     plan = _plan(Q.REGISTRY["l121_audio_vad_segments"].fn(spark, sf_dir))
     assert "MapInPandas" in plan or "mapInPandas" in plan.lower(), plan
     assert "binary" not in plan.lower().split("exchange", 1)[-1][:400], plan
+
+
+def test_cascade_survivor_lineage_cuts_hold(spark, sf_dir):
+    """l124's cascade re-invokes stage registry fns; the survivor
+    frames between stages are lineage-cut, so consumers read
+    materialized state instead of re-deriving earlier stages. Guard
+    against a future stage edit silently quadraticing the cascade:
+    the RETURNED plan may scan documents only once (the tot count)
+    and embeddings at most once (stage 3's k-means tail is itself
+    lineage-cut) — stage 1/2 recomputation would re-scan documents
+    per consumer — and the cut survivor state must appear as
+    ExistingRDD scans."""
+    import ekati_spark.queries as Q
+
+    plan = _plan(Q.REGISTRY["l124_dedup_cascade_report"].fn(spark, sf_dir))
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("embeddings.parquet") <= 1, plan
+    assert "ExistingRDD" in plan, plan
