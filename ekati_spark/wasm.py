@@ -6,13 +6,17 @@ functions (``src/serverlib/WasmInterop.cs:7-97``; tests
 mutable host global, and host reads of exported linear memory). This
 module reproduces that hosting surface without native dependencies:
 
-a pure-stdlib WAT interpreter runs the module, covering the
+a pure-stdlib interpreter runs the module, covering the
 structured-control + i32 instruction subset the reference's own plugin
 modules use (call/loop/block/br/br_if, local.*/global.*, i32
-const/arith/compare, linear memory with data segments). Anything
-outside the subset raises ``NotImplementedError`` loudly. (wasmtime-py
-is not installable in this environment; if it ever is, ``WatHost`` is
-the seam to swap in the real runtime behind.)
+const/arith/compare, linear memory with data segments). Modules load
+from BOTH front ends — ``.wat`` text (``parse_wat``) and the compiled
+``.wasm`` binary format (``parse_wasm``, the form a plugin author
+actually ships) — decoded into one shared AST, so the two forms are
+behaviorally identical by construction. Anything outside the subset
+raises ``NotImplementedError`` loudly. (wasmtime-py is not installable
+in this environment; if it ever is, ``WatHost`` is the seam to swap in
+the real runtime behind.)
 
 API mirrors the reference's host shape::
 
@@ -516,6 +520,259 @@ class WatHost:
     def instantiate_text(self, wat_source: str) -> Instance:
         return Instance(parse_wat(wat_source), self._funcs, self._globals)
 
+    def instantiate_binary(self, data: bytes) -> Instance:
+        """Instantiate a compiled ``.wasm`` binary (what a plugin
+        author actually ships) — decoded by ``parse_wasm`` into the
+        same AST the text path uses, so the two forms of a module are
+        behaviorally identical by construction."""
+        return Instance(parse_wasm(data), self._funcs, self._globals)
+
     def instantiate_file(self, path: str) -> Instance:
-        with open(path, encoding="utf-8") as f:
-            return self.instantiate_text(f.read())
+        with open(path, "rb") as f:
+            data = f.read()
+        if data[:4] == b"\x00asm":
+            return self.instantiate_binary(data)
+        return self.instantiate_text(data.decode("utf-8"))
+
+
+# ---------------------------------------------------------------------------
+# .wasm binary decoder
+#
+# The reference's plugin roadmap (README.md:34-57) assumes COMPILED
+# modules — what a plugin author actually ships is the `wat2wasm`
+# binary, not the text. This decoder parses the WebAssembly binary
+# format (the public spec's section/LEB128/opcode encoding) for exactly
+# the instruction subset the text interpreter executes, and emits the
+# SAME module AST ``parse_wat`` produces — one evaluator, two front
+# ends, so text and binary forms of a module are behaviorally identical
+# by construction. Anything outside the subset raises
+# ``NotImplementedError`` naming the opcode/section — the same
+# fail-loud contract as the text path.
+
+_WASM_MAGIC = b"\x00asm\x01\x00\x00\x00"
+
+# opcode -> flat-form token for no-immediate instructions
+_BIN_SIMPLE = {
+    0x00: "unreachable", 0x01: "nop", 0x0F: "return", 0x1A: "drop",
+    0x45: "i32.eqz", 0x46: "i32.eq", 0x47: "i32.ne",
+    0x48: "i32.lt_s", 0x49: "i32.lt_u", 0x4A: "i32.gt_s",
+    0x4B: "i32.gt_u", 0x4C: "i32.le_s", 0x4D: "i32.le_u",
+    0x4E: "i32.ge_s", 0x4F: "i32.ge_u",
+    0x6A: "i32.add", 0x6B: "i32.sub", 0x6C: "i32.mul",
+    0x6E: "i32.div_u", 0x70: "i32.rem_u",
+    0x71: "i32.and", 0x72: "i32.or", 0x73: "i32.xor",
+}
+# opcode -> flat-form token for one-index-immediate instructions
+_BIN_IDX = {
+    0x0C: "br", 0x0D: "br_if", 0x10: "call",
+    0x20: "local.get", 0x21: "local.set", 0x22: "local.tee",
+    0x23: "global.get", 0x24: "global.set",
+}
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0
+
+    def byte(self) -> int:
+        b = self.d[self.i]
+        self.i += 1
+        return b
+
+    def take(self, n: int) -> bytes:
+        out = self.d[self.i : self.i + n]
+        if len(out) != n:
+            raise ValueError("truncated wasm binary")
+        self.i += n
+        return out
+
+    def uleb(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out
+            shift += 7
+
+    def sleb(self) -> int:
+        out = shift = 0
+        while True:
+            b = self.byte()
+            out |= (b & 0x7F) << shift
+            shift += 7
+            if not b & 0x80:
+                if b & 0x40:
+                    out -= 1 << shift
+                return out
+
+    def name(self) -> bytes:
+        return self.take(self.uleb())
+
+    def eof(self) -> bool:
+        return self.i >= len(self.d)
+
+
+def _bin_limits(r: _Reader) -> list[str]:
+    flag = r.byte()
+    mn = r.uleb()
+    return [str(mn), str(r.uleb())] if flag & 1 else [str(mn)]
+
+
+def _bin_expr(r: _Reader) -> list[str]:
+    """Decode an instruction sequence through its terminating ``end``
+    into the interpreter's flat-form token list (structured
+    block/loop ... end kept inline, immediates as separate decimal
+    tokens — exactly what the text tokenizer yields)."""
+    out: list[str] = []
+    depth = 0
+    while True:
+        op = r.byte()
+        if op == 0x0B:  # end
+            if depth == 0:
+                return out
+            depth -= 1
+            out.append("end")
+        elif op in (0x02, 0x03):  # block / loop
+            bt = r.byte()
+            if bt != 0x40 and bt != 0x7F:
+                raise NotImplementedError(f"blocktype 0x{bt:02x}")
+            out.append("block" if op == 0x02 else "loop")
+            depth += 1
+        elif op == 0x41:  # i32.const
+            out.extend(["i32.const", str(r.sleb())])
+        elif op in _BIN_IDX:
+            out.extend([_BIN_IDX[op], str(r.uleb())])
+        elif op in _BIN_SIMPLE:
+            out.append(_BIN_SIMPLE[op])
+        else:
+            raise NotImplementedError(f"wasm opcode 0x{op:02x}")
+
+
+def _bin_const_i32(r: _Reader) -> int:
+    if r.byte() != 0x41:
+        raise NotImplementedError("non-i32.const initializer")
+    v = r.sleb()
+    if r.byte() != 0x0B:
+        raise NotImplementedError("compound initializer expression")
+    return v
+
+
+def parse_wasm(data: bytes) -> list:
+    """Decode a ``.wasm`` binary into the module AST ``parse_wat``
+    yields for the equivalent text — consumed by the same
+    ``Instance`` constructor and evaluator."""
+    if data[:8] != _WASM_MAGIC:
+        raise ValueError("not a wasm v1 binary (bad magic/version)")
+    r = _Reader(data)
+    r.i = 8
+    types: list[tuple[int, int]] = []  # (n_params, n_results)
+    func_types: list[int] = []
+    imports: list[list] = []
+    memories: list[list] = []
+    globals_: list[list] = []
+    exports: list[list] = []
+    codes: list[tuple[list[str], list[str]]] = []  # (locals, body)
+    datas: list[list] = []
+
+    while not r.eof():
+        sec = r.byte()
+        size = r.uleb()
+        body = _Reader(r.take(size))
+        if sec == 0:  # custom — skip (names, producers, ...)
+            continue
+        if sec == 1:  # type
+            for _ in range(body.uleb()):
+                if body.byte() != 0x60:
+                    raise NotImplementedError("non-func type")
+                np_ = body.uleb()
+                for _ in range(np_):
+                    if body.byte() != 0x7F:
+                        raise NotImplementedError("non-i32 param")
+                nr = body.uleb()
+                for _ in range(nr):
+                    if body.byte() != 0x7F:
+                        raise NotImplementedError("non-i32 result")
+                types.append((np_, nr))
+        elif sec == 2:  # import
+            for _ in range(body.uleb()):
+                mod, nm = body.name(), body.name()
+                kind = body.byte()
+                if kind == 0:  # func
+                    body.uleb()  # type index (arity comes from host fn)
+                    desc = ["func"]
+                elif kind == 2:  # memory
+                    _bin_limits(body)
+                    desc = ["memory"]
+                elif kind == 3:  # global
+                    if body.byte() != 0x7F:
+                        raise NotImplementedError("non-i32 global import")
+                    body.byte()  # mutability
+                    desc = ["global"]
+                else:
+                    raise NotImplementedError(f"import kind {kind}")
+                imports.append(
+                    ["import", ("str", mod), ("str", nm), desc]
+                )
+        elif sec == 3:  # function (type indices of local funcs)
+            func_types = [body.uleb() for _ in range(body.uleb())]
+        elif sec == 5:  # memory
+            for _ in range(body.uleb()):
+                memories.append(["memory", *_bin_limits(body)])
+        elif sec == 6:  # global
+            for _ in range(body.uleb()):
+                if body.byte() != 0x7F:
+                    raise NotImplementedError("non-i32 global")
+                body.byte()  # mutability
+                globals_.append(
+                    ["global", ["i32.const", str(_bin_const_i32(body))]]
+                )
+        elif sec == 7:  # export
+            kinds = {0: "func", 2: "memory", 3: "global"}
+            for _ in range(body.uleb()):
+                nm = body.name()
+                kind = body.byte()
+                if kind not in kinds:
+                    raise NotImplementedError(f"export kind {kind}")
+                exports.append(
+                    ["export", ("str", nm), [kinds[kind], str(body.uleb())]]
+                )
+        elif sec == 8:  # start — same no-op as the text path
+            body.uleb()
+        elif sec == 10:  # code
+            for _ in range(body.uleb()):
+                fr = _Reader(body.take(body.uleb()))
+                n_locals = 0
+                for _ in range(fr.uleb()):
+                    cnt = fr.uleb()
+                    if fr.byte() != 0x7F:
+                        raise NotImplementedError("non-i32 local")
+                    n_locals += cnt
+                codes.append((["i32"] * n_locals, _bin_expr(fr)))
+        elif sec == 11:  # data
+            for _ in range(body.uleb()):
+                if body.uleb() != 0:
+                    raise NotImplementedError("non-zero data memidx")
+                off = _bin_const_i32(body)
+                datas.append(
+                    ["data", ["i32.const", str(off)],
+                     ("str", bytes(body.name()))]
+                )
+        else:
+            raise NotImplementedError(f"wasm section id {sec}")
+
+    if len(func_types) != len(codes):
+        raise ValueError("function/code section count mismatch")
+    funcs = []
+    for ti, (locals_, flat) in zip(func_types, codes):
+        np_, _ = types[ti]
+        form: list = ["func"]
+        if np_:
+            form.append(["param", *(["i32"] * np_)])
+        if locals_:
+            form.append(["local", *locals_])
+        form.extend(flat)
+        funcs.append(form)
+    return ["module", *imports, *memories, *globals_, *funcs,
+            *exports, *datas]
