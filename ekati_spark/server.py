@@ -39,9 +39,10 @@ Endpoints:
                     over REAL protobuf message bytes (types.proto
                     codec in ``ekati_spark.wire``); request body = one
                     unframed message, ``Get`` streams 5-byte-framed
-                    ``Node`` messages. Transport is HTTP/1.1 (documented
-                    deviation — no grpcio here), messages are
-                    reference-compatible.
+                    ``Node`` messages. The same dispatch also serves
+                    REAL gRPC-over-HTTP/2 via ``start_h2()`` (h2c,
+                    ``wire/h2.py``); this HTTP/1.1 form stays as the
+                    curl-able sidecar surface.
 - ``GET /ui``       graph-explorer page (the reference's Blazor UI —
                     ``src/UI/Pages/{Query,Graph,Metrics}.razor`` — as
                     one self-contained HTML document; see
@@ -213,145 +214,20 @@ class EkatiServer:
 
             def _do_grpc(self, method: str, raw: bytes) -> None:
                 """The reference's WatDbService RPCs (types.proto:231-239)
-                over protobuf message bytes. TRANSPORT deviation
-                (PARITY.md): HTTP/1.1 POST per RPC instead of
-                gRPC-over-HTTP/2 (no grpcio in this environment);
-                request body = one unframed message, streaming
-                responses use standard 5-byte gRPC framing."""
-                from ekati_spark.wire import bridge
-                from ekati_spark.wire import proto as W
-
-                if method == "Put":  # WatService.cs:97-130
-                    node = W.decode("Node", raw)
-                    outer.engine.run_put(bridge.node_msg_to_put(node))
-                    self._reply_proto(
-                        W.encode("PutResponse", {"success": True}), False
-                    )
-                elif method == "Get":  # WatService.cs:284-293 (stream)
-                    q = W.decode("Query", raw)
-                    df = outer.engine.run_get(bridge.query_msg_to_get(q))
-                    # same daemon-side cap as /query: never buffer an
-                    # unbounded result (page with skip/limit steps)
-                    rows = df.limit(100_000).collect()
-                    body = b"".join(
-                        W.frame(W.encode("Node", n))
-                        for n in bridge.rows_to_node_msgs(rows)
-                    )
-                    self._reply_proto(body, True)
-                elif method == "GetMetrics":  # WatService.cs:338-369
-                    from ekati_spark.metrics import stage_metrics
-
-                    names = W.decode("GetMetricsRequest", raw).get(
-                        "names", []
-                    )
-                    metrics = [
-                        # Metric{name, value}: per-stage executor run
-                        # time, named like the UI's stage list
-                        {
-                            "value": float(r[6]),
-                            "name": f"stage.{r[0]}.runtime_ms",
-                        }
-                        for r in stage_metrics(outer.engine.spark).collect()
-                        if not names or f"stage.{r[0]}.runtime_ms" in names
-                    ]
-                    self._reply_proto(
-                        W.encode("GetMetricsResponse", {"metrics": metrics}),
-                        False,
-                    )
-                elif method == "GetStats":
-                    row = _rows(outer.engine.graph.stats())[0]
-                    self._reply_proto(
-                        W.encode(
-                            "GetStatsResponse",
-                            {"names": [f"{k}={v}" for k, v in row.items()]},
-                        ),
-                        False,
-                    )
-                elif method == "ListStats":  # types.proto:237
-                    req_msg = W.decode("ListStatsRequest", raw)
-                    match = req_msg.get("match", [])
-                    row = _rows(outer.engine.graph.stats())[0]
-                    names = [
-                        k
-                        for k in row
-                        if not match or any(m in k for m in match)
-                    ]
-                    self._reply_proto(
-                        W.encode("ListStatsResponse", {"names": names}),
-                        False,
-                    )
-                elif method == "ListPolicies":  # types.proto:238 (stream)
-                    from ekati_spark.plugins import list_plugins
-
-                    req_msg = W.decode("ListPoliciesRequest", raw)
-                    iris = set(req_msg.get("iris", []))
-                    body = b"".join(
-                        W.frame(
-                            W.encode(
-                                "Node",
-                                {
-                                    "id": {"iri": f"plugin:{nm}"},
-                                    "attributes": [
-                                        {
-                                            "key": {"Data": {"str": "kind"}},
-                                            "value": {"Data": {"str": kd}},
-                                        },
-                                        {
-                                            "key": {"Data": {"str": "doc"}},
-                                            "value": {"Data": {"str": doc}},
-                                        },
-                                    ],
-                                },
-                            )
-                        )
-                        for nm, kd, doc in list_plugins()
-                        if not iris or f"plugin:{nm}" in iris
-                    )
-                    self._reply_proto(body, True)
-                elif method == "Load":  # WatService.cs:338-369 (stream)
-                    lf = W.decode("LoadFile", raw)
-                    kind, path = lf.get("type", ""), lf.get("path", "")
-                    if kind not in ("nt", "graphml"):
-                        self._reply(400, {"error": f"bad kind {kind!r}"})
-                        return
-                    progress: list[dict] = []
-                    with outer._load_lock:
-                        saved = outer.engine.on_progress
-                        outer.engine.on_progress = progress.append
-                        try:
-                            df = outer.engine.execute(
-                                f'load {kind} "{path}"'
-                            )
-                        finally:
-                            outer.engine.on_progress = saved
-                    n = df.count()
-                    # URL loads emit {"bytes_read", "total_bytes", ...}
-                    # (sources/ntriples.py:169) — map onto the RPC's
-                    # {progress, length} exactly as WatService does
-                    frames = [
-                        W.frame(
-                            W.encode(
-                                "LoadFileResponse",
-                                {
-                                    "progress": int(p.get("bytes_read", 0)),
-                                    "length": int(p.get("total_bytes", 0)),
-                                },
-                            )
-                        )
-                        for p in progress
-                        if isinstance(p, dict)
-                    ]
-                    frames.append(
-                        W.frame(
-                            W.encode(
-                                "LoadFileResponse",
-                                {"progress": n, "length": n},
-                            )
-                        )
-                    )
-                    self._reply_proto(b"".join(frames), True)
-                else:
+                over protobuf message bytes on HTTP/1.1 (one POST per
+                RPC, request body = one unframed message, streaming
+                responses use standard 5-byte gRPC framing). The same
+                dispatch serves real gRPC-over-HTTP/2 via
+                ``EkatiServer.start_h2`` (wire/h2.py)."""
+                try:
+                    res = outer.grpc_call(method, raw)
+                except ValueError as e:
+                    self._reply(400, {"error": str(e)})
+                    return
+                if res is None:
                     self._reply(404, {"error": f"no grpc method {method}"})
+                    return
+                self._reply_proto(*res)
 
             def do_POST(self):  # noqa: N802 — http.server contract
                 try:
@@ -502,6 +378,134 @@ class EkatiServer:
         self.port = self._httpd.server_address[1]
         self._thread: threading.Thread | None = None
 
+    def grpc_call(self, method: str, raw: bytes):
+        """Transport-agnostic WatDbService dispatch: ``raw`` is one
+        decoded-side protobuf request message, returns ``(payload,
+        framed)`` where framed=True means the payload is a 5-byte-framed
+        gRPC message stream; ``None`` for an unknown method. Both the
+        HTTP/1.1 ``POST /grpc/*`` surface and the HTTP/2 h2c transport
+        (``start_h2``) call this."""
+        from ekati_spark.wire import bridge
+        from ekati_spark.wire import proto as W
+
+        if method == "Put":  # WatService.cs:97-130
+            node = W.decode("Node", raw)
+            self.engine.run_put(bridge.node_msg_to_put(node))
+            return W.encode("PutResponse", {"success": True}), False
+        if method == "Get":  # WatService.cs:284-293 (stream)
+            q = W.decode("Query", raw)
+            df = self.engine.run_get(bridge.query_msg_to_get(q))
+            # same daemon-side cap as /query: never buffer an
+            # unbounded result (page with skip/limit steps)
+            rows = df.limit(100_000).collect()
+            body = b"".join(
+                W.frame(W.encode("Node", n))
+                for n in bridge.rows_to_node_msgs(rows)
+            )
+            return body, True
+        if method == "GetMetrics":  # WatService.cs:338-369
+            from ekati_spark.metrics import stage_metrics
+
+            names = W.decode("GetMetricsRequest", raw).get("names", [])
+            metrics = [
+                # Metric{name, value}: per-stage executor run
+                # time, named like the UI's stage list
+                {
+                    "value": float(r[6]),
+                    "name": f"stage.{r[0]}.runtime_ms",
+                }
+                for r in stage_metrics(self.engine.spark).collect()
+                if not names or f"stage.{r[0]}.runtime_ms" in names
+            ]
+            return (
+                W.encode("GetMetricsResponse", {"metrics": metrics}),
+                False,
+            )
+        if method == "GetStats":
+            row = _rows(self.engine.graph.stats())[0]
+            return (
+                W.encode(
+                    "GetStatsResponse",
+                    {"names": [f"{k}={v}" for k, v in row.items()]},
+                ),
+                False,
+            )
+        if method == "ListStats":  # types.proto:237
+            req_msg = W.decode("ListStatsRequest", raw)
+            match = req_msg.get("match", [])
+            row = _rows(self.engine.graph.stats())[0]
+            names = [
+                k for k in row if not match or any(m in k for m in match)
+            ]
+            return W.encode("ListStatsResponse", {"names": names}), False
+        if method == "ListPolicies":  # types.proto:238 (stream)
+            from ekati_spark.plugins import list_plugins
+
+            req_msg = W.decode("ListPoliciesRequest", raw)
+            iris = set(req_msg.get("iris", []))
+            body = b"".join(
+                W.frame(
+                    W.encode(
+                        "Node",
+                        {
+                            "id": {"iri": f"plugin:{nm}"},
+                            "attributes": [
+                                {
+                                    "key": {"Data": {"str": "kind"}},
+                                    "value": {"Data": {"str": kd}},
+                                },
+                                {
+                                    "key": {"Data": {"str": "doc"}},
+                                    "value": {"Data": {"str": doc}},
+                                },
+                            ],
+                        },
+                    )
+                )
+                for nm, kd, doc in list_plugins()
+                if not iris or f"plugin:{nm}" in iris
+            )
+            return body, True
+        if method == "Load":  # WatService.cs:338-369 (stream)
+            lf = W.decode("LoadFile", raw)
+            kind, path = lf.get("type", ""), lf.get("path", "")
+            if kind not in ("nt", "graphml"):
+                raise ValueError(f"bad kind {kind!r}")
+            progress: list[dict] = []
+            with self._load_lock:
+                saved = self.engine.on_progress
+                self.engine.on_progress = progress.append
+                try:
+                    df = self.engine.execute(f'load {kind} "{path}"')
+                finally:
+                    self.engine.on_progress = saved
+            n = df.count()
+            # URL loads emit {"bytes_read", "total_bytes", ...}
+            # (sources/ntriples.py:169) — map onto the RPC's
+            # {progress, length} exactly as WatService does
+            frames = [
+                W.frame(
+                    W.encode(
+                        "LoadFileResponse",
+                        {
+                            "progress": int(p.get("bytes_read", 0)),
+                            "length": int(p.get("total_bytes", 0)),
+                        },
+                    )
+                )
+                for p in progress
+                if isinstance(p, dict)
+            ]
+            frames.append(
+                W.frame(
+                    W.encode(
+                        "LoadFileResponse", {"progress": n, "length": n}
+                    )
+                )
+            )
+            return b"".join(frames), True
+        return None
+
     def _ensure_views(self, sf_dir: str) -> None:
         """Register the standard tables of ``sf_dir`` as temp views
         (idempotent per sf_dir; switching directories re-registers —
@@ -521,9 +525,56 @@ class EkatiServer:
         self._thread.start()
         return self
 
+    def start_h2(self, host: str = "127.0.0.1", port: int = 0):
+        """Serve the WatDbService RPCs as REAL gRPC: h2c (cleartext
+        HTTP/2 with prior knowledge — what ``grpc.insecure_channel``
+        dials) via the pure-stdlib framing layer in ``wire/h2.py``,
+        request/response bodies as 5-byte-framed protobuf messages,
+        status on the gRPC trailers channel. Any ``/<service>/<Method>``
+        path routes by method name (the reference's service is
+        ``ahghee.WatDbService``, types.proto:227-238). Returns the
+        running ``H2Server`` (``.port`` for the bound port); ``stop()``
+        shuts it down with the HTTP/1.1 surface."""
+        from ekati_spark.wire import h2 as H2
+        from ekati_spark.wire import proto as W
+
+        def handler(headers, body):
+            hd = dict(headers)
+            method = hd.get(":path", "").rsplit("/", 1)[-1]
+            resp_headers = [("content-type", "application/grpc")]
+            msgs = list(W.iter_frames(body))
+            raw = msgs[0] if msgs else b""
+            try:
+                res = self.grpc_call(method, raw)
+            except ValueError as e:
+                return 200, resp_headers, b"", [
+                    ("grpc-status", "3"),  # INVALID_ARGUMENT
+                    ("grpc-message", str(e)),
+                ]
+            except Exception as e:  # engine error -> UNKNOWN
+                return 200, resp_headers, b"", [
+                    ("grpc-status", "2"),
+                    ("grpc-message", f"{type(e).__name__}: {e}"),
+                ]
+            if res is None:
+                return 200, resp_headers, b"", [
+                    ("grpc-status", "12"),  # UNIMPLEMENTED
+                    ("grpc-message", f"no method {method}"),
+                ]
+            payload, framed = res
+            if not framed:
+                payload = W.frame(payload)
+            return 200, resp_headers, payload, [("grpc-status", "0")]
+
+        self._h2 = H2.H2Server(handler, host, port).start()
+        return self._h2
+
     def stop(self) -> None:
         self._httpd.shutdown()
         self._httpd.server_close()
+        if getattr(self, "_h2", None) is not None:
+            self._h2.stop()
+            self._h2 = None
         if self._thread:
             self._thread.join(timeout=5)
 

@@ -1,0 +1,356 @@
+"""gRPC-over-HTTP/2 transport — the wire layer a stock gRPC client
+speaks to the reference daemon (``src/server``), served h2c by the
+pure-stdlib framing in ``ekati_spark/wire/h2.py`` + HPACK in
+``wire/hpackc.py``.
+
+Three layers of evidence:
+
+- HPACK against RFC 7541's own Appendix C golden vectors (request
+  series with and without Huffman, dynamic-table evolution checked
+  between requests);
+- a raw-socket HTTP/2 client (this file) driving Put + streamed Get
+  end to end — preface, SETTINGS exchange, Huffman-coded request
+  headers, DATA framing, response trailers with ``grpc-status``;
+- the STOCK ``curl`` (libnghttp2) and ``nghttp`` clients doing the
+  same POSTs — interop with an independent full implementation,
+  including whatever header compression it chooses.
+"""
+
+from __future__ import annotations
+
+import shutil
+import socket
+import struct
+import subprocess
+
+import pytest
+
+from ekati_spark.graph.compiler import QueryEngine
+from ekati_spark.server import EkatiServer
+from ekati_spark.wire import h2 as H2
+from ekati_spark.wire import hpackc
+from ekati_spark.wire import proto as W
+
+
+# ---------------------------------------------------------------------------
+# HPACK unit level
+
+
+def test_hpack_integer_codec_rfc_examples():
+    # RFC 7541 C.1: 10 in a 5-bit prefix; 1337 in a 5-bit prefix; 42 8-bit
+    assert hpackc.encode_int(10, 5) == bytes([0b01010])
+    assert hpackc.encode_int(1337, 5) == bytes([31, 154, 10])
+    assert hpackc.encode_int(42, 8) == bytes([42])
+    for v, p in [(0, 5), (30, 5), (31, 5), (1337, 5), (5000, 4), (99, 7)]:
+        data = hpackc.encode_int(v, p)
+        got, pos = hpackc.decode_int(data, 0, p)
+        assert (got, pos) == (v, len(data))
+
+
+def test_hpack_huffman_rfc_golden():
+    """RFC 7541 C.4.1: 'www.example.com' Huffman-codes to the spec's
+    exact bytes; decode inverts; EOS-in-data and bad padding raise."""
+    enc = hpackc.huffman_encode(b"www.example.com")
+    assert enc.hex() == "f1e3c2e5f23a6ba0ab90f4ff"
+    assert hpackc.huffman_decode(enc) == b"www.example.com"
+    assert hpackc.huffman_encode(b"no-cache").hex() == "a8eb10649cbf"
+    for payload in (b"", b"x", bytes(range(256))):
+        assert hpackc.huffman_decode(hpackc.huffman_encode(payload)) == payload
+    with pytest.raises(ValueError):
+        hpackc.huffman_decode(b"\x00")  # '0''0'... invalid padding tail
+
+
+def test_hpack_decoder_rfc_c3_c4_request_series():
+    """Appendix C.3 (plain) and C.4 (Huffman) three-request series on
+    one connection each: indexed fields, incremental indexing, dynamic
+    table evolution and reference back into it."""
+    expected = [
+        [(":method", "GET"), (":scheme", "http"), (":path", "/"),
+         (":authority", "www.example.com")],
+        [(":method", "GET"), (":scheme", "http"), (":path", "/"),
+         (":authority", "www.example.com"), ("cache-control", "no-cache")],
+        [(":method", "GET"), (":scheme", "https"), (":path", "/index.html"),
+         (":authority", "www.example.com"),
+         ("custom-key", "custom-value")],
+    ]
+    plain = [
+        "828684410f7777772e6578616d706c652e636f6d",
+        "828684be58086e6f2d6361636865",
+        "828785bf400a637573746f6d2d6b65790c637573746f6d2d76616c7565",
+    ]
+    huff = [
+        "828684418cf1e3c2e5f23a6ba0ab90f4ff",
+        "828684be5886a8eb10649cbf",
+        "828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf",
+    ]
+    for series in (plain, huff):
+        dec = hpackc.Decoder()
+        for blob, want in zip(series, expected):
+            assert dec.decode(bytes.fromhex(blob)) == want
+        # after request 3 the dynamic table holds custom-key then
+        # cache-control then :authority (RFC C.3.3 table state)
+        assert dec.dynamic == [
+            ("custom-key", "custom-value"),
+            ("cache-control", "no-cache"),
+            (":authority", "www.example.com"),
+        ]
+
+
+def test_hpack_dynamic_table_size_update_and_eviction():
+    dec = hpackc.Decoder(max_size=4096)
+    # insert two entries, then shrink the table to evict the older one
+    block = (
+        b"\x40" + hpackc.encode_int(1, 7) + b"a"
+        + hpackc.encode_int(1, 7) + b"1"
+        + b"\x40" + hpackc.encode_int(1, 7) + b"b"
+        + hpackc.encode_int(1, 7) + b"2"
+    )
+    dec.decode(block)
+    assert dec.dynamic == [("b", "2"), ("a", "1")]
+    dec.decode(hpackc.encode_int(34, 5, 0x20))  # fits exactly one entry
+    assert dec.dynamic == [("b", "2")]
+    with pytest.raises(ValueError):
+        dec.decode(hpackc.encode_int(1 << 20, 5, 0x20))
+
+
+# ---------------------------------------------------------------------------
+# raw-socket HTTP/2 client
+
+
+class _H2Client:
+    """Minimal prior-knowledge h2c client for driving the server: its
+    OWN encoder (including Huffman-coded literals) so the server's
+    decode path is exercised without external tools."""
+
+    def __init__(self, host: str, port: int):
+        self.sock = socket.create_connection((host, port), timeout=10)
+        self.sock.sendall(H2.PREFACE)
+        self.sock.sendall(H2.pack_frame(H2.SETTINGS, 0, 0, b""))
+        self.next_stream = 1
+
+    def close(self):
+        self.sock.close()
+
+    def _recv_frame(self):
+        head = b""
+        while len(head) < 9:
+            chunk = self.sock.recv(9 - len(head))
+            if not chunk:
+                return None
+            head += chunk
+        length = int.from_bytes(head[:3], "big")
+        body = b""
+        while len(body) < length:
+            chunk = self.sock.recv(length - len(body))
+            if not chunk:
+                return None
+            body += chunk
+        return head[3], head[4], int.from_bytes(head[5:9], "big"), body
+
+    @staticmethod
+    def _hpack_huffman_literal(name: str, value: str) -> bytes:
+        out = bytearray()
+        nb = hpackc.huffman_encode(name.encode())
+        vb = hpackc.huffman_encode(value.encode())
+        out += b"\x00" + hpackc.encode_int(len(nb), 7, 0x80) + nb
+        out += hpackc.encode_int(len(vb), 7, 0x80) + vb
+        return bytes(out)
+
+    def request(self, path: str, body: bytes):
+        """POST ``body`` as gRPC DATA; returns (headers, data, trailers).
+        Request headers go Huffman-coded to prove the server decodes
+        real compressed blocks, not just raw octets."""
+        sid = self.next_stream
+        self.next_stream += 2
+        block = b"".join(
+            self._hpack_huffman_literal(n, v)
+            for n, v in [
+                (":method", "POST"), (":scheme", "http"), (":path", path),
+                (":authority", "localhost"),
+                ("content-type", "application/grpc"), ("te", "trailers"),
+            ]
+        )
+        self.sock.sendall(
+            H2.pack_frame(H2.HEADERS, H2.END_HEADERS, sid, block)
+        )
+        self.sock.sendall(
+            H2.pack_frame(H2.DATA, H2.END_STREAM, sid, body)
+        )
+        dec = hpackc.Decoder()
+        headers = trailers = None
+        data = bytearray()
+        while True:
+            fr = self._recv_frame()
+            assert fr is not None, "connection closed mid-response"
+            ftype, flags, stream_id, payload = fr
+            if ftype == H2.SETTINGS and not flags & H2.ACK:
+                self.sock.sendall(H2.pack_frame(H2.SETTINGS, H2.ACK, 0, b""))
+            elif ftype == H2.HEADERS and stream_id == sid:
+                decoded = dec.decode(payload)
+                if headers is None:
+                    headers = decoded
+                else:
+                    trailers = decoded
+                if flags & H2.END_STREAM:
+                    return headers, bytes(data), trailers
+            elif ftype == H2.DATA and stream_id == sid:
+                data += payload
+                if payload:
+                    upd = struct.pack(">I", len(payload))
+                    self.sock.sendall(
+                        H2.pack_frame(H2.WINDOW_UPDATE, 0, 0, upd)
+                    )
+                    self.sock.sendall(
+                        H2.pack_frame(H2.WINDOW_UPDATE, 0, sid, upd)
+                    )
+                if flags & H2.END_STREAM:
+                    return headers, bytes(data), trailers
+
+
+@pytest.fixture()
+def h2_served(spark):
+    engine = QueryEngine(spark)
+    engine.execute(
+        'put "s1" {"name": "ada", "likes": ^"s2"}; "s2" {"name": "bob"}'
+    )
+    server = EkatiServer(engine).start()
+    h2srv = server.start_h2()
+    yield server, h2srv
+    server.stop()
+
+
+def _get_query_msg() -> bytes:
+    return W.encode("Query", {"iris": ["s1"]})
+
+
+def test_h2_grpc_put_get_roundtrip(h2_served):
+    """End to end over our raw client: Put a node, Get it back as
+    framed Node messages, grpc-status 0 on the trailers channel —
+    request headers Huffman-coded throughout."""
+    _, h2srv = h2_served
+    cli = _H2Client(h2srv.host, h2srv.port)
+    try:
+        node = {
+            "id": {"iri": "h2node"},
+            "attributes": [
+                {
+                    "key": {"Data": {"str": "proto"}},
+                    "value": {"Data": {"str": "h2c"}},
+                }
+            ],
+        }
+        hdrs, data, trailers = cli.request(
+            "/ahghee.WatDbService/Put", W.frame(W.encode("Node", node))
+        )
+        assert (":status", "200") in hdrs
+        assert ("content-type", "application/grpc") in hdrs
+        assert ("grpc-status", "0") in trailers
+        frames = list(W.iter_frames(data))
+        assert len(frames) == 1
+        assert W.decode("PutResponse", frames[0])["success"] is True
+
+        q = W.encode("Query", {"iris": ["h2node"]})
+        hdrs, data, trailers = cli.request(
+            "/ahghee.WatDbService/Get", W.frame(q)
+        )
+        assert ("grpc-status", "0") in trailers
+        nodes = [W.decode("Node", f) for f in W.iter_frames(data)]
+        assert any(n.get("id", {}).get("iri") == "h2node" for n in nodes)
+    finally:
+        cli.close()
+
+
+def test_h2_grpc_unknown_method_unimplemented(h2_served):
+    _, h2srv = h2_served
+    cli = _H2Client(h2srv.host, h2srv.port)
+    try:
+        _, data, trailers = cli.request("/ahghee.WatDbService/Nope", b"")
+        assert data == b""
+        assert ("grpc-status", "12") in trailers
+    finally:
+        cli.close()
+
+
+# ---------------------------------------------------------------------------
+# stock-client interop
+
+
+def _curl_ok():
+    curl = shutil.which("curl")
+    if not curl:
+        return None
+    probe = subprocess.run(
+        [curl, "--version"], capture_output=True, text=True
+    )
+    return curl if "HTTP2" in probe.stdout or "nghttp2" in probe.stdout else None
+
+
+def test_h2_interop_with_stock_curl(h2_served, tmp_path):
+    """curl --http2-prior-knowledge (libnghttp2 — an independent full
+    HTTP/2 + HPACK implementation, Huffman and dynamic table included)
+    POSTs a framed Get; the response body must decode as Node frames."""
+    curl = _curl_ok()
+    if curl is None:
+        pytest.skip("no HTTP/2-capable curl on PATH")
+    _, h2srv = h2_served
+    req = tmp_path / "get.bin"
+    hdr_dump = tmp_path / "headers.txt"
+    req.write_bytes(W.frame(_get_query_msg()))
+    out = subprocess.run(
+        [
+            curl, "-s", "--http2-prior-knowledge",
+            "-X", "POST",
+            "-H", "content-type: application/grpc",
+            "-H", "te: trailers",
+            "--data-binary", f"@{req}",
+            "-D", str(hdr_dump),
+            f"http://{h2srv.host}:{h2srv.port}/ahghee.WatDbService/Get",
+        ],
+        capture_output=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr.decode()
+    head = hdr_dump.read_text()
+    assert "HTTP/2 200" in head
+    assert "content-type: application/grpc" in head
+    # curl 7.88 appends received TRAILERS after the body on stdout;
+    # parse the length-prefixed frames greedily — the leftover must be
+    # exactly the gRPC status trailer (or empty on curls that route
+    # trailers to the header dump instead)
+    frames, leftover = [], out.stdout
+    while len(leftover) >= 5 and leftover[0] == 0:
+        ln = int.from_bytes(leftover[1:5], "big")
+        frames.append(leftover[5 : 5 + ln])
+        leftover = leftover[5 + ln :]
+    assert leftover in (b"", b"grpc-status: 0\r\n"), leftover
+    assert "grpc-status: 0" in head or leftover, (head, leftover)
+    nodes = [W.decode("Node", f) for f in frames]
+    assert any(n.get("id", {}).get("iri") == "s1" for n in nodes)
+
+
+def test_h2_interop_with_stock_nghttp(h2_served, tmp_path):
+    """nghttp -v shows every frame: assert the full gRPC shape — 200
+    response headers, DATA, and the grpc-status trailer — as decoded
+    by nghttp2 itself."""
+    nghttp = shutil.which("nghttp")
+    if nghttp is None:
+        pytest.skip("no nghttp on PATH")
+    _, h2srv = h2_served
+    req = tmp_path / "get.bin"
+    req.write_bytes(W.frame(_get_query_msg()))
+    out = subprocess.run(
+        [
+            nghttp, "-v",
+            "-H", "content-type: application/grpc",
+            "-H", "te: trailers",
+            "-d", str(req),
+            f"http://{h2srv.host}:{h2srv.port}/ahghee.WatDbService/Get",
+        ],
+        capture_output=True,
+        timeout=120,
+    )
+    txt = out.stdout.decode(errors="replace")  # DATA frames are binary
+    assert out.returncode == 0, out.stderr.decode(errors="replace")
+    assert ":status: 200" in txt
+    assert "content-type: application/grpc" in txt
+    assert "grpc-status: 0" in txt
