@@ -5154,13 +5154,14 @@ def l80_bm25_topk(spark, sf_dir):
     return _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]))
 
 
-def _bm25_topk(tf, dl, n: int, length: int):
-    """The BM25 scoring tail shared by l80 (inline index build) and
-    l86 (persisted incremental index): takes term-filtered postings
-    ``(doc_id, tok, tf)``, doc lengths ``(doc_id, dl)``, and the two
-    corpus scalars; returns the exact integer fixed-point top-10 under
-    the l80 contract (one double division over BIGINT operands, one
-    ln, micro floor, BIGINT sum, (score desc, doc_id) tie-break)."""
+def _bm25_topk(tf, dl, n: int, length: int, k: int = 10):
+    """The BM25 scoring tail shared by l80 (inline index build), l86
+    (persisted incremental index) and l127 (hybrid-fusion lexical arm,
+    k=50): takes term-filtered postings ``(doc_id, tok, tf)``, doc
+    lengths ``(doc_id, dl)``, and the two corpus scalars; returns the
+    exact integer fixed-point top-``k`` under the l80 contract (one
+    double division over BIGINT operands, one ln, micro floor, BIGINT
+    sum, (score desc, doc_id) tie-break)."""
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
     idf = F.log(
         (F.lit(2 * n + 1) - 2 * F.col("df")).cast("double")
@@ -5192,7 +5193,7 @@ def _bm25_topk(tf, dl, n: int, length: int):
             "score_micro",
             F.row_number().over(w).alias("rank"),
         )
-        .filter(F.col("rank") <= 10)
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -9665,4 +9666,407 @@ def l126_curation_pipeline_v2(spark, sf_dir):
         .when(F.col("drop_resample"), "resample")
         .otherwise("kept")
         .alias("verdict"),
+    )
+
+
+def _l127_oracle() -> str:
+    """Fusion of the l80 BM25 chain (verbatim, top-k widened to the
+    50-deep fusion pool) with a single-query exact-cosine arm and the
+    reciprocal-rank-fusion tail. Splice preconditions asserted so l80
+    oracle drift fails at registration (the l123/l124 rule)."""
+    lex_base = _l80_oracle()
+    if lex_base.count("WHERE rank <= 10") != 1:
+        raise AssertionError(
+            "l127 oracle splice: l80's oracle no longer ends in exactly "
+            "one 'WHERE rank <= 10' — update _l127_oracle"
+        )
+    lex50 = lex_base.replace("WHERE rank <= 10", "WHERE rank <= 50", 1)
+    return f"""
+    WITH lex AS MATERIALIZED ({lex50}),
+    d_q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id = 7),
+    d_s AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(d_q.qv,
+                   CAST(e.embedding AS DOUBLE[])), 6) AS cosine
+      FROM embeddings e, d_q WHERE e.vec_id <> 7
+    ),
+    dense AS (
+      SELECT doc_id, CAST(rn AS INTEGER) AS dense_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+          AS rn FROM d_s)
+      WHERE rn <= 50
+    ),
+    lexr AS (SELECT doc_id, CAST(rank AS INTEGER) AS lex_rank FROM lex),
+    fused AS (
+      SELECT doc_id, lex_rank, dense_rank,
+             coalesce(1000000000 // (60 + lex_rank), 0)
+               + coalesce(1000000000 // (60 + dense_rank), 0) AS rrf_nano
+      FROM lexr FULL OUTER JOIN dense USING (doc_id)
+    )
+    SELECT doc_id, lex_rank, dense_rank,
+           CAST(rrf_nano AS BIGINT) AS rrf_nano,
+           CAST(rank AS INTEGER) AS rank
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+            AS rank FROM fused)
+    WHERE rank <= 10
+    """
+
+
+@register("l127_hybrid_rrf_fusion", oracle=_l127_oracle())
+def l127_hybrid_rrf_fusion(spark, sf_dir):
+    """HYBRID RETRIEVAL with reciprocal-rank fusion — the standard
+    two-arm search every RAG / corpus-probe pipeline runs (Cormack/
+    Clarke/Buettcher 2009): a LEXICAL arm (l80's exact integer
+    fixed-point BM25, pool widened to top-50) and a DENSE arm (exact
+    cosine top-50 for the fixed query embedding, vec_id 7), fused by
+    RRF(d) = Σ_arms 1/(60 + rank_arm(d)) in exact integer nano-units
+    (1e9 div (60+rank) — no float accumulation, so fusion scores are
+    merge-order-free and bit-identical cross-engine), top-10 under the
+    total order (rrf desc, doc_id). Output keeps each arm's rank
+    (NULL when the arm missed the document) — the per-document
+    provenance a fusion debug needs.
+
+    Scale shape: each arm is its own already-audited plan (BM25: scan →
+    explode → partial-agg groupBys → broadcast dfreq → WindowGroupLimit;
+    dense: broadcast 1-row query → codegen'd scan-side dot → top-k);
+    fusion itself joins two ≤50-row frames — constant work at any
+    corpus size. At 100 TB the arms run over the inverted index (l86)
+    and an ANN index (l15/l119) with identical fusion semantics; the
+    exact arms here keep the oracle bit-replayable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"),
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    tot = dl.agg(F.count("*").alias("n"), F.sum("dl").alias("l")).first()
+    tf = (
+        toks.filter(F.col("tok").isin(*_L80_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    lex = _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]), k=50).select(
+        "doc_id", F.col("rank").cast("int").alias("lex_rank")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    dense = S.brute_force_topk(emb, q, k=50).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    fused = lex.join(dense, "doc_id", "full_outer").select(
+        "doc_id", "lex_rank", "dense_rank",
+        (
+            F.coalesce(
+                F.expr("1000000000L div (60 + lex_rank)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr("1000000000L div (60 + dense_rank)"), F.lit(0)
+            )
+        ).cast("long").alias("rrf_nano"),
+    )
+    w = W.orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
+    return fused.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= 10)
+
+
+_MMR_K, _MMR_POOL = 10, 50
+
+
+def _l128_oracle() -> str:
+    """Unrolled 10-step greedy MMR chain (the g39/l54 MATERIALIZED-CTE
+    precedent — DuckDB inlines once-referenced CTEs, and an unrolled DP
+    re-expands its upstream exponentially without the marker)."""
+    steps = []
+    prev = "sel1"
+    for t in range(2, _MMR_K + 1):
+        steps.append(f"""
+    pick{t} AS MATERIALIZED (
+      SELECT p.doc_id, p.rel_micro,
+             7 * p.rel_micro - 3 * MAX(s.sim_micro) AS score
+      FROM pool p
+      JOIN sims s ON s.da = p.doc_id
+       AND s.db IN (SELECT doc_id FROM {prev})
+      WHERE p.doc_id NOT IN (SELECT doc_id FROM {prev})
+      GROUP BY p.doc_id, p.rel_micro
+    ),
+    step{t} AS MATERIALIZED (
+      SELECT doc_id, rel_micro, CAST(score AS BIGINT) AS score
+      FROM pick{t} ORDER BY score DESC, doc_id LIMIT 1
+    ),
+    sel{t} AS MATERIALIZED (
+      SELECT doc_id FROM {prev} UNION ALL SELECT doc_id FROM step{t}
+    )""")
+        prev = f"sel{t}"
+    union = "\n      UNION ALL ".join(
+        f"SELECT {t} AS mmr_rank, doc_id, rel_micro, score FROM step{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    return f"""
+    WITH d_q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                 FROM embeddings WHERE vec_id = 7),
+    cand AS MATERIALIZED (
+      SELECT e.vec_id AS doc_id, CAST(e.embedding AS DOUBLE[]) AS v,
+             CAST(floor(round(list_cosine_similarity(d_q.qv,
+                    CAST(e.embedding AS DOUBLE[])), 6) * 1000000
+                  + CAST(0.5 AS DOUBLE)) AS BIGINT) AS rel_micro
+      FROM embeddings e, d_q WHERE e.vec_id <> 7
+    ),
+    pool AS MATERIALIZED (
+      SELECT doc_id, v, rel_micro FROM (
+        SELECT *, row_number() OVER (ORDER BY rel_micro DESC, doc_id)
+          AS rn FROM cand)
+      WHERE rn <= {_MMR_POOL}
+    ),
+    sims AS MATERIALIZED (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(floor(round(list_cosine_similarity(a.v, b.v), 6)
+                  * 1000000 + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sim_micro
+      FROM pool a JOIN pool b ON a.doc_id <> b.doc_id
+    ),
+    step1 AS MATERIALIZED (
+      SELECT doc_id, rel_micro, CAST(7 * rel_micro AS BIGINT) AS score
+      FROM pool ORDER BY rel_micro DESC, doc_id LIMIT 1
+    ),
+    sel1 AS MATERIALIZED (SELECT doc_id FROM step1),
+    {",".join(steps)}
+    SELECT CAST(mmr_rank AS INTEGER) AS mmr_rank, doc_id, rel_micro,
+           score
+    FROM ({union})
+    """
+
+
+@register("l128_mmr_diversified_topk", oracle=_l128_oracle())
+def l128_mmr_diversified_topk(spark, sf_dir):
+    """MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell/Goldstein 1998) —
+    the diversity-aware top-k every retrieval/eval-set-builder runs so
+    10 near-identical hits don't crowd out coverage: over the exact
+    cosine top-50 pool for the fixed query (vec_id 7), greedily pick 10
+    by argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s) with λ=0.7, all in
+    exact integer micro units (score = 7·rel_micro − 3·max_sim_micro;
+    the ×10-scaled λ keeps every comparison integer, ties break by
+    doc_id, and the first pick's empty-set max is 0 by convention) —
+    so the greedy trajectory is bit-replayable and the oracle unrolls
+    it as a 10-step MATERIALIZED CTE chain.
+
+    Scale shape: the DISTRIBUTED work is candidate generation (the
+    already-audited dense-arm plan) and the pool's 50×50 pairwise sim
+    join — both independent of corpus size past the top-k cut. The
+    greedy selection itself is O(k·pool) on ≤50 rows and runs
+    driver-side over ``collect_bounded`` frames (the documented
+    small-by-contract pattern: a production MMR re-ranks one result
+    page, never the corpus; the bound RAISES if the contract breaks).
+    Scores stay Spark-computed doubles→micro ints, so no driver float
+    op touches the comparison path."""
+    from ekati_spark.driverside import collect_bounded
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    micro = lambda c: F.floor(  # noqa: E731 — round6-then-micro, both engines
+        c * F.lit(1000000.0) + F.lit(0.5)
+    ).cast("long")
+    pool = (
+        S.brute_force_topk(emb, q, k=_MMR_POOL)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            micro(F.col("cosine")).alias("rel_micro"),
+        )
+    )
+    pv = pool.join(
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            S._as_double(F.col("embedding")).alias("v"),
+        ),
+        "doc_id",
+    ).transform(cut_lineage)  # consumed 2x: sims self-join sides
+    a = pv.select(
+        F.col("doc_id").alias("da"), F.col("v").alias("va")
+    )
+    b = pv.select(
+        F.col("doc_id").alias("db"), F.col("v").alias("vb")
+    )
+    pair_cos = F.round(S.cosine(F.col("va"), F.col("vb")), 6)
+    sims = (
+        a.join(b, F.col("da") != F.col("db"))
+        .select("da", "db", micro(pair_cos).alias("sim_micro"))
+    )
+    pool_rows = collect_bounded(pool, _MMR_POOL, "l128 MMR pool")
+    sim_rows = collect_bounded(
+        sims, _MMR_POOL * (_MMR_POOL - 1), "l128 MMR pairwise sims"
+    )
+    rel = {r.doc_id: int(r.rel_micro) for r in pool_rows}
+    sim = {(r.da, r.db): int(r.sim_micro) for r in sim_rows}
+    selected: list[tuple[int, int, int, int]] = []
+    chosen: list = []
+    while len(selected) < _MMR_K and len(chosen) < len(rel):
+        best = None
+        for d in sorted(rel):
+            if d in chosen:
+                continue
+            max_sim = max(
+                (sim.get((d, s), 0) for s in chosen), default=0
+            )
+            score = 7 * rel[d] - 3 * max_sim
+            if best is None or (score, -_ord(d)) > (best[0], -_ord(best[1])):
+                best = (score, d)
+        selected.append(
+            (len(selected) + 1, best[1], rel[best[1]], best[0])
+        )
+        chosen.append(best[1])
+    return spark.createDataFrame(
+        selected, "mmr_rank int, doc_id long, rel_micro long, score long"
+    )
+
+
+def _ord(v):
+    """Sort key for tie-breaks on ids that may be int or str."""
+    return v
+
+
+_MW_ROUNDS, _MW_ETA_DEN = 5, 4  # eta = 1/4 per round
+
+
+def _l129_oracle() -> str:
+    """Unrolled 5-round multiplicative-weights chain, MATERIALIZED per
+    round (the g39 unrolled-DP rule)."""
+    rounds = []
+    prev = "w0"
+    for t in range(1, _MW_ROUNDS + 1):
+        rounds.append(f"""
+    raw{t} AS MATERIALIZED (
+      SELECT source, excess_ppm,
+             w * (4000000 + excess_ppm) AS raw
+      FROM {prev}
+    ),
+    sp{t} AS MATERIALIZED (
+      SELECT source, excess_ppm,
+             raw * 1000000 // SUM(raw) OVER () AS fl,
+             raw * 1000000 % SUM(raw) OVER () AS rem
+      FROM raw{t}
+    ),
+    w{t} AS MATERIALIZED (
+      SELECT source, excess_ppm,
+             fl + CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                       <= 1000000 - SUM(fl) OVER () THEN 1 ELSE 0 END AS w
+      FROM sp{t}
+    )""")
+        prev = f"w{t}"
+    return f"""
+    WITH per AS (
+      SELECT source,
+             CAST(len(tks) AS BIGINT) AS n_tok,
+             CAST(len(list_distinct(tks)) AS BIGINT) AS n_dist
+      FROM (SELECT source,
+                   string_split_regex(trim(lower(text)), ' +') AS tks
+            FROM documents)
+    ),
+    d AS MATERIALIZED (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(SUM(1000000 * n_dist // n_tok) AS BIGINT) AS s_utr
+      FROM per WHERE n_tok > 0 GROUP BY source
+    ),
+    dx AS MATERIALIZED (
+      SELECT source, n_docs, s_utr // n_docs AS mean_utr_ppm,
+             s_utr // n_docs
+               - SUM(s_utr) OVER () // SUM(n_docs) OVER () AS excess_ppm
+      FROM d
+    ),
+    w0 AS MATERIALIZED (
+      SELECT source, excess_ppm,
+             1000000 // COUNT(*) OVER ()
+               + CASE WHEN row_number() OVER (ORDER BY source)
+                      <= 1000000 % COUNT(*) OVER () THEN 1 ELSE 0 END AS w
+      FROM dx
+    ),
+    {",".join(rounds)}
+    SELECT dx.source, dx.n_docs,
+           CAST(dx.mean_utr_ppm AS BIGINT) AS mean_utr_ppm,
+           CAST(dx.excess_ppm AS BIGINT) AS excess_ppm,
+           CAST(wf.w AS BIGINT) AS weight_ppm
+    FROM dx JOIN {prev} wf USING (source)
+    """
+
+
+@register("l129_domain_reweighting", oracle=_l129_oracle())
+def l129_domain_reweighting(spark, sf_dir):
+    """DOMAIN MIXTURE REWEIGHTING by multiplicative weights — the
+    DoReMi-shaped loop (Xie et al. 2023) that turns a per-domain
+    "excess" signal into a training mixture: domains whose documents
+    score above the corpus mean get upweighted multiplicatively over 5
+    rounds, w_d ← w_d·(1 + η·excess_d) with η=1/4, renormalized to
+    EXACTLY 1e6 ppm each round by largest-remainder apportionment (the
+    l47 contract — Σ weight_ppm == 1e6, no float drift, ties by
+    source). The excess proxy is integer type-token diversity: per-doc
+    utr_ppm = 1e6·distinct_tokens div tokens, domain excess = domain
+    mean − corpus mean (trunc div throughout), standing in for the
+    reference-vs-proxy excess loss the full DoReMi computes — the
+    OPTIMIZER loop is the operator here, and every step is exact
+    integer so the oracle unrolls all 5 rounds bit-identically.
+
+    Scale shape: the distributed work is one tokenizing scan + a
+    source-keyed aggregate (map-side partials, one shuffle on the
+    domain key); the MW loop itself is O(D·T) on the ≤dozens-of-domains
+    frame, run driver-side over a ``collect_bounded`` contract (the
+    l128 pattern; a mixture optimizer's state IS the domain table).
+    Output: per domain, the diversity stats, excess, and the final
+    ppm weight a sampler (l43/l47) consumes directly."""
+    from ekati_spark.driverside import collect_bounded
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    per = docs.select(
+        "source",
+        F.size(tk).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_dist"),
+    ).filter(F.col("n_tok") > 0)
+    d = per.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.expr("1000000L * n_dist div n_tok"))
+        .cast("long")
+        .alias("s_utr"),
+    )
+    rows = collect_bounded(d, 4096, "l129 domain table")
+    tot_docs = sum(r.n_docs for r in rows)
+    tot_utr = sum(r.s_utr for r in rows)
+    corpus_mean = tot_utr // tot_docs
+    doms = sorted(rows, key=lambda r: r.source)
+    stats = {
+        r.source: (
+            r.n_docs,
+            r.s_utr // r.n_docs,
+            r.s_utr // r.n_docs - corpus_mean,
+        )
+        for r in doms
+    }
+    n_dom = len(doms)
+    w = {
+        r.source: 1000000 // n_dom + (1 if i < 1000000 % n_dom else 0)
+        for i, r in enumerate(doms)
+    }
+    for _ in range(_MW_ROUNDS):
+        raw = {s: w[s] * (4000000 + stats[s][2]) for s in w}
+        tot = sum(raw.values())
+        fl = {s: raw[s] * 1000000 // tot for s in raw}
+        rem = {s: raw[s] * 1000000 % tot for s in raw}
+        deficit = 1000000 - sum(fl.values())
+        order = sorted(w, key=lambda s: (-rem[s], s))
+        w = {
+            s: fl[s] + (1 if order.index(s) < deficit else 0) for s in w
+        }
+    out = [
+        (s, stats[s][0], stats[s][1], stats[s][2], w[s]) for s in
+        sorted(w)
+    ]
+    return spark.createDataFrame(
+        out,
+        "source string, n_docs long, mean_utr_ppm long, "
+        "excess_ppm long, weight_ppm long",
     )

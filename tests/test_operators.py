@@ -1000,3 +1000,72 @@ def test_cascade_survivor_lineage_cuts_hold(spark, sf_dir):
     assert plan.count("documents.parquet") == 1, plan
     assert plan.count("embeddings.parquet") <= 1, plan
     assert "ExistingRDD" in plan, plan
+
+
+def test_l127_rrf_fusion_semantics(spark, sf_dir):
+    """RRF invariants: every fused doc came from an arm (rank <= 50 on
+    at least one side), scores are exactly the integer nano fusion of
+    the present arms, and a doc found by BOTH arms at rank r beats a
+    doc found by ONE arm at the same rank."""
+    import ekati_spark.queries as Q
+
+    rows = Q.REGISTRY["l127_hybrid_rrf_fusion"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert [r.rank for r in rows] != []
+    for r in rows:
+        arms = [x for x in (r.lex_rank, r.dense_rank) if x is not None]
+        assert arms, r
+        assert all(1 <= a <= 50 for a in arms), r
+        expect = sum(1_000_000_000 // (60 + a) for a in arms)
+        assert r.rrf_nano == expect, r
+    # total order: rrf desc, doc_id asc
+    key = [(-r.rrf_nano, r.doc_id) for r in rows]
+    assert key == sorted(key)
+
+
+def test_l128_mmr_semantics(spark, sf_dir):
+    """MMR invariants: 10 distinct picks; pick 1 is the pure-relevance
+    argmax with score 7*rel; every pick is in the top-50 relevance
+    pool; scores stay inside the algebraic bounds |7·rel| + |3·sim|
+    (the penalty term can ADD when pairwise cosines are negative, as
+    on these near-random embeddings — so no one-sided bound vs 7·rel
+    holds by construction)."""
+    import ekati_spark.queries as Q
+    from ekati_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pool = {
+        r.neighbor_id for r in S.brute_force_topk(emb, q, k=50).collect()
+    }
+    rows = sorted(
+        Q.REGISTRY["l128_mmr_diversified_topk"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.mmr_rank,
+    )
+    assert [r.mmr_rank for r in rows] == list(range(1, 11))
+    assert len({r.doc_id for r in rows}) == 10
+    assert all(r.doc_id in pool for r in rows)
+    first = rows[0]
+    assert first.score == 7 * first.rel_micro
+    assert first.rel_micro == max(r.rel_micro for r in rows)
+    for r in rows[1:]:
+        assert abs(r.score) <= 7 * 1_000_000 + 3 * 1_000_000
+
+
+def test_l129_reweighting_semantics(spark, sf_dir):
+    """MW reweighting invariants: weights sum to EXACTLY 1e6 ppm
+    (largest-remainder contract), and the mapping excess -> weight is
+    monotone (a domain with strictly higher excess never gets a lower
+    weight — multiplicative updates preserve order from the uniform
+    start)."""
+    import ekati_spark.queries as Q
+
+    rows = Q.REGISTRY["l129_domain_reweighting"].fn(spark, sf_dir).collect()
+    assert sum(r.weight_ppm for r in rows) == 1_000_000
+    by_excess = sorted(rows, key=lambda r: r.excess_ppm)
+    for lo, hi in zip(by_excess, by_excess[1:]):
+        if hi.excess_ppm > lo.excess_ppm:
+            assert hi.weight_ppm >= lo.weight_ppm, (lo, hi)
