@@ -184,14 +184,19 @@ def main() -> None:
 
     times: dict[str, float] = {}
     if sf is not None and sf >= 1:
-        # At the generated sf1 the whole set runs INTERLEAVED
-        # median-of-3 (round-robin passes, so a transient machine-load
-        # spike lands across queries, not on one query's whole
-        # sample) and every per-entry run list goes to the detail
-        # sidecar: the r12 sf1 record was a single cycle and seven
-        # round-over-round deltas needed prose spot-checks — with run
-        # lists committed, deltas explain themselves.
+        # At the generated sf1 the whole set runs one UNTIMED warm-up
+        # pass (per-query codegen/compile cost lands there, keeping
+        # the record steady-state like the sequential-median protocol
+        # it replaced) then INTERLEAVED median-of-3 (round-robin
+        # passes, so a transient machine-load spike lands across
+        # queries, not on one query's whole sample); every per-entry
+        # run list goes to the detail sidecar: the r12 sf1 record was
+        # a single cycle and seven round-over-round deltas needed
+        # prose spot-checks — with run lists committed, deltas explain
+        # themselves.
         noisy_runs = {n: [] for n in HEADLINE}
+        for name in HEADLINE:
+            Q.REGISTRY[name].fn(spark, sf_dir).count()
         for _ in range(3):
             for name in HEADLINE:
                 t0 = time.perf_counter()

@@ -48,6 +48,7 @@ _POST_WINDOW: list[str] = [
     "l127_hybrid_rrf_fusion",
     "l128_mmr_diversified_topk",
     "l129_domain_reweighting",
+    "st34_stream_domain_reweighting",
 ]
 
 _GRADED_FIRST = [

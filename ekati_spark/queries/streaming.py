@@ -2148,3 +2148,122 @@ def st33_stream_attribution(spark, sf_dir):
     return ops.read_committed_batches(spark, credit_store).select(
         "user_id", "purchase_id", "touch_id", "touch_type", "credit_milli"
     )
+
+
+@register(
+    "st34_stream_domain_reweighting",
+    oracle=_REGISTRY["l129_domain_reweighting"].oracle,
+)
+def st34_stream_domain_reweighting(spark, sf_dir):
+    """STREAMING maintenance of l129's domain-mixture optimizer —
+    documents arrive in three micro-batches; each batch appends its
+    per-source (n_docs, Σ utr_ppm) PARTIALS (a |sources|-row
+    batch-local aggregate; per-doc type-token ratios need no
+    cross-batch state) through the epoch-marker exactly-once sink. At
+    read time the committed partials merge by summation — exactly the
+    domain table the batch query aggregates in one pass — and the same
+    5-round integer multiplicative-weights loop runs over the merged
+    frame, so the final mixture equals l129's bit-for-bit and the
+    oracle is l129's by construction. Counts/sums are trivially
+    mergeable: replays are absorbed by the marker protocol. At 100 TB:
+    per-trigger cost ∝ batch rows; the optimizer state IS the ≤dozens-
+    of-domains table, re-derived from committed partials each refresh
+    (mixture weights must see the WHOLE corpus, so incremental
+    maintenance of the inputs, not the weights, is the correct
+    factoring)."""
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from ekati_spark.driverside import collect_bounded
+    from ekati_spark.operators import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = X.tokens(F.col("text"))
+    feed = docs.select(
+        "doc_id", "source",
+        F.size(tk).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(tk)).cast("long").alias("n_dist"),
+    ).filter(F.col("n_tok") > 0)
+
+    tmp = Path(tempfile.mkdtemp(prefix="st34_"))
+    src = tmp / "src"
+    src.mkdir()
+    store = str(tmp / "partials")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        sink(
+            b.groupBy("source").agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum(F.expr("1000000L * n_dist div n_tok"))
+                .cast("long")
+                .alias("s_utr"),
+            ),
+            batch_id,
+        )
+
+    for m_ in range(3):
+        feed.filter(F.col("doc_id") % 3 == m_).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp / f"b{m_}"))
+        parts = sorted((tmp / f"b{m_}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m_}.parquet"))
+        shutil.rmtree(tmp / f"b{m_}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(feed.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    merged = (
+        ops.read_committed_batches(spark, store)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("s_utr").cast("long").alias("s_utr"),
+        )
+    )
+    rows = collect_bounded(merged, 4096, "st34 domain table")
+    tot_docs = sum(r.n_docs for r in rows)
+    tot_utr = sum(r.s_utr for r in rows)
+    corpus_mean = tot_utr // tot_docs
+    doms = sorted(rows, key=lambda r: r.source)
+    stats = {
+        r.source: (
+            r.n_docs,
+            r.s_utr // r.n_docs,
+            r.s_utr // r.n_docs - corpus_mean,
+        )
+        for r in doms
+    }
+    n_dom = len(doms)
+    w = {
+        r.source: 1000000 // n_dom + (1 if i < 1000000 % n_dom else 0)
+        for i, r in enumerate(doms)
+    }
+    for _ in range(5):
+        raw = {s: w[s] * (4000000 + stats[s][2]) for s in w}
+        tot = sum(raw.values())
+        fl = {s: raw[s] * 1000000 // tot for s in raw}
+        rem = {s: raw[s] * 1000000 % tot for s in raw}
+        deficit = 1000000 - sum(fl.values())
+        order = sorted(w, key=lambda s: (-rem[s], s))
+        w = {
+            s: fl[s] + (1 if order.index(s) < deficit else 0) for s in w
+        }
+    out = [
+        (s, stats[s][0], stats[s][1], stats[s][2], w[s])
+        for s in sorted(w)
+    ]
+    return spark.createDataFrame(
+        out,
+        "source string, n_docs long, mean_utr_ppm long, "
+        "excess_ppm long, weight_ppm long",
+    )
