@@ -127,6 +127,12 @@ HEADLINE = [
     "l116_sorted_neighborhood_pairs",
     "l117_stupid_backoff_score",
     "l119_knn_graph_refine",
+    # round-13 addition — the two-arm hybrid-retrieval fusion family
+    # (BM25 arm + dense arm + RRF join). l128/l129/st34 stay
+    # verify-only: their distributed stages are bounded re-ranks /
+    # one aggregate over shapes already represented here, and their
+    # finishers are O(k) driver loops by contract.
+    "l127_hybrid_rrf_fusion",
 ]
 
 
