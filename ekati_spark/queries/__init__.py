@@ -49,6 +49,8 @@ _POST_WINDOW: list[str] = [
     "l128_mmr_diversified_topk",
     "l129_domain_reweighting",
     "st34_stream_domain_reweighting",
+    "r78_pivot_revenue_matrix",
+    "l130_retrieval_quality_metrics",
 ]
 
 _GRADED_FIRST = [

@@ -10070,3 +10070,129 @@ def l129_domain_reweighting(spark, sf_dir):
         "source string, n_docs long, mean_utr_ppm long, "
         "excess_ppm long, weight_ppm long",
     )
+
+
+# nDCG@10 integer micro discounts: floor(1e6/log2(i+1) + 0.5) for rank
+# i = 1..10, precomputed ONCE in Python and inlined as literals on BOTH
+# sides — neither engine evaluates log2 at query time, so there is no
+# libm ulp hazard in the metric (the l83/l48 integer-constant rule).
+_NDCG_DISC = (
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+)
+_IDCG10 = sum(_NDCG_DISC)
+
+
+def _l130_oracle() -> str:
+    """l07's LSH chain reused verbatim (top-k widened to 10, splice
+    preconditions asserted) + an exact top-10 CTE + the metric tail."""
+    ann_base = _l07_oracle()
+    if ann_base.count("WHERE rn <= 5") != 1:
+        raise AssertionError(
+            "l130 oracle splice: l07's oracle no longer ends in exactly "
+            "one 'WHERE rn <= 5' — update _l130_oracle"
+        )
+    ann10 = ann_base.replace("WHERE rn <= 5", "WHERE rn <= 10", 1)
+    disc = ", ".join(str(d) for d in _NDCG_DISC)
+    return f"""
+    WITH ann AS MATERIALIZED ({ann10}),
+    ex AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   CAST(q.embedding AS DOUBLE[]),
+                   CAST(e.embedding AS DOUBLE[])), 6) DESC, e.vec_id
+               ) AS rn
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < 10)
+      WHERE rn <= 10
+    ),
+    j AS (
+      SELECT a.query_id, a.rank,
+             CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+      FROM ann a LEFT JOIN ex e
+        ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    ),
+    m AS (
+      SELECT query_id,
+             CAST(SUM(rel) AS BIGINT) AS n_hits,
+             SUM(rel) * 1000000 // 10 AS recall_ppm,
+             coalesce(1000000000 //
+               MIN(CASE WHEN rel = 1 THEN rank END), 0) AS mrr_nano,
+             CAST(SUM(rel * ([{disc}])[rank]) AS BIGINT) AS dcg_micro
+      FROM j GROUP BY query_id
+    )
+    SELECT q.query_id,
+           coalesce(m.n_hits, 0) AS n_hits,
+           CAST(coalesce(m.recall_ppm, 0) AS BIGINT) AS recall_ppm,
+           CAST(coalesce(m.mrr_nano, 0) AS BIGINT) AS mrr_nano,
+           coalesce(m.dcg_micro, 0) AS dcg_micro,
+           CAST(coalesce(m.dcg_micro, 0) * 1000000 // {_IDCG10}
+                AS BIGINT) AS ndcg_ppm
+    FROM (SELECT DISTINCT query_id FROM ex) q LEFT JOIN m USING (query_id)
+    """
+
+
+@register("l130_retrieval_quality_metrics", oracle=_l130_oracle())
+def l130_retrieval_quality_metrics(spark, sf_dir):
+    """RETRIEVAL QUALITY METRICS of the ANN arm against exact ground
+    truth — the evaluation table every index deployment publishes:
+    per query (the 10 fixed probes), recall@10, MRR@10, and nDCG@10 of
+    l07's multi-table sign-LSH top-10 versus the exact cosine top-10.
+    All three metrics are exact integers: recall in ppm, reciprocal
+    rank as 1e9 div first-relevant-rank, and nDCG from PRECOMPUTED
+    integer micro discounts (floor(1e6/log2(i+1)+0.5) inlined as
+    literals on both sides — no engine evaluates log2 at query time,
+    so no libm divergence; binary relevance makes IDCG the constant
+    prefix sum). Queries whose candidate set came back empty score 0
+    across the board via the left join from the probe list.
+
+    Scale shape: the ANN arm is l07's audited plan (bucket equi-join,
+    broadcast probe side); ground truth is the |Q|·n exact baseline
+    (bounded: 10 probes); the metric join touches ≤ 10·10 rows per
+    query. At 100 TB ground truth comes from a held-out labeled slice
+    and the same integer tail applies unchanged — this is the audit
+    run BEFORE swapping an index into serving (complements l85's
+    per-band recall audit with the rank-position metrics)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    ann = S.ann_lsh_buckets(emb, q, k=10, n_planes=6).select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank")
+    )
+    exact = S.brute_force_topk(emb, q, k=10).select(
+        "query_id", "neighbor_id", F.lit(1).alias("rel_flag")
+    )
+    j = ann.join(exact, ["query_id", "neighbor_id"], "left").select(
+        "query_id", "rank",
+        F.coalesce("rel_flag", F.lit(0)).alias("rel"),
+    )
+    disc = F.element_at(
+        F.array(*[F.lit(d) for d in _NDCG_DISC]), F.col("rank")
+    )
+    m = j.groupBy("query_id").agg(
+        F.sum("rel").cast("long").alias("n_hits"),
+        F.expr("sum(rel) * 1000000L div 10").cast("long").alias("recall_ppm"),
+        F.coalesce(
+            F.expr(
+                "1000000000L div min(CASE WHEN rel = 1 THEN rank END)"
+            ),
+            F.lit(0),
+        ).cast("long").alias("mrr_nano"),
+        F.sum(F.col("rel") * disc).cast("long").alias("dcg_micro"),
+    )
+    probes = exact.select("query_id").distinct()
+    return probes.join(m, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.coalesce("recall_ppm", F.lit(0)).cast("long").alias("recall_ppm"),
+        F.coalesce("mrr_nano", F.lit(0)).cast("long").alias("mrr_nano"),
+        F.coalesce("dcg_micro", F.lit(0)).cast("long").alias("dcg_micro"),
+        F.expr(
+            f"coalesce(dcg_micro, 0L) * 1000000L div {_IDCG10}"
+        ).cast("long").alias("ndcg_ppm"),
+    )

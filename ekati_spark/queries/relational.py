@@ -3389,3 +3389,62 @@ def r77_linear_attribution(spark, sf_dir):
             "1000L div n + CASE WHEN rnk <= 1000 % n THEN 1 ELSE 0 END"
         ).cast("long").alias("credit_milli"),
     )
+
+
+@register(
+    "r78_pivot_revenue_matrix",
+    oracle=f"""
+    SELECT o.o_orderpriority AS priority,
+           {sql_dsum("CASE WHEN l.l_returnflag = 'A' THEN l.l_extendedprice * (1 - l.l_discount) END", 6)} AS rev_a,
+           {sql_dsum("CASE WHEN l.l_returnflag = 'N' THEN l.l_extendedprice * (1 - l.l_discount) END", 6)} AS rev_n,
+           {sql_dsum("CASE WHEN l.l_returnflag = 'R' THEN l.l_extendedprice * (1 - l.l_discount) END", 6)} AS rev_r,
+           CAST(count(*) FILTER (l.l_returnflag = 'A') AS BIGINT) AS n_a,
+           CAST(count(*) FILTER (l.l_returnflag = 'N') AS BIGINT) AS n_n,
+           CAST(count(*) FILTER (l.l_returnflag = 'R') AS BIGINT) AS n_r
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def r78_pivot_revenue_matrix(spark, sf_dir):
+    """PIVOT: the cross-tab/matrix reshape of the relational surface —
+    discounted revenue and row counts by order priority (rows) ×
+    return flag (columns), via Spark's native ``groupBy().pivot()``
+    with the pivot values PINNED (["A","N","R"] — an unpinned pivot
+    adds a distinct-scan job and makes the output schema data-
+    dependent, which no 100 TB pipeline wants). Revenue cells
+    accumulate in decimal (the dsum contract) so the doubles are
+    merge-order-free; empty cells are NULL on both sides. The oracle
+    is the canonical CASE-WHEN expansion — the relational-algebra
+    identity PIVOT compiles to. The inverse reshape is covered in
+    pytest: unpivot(pivot(X)) round-trips (Spark ``unpivot``/melt).
+
+    Scale shape: ONE hash aggregate on the groupBy key with map-side
+    partials (the pivot columns are just 6 aggregate expressions —
+    no extra shuffle, no per-value scan), after an FK equi-join AQE
+    sizes. Output |priorities| rows at any corpus size."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("l_returnflag").alias("rf"),
+        rev.alias("rev"),
+    )
+    wide = (
+        j.groupBy("priority")
+        .pivot("rf", ["A", "N", "R"])
+        .agg(
+            dsum("rev", 6).alias("rev"),
+            # count(lit(1)): star-count is invalid inside a Pivot agg
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    return wide.select(
+        "priority",
+        F.col("A_rev").alias("rev_a"),
+        F.col("N_rev").alias("rev_n"),
+        F.col("R_rev").alias("rev_r"),
+        F.col("A_n").alias("n_a"),
+        F.col("N_n").alias("n_n"),
+        F.col("R_n").alias("n_r"),
+    )

@@ -1072,3 +1072,58 @@ def test_l129_reweighting_semantics(spark, sf_dir):
     for lo, hi in zip(by_excess, by_excess[1:]):
         if hi.excess_ppm > lo.excess_ppm:
             assert hi.weight_ppm >= lo.weight_ppm, (lo, hi)
+
+
+def test_r78_pivot_unpivot_roundtrip(spark, sf_dir):
+    """PIVOT/UNPIVOT inverse pair: melting the wide revenue matrix back
+    to long form reproduces the direct long-form aggregate exactly
+    (NULL cells = flag absent for that priority drop out of the melt,
+    matching the direct groupBy's absent rows)."""
+    import ekati_spark.queries as Q
+
+    wide = Q.REGISTRY["r78_pivot_revenue_matrix"].fn(spark, sf_dir)
+    melted = wide.unpivot(
+        "priority",
+        [F.col("rev_a").alias("A"), F.col("rev_n").alias("N"),
+         F.col("rev_r").alias("R")],
+        "rf", "rev",
+    ).filter(F.col("rev").isNotNull())
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    from ekati_spark.queries.base import dsum
+
+    direct = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("l_returnflag").alias("rf"),
+        )
+        .agg(dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+        ).alias("rev"))
+    )
+    got = {(r.priority, r.rf): r.rev for r in melted.collect()}
+    want = {(r.priority, r.rf): r.rev for r in direct.collect()}
+    assert got == want
+
+
+def test_l130_metric_invariants(spark, sf_dir):
+    """Metric algebra: 0 <= recall_ppm <= 1e6 with n_hits*1e5
+    consistency; mrr_nano in {0} ∪ [1e8, 1e9]; ndcg_ppm <= 1e6 and 0
+    iff dcg 0; a perfect ANN list (rel at every rank) would give
+    ndcg_ppm == 1e6 — asserted via the discount-sum identity."""
+    import ekati_spark.queries as Q
+    from ekati_spark.queries.llm import _IDCG10, _NDCG_DISC
+
+    assert sum(_NDCG_DISC) == _IDCG10
+    rows = Q.REGISTRY["l130_retrieval_quality_metrics"].fn(
+        spark, sf_dir
+    ).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.recall_ppm == r.n_hits * 100_000
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert r.mrr_nano == 0 or 100_000_000 <= r.mrr_nano <= 10**9
+        assert 0 <= r.ndcg_ppm <= 1_000_000
+        assert (r.ndcg_ppm == 0) == (r.dcg_micro == 0)
+        assert r.dcg_micro <= _IDCG10
