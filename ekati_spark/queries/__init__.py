@@ -51,6 +51,7 @@ _POST_WINDOW: list[str] = [
     "st34_stream_domain_reweighting",
     "r78_pivot_revenue_matrix",
     "l130_retrieval_quality_metrics",
+    "l131_contamination_report",
 ]
 
 _GRADED_FIRST = [

@@ -10196,3 +10196,93 @@ def l130_retrieval_quality_metrics(spark, sf_dir):
             f"coalesce(dcg_micro, 0L) * 1000000L div {_IDCG10}"
         ).cast("long").alias("ndcg_ppm"),
     )
+
+
+def _l131_oracle() -> str:
+    """Per-n replication of l30's gram CTE (widths 8 and 13, generated
+    from one template so the two slices can't diverge) + the per-source
+    rate rollup."""
+    slices = []
+    for w in (8, 13):
+        concat = "||' '||".join(f"t[i+{k}]" if k else "t[i]"
+                                for k in range(w))
+        slices.append(f"""
+    grams{w} AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(t) - {w - 2}), i -> {concat}))) AS g
+      FROM tk
+    ),
+    bench{w} AS (SELECT DISTINCT g FROM grams{w} WHERE doc_id % 10 = 0),
+    hit{w} AS (
+      SELECT DISTINCT c.doc_id FROM grams{w} c JOIN bench{w} USING (g)
+      WHERE c.doc_id % 10 <> 0
+    ),
+    slice{w} AS (
+      SELECT {w} AS n, d.source,
+             CAST(count(*) AS BIGINT) AS docs_total,
+             CAST(count(h.doc_id) AS BIGINT) AS docs_contaminated,
+             CAST(count(h.doc_id) * 1000000 // count(*) AS BIGINT)
+               AS rate_ppm
+      FROM documents d LEFT JOIN hit{w} h ON d.doc_id = h.doc_id
+      WHERE d.doc_id % 10 <> 0
+      GROUP BY d.source
+    )""")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS t
+      FROM documents
+    ),
+    {",".join(slices)}
+    SELECT CAST(n AS INTEGER) AS n, source, docs_total,
+           docs_contaminated, rate_ppm
+    FROM (SELECT * FROM slice8 UNION ALL SELECT * FROM slice13)
+    """
+
+
+@register("l131_contamination_report", oracle=_l131_oracle())
+def l131_contamination_report(spark, sf_dir):
+    """CONTAMINATION-RATE REPORT per (n-gram width, source) — the table
+    a model card publishes (the GPT-3 appendix shape: overlap rates at
+    a strict and a loose n): for n ∈ {8, 13}, a training document is
+    contaminated when it shares any word n-gram with the held-out
+    benchmark set (l30's convention: every 10th doc), rolled up per
+    source as docs_total / docs_contaminated / integer-ppm rate. The
+    13-gram slice is the published decontamination width; the 8-gram
+    slice is the aggressive audit — divergence between them is the
+    signal reviewers read. Both slices run the same decontaminate
+    operator (l30's) so the report and the per-doc query can't drift.
+
+    Scale shape: per slice, one codegen shingle pass over the corpus +
+    a broadcast of the dimension-sized benchmark gram set + a
+    doc-keyed distinct and a source-keyed rollup — no corpus-sized
+    shuffle anywhere; the two widths are independent passes (a 100 TB
+    run fuses them into one pass emitting (doc, n) hits; priced here
+    as the readable two-pass form)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench_pred = F.col("doc_id") % 10 == 0
+    train = docs.filter(~bench_pred)
+    bench = docs.filter(bench_pred)
+    out = None
+    for w in (8, 13):
+        hits = (
+            D.decontaminate(train, bench, n=w)
+            .select("doc_id")
+            .withColumn("hit", F.lit(1))
+        )
+        sl = (
+            train.join(hits, "doc_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count("*").cast("long").alias("docs_total"),
+                F.count("hit").cast("long").alias("docs_contaminated"),
+            )
+            .select(
+                F.lit(w).cast("int").alias("n"),
+                "source", "docs_total", "docs_contaminated",
+                F.expr(
+                    "docs_contaminated * 1000000L div docs_total"
+                ).cast("long").alias("rate_ppm"),
+            )
+        )
+        out = sl if out is None else out.unionByName(sl)
+    return out

@@ -1127,3 +1127,20 @@ def test_l130_metric_invariants(spark, sf_dir):
         assert 0 <= r.ndcg_ppm <= 1_000_000
         assert (r.ndcg_ppm == 0) == (r.dcg_micro == 0)
         assert r.dcg_micro <= _IDCG10
+
+
+def test_l131_contamination_monotone_in_n(spark, sf_dir):
+    """A 13-gram hit implies an 8-gram hit (every 13-gram contains
+    8-grams shared verbatim), so per source the strict-n rate is <=
+    the loose-n rate; totals are identical across slices."""
+    import ekati_spark.queries as Q
+
+    rows = Q.REGISTRY["l131_contamination_report"].fn(spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, {})[r.n] = r
+    for src, d in by_src.items():
+        assert set(d) == {8, 13}, src
+        assert d[8].docs_total == d[13].docs_total
+        assert d[13].docs_contaminated <= d[8].docs_contaminated, src
+        assert d[13].rate_ppm <= d[8].rate_ppm, src
