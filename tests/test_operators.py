@@ -594,9 +594,11 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "r67_kmv_set_ops",
         "l91_maxsim_late_interaction",
         "l124_dedup_cascade_report",
-        # l127's dense arm is l06's sanctioned shape (the 1-row query
-        # embedding broadcasts against the corpus scan, non-equi on id)
+        # l127's dense arm and l130's exact-ground-truth arm are l06's
+        # sanctioned shape (the <=10-row query side broadcasts against
+        # the corpus scan, non-equi on id)
         "l127_hybrid_rrf_fusion",
+        "l130_retrieval_quality_metrics",
     }
     flagged = {}
     for name in list(REGISTRY):
