@@ -19,16 +19,17 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. CORRECTNESS_r12.json graded the round-12
+# order IS the graded set. CORRECTNESS_r13.json graded the round-13
 # window green (50/50 hash-match), so every query registered through
-# round 11 is now driver-attested-ever (265/265). The remaining
-# never-driver-attested set is exactly the 23 round-12 additions
-# (l113-l126, st29-st33, r76, r77, g49, g50); this round-13 window =
-# the 5-query sentinel core + those 23 + 22 least-recently-attested
-# fillers (last green: CORRECTNESS_r03/r05). If this window is graded,
-# every query registered through round 12 is driver-attested-ever;
-# queries added during round 13 go into _POST_WINDOW below and rotate
-# in next round.
+# round 12 is driver-attested-ever. The never-driver-attested set is
+# the 7 round-13 additions (l127-l131, r78, st34) plus
+# g28_engine_metrics, whose upgraded deterministic-invariant oracle
+# (round-11 item 8) has never earned a hash-match driver row (its only
+# driver row is the rows-only r10 one; the rotation rule now demands a
+# hash attestation once an oracle exists). This round-14 window = the
+# 5-query sentinel core + those 8 + 37 least-recently-attested fillers
+# (last green: CORRECTNESS_r05/r06). Queries added during round 14 go
+# into _POST_WINDOW below and rotate in next round.
 #
 # This list is DERIVED, not hand-curated: `python tools/rotate_window.py`
 # regenerates it from the committed CORRECTNESS/JUDGE artifacts, and
@@ -44,67 +45,59 @@ from ekati_spark.queries import stats  # noqa: F401
 # the never-attested block of the NEXT round's rotation, at which point
 # this list is cleared. tools/rotate_window.py excludes these names
 # when re-deriving the window.
-_POST_WINDOW: list[str] = [
-    "l127_hybrid_rrf_fusion",
-    "l128_mmr_diversified_topk",
-    "l129_domain_reweighting",
-    "st34_stream_domain_reweighting",
-    "r78_pivot_revenue_matrix",
-    "l130_retrieval_quality_metrics",
-    "l131_contamination_report",
-]
+_POST_WINDOW: list[str] = []
 
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round
     "r03_pricing_summary", "g01_follow_one_hop",
     "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
     # --- never driver-attested ---
-    "r76_scd2_lookup_join",
-    "r77_linear_attribution",
-    "g49_trade_backbone_mst",
-    "g50_trade_single_linkage",
-    "l113_dedup_sweep_exact",
-    "l114_lsh_dedup_groups",
-    "l115_packing_efficiency",
-    "l116_sorted_neighborhood_pairs",
-    "l117_stupid_backoff_score",
-    "l119_knn_graph_refine",
-    "l118_scaling_law_subsets",
-    "l120_tokenizer_compression_audit",
-    "l121_audio_vad_segments",
-    "l122_quality_tempered_resample",
-    "l123_cluster_cards",
-    "l124_dedup_cascade_report",
-    "l125_template_families",
-    "l126_curation_pipeline_v2",
-    "st29_stream_source_vocab",
-    "st30_stream_heavy_hitters",
-    "st31_stream_scaling_manifest",
-    "st32_stream_vad_maintenance",
-    "st33_stream_attribution",
+    "r78_pivot_revenue_matrix",
+    "l127_hybrid_rrf_fusion",
+    "l128_mmr_diversified_topk",
+    "l129_domain_reweighting",
+    "l130_retrieval_quality_metrics",
+    "l131_contamination_report",
+    "st34_stream_domain_reweighting",
+    "g28_engine_metrics",
     # --- least-recently attested fillers ---
-    "g10_cycle_dedup",  # last green r05
-    "g11_latest_version",  # last green r05
-    "g12_multi_valued_keys",  # last green r05
-    "g13_pagerank",  # last green r05
-    "g14_connected_components",  # last green r05
-    "g15_shortest_hops",  # last green r05
-    "g16_motif_supply_path",  # last green r05
-    "g17_triangle_count",  # last green r05
-    "g20_kcore",  # last green r05
-    "g21_label_propagation",  # last green r05
-    "g23_cheapest_trade_route",  # last green r05
-    "g24_cosupplier_graph",  # last green r05
-    "g25_personalized_pagerank",  # last green r05
-    "g27_edge_label_histogram",  # last green r05
-    "l03_minhash_lsh_pairs",  # last green r05
-    "l04_simhash_pairs",  # last green r05
-    "l07_knn_lsh",  # last green r05
-    "l12_multimodal_features",  # last green r05
-    "l14_top_bigrams",  # last green r05
-    "l15_knn_ivf",  # last green r05
-    "l18_token_budget",  # last green r05
-    "l20_dedup_groups",  # last green r05
+    "l21_stratified_sample",  # last green r05
+    "l22_train_split",  # last green r05
+    "l26_dedup_keep_one",  # last green r05
+    "l31_domain_mix",  # last green r05
+    "l37_semantic_dedup",  # last green r05
+    "l38_chunk_dedup_rewrite",  # last green r05
+    "l40_leakage_safe_split",  # last green r05
+    "st04_stream_static_join",  # last green r05
+    "st05_stateful_dedup",  # last green r05
+    "st06_stream_stream_join",  # last green r05
+    "st07_stream_curation",  # last green r05
+    "st08_trending_topk",  # last green r05
+    "st10_anomaly_windows",  # last green r05
+    "r51_funnel",  # last green r06
+    "r53_sliding_distinct_users",  # last green r06
+    "r55_locf_gapfill",  # last green r06
+    "r56_incremental_mv",  # last green r06
+    "r57_max_concurrency",  # last green r06
+    "r58_quantile_sketch",  # last green r06
+    "r59_scd2_history",  # last green r06
+    "r60_heavy_hitters",  # last green r06
+    "r61_key_skew_report",  # last green r06
+    "r62_retention_cohorts",  # last green r06
+    "r63_kmv_distinct_sketch",  # last green r06
+    "r64_event_pattern_match",  # last green r06
+    "r65_event_transition_matrix",  # last green r06
+    "r66_last_touch_attribution",  # last green r06
+    "g19_connected_components_star",  # last green r06
+    "g29_follow_asof",  # last green r06
+    "g30_link_prediction",  # last green r06
+    "g31_nation_modularity",  # last green r06
+    "g32_hits",  # last green r06
+    "g33_harmonic_centrality",  # last green r06
+    "g34_diameter_sweep",  # last green r06
+    "g35_temporal_reachability",  # last green r06
+    "g36_ktruss",  # last green r06
+    "g37_degree_assortativity",  # last green r06
 ]
 
 

@@ -45,11 +45,13 @@ SENTINELS = [
 ]
 
 
-def _is_green(row: dict) -> bool:
+def _is_green(row: dict, rows_only_ok: bool = True) -> bool:
     if not isinstance(row, dict):
         return False
     if row.get("hash_match") is True:
         return True
+    if not rows_only_ok:
+        return False
     # Documented weaker check for non-SQL-expressible queries: the
     # driver records err == "no_oracle" with a spark row count; the
     # judge's artifact records rows_only == true.
@@ -60,8 +62,22 @@ def _is_green(row: dict) -> bool:
     return False
 
 
+def _oracle_backed() -> set[str]:
+    sys.path.insert(0, REPO)
+    import ekati_spark.queries as q  # noqa: PLC0415
+
+    return set(q.oracle_sql())
+
+
 def attestation_record(repo: str = REPO) -> dict[str, int]:
-    """Map query name -> latest round with a committed green row."""
+    """Map query name -> latest round with a committed green row.
+
+    A rows-only row (``rows_only``/``err == "no_oracle"``) only counts
+    as green while the query still HAS no oracle: once an oracle lands,
+    the query must earn a hash-match attestation (e.g. g28's upgraded
+    deterministic-invariant oracle, round-11 item 8 / round-13 minor 4).
+    """
+    has_oracle = _oracle_backed()
     last: dict[str, int] = {}
     pats = ["CORRECTNESS_r*.json", "JUDGE_CORRECTNESS_r*.json"]
     for pat in pats:
@@ -78,7 +94,7 @@ def attestation_record(repo: str = REPO) -> dict[str, int]:
             if not isinstance(rows, dict):
                 continue
             for name, row in rows.items():
-                if _is_green(row):
+                if _is_green(row, rows_only_ok=name not in has_oracle):
                     last[name] = max(last.get(name, 0), rnd)
     return last
 
