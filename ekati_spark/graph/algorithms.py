@@ -96,6 +96,15 @@ def connected_components(
     would be silently wrong on any graph whose diameter exceeds the
     budget, so we raise instead of returning partial labels. Pass False
     only when a bounded-propagation view is genuinely wanted.
+
+    Labels changing ON the final budgeted superstep is not yet proof of
+    non-convergence — a graph whose diameter exactly consumes the budget
+    reaches the fixpoint on that pass (confirmable only by one spare
+    no-change pass). So when the budget ends with changes, ONE extra
+    confirming superstep runs; we raise only if IT still changes labels
+    (it never advances the result: either it changes nothing, or we
+    raise). The bounded-propagation view (require_converged=False)
+    keeps exactly ``max_iter`` supersteps.
     """
     und = (
         edges.select("src", "dst")
@@ -107,15 +116,15 @@ def connected_components(
     )
     labels = _nodes(edges).withColumn("component", F.col("node_id"))
     labels = labels.transform(cut_lineage)
-    changed = 0
-    for _ in range(max_iter):
+
+    def superstep(cur: DataFrame) -> tuple[DataFrame, int]:
         neighbor_min = (
-            labels.join(und, labels.node_id == und.src)
+            cur.join(und, cur.node_id == und.src)
             .groupBy(F.col("dst").alias("node_id"))
             .agg(F.min("component").alias("nbr_min"))
         )
         new_labels = (
-            labels.join(neighbor_min, "node_id", "left")
+            cur.join(neighbor_min, "node_id", "left")
             .select(
                 "node_id",
                 F.least(
@@ -124,20 +133,29 @@ def connected_components(
             )
             .transform(cut_lineage)
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "node_id")
+        n_changed = (
+            new_labels.join(cur.withColumnRenamed("component", "old"), "node_id")
             .filter(F.col("component") != F.col("old"))
             .count()
         )
-        labels = new_labels
+        return new_labels, n_changed
+
+    changed = 0
+    for _ in range(max_iter):
+        labels, changed = superstep(labels)
         if changed == 0:
             break
     if changed != 0 and require_converged:
-        raise RuntimeError(
-            f"connected_components: {changed} labels still changing after "
-            f"max_iter={max_iter} supersteps — graph diameter exceeds the "
-            "budget; raise max_iter or use connected_components_star"
-        )
+        # changes on the final budgeted pass may BE the fixpoint pass:
+        # confirm with one spare superstep, raise only if it moves
+        _, changed = superstep(labels)
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_components: {changed} labels still changing "
+                f"after max_iter={max_iter} supersteps — graph diameter "
+                "exceeds the budget; raise max_iter or use "
+                "connected_components_star"
+            )
     return labels
 
 

@@ -290,13 +290,27 @@ def lsh_candidate_ids(
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ):
     """The NARROW candidate stage of ``lsh_candidate_pairs``: returns
     ``(candidates, vectors)`` where candidates is distinct ``(id_a,
     id_b)`` with ``id_a < id_b`` — no vector payloads — and vectors is
     the filtered ``(id, v, nv)`` frame candidates were derived from.
     Scorers choose their own fetch strategy (per-pair join vs
-    broadcast gather)."""
+    broadcast gather).
+
+    ``bucket_cap`` (opt-in; default None = every member, the attested
+    l07/l53 semantics) deterministically caps per-(table, bucket)
+    membership to the ``bucket_cap`` SMALLEST ids before the self-join
+    — the ``_CP_HUB_CAP`` pattern from g30. With a cap, pair volume is
+    Σ min(b, cap)² ≤ cap · n · L — LINEAR in n no matter how skewed
+    the buckets: plane count controls EXPECTED occupancy but is
+    helpless against duplicate pile-ups (a verbatim-replica corpus
+    concentrates one bucket arbitrarily deep at any np) and saturates
+    at np=16 ≈ 1M vectors. The cap is the hard bound; order-by-id
+    makes it a pure function of the data, replayable in a SQL QUALIFY.
+    The window shuffle it adds is by bucket and row-count linear
+    (row_number is a streaming pass per bucket)."""
     if dim is None:
         dim = _infer_dim(emb, vec_col)
     v = emb.filter(
@@ -316,6 +330,15 @@ def lsh_candidate_ids(
     # (duplicate-heavy corpora) would skew a bucket-hash layout.
     par = emb.sparkSession.sparkContext.defaultParallelism
     e = v.select("id", F.explode(bucket_ids("v")).alias("bucket"))
+    if bucket_cap is not None:
+        # deterministic per-bucket membership cap: keep the bucket_cap
+        # smallest ids (bucket already encodes the table in high bits)
+        wcap = W.partitionBy("bucket").orderBy("id")
+        e = (
+            e.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
     cand = (
         e.repartition(par)
         .select(F.col("id").alias("id_a"), "bucket")
@@ -2601,6 +2624,7 @@ def knn_graph_nndescent(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     rounds: int = 1,
+    bucket_cap: int | None = 64,
 ) -> DataFrame:
     """k-NN GRAPH over the whole corpus via one NN-Descent refinement
     round (Dong/Moses/Li 2011) — the graph-ANN construction family
@@ -2633,7 +2657,20 @@ def knn_graph_nndescent(
     code, not a manual knob (one count() of the filtered corpus, a
     single scalar to the driver; numpy plane draws are prefix-stable,
     so np planes are always the first np rows of the seeded stream and
-    the oracle can inline the max and gate bits by np)."""
+    the oracle can inline the max and gate bits by np).
+
+    ``bucket_cap`` (default 64) is the HARD init bound auto_n_planes
+    cannot provide: the plane count holds EXPECTED occupancy ≤ 16 but
+    saturates at np=16 (~1M vectors) and is helpless against duplicate
+    skew (a verbatim-replica corpus piles one bucket 100-deep at any
+    np — sf10 exponent 1.26 before the cap). Each (table, bucket)
+    keeps its ``bucket_cap`` smallest ids before the init self-join,
+    so init pair volume is ≤ cap·n·L regardless of skew or corpus
+    size. Recall is refinement-protected: capped-out members still get
+    edges through the NN-Descent local join (neighbors-of-neighbors),
+    and the recall audit in tests/test_similarity.py bounds the loss.
+    Deterministic (order by id) and replayed by a QUALIFY in the l119
+    oracle, exactly as g30's ``_CP_HUB_CAP``."""
     if dim is None:
         dim = _infer_dim(emb, vec_col)
     if n_planes is None:
@@ -2642,7 +2679,8 @@ def knn_graph_nndescent(
         ).count()
         n_planes = auto_n_planes(n)
     cand, v = lsh_candidate_ids(
-        emb, n_planes, n_tables, seed, dim, id_col, vec_col
+        emb, n_planes, n_tables, seed, dim, id_col, vec_col,
+        bucket_cap=bucket_cap,
     )
 
     def score(pairs: DataFrame) -> DataFrame:

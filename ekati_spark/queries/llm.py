@@ -8730,7 +8730,9 @@ def _l119_oracle() -> str:
     engine's np-plane draw is exactly the first np rows) and GATING
     each bit on ``p < np``, with np computed by the identical integer
     CASE chain over count(c) — both sides derive np from the same
-    corpus, at any sf."""
+    corpus, at any sf. The engine's deterministic per-(table,bucket)
+    occupancy cap (bucket_cap=64, smallest ids win) is replayed by the
+    QUALIFY row_number() in the cb CTE."""
     import numpy as np  # noqa: PLC0415
 
     dim, max_planes, n_tables, seed = 64, 16, 4, 42
@@ -8757,7 +8759,13 @@ def _l119_oracle() -> str:
     ),
     nps AS (SELECT CASE {np_case} ELSE 16 END AS np
             FROM (SELECT count(*) AS cnt FROM c)),
-    cb AS (SELECT id, unnest([{bucket_exprs}]) AS bucket FROM c, nps),
+    cbr AS (SELECT id, unnest([{bucket_exprs}]) AS bucket FROM c, nps),
+    -- deterministic per-(table,bucket) occupancy cap = 64: keep the 64
+    -- smallest ids, replaying lsh_candidate_ids(bucket_cap=64) exactly
+    cb AS (
+      SELECT id, bucket FROM cbr
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 64
+    ),
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
       FROM cb a JOIN cb b USING (bucket) WHERE a.id < b.id
@@ -8809,11 +8817,13 @@ def l119_knn_graph_refine(spark, sf_dir):
     local join, and re-rank exactly; the refinement's recall gain
     over the weak init is asserted in tests/test_similarity.py.
     Scale: see operators/similarity.py::knn_graph_nndescent —
-    init ∝ Σ bucket² with the plane count AUTO-SCALED from the corpus
-    count (auto_n_planes holds expected bucket occupancy ≤ 16, keeping
-    init pair volume ~linear in n), refine ∝ n·k², nothing broadcasts
-    the corpus. The oracle replays the same np via a count-driven CASE
-    chain over 16 inlined prefix-stable planes."""
+    init pair volume is HARD-bounded by the deterministic per-bucket
+    occupancy cap (bucket_cap=64: ≤ cap·n·L pairs at ANY skew — the
+    plane count, auto-scaled to hold expected occupancy ≤ 16, cannot
+    bound duplicate pile-ups and saturates at np=16 ≈ 1M vectors),
+    refine ∝ n·k², nothing broadcasts the corpus. The oracle replays
+    the same np via a count-driven CASE chain over 16 inlined
+    prefix-stable planes and the cap via a QUALIFY row_number()."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.knn_graph_nndescent(emb, k=5, n_planes=None, n_tables=4)
 
@@ -9904,9 +9914,24 @@ def l128_mmr_diversified_topk(spark, sf_dir):
     )
     rel = {r.doc_id: int(r.rel_micro) for r in pool_rows}
     sim = {(r.da, r.db): int(r.sim_micro) for r in sim_rows}
-    selected: list[tuple[int, int, int, int]] = []
+    selected = _mmr_greedy(rel, sim, _MMR_K)
+    return spark.createDataFrame(
+        selected, "mmr_rank int, doc_id long, rel_micro long, score long"
+    )
+
+
+def _mmr_greedy(
+    rel: dict, sim: dict, k: int
+) -> list[tuple[int, object, int, int]]:
+    """Integer MMR greedy over a bounded pool: argmax 7·rel − 3·max_sim,
+    score ties broken by SMALLEST doc id. Ids may be int or str (any
+    totally ordered type): ascending-id iteration with a strict ``>``
+    keeps the first (smallest) id on ties without negating the key —
+    a negated str key is a TypeError (tests/test_operators.py pins
+    str-id behavior). Returns (mmr_rank, doc_id, rel_micro, score)."""
+    selected: list[tuple[int, object, int, int]] = []
     chosen: list = []
-    while len(selected) < _MMR_K and len(chosen) < len(rel):
+    while len(selected) < k and len(chosen) < len(rel):
         best = None
         for d in sorted(rel):
             if d in chosen:
@@ -9915,20 +9940,13 @@ def l128_mmr_diversified_topk(spark, sf_dir):
                 (sim.get((d, s), 0) for s in chosen), default=0
             )
             score = 7 * rel[d] - 3 * max_sim
-            if best is None or (score, -_ord(d)) > (best[0], -_ord(best[1])):
+            if best is None or score > best[0]:
                 best = (score, d)
         selected.append(
             (len(selected) + 1, best[1], rel[best[1]], best[0])
         )
         chosen.append(best[1])
-    return spark.createDataFrame(
-        selected, "mmr_rank int, doc_id long, rel_micro long, score long"
-    )
-
-
-def _ord(v):
-    """Sort key for tie-breaks on ids that may be int or str."""
-    return v
+    return selected
 
 
 _MW_ROUNDS, _MW_ETA_DEN = 5, 4  # eta = 1/4 per round

@@ -3413,7 +3413,11 @@ def r78_pivot_revenue_matrix(spark, sf_dir):
     adds a distinct-scan job and makes the output schema data-
     dependent, which no 100 TB pipeline wants). Revenue cells
     accumulate in decimal (the dsum contract) so the doubles are
-    merge-order-free; empty cells are NULL on both sides. The oracle
+    merge-order-free; empty REVENUE cells are NULL on both sides,
+    while empty COUNT cells need a coalesce: Spark's pivot yields
+    NULL for a (priority, flag) combination with zero rows but the
+    oracle's count(*) FILTER yields 0 (dormant on TPC-H, divergent
+    on any corpus missing a flag for some priority). The oracle
     is the canonical CASE-WHEN expansion — the relational-algebra
     identity PIVOT compiles to. The inverse reshape is covered in
     pytest: unpivot(pivot(X)) round-trips (Spark ``unpivot``/melt).
@@ -3444,7 +3448,7 @@ def r78_pivot_revenue_matrix(spark, sf_dir):
         F.col("A_rev").alias("rev_a"),
         F.col("N_rev").alias("rev_n"),
         F.col("R_rev").alias("rev_r"),
-        F.col("A_n").alias("n_a"),
-        F.col("N_n").alias("n_n"),
-        F.col("R_n").alias("n_r"),
+        F.coalesce(F.col("A_n"), F.lit(0)).cast("long").alias("n_a"),
+        F.coalesce(F.col("N_n"), F.lit(0)).cast("long").alias("n_n"),
+        F.coalesce(F.col("R_n"), F.lit(0)).cast("long").alias("n_r"),
     )

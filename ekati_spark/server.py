@@ -542,7 +542,17 @@ class EkatiServer:
             hd = dict(headers)
             method = hd.get(":path", "").rsplit("/", 1)[-1]
             resp_headers = [("content-type", "application/grpc")]
-            msgs = list(W.iter_frames(body))
+            try:
+                # inside the try: a compressed-flag or truncated frame
+                # raises ValueError and must become a grpc-status
+                # trailer, not a connection-killing thread traceback
+                msgs = list(W.iter_frames(body))
+            except ValueError as e:
+                return 200, resp_headers, b"", [
+                    ("grpc-status", "12"),  # UNIMPLEMENTED: encoding
+                    ("grpc-message", str(e)),
+                    ("grpc-accept-encoding", "identity"),
+                ]
             raw = msgs[0] if msgs else b""
             try:
                 res = self.grpc_call(method, raw)

@@ -200,13 +200,19 @@ class H2Connection:
             st = self.streams.get(stream_id)
             if st is None:
                 return False
+            # flow control accounts the ENTIRE frame payload including
+            # the pad-length byte and padding (RFC 9113 §6.9.1), so the
+            # replenishment amount is captured BEFORE stripping padding
+            flow_len = len(payload)
             if flags & PADDED:
+                if not payload:
+                    return True  # PROTOCOL_ERROR: missing pad length
                 pad = payload[0]
                 payload = payload[1 : len(payload) - pad]
             st.body += payload
-            if payload:
+            if flow_len:
                 # replenish both receive windows so clients never stall
-                upd = struct.pack(">I", len(payload))
+                upd = struct.pack(">I", flow_len)
                 self._send(pack_frame(WINDOW_UPDATE, 0, 0, upd))
                 self._send(pack_frame(WINDOW_UPDATE, 0, stream_id, upd))
             if flags & END_STREAM:
@@ -227,6 +233,11 @@ class H2Connection:
                 self.peer_initial_window = value
                 for st in self.streams.values():
                     st.send_window += delta
+                if delta > 0:
+                    # a raised initial window can unblock responses
+                    # stalled on stream flow control — flush now rather
+                    # than waiting for an unrelated WINDOW_UPDATE
+                    self._flush_pending()
 
     def _finish_headers(self) -> None:
         stream_id = self._hdr_stream

@@ -56,6 +56,23 @@ def test_connected_components_chain_converges(spark):
     assert set(cc.values()) == {"n0"}
 
 
+def test_connected_components_exact_budget_confirms(spark):
+    """Diameter exactly consuming the budget is CONVERGED, not an
+    error: a 5-node path needs 4 supersteps (labels still change on
+    pass 4); require_converged must spend one confirming pass instead
+    of raising on a correct result (round-13 advice). One superstep
+    short must still raise."""
+    chain = [(f"n{i}", f"n{i+1}") for i in range(4)]
+    e = _edges(spark, chain)
+    cc = {
+        r.node_id: r.component
+        for r in connected_components(e, max_iter=4).collect()
+    }
+    assert set(cc.values()) == {"n0"}
+    with pytest.raises(RuntimeError, match="still changing"):
+        connected_components(e, max_iter=3).collect()
+
+
 def test_shortest_hops_min_over_paths(spark):
     """d is reachable in 1 (a->d) and in 2 (a->b->d): BFS must report 1."""
     e = _edges(spark, [("a", "b"), ("b", "d"), ("a", "d"), ("d", "z")])

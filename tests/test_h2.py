@@ -271,6 +271,169 @@ def test_h2_grpc_unknown_method_unimplemented(h2_served):
         cli.close()
 
 
+def test_h2_grpc_compressed_frame_trailer_not_connection_kill(h2_served):
+    """A gRPC message with the compressed flag set (or truncated) must
+    come back as a grpc-status 12 trailer with grpc-accept-encoding
+    identity — NOT escape the handler and kill the connection (the
+    round-13 advice): the SAME connection must serve a follow-up
+    request."""
+    _, h2srv = h2_served
+    cli = _H2Client(h2srv.host, h2srv.port)
+    try:
+        msg = W.encode("Query", {"iris": ["s1"]})
+        compressed = b"\x01" + struct.pack(">I", len(msg)) + msg
+        _, data, trailers = cli.request(
+            "/ahghee.WatDbService/Get", compressed
+        )
+        assert data == b""
+        assert ("grpc-status", "12") in trailers
+        assert ("grpc-accept-encoding", "identity") in trailers
+        # truncated frame: declared length exceeds the body
+        _, data, trailers = cli.request(
+            "/ahghee.WatDbService/Get", b"\x00" + struct.pack(">I", 99)
+        )
+        assert ("grpc-status", "12") in trailers
+        # connection still alive: a clean request on the same socket
+        _, data, trailers = cli.request(
+            "/ahghee.WatDbService/Get", W.frame(_get_query_msg())
+        )
+        assert ("grpc-status", "0") in trailers
+        assert list(W.iter_frames(data))
+    finally:
+        cli.close()
+
+
+def test_h2_padded_data_flow_control_full_frame(h2_served):
+    """RFC 9113 §6.9.1: flow control accounts the ENTIRE DATA payload
+    including the pad-length byte and padding. The server's
+    WINDOW_UPDATE replenishment must cover the full frame length, or a
+    padding-using client's send window shrinks permanently."""
+    _, h2srv = h2_served
+    cli = _H2Client(h2srv.host, h2srv.port)
+    try:
+        sid = cli.next_stream
+        cli.next_stream += 2
+        block = b"".join(
+            cli._hpack_huffman_literal(n, v)
+            for n, v in [
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/ahghee.WatDbService/Get"),
+                (":authority", "localhost"),
+                ("content-type", "application/grpc"), ("te", "trailers"),
+            ]
+        )
+        cli.sock.sendall(
+            H2.pack_frame(H2.HEADERS, H2.END_HEADERS, sid, block)
+        )
+        body = W.frame(_get_query_msg())
+        pad = 7
+        padded = bytes([pad]) + body + b"\x00" * pad
+        cli.sock.sendall(
+            H2.pack_frame(H2.DATA, H2.END_STREAM | H2.PADDED, sid, padded)
+        )
+        replenished = {0: 0, sid: 0}
+        got_status = None
+        dec = hpackc.Decoder()
+        while got_status is None:
+            fr = cli._recv_frame()
+            assert fr is not None
+            ftype, flags, stream_id, payload = fr
+            if ftype == H2.SETTINGS and not flags & H2.ACK:
+                cli.sock.sendall(
+                    H2.pack_frame(H2.SETTINGS, H2.ACK, 0, b"")
+                )
+            elif ftype == H2.WINDOW_UPDATE:
+                replenished[stream_id] += int.from_bytes(payload, "big")
+            elif ftype == H2.HEADERS:
+                for n, v in dec.decode(payload):
+                    if n == "grpc-status":
+                        got_status = v
+        assert got_status == "0"
+        # both windows replenished by the FULL padded payload length
+        assert replenished[0] == len(padded)
+        assert replenished[sid] == len(padded)
+    finally:
+        cli.close()
+
+
+def test_h2_initial_window_raise_unstalls_response(h2_served):
+    """A response stalled on stream flow control (client set
+    SETTINGS_INITIAL_WINDOW_SIZE=0) must flow as soon as the peer
+    raises the initial window via SETTINGS — without waiting for an
+    unrelated WINDOW_UPDATE (the round-13 advice: _apply_settings now
+    flushes pending on a positive delta)."""
+    _, h2srv = h2_served
+    cli = _H2Client(h2srv.host, h2srv.port)
+    try:
+        # shrink the initial window to 0 BEFORE the request
+        setting = struct.pack(">HI", H2.SETTINGS_INITIAL_WINDOW_SIZE, 0)
+        cli.sock.sendall(H2.pack_frame(H2.SETTINGS, 0, 0, setting))
+        sid = cli.next_stream
+        cli.next_stream += 2
+        block = b"".join(
+            cli._hpack_huffman_literal(n, v)
+            for n, v in [
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/ahghee.WatDbService/Get"),
+                (":authority", "localhost"),
+                ("content-type", "application/grpc"), ("te", "trailers"),
+            ]
+        )
+        cli.sock.sendall(
+            H2.pack_frame(H2.HEADERS, H2.END_HEADERS, sid, block)
+        )
+        cli.sock.sendall(
+            H2.pack_frame(
+                H2.DATA, H2.END_STREAM, sid, W.frame(_get_query_msg())
+            )
+        )
+        # drain until response HEADERS arrive; DATA must NOT arrive
+        # while the stream window is 0
+        dec = hpackc.Decoder()
+        saw_headers = False
+        cli.sock.settimeout(2)
+        stalled_data = b""
+        import socket as _socket
+
+        while not saw_headers:
+            fr = cli._recv_frame()
+            assert fr is not None
+            ftype, flags, stream_id, payload = fr
+            if ftype == H2.SETTINGS and not flags & H2.ACK:
+                cli.sock.sendall(H2.pack_frame(H2.SETTINGS, H2.ACK, 0, b""))
+            elif ftype == H2.HEADERS and stream_id == sid:
+                dec.decode(payload)
+                saw_headers = True
+        try:
+            fr = cli._recv_frame()
+            if fr and fr[0] == H2.DATA:
+                stalled_data += fr[3]
+        except (_socket.timeout, TimeoutError):
+            pass
+        assert stalled_data == b"", "DATA flowed through a zero window"
+        # raise the initial window: the stalled response must now flow
+        setting = struct.pack(">HI", H2.SETTINGS_INITIAL_WINDOW_SIZE, 65535)
+        cli.sock.sendall(H2.pack_frame(H2.SETTINGS, 0, 0, setting))
+        cli.sock.settimeout(10)
+        data = bytearray()
+        trailers = None
+        while trailers is None:
+            fr = cli._recv_frame()
+            assert fr is not None
+            ftype, flags, stream_id, payload = fr
+            if ftype == H2.SETTINGS and not flags & H2.ACK:
+                cli.sock.sendall(H2.pack_frame(H2.SETTINGS, H2.ACK, 0, b""))
+            elif ftype == H2.DATA and stream_id == sid:
+                data += payload
+            elif ftype == H2.HEADERS and stream_id == sid:
+                trailers = dec.decode(payload)
+        assert ("grpc-status", "0") in trailers
+        nodes = [W.decode("Node", f) for f in W.iter_frames(bytes(data))]
+        assert any(n.get("id", {}).get("iri") == "s1" for n in nodes)
+    finally:
+        cli.close()
+
+
 # ---------------------------------------------------------------------------
 # stock-client interop
 

@@ -1060,6 +1060,29 @@ def test_l128_mmr_semantics(spark, sf_dir):
         assert abs(r.score) <= 7 * 1_000_000 + 3 * 1_000_000
 
 
+def test_mmr_greedy_str_ids():
+    """The MMR greedy's tie-break contract holds for str ids too (the
+    round-13 advice flagged a negated possibly-str key — a TypeError):
+    ascending-id iteration + strict > keeps the smallest id on score
+    ties, for int AND str id types."""
+    from ekati_spark.queries.llm import _mmr_greedy
+
+    rel = {"b": 100, "a": 100, "c": 50}
+    out = _mmr_greedy(rel, sim={}, k=3)
+    # tie on score 700 between "a" and "b" -> "a" first
+    assert [d for _, d, _, _ in out] == ["a", "b", "c"]
+    assert out[0] == (1, "a", 100, 700)
+    # int ids: same contract
+    out_i = _mmr_greedy({2: 9, 1: 9}, sim={}, k=2)
+    assert [d for _, d, _, _ in out_i] == [1, 2]
+    # diversity penalty actually reorders: near-dup of the first pick
+    # loses to a diverse lower-relevance candidate
+    rel2 = {1: 100, 2: 99, 3: 60}
+    sim2 = {(2, 1): 1_000_000, (1, 2): 1_000_000}
+    out2 = _mmr_greedy(rel2, sim2, k=3)
+    assert [d for _, d, _, _ in out2] == [1, 3, 2]
+
+
 def test_l129_reweighting_semantics(spark, sf_dir):
     """MW reweighting invariants: weights sum to EXACTLY 1e6 ppm
     (largest-remainder contract), and the mapping excess -> weight is
