@@ -168,6 +168,51 @@ def shingle_rows(
     return out.distinct() if distinct else out
 
 
+def multi_width_shingle_rows(
+    docs: DataFrame,
+    widths: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Distinct word-n-gram shingles at SEVERAL widths from ONE scan:
+    ``(id, n, g)`` rows — the fused form of running ``shingle_rows``
+    once per width (a 100 TB corpus shouldn't be tokenized and shingled
+    twice to audit two gram widths, the l131 shape).
+
+    Construction: one split, ``max(widths)`` aligned slice views all
+    sized to the SMALLEST width's position count (so arrays_zip pads
+    the tail slices with NULL), one explode — then each width w's gram
+    is emitted only where its last token (zip field w-1) is non-NULL,
+    i.e. exactly at positions with w tokens ahead. Everything is
+    codegen expressions (slice/arrays_zip/concat_ws — no interpreted
+    transform lambdas), the per-position width fan-out is a literal
+    array of structs, and the only shuffle is the distinct. Row-set per
+    width is EXACTLY ``shingle_rows(docs, w)`` (pinned in pytest).
+    """
+    ws = sorted(set(widths))
+    wmin, wmax = ws[0], ws[-1]
+    a = F.split(F.trim(F.lower(F.col(text_col))), " +")
+    length = F.greatest(F.size(a) - (wmin - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(a, 1 + k, length) for k in range(wmax)])
+    row = docs.select(F.col(id_col).alias("id"), F.explode(z).alias("z"))
+    grams = [
+        F.struct(
+            F.lit(w).cast("int").alias("n"),
+            F.when(
+                F.col("z")[str(w - 1)].isNotNull(),
+                F.concat_ws(" ", *[F.col("z")[str(k)] for k in range(w)]),
+            ).alias("g"),
+        )
+        for w in ws
+    ]
+    return (
+        row.select("id", F.explode(F.array(*grams)).alias("s"))
+        .select("id", F.col("s.n").alias("n"), F.col("s.g").alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+
+
 def shingle_hash_rows(
     docs: DataFrame,
     n: int = 3,

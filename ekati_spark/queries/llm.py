@@ -10267,40 +10267,62 @@ def l131_contamination_report(spark, sf_dir):
     source as docs_total / docs_contaminated / integer-ppm rate. The
     13-gram slice is the published decontamination width; the 8-gram
     slice is the aggressive audit — divergence between them is the
-    signal reviewers read. Both slices run the same decontaminate
-    operator (l30's) so the report and the per-doc query can't drift.
+    signal reviewers read. Gram row-sets per width are exactly l30's
+    decontaminate operator's (pinned in pytest), so the report and the
+    per-doc query can't drift.
 
-    Scale shape: per slice, one codegen shingle pass over the corpus +
-    a broadcast of the dimension-sized benchmark gram set + a
-    doc-keyed distinct and a source-keyed rollup — no corpus-sized
-    shuffle anywhere; the two widths are independent passes (a 100 TB
-    run fuses them into one pass emitting (doc, n) hits; priced here
-    as the readable two-pass form)."""
+    Scale shape: ONE fused codegen shingle pass over the corpus
+    emitting (doc, n, g) for BOTH widths (multi_width_shingle_rows —
+    the round-13 two-pass form shingled the 100 TB side twice; a
+    plan-shape test pins exactly two text-reading scans: corpus +
+    benchmark) + a broadcast of the dimension-sized benchmark gram set
+    keyed by (n, g) + a doc-keyed distinct and a source-keyed rollup —
+    no corpus-sized shuffle anywhere."""
     docs = load_table(spark, sf_dir, "documents")
     bench_pred = F.col("doc_id") % 10 == 0
     train = docs.filter(~bench_pred)
     bench = docs.filter(bench_pred)
-    out = None
-    for w in (8, 13):
-        hits = (
-            D.decontaminate(train, bench, n=w)
-            .select("doc_id")
-            .withColumn("hit", F.lit(1))
+    widths = [8, 13]
+    bench_grams = (
+        D.multi_width_shingle_rows(bench, widths)
+        .select("n", "g")
+        .distinct()
+    )
+    hits = (
+        D.multi_width_shingle_rows(train, widths)
+        .join(F.broadcast(bench_grams), ["n", "g"])
+        .select("n", F.col("id").alias("doc_id"))
+        .distinct()
+    )
+    # grid = per-source totals × widths (a literal-array explode over
+    # the |sources|-row aggregate — no join); contaminated counts land
+    # by left join so zero-hit cells keep their 0 (oracle parity)
+    grid = (
+        train.groupBy("source")
+        .agg(F.count("*").cast("long").alias("docs_total"))
+        .select(
+            "source", "docs_total",
+            F.explode(
+                F.array(*[F.lit(w).cast("int") for w in widths])
+            ).alias("n"),
         )
-        sl = (
-            train.join(hits, "doc_id", "left")
-            .groupBy("source")
-            .agg(
-                F.count("*").cast("long").alias("docs_total"),
-                F.count("hit").cast("long").alias("docs_contaminated"),
-            )
-            .select(
-                F.lit(w).cast("int").alias("n"),
-                "source", "docs_total", "docs_contaminated",
-                F.expr(
-                    "docs_contaminated * 1000000L div docs_total"
-                ).cast("long").alias("rate_ppm"),
-            )
+    )
+    cont = (
+        hits.join(train.select("doc_id", "source"), "doc_id")
+        .groupBy("n", "source")
+        .agg(F.count("*").cast("long").alias("docs_contaminated"))
+    )
+    return (
+        grid.join(cont, ["n", "source"], "left")
+        .select(
+            "n", "source", "docs_total",
+            F.coalesce("docs_contaminated", F.lit(0))
+            .cast("long").alias("docs_contaminated"),
         )
-        out = sl if out is None else out.unionByName(sl)
-    return out
+        .withColumn(
+            "rate_ppm",
+            F.expr(
+                "docs_contaminated * 1000000L div docs_total"
+            ).cast("long"),
+        )
+    )

@@ -977,6 +977,50 @@ def test_round12_plan_contracts(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p, name
 
 
+def test_multi_width_shingles_match_per_width(spark, sf_dir):
+    """multi_width_shingle_rows (one fused scan) emits EXACTLY the
+    per-width shingle_rows sets — the l131 fusion's row-set contract,
+    including short docs (no rows at widths past their token count)."""
+    from ekati_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").limit(80)
+    fused = D.multi_width_shingle_rows(docs, [8, 13]).collect()
+    got = {(r.id, r.n, r.g) for r in fused}
+    want = set()
+    for w in (8, 13):
+        want |= {
+            (r.id, w, r.g)
+            for r in D.shingle_rows(docs, w).collect()
+        }
+    assert got == want
+    # plus a synthetic short-doc edge: 9 tokens -> 8-grams only
+    tiny = spark.createDataFrame(
+        [(1, "a b c d e f g h i"), (2, None), (3, "x")],
+        "doc_id long, text string",
+    )
+    rows = D.multi_width_shingle_rows(tiny, [8, 13]).collect()
+    assert {(r.id, r.n, r.g) for r in rows} == {
+        (1, 8, "a b c d e f g h"),
+        (1, 8, "b c d e f g h i"),
+    }
+
+
+def test_l131_single_corpus_scan(spark, sf_dir):
+    """The fused l131 shingles the corpus ONCE: exactly two parquet
+    scans read the text column (train corpus + benchmark side) — the
+    round-13 two-pass form had four. The per-source rollup scans are
+    column-pruned (no text)."""
+    import ekati_spark.queries as Q
+
+    plan = _plan(Q.REGISTRY["l131_contamination_report"].fn(spark, sf_dir))
+    text_scans = sum(
+        1
+        for seg in plan.split("ReadSchema: ")[1:]
+        if "text:string" in seg.split("\n", 1)[0]
+    )
+    assert text_scans == 2, (text_scans, plan)
+
+
 def test_l121_frame_pass_emits_integers_only(spark, sf_dir):
     """l121's Arrow pass must emit (doc_id, frame, energy) integers —
     audio payload bytes never shuffle. Guard: the plan's only Python
