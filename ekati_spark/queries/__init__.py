@@ -45,7 +45,9 @@ from ekati_spark.queries import stats  # noqa: F401
 # the never-attested block of the NEXT round's rotation, at which point
 # this list is cleared. tools/rotate_window.py excludes these names
 # when re-deriving the window.
-_POST_WINDOW: list[str] = []
+_POST_WINDOW: list[str] = [
+    "l127b_hybrid_rrf_indexed",
+]
 
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round

@@ -9741,9 +9741,11 @@ def l127_hybrid_rrf_fusion(spark, sf_dir):
     explode → partial-agg groupBys → broadcast dfreq → WindowGroupLimit;
     dense: broadcast 1-row query → codegen'd scan-side dot → top-k);
     fusion itself joins two ≤50-row frames — constant work at any
-    corpus size. At 100 TB the arms run over the inverted index (l86)
-    and an ANN index (l15/l119) with identical fusion semantics; the
-    exact arms here keep the oracle bit-replayable."""
+    corpus size. The 100 TB serving shape — arms over the persisted
+    postings index and an LSH ANN index with identical fusion
+    semantics — is l127b, which also carries the fused-vs-exact
+    overlap audit; the exact arms here keep this oracle the ground
+    truth l127b's audit column references."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -9768,6 +9770,13 @@ def l127_hybrid_rrf_fusion(spark, sf_dir):
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("int").alias("dense_rank"),
     )
+    return _rrf_fuse(lex, dense)
+
+
+def _rrf_fuse(lex, dense, k: int = 10):
+    """The RRF tail shared by l127 (exact arms) and l127b (index-backed
+    arms): full-outer join of two (doc_id, *_rank) frames, integer-nano
+    RRF, top-k under (rrf desc, doc_id)."""
     fused = lex.join(dense, "doc_id", "full_outer").select(
         "doc_id", "lex_rank", "dense_rank",
         (
@@ -9782,7 +9791,142 @@ def l127_hybrid_rrf_fusion(spark, sf_dir):
     w = W.orderBy(F.desc("rrf_nano"), F.asc("doc_id"))
     return fused.withColumn(
         "rank", F.row_number().over(w).cast("int")
-    ).filter(F.col("rank") <= 10)
+    ).filter(F.col("rank") <= k)
+
+
+def _l127b_oracle() -> str:
+    """Index-backed hybrid fusion replay: the lexical arm is l127's
+    lex50 chain VERBATIM (the persisted-postings store serves rankings
+    hash-identical to a rebuild — l86's attested identity), the dense
+    arm replays the seeded 6-plane/8-table sign-LSH candidate set (the
+    l07 expression bank) re-ranked exactly, and the audit column
+    membership-tests l127's full exact-fusion oracle as a nested
+    subquery. Splice preconditions asserted (l123/l124 rule)."""
+    lex_base = _l80_oracle()
+    if lex_base.count("WHERE rank <= 10") != 1:
+        raise AssertionError(
+            "l127b oracle splice: l80's oracle no longer ends in exactly "
+            "one 'WHERE rank <= 10' — update _l127b_oracle"
+        )
+    lex50 = lex_base.replace("WHERE rank <= 10", "WHERE rank <= 50", 1)
+    return f"""
+    WITH exact10 AS MATERIALIZED (
+      SELECT doc_id FROM ({_l127_oracle()})
+    ),
+    lex AS MATERIALIZED ({lex50}),
+    c AS MATERIALIZED (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    qf AS (SELECT v AS qv FROM c WHERE id = 7),
+    cb AS (SELECT id, unnest([{_lsh_bucket_exprs("v", 6, 8)}]) AS bucket
+           FROM c WHERE id <> 7),
+    qb AS (SELECT unnest([{_lsh_bucket_exprs("qv", 6, 8)}]) AS bucket
+           FROM qf),
+    cand AS (SELECT DISTINCT cb.id FROM cb JOIN qb USING (bucket)),
+    d_s AS (
+      SELECT cand.id AS doc_id,
+             round(list_cosine_similarity(qf.qv, c.v), 6) AS cosine
+      FROM cand JOIN c ON c.id = cand.id CROSS JOIN qf
+    ),
+    dense AS (
+      SELECT doc_id, CAST(rn AS INTEGER) AS dense_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id)
+          AS rn FROM d_s)
+      WHERE rn <= 50
+    ),
+    lexr AS (SELECT doc_id, CAST(rank AS INTEGER) AS lex_rank FROM lex),
+    fused AS (
+      SELECT doc_id, lex_rank, dense_rank,
+             coalesce(1000000000 // (60 + lex_rank), 0)
+               + coalesce(1000000000 // (60 + dense_rank), 0) AS rrf_nano
+      FROM lexr FULL OUTER JOIN dense USING (doc_id)
+    )
+    SELECT doc_id, lex_rank, dense_rank,
+           CAST(rrf_nano AS BIGINT) AS rrf_nano,
+           CAST(rank AS INTEGER) AS rank,
+           CAST(CASE WHEN doc_id IN (SELECT doc_id FROM exact10)
+                THEN 1 ELSE 0 END AS INTEGER) AS in_exact_top10
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf_nano DESC, doc_id)
+            AS rank FROM fused)
+    WHERE rank <= 10
+    """
+
+
+@register("l127b_hybrid_rrf_indexed", oracle=_l127b_oracle())
+def l127b_hybrid_rrf_indexed(spark, sf_dir):
+    """INDEX-BACKED hybrid retrieval — the 100 TB serving shape l127's
+    docstring promised (the l05/l05b exact-vs-ANN precedent): the
+    LEXICAL arm scores the l80 query from a PERSISTED postings store
+    (l86's three-table layout: postings / doc lengths / mergeable
+    corpus-stat partials — cost ∝ posting rows for the query terms,
+    never a corpus re-tokenization) and the DENSE arm retrieves through
+    seeded sign-LSH buckets (l07's 6-plane × 8-table configuration:
+    candidate generation shuffles bucket-matched rows only) re-ranked
+    exactly, fused by the IDENTICAL integer-nano RRF tail. The output
+    adds ``in_exact_top10`` — per-doc membership in l127's exact-arm
+    fused top-10, the fused-vs-exact rank-overlap audit (read
+    sum(in_exact_top10) as overlap@10): the committed evidence for
+    what the index path trades, next to l130's pre-serving index
+    metrics. Deterministic end-to-end (store-served BM25 rankings are
+    hash-identical to a rebuild — l86's attested identity — and the
+    LSH candidate set is seeded), so the oracle replays both arms,
+    the fusion, and the audit bit-exactly."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"),
+    )
+    postings = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl_full = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stat = dl_full.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    base = tempfile.mkdtemp(prefix="l127b_idx_")
+    postings.write.mode("overwrite").parquet(f"{base}/postings")
+    dl_full.write.mode("overwrite").parquet(f"{base}/dl")
+    stat.write.mode("overwrite").parquet(f"{base}/stats")
+    tot = (
+        spark.read.parquet(f"{base}/stats")
+        .agg(F.sum("n_docs").alias("n"), F.sum("total_len").alias("l"))
+        .first()
+    )
+    tf = spark.read.parquet(f"{base}/postings").filter(
+        F.col("tok").isin(*_L80_TERMS)
+    )
+    dl = spark.read.parquet(f"{base}/dl")
+    lex = _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]), k=50).select(
+        "doc_id", F.col("rank").cast("int").alias("lex_rank")
+    ).transform(cut_lineage)  # consumed 2x: indexed fusion + exact audit
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 7).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    dense_ann = S.ann_lsh_buckets(emb, q, k=50, n_planes=6).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    dense_exact = S.brute_force_topk(emb, q, k=50).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("int").alias("dense_rank"),
+    )
+    exact10 = (
+        _rrf_fuse(lex, dense_exact)
+        .select("doc_id")
+        .withColumn("in_exact", F.lit(1))
+    )
+    return (
+        _rrf_fuse(lex, dense_ann)
+        .join(exact10, "doc_id", "left")
+        .select(
+            "doc_id", "lex_rank", "dense_rank", "rrf_nano", "rank",
+            F.coalesce("in_exact", F.lit(0))
+            .cast("int").alias("in_exact_top10"),
+        )
+    )
 
 
 _MMR_K, _MMR_POOL = 10, 50

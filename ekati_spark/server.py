@@ -536,6 +536,13 @@ class EkatiServer:
         running ``H2Server`` (``.port`` for the bound port); ``stop()``
         shuts it down with the HTTP/1.1 surface."""
         from ekati_spark.wire import h2 as H2
+
+        self._h2 = H2.H2Server(self._h2_handler(), host, port).start()
+        return self._h2
+
+    def _h2_handler(self):
+        """The gRPC request handler shared by the h2c (``start_h2``)
+        and TLS ("grpcs", ``start_h2s``) transports."""
         from ekati_spark.wire import proto as W
 
         def handler(headers, body):
@@ -576,8 +583,25 @@ class EkatiServer:
                 payload = W.frame(payload)
             return 200, resp_headers, payload, [("grpc-status", "0")]
 
-        self._h2 = H2.H2Server(handler, host, port).start()
-        return self._h2
+        return handler
+
+    def start_h2s(
+        self, certfile: str, keyfile: str,
+        host: str = "127.0.0.1", port: int = 0,
+    ):
+        """The "grpcs" form of ``start_h2``: same framing, dispatch and
+        trailers, behind TLS with ALPN ``h2`` (RFC 7301) via stdlib
+        ``ssl`` — what ``grpc.secure_channel`` / ``curl --http2`` over
+        https negotiate. Certificate/key are the deployment's to
+        provide (tests generate a self-signed pair with the stock
+        ``openssl`` CLI). A client negotiating a non-h2 ALPN protocol
+        is refused at handshake."""
+        from ekati_spark.wire import h2 as H2
+
+        handler = self._h2_handler()
+        ctx = H2.make_server_tls_context(certfile, keyfile)
+        self._h2s = H2.H2Server(handler, host, port, ssl_context=ctx).start()
+        return self._h2s
 
     def stop(self) -> None:
         self._httpd.shutdown()
@@ -585,6 +609,9 @@ class EkatiServer:
         if getattr(self, "_h2", None) is not None:
             self._h2.stop()
             self._h2 = None
+        if getattr(self, "_h2s", None) is not None:
+            self._h2s.stop()
+            self._h2s = None
         if self._thread:
             self._thread.join(timeout=5)
 

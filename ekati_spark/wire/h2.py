@@ -316,16 +316,51 @@ class H2Connection:
         self.pending = [p for p in self.pending if p not in done]
 
 
-class H2Server:
-    """Threaded cleartext HTTP/2 server: one ``H2Connection`` per
-    accepted socket, requests dispatched to ``handler``."""
+def make_server_tls_context(certfile: str, keyfile: str):
+    """TLS server context for gRPC's "grpcs" profile: TLS ≥ 1.2 with
+    ALPN advertising ``h2`` (RFC 7301 — what ``grpc.secure_channel``
+    and ``curl --http2`` negotiate). Pure stdlib ``ssl``."""
+    import ssl
 
-    def __init__(self, handler, host: str = "127.0.0.1", port: int = 0):
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.minimum_version = ssl.TLSVersion.TLSv1_2
+    ctx.load_cert_chain(certfile, keyfile)
+    ctx.set_alpn_protocols(["h2"])
+    return ctx
+
+
+class H2Server:
+    """Threaded HTTP/2 server: one ``H2Connection`` per accepted
+    socket, requests dispatched to ``handler``. Cleartext (h2c, prior
+    knowledge) by default; pass ``ssl_context``
+    (``make_server_tls_context``) for TLS+ALPN ("grpcs") — the
+    handshake happens per connection, and a client that negotiates an
+    ALPN protocol other than ``h2`` is refused (no ALPN at all is
+    accepted as prior knowledge, the curl ``--http2-prior-knowledge``
+    over TLS form)."""
+
+    def __init__(
+        self, handler, host: str = "127.0.0.1", port: int = 0,
+        ssl_context=None,
+    ):
         outer_handler = handler
+        outer_ssl = ssl_context
 
         class _ConnHandler(socketserver.BaseRequestHandler):
             def handle(self):
-                H2Connection(self.request, outer_handler).run()
+                sock = self.request
+                if outer_ssl is not None:
+                    import ssl as _ssl
+
+                    try:
+                        sock = outer_ssl.wrap_socket(sock, server_side=True)
+                    except (_ssl.SSLError, OSError):
+                        return  # failed handshake: drop the connection
+                    alpn = sock.selected_alpn_protocol()
+                    if alpn is not None and alpn != "h2":
+                        sock.close()
+                        return
+                H2Connection(sock, outer_handler).run()
 
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True

@@ -122,8 +122,9 @@ class _H2Client:
     OWN encoder (including Huffman-coded literals) so the server's
     decode path is exercised without external tools."""
 
-    def __init__(self, host: str, port: int):
-        self.sock = socket.create_connection((host, port), timeout=10)
+    def __init__(self, host: str, port: int, sock=None):
+        # a pre-connected (e.g. TLS-wrapped) socket may be supplied
+        self.sock = sock or socket.create_connection((host, port), timeout=10)
         self.sock.sendall(H2.PREFACE)
         self.sock.sendall(H2.pack_frame(H2.SETTINGS, 0, 0, b""))
         self.next_stream = 1
@@ -517,3 +518,99 @@ def test_h2_interop_with_stock_nghttp(h2_served, tmp_path):
     assert ":status: 200" in txt
     assert "content-type: application/grpc" in txt
     assert "grpc-status: 0" in txt
+
+
+# ---------------------------------------------------------------------------
+# TLS + ALPN ("grpcs")
+
+
+@pytest.fixture(scope="module")
+def tls_pair(tmp_path_factory):
+    """Self-signed localhost cert/key via the stock openssl CLI."""
+    openssl = shutil.which("openssl")
+    if openssl is None:
+        pytest.skip("no openssl on PATH")
+    d = tmp_path_factory.mktemp("tls")
+    cert, key = str(d / "cert.pem"), str(d / "key.pem")
+    subprocess.run(
+        [
+            openssl, "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", key, "-out", cert, "-days", "2",
+            "-subj", "/CN=localhost",
+            "-addext", "subjectAltName=DNS:localhost,IP:127.0.0.1",
+        ],
+        check=True, capture_output=True, timeout=120,
+    )
+    return cert, key
+
+
+def _tls_client_sock(host, port, cert, alpn=("h2",)):
+    import ssl
+
+    ctx = ssl.create_default_context(cafile=cert)
+    ctx.set_alpn_protocols(list(alpn))
+    raw = socket.create_connection((host, port), timeout=10)
+    return ctx.wrap_socket(raw, server_hostname="localhost")
+
+
+def test_h2s_grpc_over_tls_alpn(h2_served, tls_pair):
+    """grpcs end to end: TLS 1.2+ handshake against the self-signed
+    cert (verified as its own CA), ALPN negotiates exactly "h2", and
+    the same gRPC Put/Get framing runs over the encrypted channel with
+    grpc-status trailers."""
+    server, _ = h2_served
+    cert, key = tls_pair
+    h2s = server.start_h2s(cert, key)
+    tls = _tls_client_sock(h2s.host, h2s.port, cert)
+    try:
+        assert tls.version() in ("TLSv1.2", "TLSv1.3")
+        assert tls.selected_alpn_protocol() == "h2"
+        cli = _H2Client(h2s.host, h2s.port, sock=tls)
+        hdrs, data, trailers = cli.request(
+            "/ahghee.WatDbService/Get", W.frame(_get_query_msg())
+        )
+        assert (":status", "200") in hdrs
+        assert ("grpc-status", "0") in trailers
+        nodes = [W.decode("Node", f) for f in W.iter_frames(data)]
+        assert any(n.get("id", {}).get("iri") == "s1" for n in nodes)
+    finally:
+        tls.close()
+
+
+def test_h2s_interop_with_stock_curl_https(h2_served, tls_pair, tmp_path):
+    """Stock curl over https: ALPN-negotiated HTTP/2 (no
+    prior-knowledge flag — TLS ALPN is how real gRPC clients select
+    h2), self-signed CA passed via --cacert, gRPC body + trailers."""
+    curl = _curl_ok()
+    if curl is None:
+        pytest.skip("curl missing or lacks HTTP/2")
+    server, _ = h2_served
+    cert, key = tls_pair
+    h2s = server.start_h2s(cert, key)
+    req = tmp_path / "get.bin"
+    req.write_bytes(W.frame(_get_query_msg()))
+    out = subprocess.run(
+        [
+            curl, "-sS", "--http2", "--cacert", cert,
+            "--resolve", f"localhost:{h2s.port}:127.0.0.1",
+            "-H", "content-type: application/grpc",
+            "-H", "te: trailers",
+            "--data-binary", f"@{req}",
+            "-D", str(tmp_path / "head.txt"),
+            f"https://localhost:{h2s.port}/ahghee.WatDbService/Get",
+        ],
+        capture_output=True,
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr.decode(errors="replace")
+    head = (tmp_path / "head.txt").read_text(errors="replace")
+    assert head.startswith("HTTP/2 200"), head
+    frames, leftover = [], out.stdout
+    while len(leftover) >= 5 and leftover[0] == 0:
+        ln = int.from_bytes(leftover[1:5], "big")
+        frames.append(leftover[5 : 5 + ln])
+        leftover = leftover[5 + ln :]
+    assert leftover in (b"", b"grpc-status: 0\r\n"), leftover
+    assert "grpc-status: 0" in head or leftover, (head, leftover)
+    nodes = [W.decode("Node", f) for f in frames]
+    assert any(n.get("id", {}).get("iri") == "s1" for n in nodes)

@@ -596,8 +596,12 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l124_dedup_cascade_report",
         # l127's dense arm and l130's exact-ground-truth arm are l06's
         # sanctioned shape (the <=10-row query side broadcasts against
-        # the corpus scan, non-equi on id)
+        # the corpus scan, non-equi on id); l127b's exact-audit arm is
+        # the same shape (its SERVING arms are bucket/posting equi-joins
+        # — the BNLJ is only the brute-force ground truth the audit
+        # column compares against)
         "l127_hybrid_rrf_fusion",
+        "l127b_hybrid_rrf_indexed",
         "l130_retrieval_quality_metrics",
     }
     flagged = {}
@@ -1070,6 +1074,34 @@ def test_l127_rrf_fusion_semantics(spark, sf_dir):
     # total order: rrf desc, doc_id asc
     key = [(-r.rrf_nano, r.doc_id) for r in rows]
     assert key == sorted(key)
+
+
+def test_l127b_indexed_fusion_semantics(spark, sf_dir):
+    """l127b invariants: 10 distinct picks ranked 1..10 under (rrf
+    desc, doc_id); every row has at least one arm rank; the audit
+    column is 0/1 and marks exactly the docs in l127's exact fused
+    top-10 (recomputed here from the registry fn)."""
+    import ekati_spark.queries as Q
+
+    rows = sorted(
+        Q.REGISTRY["l127b_hybrid_rrf_indexed"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.rank,
+    )
+    assert [r.rank for r in rows] == list(range(1, 11))
+    assert len({r.doc_id for r in rows}) == 10
+    for r in rows:
+        assert r.lex_rank is not None or r.dense_rank is not None
+        assert r.in_exact_top10 in (0, 1)
+    key = [(-r.rrf_nano, r.doc_id) for r in rows]
+    assert key == sorted(key)
+    exact = {
+        r.doc_id
+        for r in Q.REGISTRY["l127_hybrid_rrf_fusion"].fn(
+            spark, sf_dir
+        ).collect()
+    }
+    for r in rows:
+        assert r.in_exact_top10 == int(r.doc_id in exact), r
 
 
 def test_l128_mmr_semantics(spark, sf_dir):
