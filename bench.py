@@ -133,6 +133,12 @@ HEADLINE = [
     # one aggregate over shapes already represented here, and their
     # finishers are O(k) driver loops by contract.
     "l127_hybrid_rrf_fusion",
+    # round-14 addition — the index-backed serving form: postings-store
+    # write+read (parquet round-trip) + LSH bucket dense arm + the
+    # exact audit arm; a NEW plan family (persisted-index serving).
+    # l131's fused two-width shingle pass replaces two passes inside
+    # an entry-shaped query; it stays verify-only (l30's plan family).
+    "l127b_hybrid_rrf_indexed",
 ]
 
 
