@@ -1592,6 +1592,109 @@ def _int_probe_topk(
     )
 
 
+def ivf_self_topk_int(
+    emb: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 6,
+    kmeans_iters: int = 2,
+    scale: int = 1024,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Whole-corpus SELF top-k from the integer IVF index: every vector
+    is a query against the index it lives in (the all-vectors shape
+    label audits / SemDeDup-style passes need). Unlike
+    ``_int_probe_rows`` — whose driver-side probe binding assumes a
+    dimension-sized query set (l06's contract) — the probe assignment
+    here is DISTRIBUTED: one Arrow pass with the k×dim centroid table
+    riding the closure emits each vector's ``n_probe`` nearest list
+    ids (ties on dist broken by list_id, matching the oracle's ORDER
+    BY), candidates meet probed lists in one equi-join, query vectors
+    re-attach by id (narrow id-keyed join, never a driver collect),
+    and scoring is the same exact-int64 Arrow pass as
+    ``_int_probe_topk``. Deterministic end to end — a SQL oracle
+    replays build, probe, and rank (queries/llm.py::l108b).
+
+    Scale: probe emit is n·n_probe narrow rows; candidate volume is
+    Σ_q Σ_{probed lists} |list| ≈ n·(n_probe/n_lists)·n per Lloyd
+    balance — the IVF trade (n_lists grows with n to hold per-list
+    size; at 100 TB lists are partitions of the persisted index and
+    probes prune the scan, the l75/l93 shape)."""
+    dim = _infer_dim(emb, vec_col)
+    assigned, cents = _int_kmeans(
+        emb, n_lists, kmeans_iters, scale, id_col, vec_col
+    )
+    ids = sorted(cents)
+    C = np.array([cents[i] for i in ids], dtype=np.int64)
+    cc = (C * C).sum(axis=1)
+    idarr = np.array(ids, dtype=np.int64)
+    npb = min(n_probe, len(ids))
+
+    def probe(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ C.T) + cc[None, :]
+            # C rows are ascending list_id, so a stable argsort breaks
+            # distance ties by list_id — the oracle's ORDER BY d, list_id
+            order = np.argsort(d, axis=1, kind="stable")[:, :npb]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["id"].to_numpy().repeat(npb),
+                    "list_id": idarr[order].reshape(-1),
+                }
+            )
+
+    probes = assigned.select("id", "qv").mapInPandas(
+        probe, schema="query_id long, list_id long"
+    )
+    qv = assigned.select(
+        F.col("id").alias("query_id"), F.col("qv").alias("q_qv")
+    )
+    cand = (
+        probes.join(
+            assigned.select(
+                F.col("id").alias("neighbor_id"), "qv", "list_id"
+            ),
+            "list_id",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(qv, "query_id")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.array(pdf["q_qv"].tolist(), dtype=np.int64)
+            V = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            d = (
+                (Q * Q).sum(axis=1)
+                - 2 * (Q * V).sum(axis=1)
+                + (V * V).sum(axis=1)
+            )
+            out = pdf[["query_id", "neighbor_id"]].copy()
+            out["dist_sq"] = d
+            yield out
+
+    scored = cand.mapInPandas(
+        score, schema="query_id long, neighbor_id long, dist_sq long"
+    )
+    win = W.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("rn").cast("int").alias("rank"),
+            "neighbor_id",
+            "dist_sq",
+        )
+    )
+
+
 def ivf_append_topk_int(
     base: DataFrame,
     new_vectors: DataFrame,

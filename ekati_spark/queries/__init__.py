@@ -47,6 +47,7 @@ from ekati_spark.queries import stats  # noqa: F401
 # when re-deriving the window.
 _POST_WINDOW: list[str] = [
     "l127b_hybrid_rrf_indexed",
+    "l108b_knn_label_consistency_ivf",
 ]
 
 _GRADED_FIRST = [

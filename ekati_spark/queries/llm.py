@@ -7773,9 +7773,44 @@ def l108_knn_label_consistency(spark, sf_dir):
     oracle replays distances, tie-breaks, votes, and ratios exactly.
     Scale: this is the bounded exact audit (all-pairs over the
     embedded sample — run it on a label-stratified sample at 100 TB);
-    the production path feeds the same vote from IVF (l15) or JL
-    (l106) candidates, trading the audited recall for linear cost.
-    Reference analog: none (LLM-data extension)."""
+    the production path feeds the same vote from IVF candidates —
+    that path is l108b, which also audits its per-class agreement
+    with this exact predictor. Reference analog: none (LLM-data
+    extension)."""
+    pred = _knn_exact_pred(spark, sf_dir)
+    return pred.groupBy(F.col("own_label").alias("label")).agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(
+            F.when(F.col("pred_label") == F.col("own_label"), 1).otherwise(0)
+        ).alias("n_consistent"),
+        F.expr(
+            "CAST((1000000 * SUM(CASE WHEN pred_label = own_label THEN 1"
+            " ELSE 0 END)) div COUNT(*) AS BIGINT)"
+        ).alias("consistency_ppm"),
+    )
+
+
+def _knn_vote_pred(top5):
+    """Majority vote over (query_id, own_label, nb_label) neighbor
+    rows: vote ties break by smallest nb_label — the tail shared by
+    the exact (l108) and IVF-backed (l108b) label-consistency audits."""
+    votes = top5.groupBy("query_id", "own_label", "nb_label").agg(
+        F.count("*").alias("c")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.col("c").desc(), "nb_label")
+    return votes.select(
+        "query_id",
+        "own_label",
+        F.col("nb_label").alias("pred_label"),
+        F.row_number().over(wv).alias("rv"),
+    ).filter(F.col("rv") == 1)
+
+
+def _knn_exact_pred(spark, sf_dir):
+    """l108's per-vector exact-kNN majority prediction: (query_id,
+    own_label, pred_label) from the exact top-5 integer-L2 neighbors —
+    shared with l108b, where it is the agreement audit's ground
+    truth."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
@@ -7816,25 +7851,185 @@ def l108_knn_label_consistency(spark, sf_dir):
     top5 = ex.select(
         "query_id", "own_label", "nb_label", F.row_number().over(w5).alias("rn")
     ).filter(F.col("rn") <= 5)
-    votes = top5.groupBy("query_id", "own_label", "nb_label").agg(
-        F.count("*").alias("c")
+    return _knn_vote_pred(top5)
+
+
+def _l108b_oracle() -> str:
+    """IVF-backed label-consistency replay: the l15 oracle's entire
+    integer-k-means chain (e → c0 → … → a3) is SPLICED verbatim (the
+    l123/l124 rule: precondition asserted so l15 drift fails at
+    registration), then every vector probes its 6 nearest c2 lists,
+    candidates rank by exact int64 L2², votes roll up per class, and
+    the exact all-pairs predictor (l108's chain) joins in as the
+    agreement audit."""
+    from ekati_spark.queries.base import REGISTRY  # noqa: PLC0415
+
+    base = REGISTRY["l15_knn_ivf"].oracle
+    marker = ",\n    qr AS MATERIALIZED"
+    if base.count(marker) != 1:
+        raise AssertionError(
+            "l108b oracle splice: l15's oracle no longer has exactly one "
+            "qr CTE boundary — update _l108b_oracle"
+        )
+    lloyd = base.split(marker, 1)[0]
+    return f"""{lloyd},
+    lab AS MATERIALIZED (
+      SELECT vec_id, label FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    sprobe AS MATERIALIZED (
+      SELECT query_id, q, list_id FROM (
+        SELECT e.vec_id AS query_id, e.qv AS q, c2.list_id,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 CAST(list_dot_product(e.qv, e.qv)
+                      - 2 * list_dot_product(e.qv, c2.c)
+                      + list_dot_product(c2.c, c2.c) AS BIGINT),
+                 c2.list_id) AS rn
+        FROM e CROSS JOIN c2
+      ) WHERE rn <= 6
+    ),
+    scand AS MATERIALIZED (
+      SELECT p.query_id, a3.vec_id AS neighbor_id,
+             CAST(list_dot_product(p.q, p.q)
+                  - 2 * list_dot_product(p.q, a3.qv)
+                  + list_dot_product(a3.qv, a3.qv) AS BIGINT) AS dist_sq
+      FROM sprobe p JOIN a3 ON a3.list_id = p.list_id
+      WHERE a3.vec_id <> p.query_id
+    ),
+    stop5 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY dist_sq, neighbor_id) AS rn FROM scand
+      ) WHERE rn <= 5
+    ),
+    svotes AS (
+      SELECT t.query_id, ql.label AS own_label, nl.label AS nb_label,
+             count(*) AS c
+      FROM stop5 t JOIN lab ql ON ql.vec_id = t.query_id
+                   JOIN lab nl ON nl.vec_id = t.neighbor_id
+      GROUP BY 1, 2, 3
+    ),
+    spred AS (
+      SELECT query_id, own_label, nb_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, nb_label) AS rv FROM svotes
+      ) WHERE rv = 1
+    ),
+    xe AS MATERIALIZED (
+      SELECT e.vec_id, lab.label, e.qv FROM e JOIN lab USING (vec_id)
+    ),
+    xex AS MATERIALIZED (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS nb_label,
+             CAST(list_dot_product(q.qv, q.qv)
+                  - 2 * list_dot_product(q.qv, c.qv)
+                  + list_dot_product(c.qv, c.qv) AS BIGINT) AS d
+      FROM xe q JOIN xe c ON c.vec_id <> q.vec_id
+    ),
+    xtop5 AS (
+      SELECT query_id, nb_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY d, neighbor_id) AS rn FROM xex
+      ) WHERE rn <= 5
+    ),
+    xvotes AS (
+      SELECT query_id, nb_label, count(*) AS c FROM xtop5 GROUP BY 1, 2
+    ),
+    xpred AS (
+      SELECT query_id, nb_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY c DESC, nb_label) AS rv FROM xvotes
+      ) WHERE rv = 1
     )
-    wv = W.partitionBy("query_id").orderBy(F.col("c").desc(), "nb_label")
-    pred = votes.select(
-        "query_id",
-        "own_label",
-        F.col("nb_label").alias("pred_label"),
-        F.row_number().over(wv).alias("rv"),
-    ).filter(F.col("rv") == 1)
-    return pred.groupBy(F.col("own_label").alias("label")).agg(
-        F.count("*").alias("n_vectors"),
-        F.sum(
-            F.when(F.col("pred_label") == F.col("own_label"), 1).otherwise(0)
-        ).alias("n_consistent"),
-        F.expr(
-            "CAST((1000000 * SUM(CASE WHEN pred_label = own_label THEN 1"
-            " ELSE 0 END)) div COUNT(*) AS BIGINT)"
-        ).alias("consistency_ppm"),
+    SELECT s.own_label AS label,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN s.pred_label = s.own_label
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_consistent,
+           CAST((1000000 * SUM(CASE WHEN s.pred_label = s.own_label
+                 THEN 1 ELSE 0 END)) // count(*) AS BIGINT)
+             AS consistency_ppm,
+           CAST(SUM(CASE WHEN s.pred_label = x.pred_label
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_agree_exact,
+           CAST((1000000 * SUM(CASE WHEN s.pred_label = x.pred_label
+                 THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS agree_ppm
+    FROM spred s JOIN xpred x USING (query_id)
+    GROUP BY 1
+    """
+
+
+@register("l108b_knn_label_consistency_ivf", oracle=_l108b_oracle())
+def l108b_knn_label_consistency_ivf(spark, sf_dir):
+    """The PRODUCTION form of l108's label-noise audit — the vote fed
+    from IVF candidates instead of exact all-pairs (the promise l108's
+    docstring priced; the l05/l05b, l127/l127b exact→index precedent):
+    the l15 integer-k-means index is built once, EVERY vector probes
+    its 6 nearest lists through a distributed Arrow pass (the
+    centroid table rides the closure — no driver collect of the query
+    side, unlike the dimension-sized-query probe binding), candidates
+    rank by exact int64 L2², and the same majority-vote/rollup tail
+    produces the per-class consistency profile. The output adds the
+    agreement audit: n_agree_exact / agree_ppm — per class, how often
+    the IVF-fed vote matches l108's exact predictor (the committed
+    recall-style evidence for what the index path trades, next to
+    l127b's in_exact_top10 and l85's candidate recall). Deterministic
+    end to end, so the oracle replays the spliced l15 Lloyd chain,
+    the probe, both vote chains, and the agreement bit-exactly.
+
+    Scale: candidate volume is n·(n_probe/n_lists)·n per Lloyd
+    balance — n_lists grows with the corpus to hold per-list size
+    (the persisted form partitions lists and prunes probes, l75/l93);
+    the exact arm stays what l108 is: the bounded stratified-sample
+    audit, here doubling as the agreement ground truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = S.ivf_self_topk_int(
+        emb, k=5, n_lists=16, n_probe=6, kmeans_iters=2
+    )
+    lab = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == 64)
+    ).select("vec_id", "label")
+    top5l = (
+        topk.join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("own_label"),
+            ),
+            "query_id",
+        )
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nb_label"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "own_label", "nb_label")
+    )
+    spred = _knn_vote_pred(top5l)
+    xpred = _knn_exact_pred(spark, sf_dir).select(
+        "query_id", F.col("pred_label").alias("exact_pred")
+    )
+    return (
+        spred.join(xpred, "query_id")
+        .groupBy(F.col("own_label").alias("label"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("own_label"), 1)
+                .otherwise(0)
+            ).alias("n_consistent"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN pred_label = own_label"
+                " THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+            ).alias("consistency_ppm"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("exact_pred"), 1)
+                .otherwise(0)
+            ).alias("n_agree_exact"),
+            F.expr(
+                "CAST((1000000 * SUM(CASE WHEN pred_label = exact_pred"
+                " THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+            ).alias("agree_ppm"),
+        )
     )
 
 
