@@ -19,17 +19,14 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. CORRECTNESS_r13.json graded the round-13
+# order IS the graded set. CORRECTNESS_r14.json graded the round-14
 # window green (50/50 hash-match), so every query registered through
-# round 12 is driver-attested-ever. The never-driver-attested set is
-# the 7 round-13 additions (l127-l131, r78, st34) plus
-# g28_engine_metrics, whose upgraded deterministic-invariant oracle
-# (round-11 item 8) has never earned a hash-match driver row (its only
-# driver row is the rows-only r10 one; the rotation rule now demands a
-# hash attestation once an oracle exists). This round-14 window = the
-# 5-query sentinel core + those 8 + 37 least-recently-attested fillers
-# (last green: CORRECTNESS_r05/r06). Queries added during round 14 go
-# into _POST_WINDOW below and rotate in next round.
+# round 13 is driver-attested-ever. The never-driver-attested set is
+# the 2 round-14 additions (l127b, l108b — the index-backed serving
+# forms). This round-15 window = the 5-query sentinel core + those 2 +
+# 43 least-recently-attested fillers (last green: CORRECTNESS_r06/r08).
+# Queries added during round 15 go into _POST_WINDOW below and rotate
+# in next round.
 #
 # This list is DERIVED, not hand-curated: `python tools/rotate_window.py`
 # regenerates it from the committed CORRECTNESS/JUDGE artifacts, and
@@ -45,62 +42,59 @@ from ekati_spark.queries import stats  # noqa: F401
 # the never-attested block of the NEXT round's rotation, at which point
 # this list is cleared. tools/rotate_window.py excludes these names
 # when re-deriving the window.
-_POST_WINDOW: list[str] = [
-    "l127b_hybrid_rrf_indexed",
-    "l108b_knn_label_consistency_ivf",
-]
+_POST_WINDOW: list[str] = []
 
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round
     "r03_pricing_summary", "g01_follow_one_hop",
     "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
     # --- never driver-attested ---
-    "r78_pivot_revenue_matrix",
-    "l127_hybrid_rrf_fusion",
-    "l128_mmr_diversified_topk",
-    "l129_domain_reweighting",
-    "l130_retrieval_quality_metrics",
-    "l131_contamination_report",
-    "st34_stream_domain_reweighting",
-    "g28_engine_metrics",
+    "l108b_knn_label_consistency_ivf",
+    "l127b_hybrid_rrf_indexed",
     # --- least-recently attested fillers ---
-    "l21_stratified_sample",  # last green r05
-    "l22_train_split",  # last green r05
-    "l26_dedup_keep_one",  # last green r05
-    "l31_domain_mix",  # last green r05
-    "l37_semantic_dedup",  # last green r05
-    "l38_chunk_dedup_rewrite",  # last green r05
-    "l40_leakage_safe_split",  # last green r05
-    "st04_stream_static_join",  # last green r05
-    "st05_stateful_dedup",  # last green r05
-    "st06_stream_stream_join",  # last green r05
-    "st07_stream_curation",  # last green r05
-    "st08_trending_topk",  # last green r05
-    "st10_anomaly_windows",  # last green r05
-    "r51_funnel",  # last green r06
-    "r53_sliding_distinct_users",  # last green r06
-    "r55_locf_gapfill",  # last green r06
-    "r56_incremental_mv",  # last green r06
-    "r57_max_concurrency",  # last green r06
-    "r58_quantile_sketch",  # last green r06
-    "r59_scd2_history",  # last green r06
-    "r60_heavy_hitters",  # last green r06
-    "r61_key_skew_report",  # last green r06
-    "r62_retention_cohorts",  # last green r06
-    "r63_kmv_distinct_sketch",  # last green r06
-    "r64_event_pattern_match",  # last green r06
-    "r65_event_transition_matrix",  # last green r06
-    "r66_last_touch_attribution",  # last green r06
-    "g19_connected_components_star",  # last green r06
-    "g29_follow_asof",  # last green r06
-    "g30_link_prediction",  # last green r06
-    "g31_nation_modularity",  # last green r06
-    "g32_hits",  # last green r06
-    "g33_harmonic_centrality",  # last green r06
-    "g34_diameter_sweep",  # last green r06
-    "g35_temporal_reachability",  # last green r06
-    "g36_ktruss",  # last green r06
-    "g37_degree_assortativity",  # last green r06
+    "g38_clustering_coefficient",  # last green r06
+    "g39_betweenness_sampled",  # last green r06
+    "g40_random_walk_corpus",  # last green r06
+    "g41_coreness_buckets",  # last green r06
+    "g42_temporal_broker_score",  # last green r06
+    "l41_perplexity_buckets",  # last green r06
+    "l44_bpe_merge_pairs",  # last green r06
+    "l46_incremental_dedup",  # last green r06
+    "l47_token_waterfill",  # last green r06
+    "l48_quality_classifier",  # last green r06
+    "l50_dedup_keep_best",  # last green r06
+    "l54_knn_pq",  # last green r06
+    "l55_lsh_recall_audit",  # last green r06
+    "l57_curation_pipeline",  # last green r06
+    "l61_audio_decode",  # last green r06
+    "l66_token_dropout",  # last green r06
+    "l67_feature_standardize",  # last green r06
+    "st11_stream_scd2",  # last green r06
+    "st12_dedup_ingest",  # last green r06
+    "st13_stream_stream_full_join",  # last green r06
+    "st14_spend_threshold_alerts",  # last green r06
+    "r67_kmv_set_ops",  # last green r08
+    "r68_asof_forward_tolerance",  # last green r08
+    "r69_mv_retract_refresh",  # last green r08
+    "r70_countmin_sketch",  # last green r08
+    "g43_neighborhood_function",  # last green r08
+    "g44_bidirectional_shortest_path",  # last green r08
+    "l11_multimodal_content",  # last green r08
+    "l19_quantize_embeddings",  # last green r08
+    "l23_repetition_stats",  # last green r08
+    "l25_pack_sequences",  # last green r08
+    "l27_unigram_logprob",  # last green r08
+    "l29_containment_pairs",  # last green r08
+    "l32_global_shuffle",  # last green r08
+    "l33_hard_negatives",  # last green r08
+    "l34_vocab_coverage",  # last green r08
+    "l35_joint_curation",  # last green r08
+    "l36_source_token_report",  # last green r08
+    "l39_matryoshka_truncation",  # last green r08
+    "l42_dataset_card",  # last green r08
+    "l43_weighted_sample",  # last green r08
+    "l45_bitext_margin_pairs",  # last green r08
+    "l49_dsir_importance",  # last green r08
 ]
 
 
