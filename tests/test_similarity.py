@@ -949,3 +949,31 @@ def test_auto_n_planes_occupancy_contract():
             assert n > 16 * (1 << (np_ - 1))
     # billion-scale corpora hit the hi clamp, never exceed it
     assert S.auto_n_planes(10**9) == 16
+
+
+def test_auto_n_lists_sqrt_contract():
+    """auto_n_lists returns the smallest power-of-two p in [16, 4096]
+    with p² ≥ n (⌈√n⌉ to a power of two) — the IVF balance holding
+    Lloyd assignment (n·p) and self-probe volume (n²·n_probe/p) both
+    at Θ(n^1.5); the l108b oracle replays the identical CASE chain, so
+    the two can never drift."""
+    # the driver's corpora: sf0.01 -> 500 vectors, sf0.1 -> 2000,
+    # generated sf1 -> 20000, sf10 -> 200000
+    assert S.auto_n_lists(500) == 32
+    assert S.auto_n_lists(2000) == 64
+    assert S.auto_n_lists(20000) == 256
+    assert S.auto_n_lists(200000) == 512
+    # boundaries: p*p >= n minimality, lo/hi clamps
+    assert S.auto_n_lists(1) == 16
+    assert S.auto_n_lists(256) == 16
+    assert S.auto_n_lists(257) == 32
+    assert S.auto_n_lists(1024) == 32
+    assert S.auto_n_lists(1025) == 64
+    for n in (1, 100, 4096, 4097, 10**6, 10**9):
+        p = S.auto_n_lists(n)
+        assert 16 <= p <= 4096 and (p & (p - 1)) == 0
+        if p < 4096:
+            assert p * p >= n
+        if p > 16:
+            assert (p // 2) * (p // 2) < n
+    assert S.auto_n_lists(10**9) == 4096  # hi clamp
