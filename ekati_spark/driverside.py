@@ -33,3 +33,28 @@ def collect_bounded(df: DataFrame, bound: int, what: str) -> list:
             "this operator is documented for"
         )
     return rows
+
+
+def count_bounded_exec(df: DataFrame, bound: int, what: str) -> int:
+    """Execute ``df``'s OWN plan to completion and return its row
+    count, streaming — the bounded form for callers that need the
+    unmodified execution (``run_with_metrics`` walks the executed
+    plan's SQLMetrics, so a ``limit()`` would both change the plan and
+    truncate the counters) but not the rows themselves.
+
+    ``toLocalIterator`` pulls partitions incrementally, so the driver
+    holds at most one partition of rows at a time; consuming the whole
+    iterator completes the same query execution ``collect()`` would
+    (metrics/observations populate identically). Past ``bound`` the
+    iteration aborts with a ``ValueError`` naming the violated
+    contract instead of streaming an unbounded result."""
+    n = 0
+    for _ in df.toLocalIterator():
+        n += 1
+        if n > bound:
+            raise ValueError(
+                f"{what}: driver-side execution exceeds its "
+                f"small-by-contract bound of {bound} rows — route large "
+                "results to a sink and read metrics afterwards"
+            )
+    return n

@@ -48,6 +48,11 @@ EXECUTOR_SCHEMA = (
 
 QUERY_METRIC_SCHEMA = "node_id long, node string, metric string, value long"
 
+# Generous row ceiling for control-plane probes executed driver-side
+# (run_with_metrics / run_with_observation): far above any telemetry
+# probe's result, far below a data-plane frame at 100 TB.
+CONTROL_PLANE_BOUND = 1_000_000
+
 
 def stage_metrics(spark: SparkSession) -> DataFrame:
     """All stages the engine has run this session, as a DataFrame.
@@ -148,12 +153,17 @@ def run_with_metrics(df: DataFrame) -> tuple[int, DataFrame]:
     """Execute ``df`` to completion and return (row_count, its
     per-operator metrics frame).
 
-    Executes via ``collect()`` deliberately: ``df.count()`` builds a
+    Executes ``df``'s own plan deliberately: ``df.count()`` builds a
     SEPARATE query execution (an added aggregate), leaving the walked
     plan's SQLMetrics at zero. Meant for control-plane probes whose
-    results are small; for a large result, write it to a sink and call
+    results are small — the bound is executable
+    (``driverside.count_bounded_exec`` streams the result and fails
+    loudly past ``CONTROL_PLANE_BOUND`` rows instead of materializing
+    it); for a large result, write it to a sink and call
     ``query_metrics(df)`` on the same DataFrame afterwards."""
-    n = len(df.collect())
+    from ekati_spark.driverside import count_bounded_exec
+
+    n = count_bounded_exec(df, CONTROL_PLANE_BOUND, "run_with_metrics")
     return n, query_metrics(df)
 
 
@@ -168,10 +178,17 @@ def run_with_observation(df, *metric_cols, name: str = "obs"):
 
     ``metric_cols`` are aggregate Columns, e.g.
     ``F.count(F.lit(1)).alias("rows"), F.sum("value").alias("total")``.
-    """
+
+    Driver-side contract: the action is ``count()`` — the observe node
+    rides the SAME plan (unlike ``run_with_metrics``' SQLMetrics walk,
+    an Observation doesn't care which action drives the execution, but
+    it DOES need one single completed action to resolve its listener
+    event — a streamed ``toLocalIterator`` never fires it), so the
+    observed metrics cover every row while the driver materializes one
+    scalar, at any result size."""
     from pyspark.sql import Observation
 
     obs = Observation(name)
     out = df.observe(obs, *metric_cols)
-    n = len(out.collect())
+    n = out.count()
     return n, obs.get
