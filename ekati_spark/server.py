@@ -551,14 +551,21 @@ class EkatiServer:
             resp_headers = [("content-type", "application/grpc")]
             try:
                 # inside the try: a compressed-flag or truncated frame
-                # raises ValueError and must become a grpc-status
-                # trailer, not a connection-killing thread traceback
+                # raises and must become a grpc-status trailer, not a
+                # connection-killing thread traceback. Per the gRPC
+                # spec only unsupported compression is UNIMPLEMENTED
+                # (12); a truncated/malformed frame is INTERNAL (13).
                 msgs = list(W.iter_frames(body))
-            except ValueError as e:
+            except W.UnsupportedCompressionError as e:
                 return 200, resp_headers, b"", [
                     ("grpc-status", "12"),  # UNIMPLEMENTED: encoding
                     ("grpc-message", str(e)),
                     ("grpc-accept-encoding", "identity"),
+                ]
+            except ValueError as e:
+                return 200, resp_headers, b"", [
+                    ("grpc-status", "13"),  # INTERNAL: malformed frame
+                    ("grpc-message", str(e)),
                 ]
             raw = msgs[0] if msgs else b""
             try:
@@ -595,13 +602,20 @@ class EkatiServer:
         https negotiate. Certificate/key are the deployment's to
         provide (tests generate a self-signed pair with the stock
         ``openssl`` CLI). A client negotiating a non-h2 ALPN protocol
-        is refused at handshake."""
+        is refused at handshake. Every listener started here is
+        tracked (a server may serve several TLS endpoints over its
+        life — e.g. a cert rotation starting the replacement before
+        the old listener drains) and ALL of them stop with the
+        server."""
         from ekati_spark.wire import h2 as H2
 
         handler = self._h2_handler()
         ctx = H2.make_server_tls_context(certfile, keyfile)
-        self._h2s = H2.H2Server(handler, host, port, ssl_context=ctx).start()
-        return self._h2s
+        srv = H2.H2Server(handler, host, port, ssl_context=ctx).start()
+        if not hasattr(self, "_h2s_listeners"):
+            self._h2s_listeners = []
+        self._h2s_listeners.append(srv)
+        return srv
 
     def stop(self) -> None:
         self._httpd.shutdown()
@@ -609,9 +623,9 @@ class EkatiServer:
         if getattr(self, "_h2", None) is not None:
             self._h2.stop()
             self._h2 = None
-        if getattr(self, "_h2s", None) is not None:
-            self._h2s.stop()
-            self._h2s = None
+        for srv in getattr(self, "_h2s_listeners", []):
+            srv.stop()
+        self._h2s_listeners = []
         if self._thread:
             self._thread.join(timeout=5)
 

@@ -61,6 +61,9 @@ PRIORITY_FLAG = 0x20
 SETTINGS_MAX_FRAME_SIZE = 0x5
 SETTINGS_INITIAL_WINDOW_SIZE = 0x4
 
+# error codes (RFC 9113 §7)
+PROTOCOL_ERROR = 0x1
+
 DEFAULT_WINDOW = 65535
 DEFAULT_MAX_FRAME = 16384
 
@@ -99,6 +102,7 @@ class H2Connection:
         self.peer_initial_window = DEFAULT_WINDOW
         # (stream_id, remaining DATA bytes, trailers) awaiting window
         self.pending: list[list] = []
+        self.last_stream_id = 0  # highest peer stream seen, for GOAWAY
         self._hdr_stream: int | None = None  # CONTINUATION accumulator
         self._hdr_flags = 0
         self._hdr_block = bytearray()
@@ -148,8 +152,29 @@ class H2Connection:
 
     # -- frame handling ------------------------------------------------------
 
+    def _goaway(self, error_code: int) -> bool:
+        """Tear the connection down per RFC 9113 §5.4.1: send GOAWAY
+        naming the highest stream this side processed and the error
+        code, then signal close. Malformed frames (e.g. a pad length
+        >= the payload length, §6.1) MUST be connection errors — never
+        silently accepted with a mis-sliced body."""
+        try:
+            self._send(
+                pack_frame(
+                    GOAWAY,
+                    0,
+                    0,
+                    struct.pack(">II", self.last_stream_id, error_code),
+                )
+            )
+        except OSError:
+            pass
+        return True
+
     def _dispatch(self, ftype, flags, stream_id, payload) -> bool:
         """Returns True when the connection should close."""
+        if stream_id:
+            self.last_stream_id = max(self.last_stream_id, stream_id)
         if ftype == SETTINGS:
             if not flags & ACK:
                 self._apply_settings(payload)
@@ -178,6 +203,8 @@ class H2Connection:
         if ftype == HEADERS:
             pos = 0
             if flags & PADDED:
+                if not payload or payload[0] >= len(payload):
+                    return self._goaway(PROTOCOL_ERROR)
                 pad = payload[0]
                 pos = 1
                 payload = payload[: len(payload) - pad]
@@ -205,8 +232,11 @@ class H2Connection:
             # replenishment amount is captured BEFORE stripping padding
             flow_len = len(payload)
             if flags & PADDED:
-                if not payload:
-                    return True  # PROTOCOL_ERROR: missing pad length
+                # RFC 9113 §6.1: a pad length >= the payload length
+                # (which includes the pad-length byte itself) is a
+                # connection error — reject, never mis-slice
+                if not payload or payload[0] >= len(payload):
+                    return self._goaway(PROTOCOL_ERROR)
                 pad = payload[0]
                 payload = payload[1 : len(payload) - pad]
             st.body += payload

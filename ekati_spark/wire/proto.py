@@ -391,6 +391,17 @@ def decode(msg_name: str, buf: bytes) -> dict:
 # uses: 1-byte compressed flag + 4-byte big-endian length).
 
 
+class UnsupportedCompressionError(ValueError):
+    """gRPC frame with a set compressed flag — the server advertises
+    identity-only, so this maps to grpc-status 12 (UNIMPLEMENTED)."""
+
+
+class TruncatedFrameError(ValueError):
+    """gRPC frame whose declared length overruns the body (or a body
+    too short for the 5-byte prefix) — wire corruption, which the gRPC
+    spec maps to grpc-status 13 (INTERNAL), not UNIMPLEMENTED."""
+
+
 def frame(payload: bytes) -> bytes:
     return b"\x00" + struct.pack(">I", len(payload)) + payload
 
@@ -398,11 +409,15 @@ def frame(payload: bytes) -> bytes:
 def iter_frames(stream: bytes) -> Iterator[bytes]:
     pos = 0
     while pos < len(stream):
+        if pos + 5 > len(stream):
+            raise TruncatedFrameError("truncated gRPC frame prefix")
         if stream[pos] != 0:
-            raise ValueError("compressed gRPC frames unsupported")
+            raise UnsupportedCompressionError(
+                "compressed gRPC frames unsupported"
+            )
         (ln,) = struct.unpack_from(">I", stream, pos + 1)
         start = pos + 5
         if start + ln > len(stream):
-            raise ValueError("truncated gRPC frame")
+            raise TruncatedFrameError("truncated gRPC frame")
         yield stream[start : start + ln]
         pos = start + ln

@@ -273,11 +273,13 @@ def test_h2_grpc_unknown_method_unimplemented(h2_served):
 
 
 def test_h2_grpc_compressed_frame_trailer_not_connection_kill(h2_served):
-    """A gRPC message with the compressed flag set (or truncated) must
-    come back as a grpc-status 12 trailer with grpc-accept-encoding
-    identity — NOT escape the handler and kill the connection (the
-    round-13 advice): the SAME connection must serve a follow-up
-    request."""
+    """A gRPC message with the compressed flag set must come back as a
+    grpc-status 12 (UNIMPLEMENTED) trailer with grpc-accept-encoding
+    identity, and a truncated/malformed frame as grpc-status 13
+    (INTERNAL — per the gRPC spec only unsupported compression is
+    UNIMPLEMENTED) — NOT escape the handler and kill the connection
+    (the round-13/14 advice): the SAME connection must serve a
+    follow-up request."""
     _, h2srv = h2_served
     cli = _H2Client(h2srv.host, h2srv.port)
     try:
@@ -289,11 +291,16 @@ def test_h2_grpc_compressed_frame_trailer_not_connection_kill(h2_served):
         assert data == b""
         assert ("grpc-status", "12") in trailers
         assert ("grpc-accept-encoding", "identity") in trailers
-        # truncated frame: declared length exceeds the body
+        # truncated frame: declared length exceeds the body -> INTERNAL
         _, data, trailers = cli.request(
             "/ahghee.WatDbService/Get", b"\x00" + struct.pack(">I", 99)
         )
-        assert ("grpc-status", "12") in trailers
+        assert ("grpc-status", "13") in trailers
+        # short prefix (3 bytes) -> INTERNAL, not a struct.error escape
+        _, data, trailers = cli.request(
+            "/ahghee.WatDbService/Get", b"\x00\x00\x00"
+        )
+        assert ("grpc-status", "13") in trailers
         # connection still alive: a clean request on the same socket
         _, data, trailers = cli.request(
             "/ahghee.WatDbService/Get", W.frame(_get_query_msg())
@@ -353,6 +360,50 @@ def test_h2_padded_data_flow_control_full_frame(h2_served):
         # both windows replenished by the FULL padded payload length
         assert replenished[0] == len(padded)
         assert replenished[sid] == len(padded)
+    finally:
+        cli.close()
+
+
+def test_h2_padded_data_invalid_pad_is_goaway_protocol_error(h2_served):
+    """RFC 9113 §6.1: a pad length >= the frame payload length is a
+    CONNECTION error of type PROTOCOL_ERROR — the server must answer
+    with GOAWAY(0x1) and close, never silently mis-slice the body."""
+    _, h2srv = h2_served
+    cli = _H2Client(h2srv.host, h2srv.port)
+    try:
+        sid = cli.next_stream
+        cli.next_stream += 2
+        block = b"".join(
+            cli._hpack_huffman_literal(n, v)
+            for n, v in [
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/ahghee.WatDbService/Get"),
+                (":authority", "localhost"),
+                ("content-type", "application/grpc"), ("te", "trailers"),
+            ]
+        )
+        cli.sock.sendall(
+            H2.pack_frame(H2.HEADERS, H2.END_HEADERS, sid, block)
+        )
+        # pad length 200 on a 3-byte payload: invalid by definition
+        cli.sock.sendall(
+            H2.pack_frame(
+                H2.DATA, H2.END_STREAM | H2.PADDED, sid, bytes([200]) + b"xx"
+            )
+        )
+        goaway_code = None
+        while goaway_code is None:
+            fr = cli._recv_frame()
+            assert fr is not None, "closed without GOAWAY"
+            ftype, flags, stream_id, payload = fr
+            if ftype == H2.SETTINGS and not flags & H2.ACK:
+                cli.sock.sendall(
+                    H2.pack_frame(H2.SETTINGS, H2.ACK, 0, b"")
+                )
+            elif ftype == H2.GOAWAY:
+                goaway_code = int.from_bytes(payload[4:8], "big")
+        assert goaway_code == H2.PROTOCOL_ERROR
+        assert cli._recv_frame() is None  # connection torn down
     finally:
         cli.close()
 
@@ -575,6 +626,7 @@ def test_h2s_grpc_over_tls_alpn(h2_served, tls_pair):
         assert any(n.get("id", {}).get("iri") == "s1" for n in nodes)
     finally:
         tls.close()
+        h2s.stop()  # module-scoped server: don't leak the listener
 
 
 def test_h2s_interop_with_stock_curl_https(h2_served, tls_pair, tmp_path):
@@ -589,19 +641,22 @@ def test_h2s_interop_with_stock_curl_https(h2_served, tls_pair, tmp_path):
     h2s = server.start_h2s(cert, key)
     req = tmp_path / "get.bin"
     req.write_bytes(W.frame(_get_query_msg()))
-    out = subprocess.run(
-        [
-            curl, "-sS", "--http2", "--cacert", cert,
-            "--resolve", f"localhost:{h2s.port}:127.0.0.1",
-            "-H", "content-type: application/grpc",
-            "-H", "te: trailers",
-            "--data-binary", f"@{req}",
-            "-D", str(tmp_path / "head.txt"),
-            f"https://localhost:{h2s.port}/ahghee.WatDbService/Get",
-        ],
-        capture_output=True,
-        timeout=120,
-    )
+    try:
+        out = subprocess.run(
+            [
+                curl, "-sS", "--http2", "--cacert", cert,
+                "--resolve", f"localhost:{h2s.port}:127.0.0.1",
+                "-H", "content-type: application/grpc",
+                "-H", "te: trailers",
+                "--data-binary", f"@{req}",
+                "-D", str(tmp_path / "head.txt"),
+                f"https://localhost:{h2s.port}/ahghee.WatDbService/Get",
+            ],
+            capture_output=True,
+            timeout=120,
+        )
+    finally:
+        h2s.stop()  # module-scoped server: don't leak the listener
     assert out.returncode == 0, out.stderr.decode(errors="replace")
     head = (tmp_path / "head.txt").read_text(errors="replace")
     assert head.startswith("HTTP/2 200"), head
