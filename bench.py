@@ -139,6 +139,11 @@ HEADLINE = [
     # l131's fused two-width shingle pass replaces two passes inside
     # an entry-shaped query; it stays verify-only (l30's plan family).
     "l127b_hybrid_rrf_indexed",
+    # round-15 addition — the whole-corpus IVF self-probe (auto-scaled
+    # list count, per-list block matmul inside a grouped Arrow pass +
+    # the exact agreement arm): a NEW plan family (partition-based
+    # self-ANN; l119 covers the graph-based one).
+    "l108b_knn_label_consistency_ivf",
 ]
 
 

@@ -1592,6 +1592,119 @@ def _int_probe_topk(
     )
 
 
+def exact_self_topk_int(
+    emb: DataFrame,
+    k: int = 5,
+    scale: int = 1024,
+    n_blocks: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT whole-corpus self top-k on the integer grid — the
+    all-pairs ground truth ``ivf_self_topk_int`` is audited against
+    (l108/l108b's agreement arm), as a block-grid triangle + grouped
+    Arrow matmul instead of a join: the naive per-dimension equi-join
+    (explode dims, join on i, re-aggregate) materializes dim·n² rows
+    through a shuffle — 64× the pair count — while here the n² scores
+    are int64 matmul flops inside B(B+1)/2 grid cells and only
+    B·n replicated rows + per-(query, cell) top-k winners ever move
+    (``dedup.embedding_dup_pairs``' cell scheme, directional: a p<q
+    cell emits winners for BOTH sides). Integer sums are order-free,
+    so matmul distances are bit-identical to any SQL left-fold; ties
+    break by neighbor_id via stable argsort over ascending-id member
+    blocks. Quadratic BY DEFINITION (the documented audit baseline —
+    the scale path is the IVF/LSH candidate generators); B bounds a
+    cell at (2n/B)·dim ints + an (n/B)² score tile."""
+    dim = _infer_dim(emb, vec_col)
+    quant = _quant_udf(scale)
+    B = n_blocks
+    blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B))
+    v = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
+        F.col(id_col).alias("id"),
+        quant(F.col(vec_col)).alias("qv"),
+        blk.alias("blk"),
+    )
+    left = v.select(
+        "id",
+        "qv",
+        F.col("blk").alias("p"),
+        F.explode(F.sequence(F.col("blk"), F.lit(B - 1))).alias("q"),
+        F.lit(0).alias("side"),
+    ).withColumn("cell", F.col("p") * B + F.col("q"))
+    right = v.select(
+        "id",
+        "qv",
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("p"),
+        F.col("blk").alias("q"),
+        F.lit(1).alias("side"),
+    ).withColumn("cell", F.col("p") * B + F.col("q"))
+    both = left.unionByName(right)
+
+    def cell_topk(pdf):
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "dist_sq": pd.Series(dtype="int64"),
+            }
+        )
+        lpdf = pdf[pdf["side"] == 0]
+        rpdf = pdf[pdf["side"] == 1].sort_values("id", kind="mergesort")
+        if lpdf.empty or rpdf.empty:
+            return empty
+        p, q = divmod(int(pdf["cell"].iloc[0]), B)
+
+        def topk_against(qf, vf):
+            Q = np.array(qf["qv"].tolist(), dtype=np.int64)
+            V = np.array(vf["qv"].tolist(), dtype=np.int64)
+            d = (
+                (Q * Q).sum(axis=1)[:, None]
+                - 2 * (Q @ V.T)
+                + (V * V).sum(axis=1)[None, :]
+            )
+            qids = qf["id"].to_numpy()
+            vids = vf["id"].to_numpy()
+            kk = min(k + 1, d.shape[1])
+            order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            nbr = vids[order]
+            dd = np.take_along_axis(d, order, axis=1)
+            keep = nbr != qids[:, None]
+            keep &= keep.cumsum(axis=1) <= k
+            m = keep.ravel()
+            return pd.DataFrame(
+                {
+                    "query_id": qids.repeat(kk)[m],
+                    "neighbor_id": nbr.ravel()[m],
+                    "dist_sq": dd.ravel()[m],
+                }
+            )
+
+        out = [topk_against(lpdf, rpdf)]
+        if p != q:
+            # directional: the q-block's vectors also query the p-block
+            out.append(
+                topk_against(rpdf, lpdf.sort_values("id", kind="mergesort"))
+            )
+        return pd.concat(out, ignore_index=True)
+
+    scored = both.groupBy("cell").applyInPandas(
+        cell_topk, schema="query_id long, neighbor_id long, dist_sq long"
+    )
+    win = W.partitionBy("query_id").orderBy("dist_sq", "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            F.col("rn").cast("int").alias("rank"),
+            "neighbor_id",
+            "dist_sq",
+        )
+    )
+
+
 def auto_n_lists(n: int, lo: int = 16, hi: int = 4096) -> int:
     """Smallest power-of-two list count ``p`` in ``[lo, hi]`` with
     ``p² ≥ n`` — i.e. ⌈√n⌉ rounded up to a power of two. √n is the IVF

@@ -7809,48 +7809,35 @@ def _knn_vote_pred(top5):
 def _knn_exact_pred(spark, sf_dir):
     """l108's per-vector exact-kNN majority prediction: (query_id,
     own_label, pred_label) from the exact top-5 integer-L2 neighbors —
-    shared with l108b, where it is the agreement audit's ground
-    truth."""
+    shared with l108b, where it is the agreement audit's ground truth.
+    The all-pairs scoring runs through the block-grid int-matmul
+    kernel (``similarity.exact_self_topk_int``): the previous
+    per-dimension equi-join shuffled dim·n² rows (46 s at sf0.1 —
+    64× the pair count through the exchange); integer sums are
+    order-free, so the distances — and the oracle hash — are
+    unchanged."""
     emb = load_table(spark, sf_dir, "embeddings").filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     )
-    ql = emb.select(
-        "vec_id",
-        "label",
-        F.posexplode("embedding").alias("i", "x"),
-    ).select(
-        "vec_id",
-        "label",
-        "i",
-        F.expr(
-            "CAST(floor(CAST(x AS DOUBLE) * 1024 + 0.5) AS BIGINT)"
-        ).alias("q"),
-    ).transform(cut_lineage)  # both sides of the self-join
-    a = ql.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("own_label"),
-        "i",
-        F.col("q").alias("qa"),
-    )
-    ex = (
-        ql.join(a, "i")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .groupBy(
+    lab = emb.select("vec_id", "label")
+    top5 = (
+        S.exact_self_topk_int(emb, k=5)
+        .join(
+            lab.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("label").alias("own_label"),
+            ),
             "query_id",
-            "own_label",
-            F.col("vec_id").alias("neighbor_id"),
-            F.col("label").alias("nb_label"),
         )
-        .agg(
-            F.sum(
-                (F.col("qa") - F.col("q")) * (F.col("qa") - F.col("q"))
-            ).alias("d")
+        .join(
+            lab.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("label").alias("nb_label"),
+            ),
+            "neighbor_id",
         )
+        .select("query_id", "own_label", "nb_label")
     )
-    w5 = W.partitionBy("query_id").orderBy("d", "neighbor_id")
-    top5 = ex.select(
-        "query_id", "own_label", "nb_label", F.row_number().over(w5).alias("rn")
-    ).filter(F.col("rn") <= 5)
     return _knn_vote_pred(top5)
 
 

@@ -1104,6 +1104,23 @@ def test_l127b_indexed_fusion_semantics(spark, sf_dir):
         assert r.in_exact_top10 == int(r.doc_id in exact), r
 
 
+def test_l93_persisted_ivf_probe_prunes_list_partitions(spark, sf_dir):
+    """The REGISTERED persisted-IVF query (l93: GC'd index, standard
+    probe) scans the list-partitioned store with PLANNING-TIME
+    partition pruning — `PartitionFilters` on ``list_id`` in the
+    executed scan, never a post-scan filter (the round-14 verdict's
+    ask: the l75/l93 pruning story asserted on an oracle-backed
+    entry's own executed plan, not just the operator helper)."""
+    import ekati_spark.queries as Q
+
+    df = Q.REGISTRY["l93_ivf_delete_parity"].fn(spark, sf_dir)
+    assert df.count() > 0
+    plan = _plan(df)
+    assert "PartitionFilters: [" in plan, plan[:400]
+    tail = plan.split("PartitionFilters: [", 1)[1][:60]
+    assert "list_id" in tail, tail
+
+
 def test_l127b_store_cache_warm_serve_and_eviction(spark, sf_dir):
     """The l127b postings store builds ONCE per (session, sf_dir) and
     warm invocations serve from it byte-identically (the l86
