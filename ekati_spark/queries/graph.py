@@ -17,6 +17,7 @@ from ekati_spark.checkpoint import cut_lineage
 from ekati_spark.catalog import load_table
 from ekati_spark.graph.model import PropertyGraph
 from ekati_spark.graph.traverse import Any, Edge, Or, follow
+from ekati_spark.scratch import mkscratch
 from ekati_spark.queries.base import register
 
 
@@ -2894,7 +2895,6 @@ def g45_bucketed_follow_parity(spark, sf_dir):
     cost, never answers. At 100 TB this is the traversal plan: a 3-hop
     walk from a handful of seeds over a 4096-bucket edge table opens a
     few directories per hop instead of scanning E three times."""
-    import tempfile
 
     from ekati_spark.graph.storage import (
         bucketed_edge_source,
@@ -2902,7 +2902,7 @@ def g45_bucketed_follow_parity(spark, sf_dir):
     )
 
     g = _graph(spark, sf_dir)
-    path = tempfile.mkdtemp(prefix="g45_edges_") + "/edges"
+    path = mkscratch("g45_edges_") + "/edges"
     write_bucketed_edges(g.edges, path, n_buckets=16)
     cust = load_table(spark, sf_dir, "customer")
     seeds = cust.filter(F.col("c_custkey") <= 5).select(

@@ -21,6 +21,7 @@ from ekati_spark.checkpoint import cut_lineage
 from ekati_spark.catalog import load_table
 from ekati_spark.operators import dedup as D, sampling as P, similarity as S, text as X
 from ekati_spark.operators.multimodal import content_stats, with_media_columns
+from ekati_spark.scratch import mkscratch
 from ekati_spark.queries.base import register
 
 
@@ -4715,7 +4716,6 @@ def l77_minhash_persisted(spark, sf_dir):
     dedup actually runs: per-snapshot signature tables are the
     persisted artifact; each incremental pass band-joins new
     signatures against the store instead of re-shingling the corpus."""
-    import tempfile
 
     from ekati_spark.operators.dedup import (
         _signatures_from_rows,
@@ -4726,7 +4726,7 @@ def l77_minhash_persisted(spark, sf_dir):
 
     docs = load_table(spark, sf_dir, "documents")
     sh_rows = shingle_hash_rows(docs).transform(cut_lineage)
-    path = tempfile.mkdtemp(prefix="l77_sigs_") + "/signatures"
+    path = mkscratch("l77_sigs_") + "/signatures"
     _signatures_from_rows(sh_rows, 64).write.mode("overwrite").parquet(path)
     stored = spark.read.parquet(path)
     cand = band_candidates_from_signatures(stored, num_hashes=64, bands=32)
@@ -5039,7 +5039,6 @@ def l79_minhash_incremental(spark, sf_dir):
     for IVF, here for the dedup store). At 100 TB this is the daily
     dedup run: cost ∝ new-batch shingles + candidate verification, not
     corpus re-signing."""
-    import tempfile
 
     from ekati_spark.operators.dedup import (
         _signatures_from_rows,
@@ -5051,7 +5050,7 @@ def l79_minhash_incremental(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     old = docs.filter(F.col("doc_id") % 10 != 0)
     new = docs.filter(F.col("doc_id") % 10 == 0)
-    store = tempfile.mkdtemp(prefix="l79_sigs_") + "/signatures"
+    store = mkscratch("l79_sigs_") + "/signatures"
     _signatures_from_rows(shingle_hash_rows(old), 64).write.mode(
         "overwrite"
     ).parquet(store)
@@ -5223,13 +5222,12 @@ def l81_warc_ingest(spark, sf_dir):
     across executors. At 100 TB this is the ingest front door: file-
     level parallelism over ~64k archive files, payload bytes move
     straight from archive frame to binary column, no driver hop."""
-    import tempfile
 
     from ekati_spark.sources import warc as W_
 
     W_.register(spark)
     docs = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="l81_warc_") + "/archive"
+    out = mkscratch("l81_warc_") + "/archive"
     (
         docs.select(
             F.concat(F.lit("<urn:doc:"), F.col("doc_id"), F.lit(">")).alias(
@@ -5657,7 +5655,6 @@ def l86_bm25_index_incremental(spark, sf_dir):
     proves the appended index serves rankings identical to re-indexing
     the corpus. At 100 TB this is the daily index refresh: cost ∝ new
     batch tokens, never a corpus re-tokenization."""
-    import tempfile
 
     def parts(docs):
         toks = docs.select(
@@ -5674,7 +5671,7 @@ def l86_bm25_index_incremental(spark, sf_dir):
         return postings, dl, stat
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="l86_bm25_")
+    base = mkscratch("l86_bm25_")
     for mode, batch in (
         ("overwrite", docs.filter(F.col("doc_id") % 10 != 0)),
         ("append", docs.filter(F.col("doc_id") % 10 == 0)),
@@ -6135,7 +6132,6 @@ def l92_signature_store_gc(spark, sf_dir):
     surviving pair is lost. At 100 TB the GC pass costs one store scan
     + anti-join against the (tiny) deletion feed — never a corpus
     re-shingle; the signature store is what makes deletion cheap."""
-    import tempfile
 
     from ekati_spark.operators.dedup import (
         _signatures_from_rows,
@@ -6145,7 +6141,7 @@ def l92_signature_store_gc(spark, sf_dir):
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = tempfile.mkdtemp(prefix="l92_sigs_")
+    base = mkscratch("l92_sigs_")
     path, path_v2 = base + "/signatures", base + "/signatures_v2"
     # build-once store over the full corpus (the l77 artifact)
     sh_all = shingle_hash_rows(docs).transform(cut_lineage)
@@ -6198,7 +6194,6 @@ def l93_ivf_delete_parity(spark, sf_dir):
     + anti-join against the (tiny) feed, append-compatible with l70's
     incremental segments."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.operators.similarity import (
@@ -6207,7 +6202,7 @@ def l93_ivf_delete_parity(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    base = Path(tempfile.mkdtemp(prefix="l93_ivf_"))
+    base = Path(mkscratch("l93_ivf_"))
     idx, idx_v2 = str(base / "ivf"), str(base / "ivf_v2")
     build_ivf_index_int(emb, idx, n_lists=16, kmeans_iters=2)
     feed = emb.filter(F.col("vec_id") % 7 == 3).select(
@@ -10091,7 +10086,6 @@ _l127b_store_cache: dict[tuple[str, str], str] = {}
 
 def _l127b_store(spark, sf_dir) -> str:
     import shutil  # noqa: PLC0415
-    import tempfile  # noqa: PLC0415
 
     from ekati_spark.catalog import session_key  # noqa: PLC0415
 
@@ -10101,7 +10095,7 @@ def _l127b_store(spark, sf_dir) -> str:
     if base is None:
         for old in [k for k in _l127b_store_cache if k[0] == sk]:
             shutil.rmtree(_l127b_store_cache.pop(old), ignore_errors=True)
-        base = tempfile.mkdtemp(prefix="l127b_idx_")
+        base = mkscratch("l127b_idx_")
         docs = load_table(spark, sf_dir, "documents")
         toks = docs.select(
             "doc_id",

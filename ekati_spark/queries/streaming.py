@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from ekati_spark.catalog import load_table
 from ekati_spark.checkpoint import cut_lineage
+from ekati_spark.scratch import mkscratch
 from ekati_spark.queries.base import register
 from ekati_spark.streaming import ops
 
@@ -320,10 +321,9 @@ def st12_dedup_ingest(spark, sf_dir):
     tests/test_streaming.py. State lives in the sink's digest column —
     nothing driver-side, bucket-prunable at 100 TB."""
     import shutil
-    import tempfile
     from pathlib import Path
 
-    tmp = Path(tempfile.mkdtemp(prefix="st12_"))
+    tmp = Path(mkscratch("st12_"))
     src = tmp / "src"
     src.mkdir()
     shutil.copy(Path(sf_dir) / "documents.parquet", src / "part-0.parquet")
@@ -431,14 +431,13 @@ def st15_stream_kmv_distinct(spark, sf_dir):
     zero drift. State = k rows per batch, stream-volume independent;
     replayed batches are absorbed by the distinct-union (idempotent)."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.catalog import ensure_session_confs
 
     ensure_session_confs(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    tmp = Path(tempfile.mkdtemp(prefix="st15_"))
+    tmp = Path(mkscratch("st15_"))
     src = tmp / "src"
     src.mkdir()
     # 3-way deterministic split => 3 micro-batches; coalesce(1) so the
@@ -483,7 +482,6 @@ def st16_stream_nt_ingest(spark, sf_dir):
     offsets, replay exactness, escape-free fast path — under the
     oracle gate rather than only in pytest. The shard column shows
     partition routing riding the same stream."""
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.sources import pyds
@@ -502,7 +500,7 @@ def st16_stream_nt_ingest(spark, sf_dir):
             "st16 NT feed fixture ids",
         )
     )
-    tmp = Path(tempfile.mkdtemp(prefix="st16_"))
+    tmp = Path(mkscratch("st16_"))
     feed, out, ck = tmp / "feed.nt", str(tmp / "sink"), str(tmp / "ck")
 
     def line(i):
@@ -565,14 +563,13 @@ def st17_stream_countmin(spark, sf_dir):
     (KMV, merge = set union) and frequencies (CM, merge = addition),
     both with zero estimator drift from batching."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.catalog import ensure_session_confs
 
     ensure_session_confs(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    tmp = Path(tempfile.mkdtemp(prefix="st17_"))
+    tmp = Path(mkscratch("st17_"))
     src = tmp / "src"
     src.mkdir()
     # coalesce(1): one part file per micro-batch (see st15's note)
@@ -619,14 +616,13 @@ def st18_rocksdb_state_parity(spark, sf_dir):
     100-TB migration path. The bench tracks both backends' throughput
     (streaming_events_per_s_rocksdb)."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.catalog import ensure_session_confs, normalize_events_ts
 
     ensure_session_confs(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    tmp = Path(tempfile.mkdtemp(prefix="st18_"))
+    tmp = Path(mkscratch("st18_"))
     src = tmp / "src"
     src.mkdir()
     # coalesce(1): one part file per micro-batch (see st15's note)
@@ -694,14 +690,13 @@ def st19_warc_tail_ingest(spark, sf_dir):
     offsets, replay exactness, and binary payloads riding a streaming
     parquet sink — the reference's Load-RPC tail-ingest semantics
     (WatService.cs:209-336) applied to web archives."""
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.sources import warc as WS
 
     WS.register(spark)
     docs = load_table(spark, sf_dir, "documents")
-    tmp = Path(tempfile.mkdtemp(prefix="st19_"))
+    tmp = Path(mkscratch("st19_"))
     feed, out, ck = str(tmp / "feed"), str(tmp / "sink"), str(tmp / "ck")
 
     def publish(batch_no: int) -> None:
@@ -789,14 +784,13 @@ def st20_stream_rollup_maintenance(spark, sf_dir):
     stream-maintained ≡ batch-computed, decimal-exact. Pairs with r73:
     this maintains the MV the router reads."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.catalog import ensure_session_confs, normalize_events_ts
 
     ensure_session_confs(spark)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    tmp = Path(tempfile.mkdtemp(prefix="st20_"))
+    tmp = Path(mkscratch("st20_"))
     src = tmp / "src"
     src.mkdir()
     for m in range(3):
@@ -915,7 +909,6 @@ def st21_stream_chunk_dedup_ingest(spark, sf_dir):
     corpus rescan."""
     import os
     import shutil
-    import tempfile
     from pathlib import Path
 
     from pyspark.sql import Window as W
@@ -923,7 +916,7 @@ def st21_stream_chunk_dedup_ingest(spark, sf_dir):
     from ekati_spark.operators.dedup import cdc_chunk_table
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = Path(tempfile.mkdtemp(prefix="st21_"))
+    tmp = Path(mkscratch("st21_"))
     src = tmp / "src"
     src.mkdir()
     hash_store = str(tmp / "hashes")
@@ -1002,13 +995,12 @@ def st22_stream_bm25_maintenance(spark, sf_dir):
     is the always-fresh corpus-search index: per-trigger cost ∝ batch
     tokens."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.queries.llm import _L80_TERMS, _bm25_topk
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = Path(tempfile.mkdtemp(prefix="st22_"))
+    tmp = Path(mkscratch("st22_"))
     src = tmp / "src"
     src.mkdir()
     stores = {k: str(tmp / k) for k in ("postings", "dl", "stats")}
@@ -1115,7 +1107,6 @@ def st23_stream_quality_gate(spark, sf_dir):
     broadcast of a KB-sized cut table; the gate never shuffles the
     stream."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.operators.text import (
@@ -1127,7 +1118,7 @@ def st23_stream_quality_gate(spark, sf_dir):
     cuts = adaptive_quality_cuts(quality_score_sums(docs)).transform(
         cut_lineage
     )  # the offline-refreshed table; reused by every micro-batch
-    tmp = Path(tempfile.mkdtemp(prefix="st23_"))
+    tmp = Path(mkscratch("st23_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "kept")
@@ -1191,7 +1182,6 @@ def st24_stream_ivf_maintenance(spark, sf_dir):
     lifecycle (BM25 l86/st22, chunk store l82/st21, rollups
     r73/st20)."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.operators.similarity import (
@@ -1207,7 +1197,7 @@ def st24_stream_ivf_maintenance(spark, sf_dir):
     dim, scale, n_probe = 64, 1024, 6
     base = emb.filter(F.col("vec_id") % 5 != 4)
     fresh = emb.filter(F.col("vec_id") % 5 == 4)
-    tmp = Path(tempfile.mkdtemp(prefix="st24_"))
+    tmp = Path(mkscratch("st24_"))
     idx = str(tmp / "ivf")
     build_ivf_index_int(base, idx, n_lists=16, kmeans_iters=2)
     cents = _read_int_centroids(spark, idx)
@@ -1308,7 +1298,6 @@ def st25_stream_bloom_gate(spark, sf_dir):
     identical bitmap from the md5 positions, so the admitted set is
     hash-attested including the fp quarantines."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     import ekati_spark.operators.bloom as BL
@@ -1325,7 +1314,7 @@ def st25_stream_bloom_gate(spark, sf_dir):
     )  # the offline-refreshed filter; reused by every micro-batch
     corpus = docs.filter(~bench_pred)
 
-    tmp = Path(tempfile.mkdtemp(prefix="st25_"))
+    tmp = Path(mkscratch("st25_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "admitted")
@@ -1403,7 +1392,6 @@ def st26_stream_counting_bloom(spark, sf_dir):
     m-bounded aggregate; the filter state on disk is O(m + batches),
     compactable by re-summing."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     import ekati_spark.operators.bloom as BL
@@ -1414,7 +1402,7 @@ def st26_stream_counting_bloom(spark, sf_dir):
         "doc_id", F.trim(F.lower(F.col("text"))).alias("v")
     )
 
-    tmp = Path(tempfile.mkdtemp(prefix="st26_"))
+    tmp = Path(mkscratch("st26_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "partials")
@@ -1503,7 +1491,6 @@ def st27_stream_pca_maintenance(spark, sf_dir):
     (compactable by re-summing), and the power iteration stays a
     driver-side dim×dim scalar loop at read."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.operators.similarity import (
@@ -1512,7 +1499,7 @@ def st27_stream_pca_maintenance(spark, sf_dir):
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tmp = Path(tempfile.mkdtemp(prefix="st27_"))
+    tmp = Path(mkscratch("st27_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "partials")
@@ -1577,13 +1564,12 @@ def st28_stream_winnow_maintenance(spark, sf_dir):
     ~2/(w+1) of gram volume, and compaction bounds file count without
     rebuilding history."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.operators import dedup as D
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = Path(tempfile.mkdtemp(prefix="st28_"))
+    tmp = Path(mkscratch("st28_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "fp")
@@ -1652,13 +1638,12 @@ def st29_stream_source_vocab(spark, sf_dir):
     always-fresh BM25 index. At 100 TB: per-trigger cost ∝ batch
     tokens; the vocab read is a per-source broadcast."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.queries.llm import _scrub_with_vocab
 
     docs = load_table(spark, sf_dir, "documents")
-    tmp = Path(tempfile.mkdtemp(prefix="st29_"))
+    tmp = Path(mkscratch("st29_"))
     src = tmp / "src"
     src.mkdir()
     stores = {k: str(tmp / k) for k in ("df", "nsrc")}
@@ -1751,7 +1736,6 @@ def st30_stream_heavy_hitters(spark, sf_dir):
     merge-don't-rewrite ledger discipline as st15/st26. A replayed
     epoch overwrites its own marker file, never double-counts."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.operators import sketch as SK
@@ -1759,7 +1743,7 @@ def st30_stream_heavy_hitters(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     feed = ev.select("event_id", "event_type", "user_id")
 
-    tmp = Path(tempfile.mkdtemp(prefix="st30_"))
+    tmp = Path(mkscratch("st30_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "summaries")
@@ -1821,7 +1805,6 @@ def st31_stream_scaling_manifest(spark, sf_dir):
     manifest store grows by ≤ 4·|sources| rows per epoch and compacts
     by re-summing."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1839,7 +1822,7 @@ def st31_stream_scaling_manifest(spark, sf_dir):
         F.size(F.split(F.trim(F.lower("text")), " +")).alias("n_tokens"),
     )
 
-    tmp = Path(tempfile.mkdtemp(prefix="st31_"))
+    tmp = Path(mkscratch("st31_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "cells")
@@ -1937,14 +1920,13 @@ def st32_stream_vad_maintenance(spark, sf_dir):
     (compactable by re-writing distinct rows); the read-side window
     partitions by doc."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.operators.audio import decode_wav, planted_wav
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
 
-    tmp = Path(tempfile.mkdtemp(prefix="st32_"))
+    tmp = Path(mkscratch("st32_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "active_frames")
@@ -2051,7 +2033,6 @@ def st33_stream_attribution(spark, sf_dir):
     watermark bounds what must stay); the ledger compacts by dropping
     touches older than any in-flight purchase's lookback."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     ev = load_table(spark, sf_dir, "events")
@@ -2075,7 +2056,7 @@ def st33_stream_attribution(spark, sf_dir):
 
     t1, t2 = tertile(1), tertile(2)  # two scalar jobs, nothing collects
 
-    tmp = Path(tempfile.mkdtemp(prefix="st33_"))
+    tmp = Path(mkscratch("st33_"))
     src = tmp / "src"
     src.mkdir()
     touch_store = str(tmp / "touches")
@@ -2172,7 +2153,6 @@ def st34_stream_domain_reweighting(spark, sf_dir):
     maintenance of the inputs, not the weights, is the correct
     factoring)."""
     import shutil
-    import tempfile
     from pathlib import Path
 
     from ekati_spark.driverside import collect_bounded
@@ -2186,7 +2166,7 @@ def st34_stream_domain_reweighting(spark, sf_dir):
         F.size(F.array_distinct(tk)).cast("long").alias("n_dist"),
     ).filter(F.col("n_tok") > 0)
 
-    tmp = Path(tempfile.mkdtemp(prefix="st34_"))
+    tmp = Path(mkscratch("st34_"))
     src = tmp / "src"
     src.mkdir()
     store = str(tmp / "partials")
