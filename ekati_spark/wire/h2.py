@@ -157,7 +157,14 @@ class H2Connection:
         naming the highest stream this side processed and the error
         code, then signal close. Malformed frames (e.g. a pad length
         >= the payload length, §6.1) MUST be connection errors — never
-        silently accepted with a mis-sliced body."""
+        silently accepted with a mis-sliced body.
+
+        The close is GRACEFUL: half-close our write side, then drain
+        (and discard) whatever the peer already had in flight until
+        EOF or a short timeout. Closing with unread bytes in the
+        receive queue makes the kernel send RST, which can destroy the
+        peer's buffered-but-unread GOAWAY — exactly the frame this
+        teardown exists to deliver."""
         try:
             self._send(
                 pack_frame(
@@ -167,6 +174,10 @@ class H2Connection:
                     struct.pack(">II", self.last_stream_id, error_code),
                 )
             )
+            self.sock.shutdown(socket.SHUT_WR)
+            self.sock.settimeout(1.0)
+            while self.sock.recv(65536):
+                pass
         except OSError:
             pass
         return True
