@@ -1729,6 +1729,7 @@ def ivf_self_topk_int(
     scale: int = 1024,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    split_cap: int = 4096,
 ) -> DataFrame:
     """Whole-corpus SELF top-k from the integer IVF index: every vector
     is a query against the index it lives in (the all-vectors shape
@@ -1758,12 +1759,22 @@ def ivf_self_topk_int(
     AND probe volume at Θ(n^1.5·n_probe). The per-list matmul means
     those scores are BLAS-shaped flops, never shuffled rows: the only
     wide exchanges are the probe emit (n·n_probe rows, one vector
-    each) and the per-list winners (n·n_probe·k narrow rows); per-list
-    memory is (|probes| + |members|)·dim + |probes|·|members| int64s,
-    bounded by the √n list sizing. At 100 TB lists are partitions of
-    the persisted index and probes prune the scan (l75/l93's
-    PartitionFilters shape); a skew-split of oversized lists is the
-    remaining knob."""
+    each) and the per-list winners (n·n_probe·k narrow rows).
+
+    Per-group memory is bounded on BOTH axes at any skew. MEMBER side:
+    a list larger than ``split_cap`` splits into
+    ⌈|list|/split_cap⌉ deterministic hash sub-groups
+    (pmod(xxhash64(id), n_subs) — expected sub size ≤ split_cap; a
+    k-means list absorbs ALL replicas of a duplicated vector, so
+    verbatim-replica corpora pile single lists arbitrarily deep — the
+    same duplicate-skew hazard bucket_cap closes for LSH, here closed
+    without dropping members since every probe replicates to every
+    sub and per-sub top-k unions are result-invariant). QUERY side:
+    the scorer tiles its probe block in fixed-size numpy chunks, so
+    the distance tile never exceeds chunk×split_cap regardless of how
+    many queries probe one hot list. At 100 TB lists are partitions
+    of the persisted index and probes prune the scan (l75/l93's
+    PartitionFilters shape)."""
     dim = _infer_dim(emb, vec_col)
     if n_lists is None:
         n = emb.filter(
@@ -1797,56 +1808,85 @@ def ivf_self_topk_int(
                 }
             )
 
-    probes = assigned.select("id", "qv").mapInPandas(
-        probe, schema="list_id long, side int, id long, vec array<long>"
+    # deterministic member-side skew split: lists larger than
+    # split_cap score in ceil(|list|/split_cap) hash sub-groups
+    nsubs = assigned.groupBy("list_id").agg(
+        F.expr(f"CAST((count(*) + {split_cap - 1}) div {split_cap} AS INT)")
+        .alias("n_subs")
     )
-    members = assigned.select(
+    probes = (
+        assigned.select("id", "qv")
+        .mapInPandas(
+            probe, schema="list_id long, side int, id long, vec array<long>"
+        )
+        .join(F.broadcast(nsubs), "list_id")
+        .select(
+            "list_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_subs") - 1)
+            ).alias("sub"),
+            "side",
+            "id",
+            "vec",
+        )
+    )
+    members = assigned.join(F.broadcast(nsubs), "list_id").select(
         "list_id",
+        F.pmod(F.xxhash64(F.col("id").cast("string")), F.col("n_subs"))
+        .cast("int")
+        .alias("sub"),
         F.lit(1).alias("side"),
         "id",
         F.col("qv").alias("vec"),
     )
 
     def per_list(pdf):
+        empty = pd.DataFrame(
+            {
+                "query_id": pd.Series([], dtype="int64"),
+                "neighbor_id": pd.Series([], dtype="int64"),
+                "dist_sq": pd.Series([], dtype="int64"),
+            }
+        )
         q = pdf[pdf["side"] == 0]
         v = pdf[pdf["side"] == 1].sort_values("id", kind="mergesort")
         if not len(q) or not len(v):
-            return pd.DataFrame(
-                {
-                    "query_id": pd.Series([], dtype="int64"),
-                    "neighbor_id": pd.Series([], dtype="int64"),
-                    "dist_sq": pd.Series([], dtype="int64"),
-                }
-            )
-        Q = np.array(q["vec"].tolist(), dtype=np.int64)
+            return empty
         V = np.array(v["vec"].tolist(), dtype=np.int64)
-        d = (
-            (Q * Q).sum(axis=1)[:, None]
-            - 2 * (Q @ V.T)
-            + (V * V).sum(axis=1)[None, :]
-        )
-        qids = q["id"].to_numpy()
+        vv = (V * V).sum(axis=1)
         vids = v["id"].to_numpy()
-        kk = min(k + 1, d.shape[1])  # +1 absorbs the self row
-        # V rows ascend by id, so stable argsort ties by neighbor_id —
-        # the oracle's ORDER BY dist_sq, neighbor_id
-        order = np.argsort(d, axis=1, kind="stable")[:, :kk]
-        nbr = vids[order]
-        dd = np.take_along_axis(d, order, axis=1)
-        keep = nbr != qids[:, None]
-        keep &= keep.cumsum(axis=1) <= k
-        m = keep.ravel()
-        return pd.DataFrame(
-            {
-                "query_id": qids.repeat(kk)[m],
-                "neighbor_id": nbr.ravel()[m],
-                "dist_sq": dd.ravel()[m],
-            }
-        )
+        out = []
+        # fixed-size query tiles: distance tile <= chunk x |V| however
+        # many queries probe this (list, sub)
+        chunk = 1024
+        for lo in range(0, len(q), chunk):
+            qc = q.iloc[lo : lo + chunk]
+            Q = np.array(qc["vec"].tolist(), dtype=np.int64)
+            d = (Q * Q).sum(axis=1)[:, None] - 2 * (Q @ V.T) + vv[None, :]
+            qids = qc["id"].to_numpy()
+            kk = min(k + 1, d.shape[1])  # +1 absorbs the self row
+            # V rows ascend by id, so stable argsort ties by
+            # neighbor_id — the oracle's ORDER BY dist_sq, neighbor_id
+            order = np.argsort(d, axis=1, kind="stable")[:, :kk]
+            nbr = vids[order]
+            dd = np.take_along_axis(d, order, axis=1)
+            keep = nbr != qids[:, None]
+            keep &= keep.cumsum(axis=1) <= k
+            m = keep.ravel()
+            out.append(
+                pd.DataFrame(
+                    {
+                        "query_id": qids.repeat(kk)[m],
+                        "neighbor_id": nbr.ravel()[m],
+                        "dist_sq": dd.ravel()[m],
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
 
     scored = (
         probes.unionByName(members)
-        .groupBy("list_id")
+        .groupBy("list_id", "sub")
         .applyInPandas(
             per_list, schema="query_id long, neighbor_id long, dist_sq long"
         )

@@ -951,6 +951,39 @@ def test_auto_n_planes_occupancy_contract():
     assert S.auto_n_planes(10**9) == 16
 
 
+def test_ivf_self_topk_split_cap_invariant(spark):
+    """The member-side skew split (lists larger than split_cap score
+    in hash sub-groups, every probe replicated to every sub) is
+    RESULT-INVARIANT: a tiny cap that forces multi-sub scoring on
+    every list returns exactly the unsplit kernel's rows — per-sub
+    top-k unions lose nothing and ties still break by neighbor_id.
+    The duplicate-skew case is the point: replica groups land in ONE
+    k-means list, so the corpus here carries 8 copies of each of 10
+    points (one list absorbs each pile)."""
+    rows = []
+    for base in range(10):
+        for r in range(8):
+            vid = base * 100 + r
+            vec = [float((base * 7 + j) % 5) for j in range(8)]
+            rows.append((vid, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def got(**kw):
+        return sorted(
+            map(
+                tuple,
+                S.ivf_self_topk_int(
+                    emb, k=3, n_lists=4, n_probe=2, **kw
+                ).collect(),
+            )
+        )
+
+    unsplit = got()  # default cap never binds at 80 vectors
+    assert got(split_cap=3) == unsplit
+    assert got(split_cap=1) == unsplit
+    assert len(unsplit) == 80 * 3
+
+
 def test_auto_n_lists_sqrt_contract():
     """auto_n_lists returns the smallest power-of-two p in [16, 4096]
     with p² ≥ n (⌈√n⌉ to a power of two) — the IVF balance holding
