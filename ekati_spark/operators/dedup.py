@@ -1428,3 +1428,124 @@ def winnow_fingerprints(
     return sel.select(
         "id", F.expr("wmin div 2097152").alias("fph")
     ).distinct()
+
+
+def suffix_window_spans(
+    docs: DataFrame,
+    cap: int = 32,
+    min_len: int = 15,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Suffix-array exact-substring dedup report (the "deduplicating
+    training data" suffix-array recipe): per document, the length and
+    start of its LONGEST substring that occurs elsewhere in the corpus
+    (within or across documents), measured in tokens and capped at
+    ``cap`` — plus how many of its suffixes open a duplicated substring
+    of >= ``min_len`` tokens. Where ``duplicate_ngram_spans`` (l28)
+    reports islands of duplicated fixed-width grams (every gram may
+    match a DIFFERENT other location), this is the true suffix-array
+    semantics: one contiguous match of exactly-measured length.
+
+    Construction: a suffix array restricted to ``cap``-token comparison
+    windows needs NO prefix-doubling — sorting the capped suffix
+    windows directly IS the suffix array up to ties beyond ``cap``
+    (irrelevant: all reported lengths are <= ``cap``), and any
+    duplicated substring of length l <= cap makes two suffixes agree on
+    their first l tokens, i.e. sort-adjacent neighbors with LCP >= l.
+    So: posexplode suffix positions -> slice the ``cap``-token window
+    -> ONE distributed range-sort with a global row index
+    (``sampling.ordered_row_number`` — range-repartition + per-partition
+    offsets, never a single-reducer window) -> adjacent-pair equi-join
+    on the index -> token-level LCP as a codegen'd zip_with/
+    array_position expression -> per-suffix dup_len = max(LCP with
+    sort-predecessor, LCP with sort-successor) -> per-doc aggregate.
+
+    Scale shape: every stage is linear in corpus tokens — suffix rows
+    carry <= cap tokens (~cap * avg-token bytes each), the sort is
+    Spark's range-partitioned sort, adjacency is an equi-join on a
+    dense long, and the window-free LCP keeps whole-stage codegen. At
+    100 TB the sort IS the cost (the published distributed suffix-array
+    bound); ``cap`` bounds both row width and comparison depth, and is
+    a semantic parameter, not an approximation: dedup thresholds
+    ``min_len <= cap`` are exact.
+
+    Returns ``(doc_id, max_dup_len, span_start, span_end,
+    n_dup_suffixes)`` for documents with ``max_dup_len >= min_len``;
+    positions 0-based inclusive, ``span_start`` the smallest qualifying
+    position. Deterministic end-to-end (total sort order tie-broken by
+    (doc, pos)), so a SQL oracle replays it exactly. Reference analog:
+    none (LLM-data extension).
+    """
+    from ekati_spark.operators.sampling import ordered_row_number
+
+    toks = docs.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.lower(F.col(text_col))), " +").alias("ts"),
+    )
+    suf = toks.select(
+        "id", F.posexplode("ts").alias("pos", "_tok"), F.col("ts")
+    ).select(
+        "id",
+        "pos",
+        F.slice(F.col("ts"), F.col("pos") + 1, F.lit(cap)).alias("arr"),
+    )
+    keyed = ordered_row_number(
+        suf.withColumn("k", F.array_join("arr", " ")),
+        ["k", "id", "pos"],
+        out_col="idx",
+        drop_cols=["k"],
+        num_partitions=num_partitions,
+    )
+    # Adjacent-pair LCP: zip_with pads the shorter side with null and
+    # eqNullSafe(null) is false, so the first `false` position IS the
+    # mismatch point; no false => identical up to min length.
+    a, b = keyed.alias("a"), keyed.select(
+        (F.col("idx") - 1).alias("idx"), F.col("arr").alias("brr")
+    ).alias("b")
+    zipped = F.zip_with("a.arr", "b.brr", lambda x, y: x.eqNullSafe(y))
+    p = F.array_position(zipped, False)
+    lcp = F.when(p == 0, F.least(F.size("a.arr"), F.size("b.brr"))).otherwise(
+        p - 1
+    )
+    plcp = (
+        a.join(b, "idx")
+        .select(F.col("idx"), lcp.cast("int").alias("lcp"))
+        .transform(cut_lineage)
+    )
+    nxt = plcp
+    prv = plcp.select((F.col("idx") + 1).alias("idx"), F.col("lcp"))
+    duplen = (
+        keyed.join(nxt.withColumnRenamed("lcp", "lcp_n"), "idx", "left")
+        .join(prv.withColumnRenamed("lcp", "lcp_p"), "idx", "left")
+        .select(
+            "id",
+            "pos",
+            F.greatest(
+                F.coalesce("lcp_n", F.lit(0)), F.coalesce("lcp_p", F.lit(0))
+            ).alias("dup_len"),
+        )
+        .transform(cut_lineage)
+    )
+    agg = duplen.groupBy("id").agg(
+        F.max("dup_len").cast("int").alias("max_dup_len"),
+        F.sum((F.col("dup_len") >= min_len).cast("int"))
+        .cast("long")
+        .alias("n_dup_suffixes"),
+    ).filter(F.col("max_dup_len") >= min_len)
+    return (
+        agg.join(duplen, "id")
+        .filter(F.col("dup_len") == F.col("max_dup_len"))
+        .groupBy("id", "max_dup_len", "n_dup_suffixes")
+        .agg(F.min("pos").cast("int").alias("span_start"))
+        .select(
+            F.col("id").alias("doc_id"),
+            "max_dup_len",
+            "span_start",
+            (F.col("span_start") + F.col("max_dup_len") - 1)
+            .cast("int")
+            .alias("span_end"),
+            "n_dup_suffixes",
+        )
+    )

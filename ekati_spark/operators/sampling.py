@@ -266,24 +266,56 @@ def global_shuffle(
     see identical partition boundaries (range sampling is otherwise
     re-drawn per job; a deployment would checkpoint instead).
     """
-    import pandas as pd  # noqa: F401  (mapInPandas batches)
-    from pyspark import TaskContext
-    from pyspark.sql.types import LongType, StructField, StructType
-
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     if prefix_col is not None:
         # Curriculum use: a fixed-width string prefix makes the order
         # (prefix asc, hash) — deterministic shuffle WITHIN each prefix
         # stage. Same machinery, same scale shape.
         h = F.concat(prefix_col, h)
+    return ordered_row_number(
+        df.withColumn("_h", h),
+        ["_h", key_col],
+        out_col="pos",
+        drop_cols=["_h"],
+        num_partitions=num_partitions,
+    )
+
+
+def ordered_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    out_col: str = "pos",
+    drop_cols: list[str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed ``row_number() OVER (ORDER BY order_cols)``: a stable
+    1-based ``out_col`` in the total order of ``order_cols`` (which must
+    be a total order — include a unique tie-break key).
+
+    Scale shape: a naive global-ORDER-BY window collapses into ONE
+    window partition. Instead: range-repartition + sort by the order
+    columns (Spark's distributed sort), count rows per partition (a
+    #partitions-row aggregate), broadcast the cumulative offsets, and
+    assign ``out_col = offset + local index`` in a single Arrow pass.
+    The sorted frame is persisted so the count job and the assignment
+    job see identical partition boundaries (range sampling is otherwise
+    re-drawn per job; a deployment would checkpoint instead).
+    ``drop_cols`` lets callers discard sort-only helper columns inside
+    the same Arrow pass. Shared by ``global_shuffle`` (hash order) and
+    the suffix-array sort (``dedup.suffix_window_spans``).
+    """
+    import pandas as pd  # noqa: F401  (mapInPandas batches)
+    from pyspark import TaskContext
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    drop_cols = drop_cols or []
     n = int(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
     rng = (
-        df.withColumn("_h", h)
-        .repartitionByRange(n, "_h", key_col)
-        .sortWithinPartitions("_h", key_col)
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .persist()
     )
     cnt = {
@@ -298,15 +330,17 @@ def global_shuffle(
         acc += cnt.get(pid, 0)
     boff = df.sparkSession.sparkContext.broadcast(offsets)
     out_schema = StructType(
-        list(df.schema.fields) + [StructField("pos", LongType(), False)]
+        [f for f in df.schema.fields if f.name not in drop_cols]
+        + [StructField(out_col, LongType(), False)]
     )
 
     def assign(batches):
         start = boff.value.get(TaskContext.get().partitionId(), 0)
         for pdf in batches:
             k = len(pdf)
-            pdf = pdf.drop(columns=["_h"])
-            pdf["pos"] = range(start + 1, start + 1 + k)
+            if drop_cols:
+                pdf = pdf.drop(columns=drop_cols)
+            pdf[out_col] = range(start + 1, start + 1 + k)
             start += k
             yield pdf
 

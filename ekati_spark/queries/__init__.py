@@ -42,7 +42,9 @@ from ekati_spark.queries import stats  # noqa: F401
 # the never-attested block of the NEXT round's rotation, at which point
 # this list is cleared. tools/rotate_window.py excludes these names
 # when re-deriving the window.
-_POST_WINDOW: list[str] = []
+_POST_WINDOW: list[str] = [
+    "l132_suffix_dedup_spans",
+]
 
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round

@@ -10722,3 +10722,76 @@ def l131_contamination_report(spark, sf_dir):
             ).cast("long"),
         )
     )
+
+
+@register(
+    "l132_suffix_dedup_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), ' +') AS ts
+      FROM documents WHERE trim(text) <> ''
+    ),
+    suf AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+             list_slice(ts, i, least(i + 31, len(ts))) AS arr
+      FROM toks, unnest(generate_series(1, len(ts))) AS u(i)
+    ),
+    keyed AS (
+      SELECT doc_id, pos, arr,
+             row_number() OVER (
+               ORDER BY array_to_string(arr, ' '), doc_id, pos) AS idx
+      FROM suf
+    ),
+    adj AS (
+      SELECT a.idx,
+             coalesce(list_position(
+               list_transform(range(1, greatest(len(a.arr), len(b.arr)) + 1),
+                              i -> a.arr[i] IS NOT DISTINCT FROM b.arr[i]),
+               false), 0) AS p,
+             least(len(a.arr), len(b.arr)) AS minlen
+      FROM keyed a JOIN keyed b ON b.idx = a.idx + 1
+    ),
+    plcp AS (
+      SELECT idx, CASE WHEN p = 0 THEN minlen ELSE p - 1 END AS lcp FROM adj
+    ),
+    duplen AS (
+      SELECT k.doc_id AS doc_id, k.pos AS pos,
+             greatest(coalesce(n.lcp, 0), coalesce(pr.lcp, 0)) AS dup_len
+      FROM keyed k
+      LEFT JOIN plcp n ON n.idx = k.idx
+      LEFT JOIN plcp pr ON pr.idx = k.idx - 1
+    ),
+    agg AS (
+      SELECT doc_id, CAST(max(dup_len) AS INTEGER) AS max_dup_len,
+             CAST(sum(CASE WHEN dup_len >= 15 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_suffixes
+      FROM duplen GROUP BY doc_id
+    )
+    SELECT agg.doc_id AS doc_id, agg.max_dup_len AS max_dup_len,
+           CAST(min(d.pos) AS INTEGER) AS span_start,
+           CAST(min(d.pos) + agg.max_dup_len - 1 AS INTEGER) AS span_end,
+           agg.n_dup_suffixes AS n_dup_suffixes
+    FROM agg JOIN duplen d
+      ON d.doc_id = agg.doc_id AND d.dup_len = agg.max_dup_len
+    WHERE agg.max_dup_len >= 15
+    GROUP BY agg.doc_id, agg.max_dup_len, agg.n_dup_suffixes
+    """,
+)
+def l132_suffix_dedup_spans(spark, sf_dir):
+    """SUFFIX-ARRAY exact-substring dedup report — per document, the
+    exact length (token-measured, capped at 32) and start of its
+    longest substring occurring elsewhere in the corpus, plus its count
+    of suffixes opening a >= 15-token duplicated substring. The true
+    suffix-array semantics of the "deduplicate training data"
+    substring recipe, complementing l28's gram-island approximation
+    (there, every 8-gram of a flagged span may match a DIFFERENT other
+    location; here one contiguous match is measured exactly).
+    Deterministic end-to-end — one distributed range-sort of capped
+    suffix windows under a total order, adjacent-pair token LCP — so
+    the DuckDB oracle replays the sort, the LCP expression, and the
+    per-doc aggregate exactly. Scale: every stage linear in corpus
+    tokens; the range-sort is the documented cost (see
+    operators/dedup.py::suffix_window_spans — the ordered_row_number
+    machinery never collapses into a single-reducer window)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.suffix_window_spans(docs, cap=32, min_len=15)

@@ -576,3 +576,41 @@ def test_image_hamming_banding_guarantee(spark):
             h2 ^= 1 << f
         bands = lambda x: [(i, (x >> (16 * i)) & 0xFFFF) for i in range(4)]
         assert set(bands(h)) & set(bands(h2))
+
+
+def test_suffix_window_spans_exact_lengths(spark):
+    """Planted corpus with a known longest shared substring: docs A and
+    B share exactly tokens 'd5..d12' (8 tokens) at known positions;
+    doc C shares nothing >= 4. min_len=4 flags A and B with the exact
+    measured length, never C."""
+    shared = " ".join(f"d{i}" for i in range(5, 13))  # 8 tokens
+    rows = [
+        (1, f"a0 a1 a2 {shared} a3 a4"),          # shared at pos 3..10
+        (2, f"b0 {shared} b1 b2 b3 b4 b5"),       # shared at pos 1..8
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),     # unique
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in D.suffix_window_spans(docs, cap=32, min_len=4).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1].max_dup_len == 8 and out[1].span_start == 3
+    assert out[1].span_end == 10
+    assert out[2].max_dup_len == 8 and out[2].span_start == 1
+    # every suffix opening >= 4 shared tokens: positions 3..7 in doc 1
+    assert out[1].n_dup_suffixes == 5
+    assert out[2].n_dup_suffixes == 5
+
+
+def test_suffix_window_spans_cap_and_within_doc(spark):
+    """A 40-token run duplicated WITHIN one document reports the cap
+    (32), and the span starts at the first qualifying position."""
+    run = " ".join(f"t{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(7, f"{run} sep {run}")], "doc_id long, text string"
+    )
+    out = D.suffix_window_spans(docs, cap=32, min_len=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.doc_id == 7 and r.max_dup_len == 32 and r.span_start == 0
