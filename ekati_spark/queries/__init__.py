@@ -44,6 +44,7 @@ from ekati_spark.queries import stats  # noqa: F401
 # when re-deriving the window.
 _POST_WINDOW: list[str] = [
     "l132_suffix_dedup_spans",
+    "l133_knn_graph_serve",
 ]
 
 _GRADED_FIRST = [

@@ -8936,12 +8936,19 @@ def l117_stupid_backoff_score(spark, sf_dir):
     )
 
 
-def _l119_oracle() -> str:
-    """Replay of knn_graph_nndescent(k=5, n_planes=AUTO, n_tables=4):
-    seeded hyperplanes inline as DOUBLE literals (same construction as
-    _l07_oracle), init self-join on any-table bucket equality, top-5
-    per direction, one NN-Descent local join over the general-neighbor
-    sets, exact re-rank of the union.
+def _nndescent_oracle_sql(k: int, rounds: int) -> str:
+    """Parameterized replay of ``knn_graph_nndescent(k, n_planes=AUTO,
+    n_tables=4, rounds)``: seeded hyperplanes inline as DOUBLE literals
+    (same construction as _l07_oracle), init self-join on any-table
+    bucket equality, top-``k`` per direction, then ``rounds`` NN-Descent
+    local joins over the general-neighbor sets, each followed by an
+    exact re-rank of the accumulated pair union — one CTE block per
+    round, mirroring the engine's loop (``allp{r}`` = local-join pairs
+    ∪ the previous graph's pairs; the next graph is the top-``k`` of
+    ``allp{r}`` scored both directions). Round CTEs are MATERIALIZED:
+    each ``g{r}`` is referenced twice by round ``r+1`` (the u/allp
+    branches), so inlining would re-expand the whole upstream chain
+     2^rounds times (the g39 CTE-inlining blowup).
 
     The engine auto-scales the plane count from the corpus count
     (similarity.auto_n_planes: smallest np in [6,16] with
@@ -8952,7 +8959,8 @@ def _l119_oracle() -> str:
     CASE chain over count(c) — both sides derive np from the same
     corpus, at any sf. The engine's deterministic per-(table,bucket)
     occupancy cap (bucket_cap=64, smallest ids win) is replayed by the
-    QUALIFY row_number() in the cb CTE."""
+    QUALIFY row_number() in the cb CTE. Instantiated at (5, 1) for
+    l119 and (8, 2) for l133's serving-store graph."""
     import numpy as np  # noqa: PLC0415
 
     dim, max_planes, n_tables, seed = 64, 16, 4, 42
@@ -8971,6 +8979,10 @@ def _l119_oracle() -> str:
     # smallest np in [6,16] with cnt <= 16*2^np — auto_n_planes exactly
     np_case = " ".join(
         f"WHEN cnt <= {16 << p} THEN {p}" for p in range(6, 16)
+    )
+    rounds_sql = ",\n    ".join(
+        _nndescent_round_sql(r, k, last=(r == rounds))
+        for r in range(1, rounds + 1)
     )
     return f"""
     WITH c AS (
@@ -8996,31 +9008,53 @@ def _l119_oracle() -> str:
     ),
     d0 AS (SELECT id_a AS q, id_b AS n, cosine FROM s0
            UNION ALL SELECT id_b, id_a, cosine FROM s0),
-    g0 AS (
+    g0 AS MATERIALIZED (
       SELECT q, n FROM (
         SELECT q, n, row_number() OVER (
           PARTITION BY q ORDER BY cosine DESC, n) AS rn FROM d0)
-      WHERE rn <= 5
+      WHERE rn <= {k}
     ),
-    u AS (SELECT q AS center, n AS member FROM g0
-          UNION SELECT n, q FROM g0),
-    lj AS (
-      SELECT DISTINCT a.member AS id_a, b.member AS id_b
-      FROM u a JOIN u b ON a.center = b.center AND a.member < b.member
-    ),
-    allp AS (SELECT id_a, id_b FROM lj
-             UNION SELECT least(q, n), greatest(q, n) FROM g0),
-    s1 AS (
-      SELECT id_a, id_b, round(list_cosine_similarity(ca.v, cc.v), 6) AS cosine
-      FROM allp JOIN c ca ON allp.id_a = ca.id JOIN c cc ON allp.id_b = cc.id
-    ),
-    d1 AS (SELECT id_a AS q, id_b AS n, cosine FROM s1
-           UNION ALL SELECT id_b, id_a, cosine FROM s1)
+    {rounds_sql}
     SELECT q AS query_id, n AS neighbor_id, cosine, CAST(rn AS INTEGER) AS rank
     FROM (SELECT q, n, cosine, row_number() OVER (
-            PARTITION BY q ORDER BY cosine DESC, n) AS rn FROM d1)
-    WHERE rn <= 5
+            PARTITION BY q ORDER BY cosine DESC, n) AS rn FROM d{rounds})
+    WHERE rn <= {k}
     """
+
+
+def _nndescent_round_sql(r: int, k: int, last: bool) -> str:
+    """One NN-Descent round as a CTE block (round ``r`` reads graph
+    ``g{r-1}``); the last round omits its g CTE — the caller's final
+    select IS the top-k."""
+    g = f""",
+    g{r} AS MATERIALIZED (
+      SELECT q, n FROM (
+        SELECT q, n, row_number() OVER (
+          PARTITION BY q ORDER BY cosine DESC, n) AS rn FROM d{r})
+      WHERE rn <= {k}
+    )"""
+    return f"""u{r} AS (SELECT q AS center, n AS member FROM g{r - 1}
+          UNION SELECT n, q FROM g{r - 1}),
+    lj{r} AS (
+      SELECT DISTINCT a.member AS id_a, b.member AS id_b
+      FROM u{r} a JOIN u{r} b ON a.center = b.center AND a.member < b.member
+    ),
+    allp{r} AS (SELECT id_a, id_b FROM lj{r}
+             UNION SELECT least(q, n), greatest(q, n) FROM g{r - 1}),
+    s{r} AS (
+      SELECT id_a, id_b, round(list_cosine_similarity(ca.v, cc.v), 6) AS cosine
+      FROM allp{r} JOIN c ca ON allp{r}.id_a = ca.id
+                   JOIN c cc ON allp{r}.id_b = cc.id
+    ),
+    d{r} AS (SELECT id_a AS q, id_b AS n, cosine FROM s{r}
+           UNION ALL SELECT id_b, id_a, cosine FROM s{r})""" + (
+        "" if last else g
+    )
+
+
+def _l119_oracle() -> str:
+    """knn_graph_nndescent(k=5, rounds=1) — see _nndescent_oracle_sql."""
+    return _nndescent_oracle_sql(k=5, rounds=1)
 
 
 @register("l119_knn_graph_refine", oracle=_l119_oracle())
@@ -10795,3 +10829,195 @@ def l132_suffix_dedup_spans(spark, sf_dir):
     machinery never collapses into a single-reducer window)."""
     docs = load_table(spark, sf_dir, "documents")
     return D.suffix_window_spans(docs, cap=32, min_len=15)
+
+
+_l133_store_cache: dict[tuple[str, str], str] = {}
+
+
+def _l133_store(spark, sf_dir) -> str:
+    """Build the NN-Descent k-NN graph ONCE per (session, sf_dir) and
+    persist its edge list — the navigable serving index graph-ANN
+    reads (the ``_l127b_store`` / ``_graph_cache`` precedent; evicting
+    a session's previous store rmtree's it)."""
+    import shutil  # noqa: PLC0415
+
+    from ekati_spark.catalog import session_key  # noqa: PLC0415
+
+    sk = session_key(spark)
+    key = (sk, sf_dir)
+    base = _l133_store_cache.get(key)
+    if base is None:
+        for old in [k for k in _l133_store_cache if k[0] == sk]:
+            shutil.rmtree(_l133_store_cache.pop(old), ignore_errors=True)
+        base = mkscratch("l133_graph_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        # Beefier build than l119's registered query (k=8 degree, two
+        # NN-Descent rounds): the store is built once and amortized, so
+        # build-time investment buys serve-time recall — measured
+        # overlap@5 at sf0.01: 0.26 (k=5, r=1) → 0.56 (k=8, r=2).
+        g = S.knn_graph_nndescent(
+            emb, k=8, n_planes=None, n_tables=4, rounds=2
+        )
+        g.select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        ).write.mode("overwrite").parquet(f"{base}/edges")
+        _l133_store_cache[key] = base
+    return base
+
+
+def _l133_oracle() -> str:
+    """Replay: the graph CTE is the parameterized NN-Descent oracle at
+    the store's build parameters (k=8, rounds=2 — the SAME generator
+    that produces l119's oracle at (5, 1), so engine and oracle stay
+    in lockstep by construction, no string surgery), MATERIALIZED
+    because it is referenced by both hop CTEs (DuckDB inlines
+    once-per-parent CTE references — the g39 blowup). UNDIRECTED
+    expansion (union both edge directions — NN-Descent's general
+    neighbors), re-rank, and the exact-top-5 audit are plain joins +
+    QUALIFY."""
+    return f"""
+    WITH graph AS MATERIALIZED ({_nndescent_oracle_sql(k=8, rounds=2)}),
+    c AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS (SELECT id AS query_id, v AS qv FROM c WHERE id % 37 = 0),
+    und AS (SELECT query_id AS src, neighbor_id AS dst FROM graph
+            UNION SELECT neighbor_id, query_id FROM graph),
+    h1 AS (SELECT q.query_id, u.dst
+           FROM q JOIN und u ON u.src = q.query_id),
+    h2 AS (SELECT h1.query_id, u.dst
+           FROM h1 JOIN und u ON u.src = h1.dst),
+    cand AS (
+      SELECT DISTINCT query_id, dst FROM (
+        SELECT query_id, dst FROM h1
+        UNION ALL SELECT query_id, dst FROM h2)
+      WHERE dst <> query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.dst AS neighbor_id,
+             round(list_cosine_similarity(q.qv, c.v), 6) AS cosine
+      FROM cand JOIN q ON q.query_id = cand.query_id
+                JOIN c ON c.id = cand.dst
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
+    ),
+    exact AS (
+      SELECT q.query_id, e.id AS neighbor_id
+      FROM q JOIN c e ON e.id <> q.query_id
+      QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC, e.id) <= 5
+    )
+    SELECT r.query_id AS query_id, r.neighbor_id AS neighbor_id,
+           r.cosine AS cosine, CAST(r.rn AS INTEGER) AS rank,
+           CAST(CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS in_exact_top5
+    FROM ranked r LEFT JOIN exact x
+      ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+    WHERE r.rn <= 5
+    """
+
+
+@register("l133_knn_graph_serve", oracle=_l133_oracle())
+def l133_knn_graph_serve(spark, sf_dir):
+    """GRAPH-based ANN SERVING — the third serving form, completing
+    the triad: table-based LSH serves l127b's dense arm, partition-
+    based IVF serves l108b, and here queries navigate a PERSISTED
+    NN-Descent k-NN graph (l119's construction at beefier build
+    parameters — k=8, rounds=2 — built once per session/sf_dir into a
+    scratch store: the DiskANN/HNSW premise that the graph IS the
+    index and serve-time work is independent of corpus size): seeds =
+    the query's general neighbors (out- plus in-edges, undirected
+    degree ≤ 2k), candidates = the 2-hop expansion N(q) ∪ N(N(q))
+    (≤ 2k + (2k)² rows per query at fixed degree — serve cost is
+    Θ(|Q|·k²), never Θ(|Q|·n)), exact cosine re-rank to top-5, plus a
+    per-row ``in_exact_top5`` audit against the brute-force top-5
+    (the l127b ``in_exact_top10`` pattern — the committed recall
+    evidence; measured overlap@5 0.56 at sf0.01 on the near-random
+    synthetic embeddings, vs 0.26 for a degree-5/1-round graph —
+    build-time investment the store amortizes). Deterministic
+    end-to-end (the graph is the attested-deterministic NN-Descent
+    construction; expansion/re-rank are joins + a round-6 rank), so
+    the DuckDB oracle replays graph, hops, re-rank, and audit exactly
+    — the graph CTE comes from the SAME parameterized generator as
+    l119's oracle. The exact-audit arm is l06's sanctioned broadcast
+    shape; the SERVING arms are equi-joins only."""
+    base = _l133_store(spark, sf_dir)
+    stored = spark.read.parquet(f"{base}/edges")
+    # undirected navigation: NN-Descent's general-neighbor relation
+    # (out- plus in-edges) — degree ≤ 2k, candidates ≤ 2k + (2k)²
+    edges = stored.unionByName(
+        stored.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+    ).distinct()
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    valid = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    c = valid.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v")
+    ).withColumn("nv", S.norm(F.col("v"), dim))
+    q = c.filter(F.col("id") % 37 == 0).select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    )
+    h1 = (
+        q.select("query_id")
+        .join(edges, F.col("query_id") == F.col("src"))
+        .select("query_id", "dst")
+    )
+    e2 = edges.select(
+        F.col("src").alias("mid"), F.col("dst").alias("dst2")
+    )
+    h2 = h1.join(e2, F.col("dst") == F.col("mid")).select(
+        "query_id", F.col("dst2").alias("dst")
+    )
+    cand = (
+        h1.unionByName(h2)
+        .filter(F.col("dst") != F.col("query_id"))
+        .distinct()
+    )
+    cos = F.try_divide(
+        S.dot(F.col("qv"), F.col("v"), dim), F.col("nq") * F.col("nv")
+    )
+    scored = (
+        cand.join(c.withColumnRenamed("id", "dst"), "dst")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", F.col("dst").alias("neighbor_id"),
+                F.round(cos, 6).alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    vq = valid.filter(F.col("vec_id") % 37 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = S.brute_force_topk(valid, vq, k=5).select(
+        "query_id", F.col("neighbor_id").alias("x_id")
+    )
+    return (
+        topk.join(
+            exact,
+            (topk.query_id == exact.query_id)
+            & (topk.neighbor_id == exact.x_id),
+            "left",
+        )
+        .select(
+            topk.query_id,
+            "neighbor_id",
+            "cosine",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("x_id").isNotNull().cast("int").alias("in_exact_top5"),
+        )
+    )

@@ -603,6 +603,10 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         "l127_hybrid_rrf_fusion",
         "l127b_hybrid_rrf_indexed",
         "l130_retrieval_quality_metrics",
+        # l133's exact-audit arm is the same l06 shape (brute-force
+        # ground truth for the in_exact_top5 column); its SERVING path
+        # — store read, 2-hop expansion, re-rank — is equi-joins only
+        "l133_knn_graph_serve",
     }
     flagged = {}
     for name in list(REGISTRY):

@@ -1010,3 +1010,34 @@ def test_auto_n_lists_sqrt_contract():
         if p > 16:
             assert (p // 2) * (p // 2) < n
     assert S.auto_n_lists(10**9) == 4096  # hi clamp
+
+
+def test_l133_graph_serve_recall_and_store(spark):
+    """Graph-ANN serving (l133): overlap@5 with the exact top-5 is far
+    above the ~1% random-candidate chance floor on the near-random
+    synthetic embeddings (measured 0.56 at sf0.01, 0.21 at sf0.001 for
+    the k=8/rounds=2 store graph — floor pinned with margin), rank is
+    dense 1..5 per query, and the per-(session, sf_dir) store is built
+    once (second call returns the cached path)."""
+    import shutil
+
+    from ekati_spark.queries import REGISTRY, llm as L
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        rows = REGISTRY["l133_knn_graph_serve"].fn(spark, sf).collect()
+        assert rows
+        byq = {}
+        for r in rows:
+            byq.setdefault(r.query_id, []).append(r)
+        for q, rs in byq.items():
+            assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+            assert all(x.neighbor_id != q for x in rs)
+        overlap = sum(r.in_exact_top5 for r in rows) / len(rows)
+        assert overlap >= 0.10  # chance is ~5/500
+        base1 = L._l133_store(spark, sf)
+        base2 = L._l133_store(spark, sf)
+        assert base1 == base2
+    finally:
+        for k in list(L._l133_store_cache):
+            shutil.rmtree(L._l133_store_cache.pop(k), ignore_errors=True)
