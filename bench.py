@@ -144,6 +144,14 @@ HEADLINE = [
     # the exact agreement arm): a NEW plan family (partition-based
     # self-ANN; l119 covers the graph-based one).
     "l108b_knn_label_consistency_ivf",
+    # round-15 continuation additions: the distributed capped-suffix
+    # sort (one range-partitioned sort + adjacent LCP — a NEW plan
+    # family: global-order adjacency via ordered_row_number), and the
+    # graph-ANN serving form (store-cached NN-Descent graph + 2-hop
+    # expansion + exact re-rank; cold build lands in run 1, the
+    # median measures the warm serve — the l127b store pattern).
+    "l132_suffix_dedup_spans",
+    "l133_knn_graph_serve",
 ]
 
 

@@ -293,21 +293,23 @@ def ordered_row_number(
     be a total order — include a unique tie-break key).
 
     Scale shape: a naive global-ORDER-BY window collapses into ONE
-    window partition. Instead: range-repartition + sort by the order
-    columns (Spark's distributed sort), count rows per partition (a
-    #partitions-row aggregate), broadcast the cumulative offsets, and
-    assign ``out_col = offset + local index`` in a single Arrow pass.
-    The sorted frame is persisted so the count job and the assignment
-    job see identical partition boundaries (range sampling is otherwise
-    re-drawn per job; a deployment would checkpoint instead).
-    ``drop_cols`` lets callers discard sort-only helper columns inside
-    the same Arrow pass. Shared by ``global_shuffle`` (hash order) and
-    the suffix-array sort (``dedup.suffix_window_spans``).
+    window partition. Instead: range-repartition by the order columns
+    (Spark's distributed sort layout), count rows per partition (a
+    #partitions-row aggregate), broadcast-join the cumulative offsets
+    back by partition id, and assign ``out_col = offset + local
+    row_number`` with a window PARTITIONED by partition id — every
+    stage is JVM-side whole-stage-codegen-adjacent (no Python/Arrow
+    round-trip: the first version Arrow-assigned the index and paid
+    the pandas conversion of every payload column on every
+    consumption — measured ~3× the job cost when rows carry token
+    arrays, ``suffix_window_spans`` at sf1). The ranged frame is
+    persisted so the count job and the assignment job see identical
+    partition boundaries (range sampling is otherwise re-drawn per
+    job; a deployment would checkpoint instead). ``drop_cols`` lets
+    callers discard sort-only helper columns. Shared by
+    ``global_shuffle`` (hash order) and the suffix-array sort
+    (``dedup.suffix_window_spans``).
     """
-    import pandas as pd  # noqa: F401  (mapInPandas batches)
-    from pyspark import TaskContext
-    from pyspark.sql.types import LongType, StructField, StructType
-
     drop_cols = drop_cols or []
     n = int(
         num_partitions
@@ -315,33 +317,25 @@ def ordered_row_number(
     )
     rng = (
         df.repartitionByRange(n, *order_cols)
-        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
     cnt = {
         r["pid"]: r["n"]
-        for r in rng.groupBy(F.spark_partition_id().alias("pid"))
+        for r in rng.groupBy(F.col("_pid").alias("pid"))
         .agg(F.count("*").alias("n"))
         .collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in range(n):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += cnt.get(pid, 0)
-    boff = df.sparkSession.sparkContext.broadcast(offsets)
-    out_schema = StructType(
-        [f for f in df.schema.fields if f.name not in drop_cols]
-        + [StructField(out_col, LongType(), False)]
+    off = df.sparkSession.createDataFrame(
+        offsets, "_pid int, _off long"
     )
-
-    def assign(batches):
-        start = boff.value.get(TaskContext.get().partitionId(), 0)
-        for pdf in batches:
-            k = len(pdf)
-            if drop_cols:
-                pdf = pdf.drop(columns=drop_cols)
-            pdf[out_col] = range(start + 1, start + 1 + k)
-            start += k
-            yield pdf
-
-    return rng.mapInPandas(assign, schema=out_schema)
+    w = W.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
+    return (
+        rng.join(F.broadcast(off), "_pid")
+        .withColumn(out_col, F.row_number().over(w) + F.col("_off"))
+        .drop("_pid", "_off", *drop_cols)
+    )
