@@ -3060,3 +3060,107 @@ def knn_graph_nndescent(
         "cosine",
         F.col("rank").cast("int").alias("rank"),
     )
+
+
+def knn_graph_delete_consolidate(
+    graph: DataFrame,
+    emb: DataFrame,
+    deleted: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """DELETE-consolidation for a persisted k-NN graph index (the
+    FreshDiskANN delete rule, Singh et al. 2021): removing vectors
+    from a navigable graph punches holes in surviving adjacency
+    lists, so every survivor ``u`` that pointed at a deleted node
+    ``d`` patches its list from ``d``'s own out-neighbors — the
+    two-hop closure u→d→x keeps the graph navigable without touching
+    unaffected nodes. The new adjacency of an affected node is the
+    exact top-``k`` re-rank of (surviving old links) ∪ (deleted
+    links' surviving out-neighbors) — candidates per node ≤ k·(k+1),
+    so consolidation cost is Θ(|affected|·k²) score pairs, NEVER a
+    corpus rebuild (the l93/l84 incremental-maintenance contract,
+    here for the graph family: build l119/l133, serve l133, delete
+    this).
+
+    ``graph`` is a directed top-k edge list (query_id, neighbor_id);
+    ``deleted`` a one-column ``id`` frame. Returns the consolidated
+    adjacency of AFFECTED nodes only: (u, x, cmicro, rank) with
+    ``cmicro`` = floor(round(cosine, 6)·1e6 + 0.5) — the integer
+    micro-score form whose ranks and sums replay exactly in SQL (the
+    l80 smicro pattern). Deterministic: ties break on neighbor id.
+
+    Scale shape: deleted-set membership tests are semi/anti
+    equi-joins (AQE broadcasts the deleted side when small — no
+    corpus broadcast ever); candidate generation is two id-keyed
+    equi-joins on the graph (each node carries ≤ k edges); exact
+    scoring joins fetch ≤ |affected|·k(k+1) vector pairs by id. At a
+    1/23 delete fraction and k=5 the whole pass is linear in the
+    affected frontier, independent of corpus size."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    g = graph.select(
+        F.col("query_id").alias("q"), F.col("neighbor_id").alias("n")
+    ).transform(cut_lineage)  # consumed 3x: live edges + patch source
+    dl = deleted.select(F.col("id").alias("_did")).transform(
+        cut_lineage_lazy  # consumed 3x: the three membership tests
+    )
+    # survivors' edges, split into still-valid and dangling
+    live = g.join(dl, g.q == dl._did, "left_anti").select(
+        F.col("q").alias("u"), F.col("n").alias("x")
+    ).transform(cut_lineage)  # consumed 3x: lost + kept + old-degree agg
+    lostn = live.join(dl, live.x == dl._did, "left_semi").select(
+        "u", F.col("x").alias("d")
+    )
+    affected = lostn.select("u").distinct()
+    keptn = (
+        live.join(dl, live.x == dl._did, "left_anti")
+        .join(affected, "u")
+        .select("u", "x")
+    )
+    # patch candidates: the deleted neighbor's own surviving out-edges
+    candn = (
+        lostn.join(
+            g.select(F.col("q").alias("d"), F.col("n").alias("x")), "d"
+        )
+        .join(dl, F.col("x") == dl._did, "left_anti")
+        .filter(F.col("x") != F.col("u"))
+        .select("u", "x")
+    )
+    pool = keptn.unionByName(candn).distinct()
+    c = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nv"),
+    ).transform(cut_lineage_lazy)  # consumed 2x: both score sides
+    cu = c.select(
+        F.col("id").alias("u"), F.col("v").alias("vu"),
+        F.col("nv").alias("nu"),
+    )
+    cx = c.select(
+        F.col("id").alias("x"), F.col("v").alias("vx"),
+        F.col("nv").alias("nx"),
+    )
+    cos = F.try_divide(
+        dot(F.col("vu"), F.col("vx"), dim), F.col("nu") * F.col("nx")
+    )
+    sc = (
+        pool.join(cu, "u")
+        .join(cx, "x")
+        .select(
+            "u", "x",
+            F.floor(F.round(cos, 6) * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cmicro"),
+        )
+    )
+    w = W.partitionBy("u").orderBy(F.desc("cmicro"), F.asc("x"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("u", "x", "cmicro", F.col("rank").cast("int").alias("rank"))
+    )

@@ -45,6 +45,7 @@ from ekati_spark.queries import stats  # noqa: F401
 _POST_WINDOW: list[str] = [
     "l132_suffix_dedup_spans",
     "l133_knn_graph_serve",
+    "l134_knn_graph_delete",
 ]
 
 _GRADED_FIRST = [

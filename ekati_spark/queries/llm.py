@@ -11030,3 +11030,128 @@ def l133_knn_graph_serve(spark, sf_dir):
             F.col("x_id").isNotNull().cast("int").alias("in_exact_top5"),
         )
     )
+
+
+def _l134_oracle() -> str:
+    """Replay: the graph CTE is the SAME parameterized NN-Descent
+    oracle as l119's (k=5, rounds=1 — the l133 nesting precedent),
+    MATERIALIZED because the consolidation references it three times
+    (live edges, patch source). Delete set = vec_id % 23 = 0 — a pure
+    predicate both engines evaluate identically. The patch rule,
+    micro-score re-rank (floor(round(cos,6)·1e6+0.5) — the l80 smicro
+    integer form), and per-node aggregates are joins + QUALIFY-free
+    window ranks; every sum is an integer sum (order-free)."""
+    return f"""
+    WITH graph AS MATERIALIZED ({_nndescent_oracle_sql(k=5, rounds=1)}),
+    c AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    live AS (SELECT query_id AS u, neighbor_id AS x FROM graph
+             WHERE query_id % 23 <> 0),
+    lostn AS (SELECT u, x AS d FROM live WHERE x % 23 = 0),
+    affected AS (SELECT DISTINCT u FROM lostn),
+    keptn AS (
+      SELECT l.u, l.x FROM live l JOIN affected a ON l.u = a.u
+      WHERE l.x % 23 <> 0
+    ),
+    candn AS (
+      SELECT l.u, g2.neighbor_id AS x
+      FROM lostn l JOIN graph g2 ON g2.query_id = l.d
+      WHERE g2.neighbor_id % 23 <> 0 AND g2.neighbor_id <> l.u
+    ),
+    pool AS (
+      SELECT DISTINCT u, x FROM (
+        SELECT u, x FROM keptn UNION ALL SELECT u, x FROM candn)
+    ),
+    sc AS (
+      SELECT p.u, p.x,
+             CAST(floor(round(list_cosine_similarity(cu.v, cx.v), 6)
+                        * 1000000 + 0.5) AS BIGINT) AS cmicro
+      FROM pool p JOIN c cu ON p.u = cu.id JOIN c cx ON p.x = cx.id
+    ),
+    newadj AS (
+      SELECT u, x, cmicro FROM (
+        SELECT u, x, cmicro, row_number() OVER (
+          PARTITION BY u ORDER BY cmicro DESC, x) AS rn FROM sc)
+      WHERE rn <= 5
+    ),
+    oldagg AS (
+      SELECT l.u,
+             CAST(count(*) AS BIGINT) AS old_degree,
+             CAST(sum(CASE WHEN l.x % 23 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS lost_cnt
+      FROM live l JOIN affected a ON l.u = a.u GROUP BY l.u
+    ),
+    newagg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS new_degree,
+             CAST(sum(cmicro) AS BIGINT) AS link_micro_sum
+      FROM newadj GROUP BY u
+    )
+    SELECT o.u AS node_id, o.lost_cnt,
+           CAST(o.old_degree - o.lost_cnt AS BIGINT) AS kept_cnt,
+           CAST(coalesce(n.new_degree, 0) AS BIGINT) AS new_degree,
+           CAST(coalesce(n.link_micro_sum, 0) AS BIGINT) AS link_micro_sum
+    FROM oldagg o LEFT JOIN newagg n ON o.u = n.u
+    """
+
+
+@register("l134_knn_graph_delete", oracle=_l134_oracle())
+def l134_knn_graph_delete(spark, sf_dir):
+    """GRAPH-index DELETE consolidation — completing the graph
+    family's index lifecycle (build l119, beefier build + serve l133,
+    delete HERE) in parity with the IVF family's (build l15, append
+    l70, delete l93, serve l108b): vectors with ``vec_id % 23 = 0``
+    are deleted from the l119-parameter NN-Descent graph, and every
+    surviving node that pointed at a deleted neighbor patches its
+    adjacency from the deleted node's own surviving out-edges — the
+    FreshDiskANN consolidation rule (u→d→x closure), re-ranked
+    exactly to top-5 on integer micro-cosines. Per affected node the
+    report carries lost/kept/new degree and the integer sum of new
+    link micro-cosines — the link-quality evidence that patched lists
+    stay near-neighbor lists (planted-cluster quality asserted in
+    tests/test_similarity.py). Deterministic end-to-end, so the
+    DuckDB oracle replays graph, patch, re-rank, and aggregates
+    exactly (the graph CTE comes from the SAME generator as
+    l119/l133's — engine and oracle stay in lockstep). Scale: the
+    consolidation never rebuilds — candidates ≤ k(k+1) per affected
+    node, all id-keyed equi-joins (Θ(|affected|·k²) score pairs on
+    top of the attested l119 build; see
+    operators/similarity.py::knn_graph_delete_consolidate)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    g = S.knn_graph_nndescent(
+        emb, k=5, n_planes=None, n_tables=4
+    ).select("query_id", "neighbor_id").transform(
+        cut_lineage  # consumed by the operator AND the old-degree agg
+    )
+    valid = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    deleted = valid.filter(F.col("vec_id") % 23 == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    adj = S.knn_graph_delete_consolidate(g, emb, deleted, k=5, dim=dim)
+    live = g.filter(F.col("query_id") % 23 != 0).select(
+        F.col("query_id").alias("u"), F.col("neighbor_id").alias("x")
+    )
+    oldagg = (
+        live.groupBy("u")
+        .agg(
+            F.count("*").alias("old_degree"),
+            F.sum((F.col("x") % 23 == 0).cast("long")).alias("lost_cnt"),
+        )
+        .filter(F.col("lost_cnt") >= 1)
+    )
+    newagg = adj.groupBy("u").agg(
+        F.count("*").alias("new_degree"),
+        F.sum("cmicro").alias("link_micro_sum"),
+    )
+    return oldagg.join(newagg, "u", "left").select(
+        F.col("u").alias("node_id"),
+        "lost_cnt",
+        (F.col("old_degree") - F.col("lost_cnt")).alias("kept_cnt"),
+        F.coalesce("new_degree", F.lit(0).cast("long")).alias("new_degree"),
+        F.coalesce("link_micro_sum", F.lit(0).cast("long"))
+        .alias("link_micro_sum"),
+    )

@@ -1041,3 +1041,54 @@ def test_l133_graph_serve_recall_and_store(spark):
     finally:
         for k in list(L._l133_store_cache):
             shutil.rmtree(L._l133_store_cache.pop(k), ignore_errors=True)
+
+
+def test_knn_graph_delete_consolidate_planted(spark):
+    """Delete-consolidation (l134's operator) on the planted 16×12
+    cluster corpus: delete one member per cluster, and every affected
+    survivor patches its list WITHOUT leaving its cluster — the u→d→x
+    closure hands it the deleted neighbor's (in-cluster) out-edges.
+    Asserts: no deleted id survives anywhere, ranks are dense from 1,
+    ≥90% of patched links stay in-cluster, and the pass is
+    deterministic (two runs, identical rows)."""
+    dim, n_clusters, per = 64, 16, 12
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = [0.0] * dim
+            v[c * 4] = 10.0
+            v[c * 4 + 1] = 10.0
+            for d in range(dim):
+                v[d] += ((c * per + j) * 31 + d * 7) % 11 / 10.0
+            rows.append((c * per + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    g = S.knn_graph_nndescent(emb, k=5, n_tables=2, rounds=1).select(
+        "query_id", "neighbor_id"
+    )
+    deleted = emb.filter(F.col("vec_id") % per == 0).select(
+        F.col("vec_id").alias("id")
+    )
+    adj1 = sorted(
+        tuple(r)
+        for r in S.knn_graph_delete_consolidate(
+            g, emb, deleted, k=5, dim=dim
+        ).collect()
+    )
+    adj2 = sorted(
+        tuple(r)
+        for r in S.knn_graph_delete_consolidate(
+            g, emb, deleted, k=5, dim=dim
+        ).collect()
+    )
+    assert adj1 == adj2
+    assert adj1
+    byu = {}
+    for u, x, cmicro, rank in adj1:
+        assert u % per != 0 and x % per != 0, (u, x)
+        byu.setdefault(u, []).append((rank, x))
+    for u, rx in byu.items():
+        assert sorted(r for r, _ in rx) == list(range(1, len(rx) + 1))
+    in_cluster = sum(
+        1 for u, x, _, _ in adj1 if u // per == x // per
+    )
+    assert in_cluster / len(adj1) >= 0.9, in_cluster / len(adj1)
