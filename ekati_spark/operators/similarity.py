@@ -282,6 +282,46 @@ def lsh_candidate_pairs(
     )
 
 
+def _lsh_bucket_members(
+    emb: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int | None,
+    id_col: str,
+    vec_col: str,
+    bucket_cap: int | None,
+):
+    """The bucket-assignment stage shared by ``lsh_candidate_ids``
+    (self-join candidates) and ``knn_graph_insert`` (delta-vs-base
+    probe): returns ``(members, vectors)`` where members is the
+    exploded ``(id, bucket)`` frame — per-(table, bucket) capped to
+    the ``bucket_cap`` SMALLEST ids when a cap is given (the
+    deterministic occupancy bound, replayed in SQL as a QUALIFY) —
+    and vectors is the filtered ``(id, v, nv)`` frame."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    v = emb.filter(
+        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm(F.col(vec_col), dim).alias("nv"),
+    ).transform(cut_lineage_lazy)  # consumed 3x: buckets + 2 id joins
+    bucket_ids = _sign_lsh_bucket_udf(dim, n_planes, n_tables, seed)
+    e = v.select("id", F.explode(bucket_ids("v")).alias("bucket"))
+    if bucket_cap is not None:
+        # deterministic per-bucket membership cap: keep the bucket_cap
+        # smallest ids (bucket already encodes the table in high bits)
+        wcap = W.partitionBy("bucket").orderBy("id")
+        e = (
+            e.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= bucket_cap)
+            .drop("_rn")
+        )
+    return e, v
+
+
 def lsh_candidate_ids(
     emb: DataFrame,
     n_planes: int = 8,
@@ -311,16 +351,9 @@ def lsh_candidate_ids(
     makes it a pure function of the data, replayable in a SQL QUALIFY.
     The window shuffle it adds is by bucket and row-count linear
     (row_number is a streaming pass per bucket)."""
-    if dim is None:
-        dim = _infer_dim(emb, vec_col)
-    v = emb.filter(
-        F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
-    ).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("nv"),
-    ).transform(cut_lineage_lazy)  # consumed 3x: buckets + 2 id joins
-    bucket_ids = _sign_lsh_bucket_udf(dim, n_planes, n_tables, seed)
+    e, v = _lsh_bucket_members(
+        emb, n_planes, n_tables, seed, dim, id_col, vec_col, bucket_cap
+    )
     # round-robin repartition of the STREAMED side: the corpus often
     # scans as a handful of partitions (one small parquet file locally),
     # and a broadcast join inherits the streamed side's partitioning —
@@ -329,16 +362,6 @@ def lsh_candidate_ids(
     # by bucket) deliberately: BHJ needs no co-location and hot buckets
     # (duplicate-heavy corpora) would skew a bucket-hash layout.
     par = emb.sparkSession.sparkContext.defaultParallelism
-    e = v.select("id", F.explode(bucket_ids("v")).alias("bucket"))
-    if bucket_cap is not None:
-        # deterministic per-bucket membership cap: keep the bucket_cap
-        # smallest ids (bucket already encodes the table in high bits)
-        wcap = W.partitionBy("bucket").orderBy("id")
-        e = (
-            e.withColumn("_rn", F.row_number().over(wcap))
-            .filter(F.col("_rn") <= bucket_cap)
-            .drop("_rn")
-        )
     cand = (
         e.repartition(par)
         .select(F.col("id").alias("id_a"), "bucket")
@@ -3164,3 +3187,140 @@ def knn_graph_delete_consolidate(
         .filter(F.col("rank") <= k)
         .select("u", "x", "cmicro", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def knn_graph_insert(
+    graph: DataFrame,
+    base: DataFrame,
+    delta: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_cap: int | None = 64,
+) -> tuple[DataFrame, DataFrame]:
+    """Search-based INSERT for a persisted k-NN graph index (the
+    DiskANN/FreshDiskANN insert rule): each new vector finds seed
+    entry points via the SAME sign-LSH tables the graph was built
+    from (delta buckets probe the base's capped bucket members — a
+    delta-vs-base equi-join, never a scan), expands one hop over the
+    existing graph (a seed's out-neighbors are candidates too), and
+    exact-re-ranks the candidate set to its top-``k`` out-edges.
+    Reverse-edge maintenance then patches each TOUCHED base node: its
+    new adjacency is the exact top-``k`` of (its old out-edges) ∪
+    (new nodes that linked to it) — so inserted vectors become
+    reachable without rebuilding anything (the l70/l79/l86
+    incremental-maintenance contract, here for the graph family).
+
+    Returns ``(inserted, patched)``: the new nodes' adjacency
+    (did, x, cmicro, rank) and the touched base nodes' re-ranked
+    adjacency (u, y, cmicro, rank) — ``cmicro`` the integer
+    micro-cosine (l80 smicro form), ties on neighbor id, so both
+    frames replay exactly in SQL.
+
+    Scale shape: probe volume ≤ |delta|·L·bucket_cap at ANY skew (the
+    l119 occupancy-cap contract); the hop expansion multiplies by the
+    fixed degree k; scoring fetches vectors by id equi-joins; the
+    reverse patch touches ≤ |delta|·k base nodes, each re-ranking ≤
+    k + in-degree candidates. Everything is Θ(|delta|) at fixed
+    (k, L, cap) — insert cost is proportional to the batch, never the
+    corpus."""
+    eb, vb = _lsh_bucket_members(
+        base, n_planes, n_tables, seed, dim, id_col, vec_col, bucket_cap
+    )
+    ed, vd = _lsh_bucket_members(
+        delta, n_planes, n_tables, seed, dim, id_col, vec_col, None
+    )
+    if dim is None:
+        dim = _infer_dim(base, vec_col)
+    par = base.sparkSession.sparkContext.defaultParallelism
+    seeds = (
+        ed.select(F.col("id").alias("did"), "bucket")
+        .repartition(par)  # the lsh_candidate_ids streamed-side spread
+        .join(eb.select(F.col("id").alias("sid"), "bucket"), "bucket")
+        .select("did", "sid")
+        .distinct()
+    )
+    g = graph.select(
+        F.col("query_id").alias("q"), F.col("neighbor_id").alias("n")
+    ).transform(cut_lineage)  # consumed 2x: hop expansion + reverse pool
+    exp = seeds.join(
+        g.select(F.col("q").alias("sid"), F.col("n").alias("x")), "sid"
+    ).select("did", "x")
+    cand = (
+        seeds.select("did", F.col("sid").alias("x"))
+        .unionByName(exp)
+        .distinct()
+    )
+
+    def micro(cos_col):
+        return (
+            F.floor(F.round(cos_col, 6) * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("cmicro")
+        )
+
+    dv = vd.select(
+        F.col("id").alias("did"), F.col("v").alias("vq"),
+        F.col("nv").alias("nq"),
+    )
+    bv = vb.select(
+        F.col("id").alias("x"), F.col("v").alias("vx"),
+        F.col("nv").alias("nx"),
+    )
+    sc = (
+        cand.join(dv, "did")
+        .join(bv, "x")
+        .select(
+            "did", "x",
+            micro(F.try_divide(
+                dot(F.col("vq"), F.col("vx"), dim),
+                F.col("nq") * F.col("nx"),
+            )),
+        )
+    )
+    wq = W.partitionBy("did").orderBy(F.desc("cmicro"), F.asc("x"))
+    inserted = (
+        sc.withColumn("rank", F.row_number().over(wq))
+        .filter(F.col("rank") <= k)
+        .select("did", "x", "cmicro", F.col("rank").cast("int").alias("rank"))
+        .transform(cut_lineage)  # consumed 2x: reverse pool + return
+    )
+    touched = inserted.select(F.col("x").alias("u")).distinct()
+    rpool = (
+        g.join(touched, g.q == touched.u, "left_semi")
+        .select(F.col("q").alias("u"), F.col("n").alias("y"))
+        .unionByName(
+            inserted.select(F.col("x").alias("u"), F.col("did").alias("y"))
+        )
+        .distinct()
+    )
+    uv = vb.select(
+        F.col("id").alias("u"), F.col("v").alias("vu"),
+        F.col("nv").alias("nu"),
+    )
+    yv = vb.unionByName(vd).select(
+        F.col("id").alias("y"), F.col("v").alias("vy"),
+        F.col("nv").alias("ny"),
+    )
+    rsc = (
+        rpool.join(uv, "u")
+        .join(yv, "y")
+        .select(
+            "u", "y",
+            micro(F.try_divide(
+                dot(F.col("vu"), F.col("vy"), dim),
+                F.col("nu") * F.col("ny"),
+            )),
+        )
+    )
+    wu = W.partitionBy("u").orderBy(F.desc("cmicro"), F.asc("y"))
+    patched = (
+        rsc.withColumn("rank", F.row_number().over(wu))
+        .filter(F.col("rank") <= k)
+        .select("u", "y", "cmicro", F.col("rank").cast("int").alias("rank"))
+    )
+    return inserted, patched

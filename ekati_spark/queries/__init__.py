@@ -46,6 +46,7 @@ _POST_WINDOW: list[str] = [
     "l132_suffix_dedup_spans",
     "l133_knn_graph_serve",
     "l134_knn_graph_delete",
+    "l135_knn_graph_append",
 ]
 
 _GRADED_FIRST = [

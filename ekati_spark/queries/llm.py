@@ -8936,7 +8936,37 @@ def l117_stupid_backoff_score(spark, sf_dir):
     )
 
 
-def _nndescent_oracle_sql(k: int, rounds: int) -> str:
+def _nndescent_bucket_parts() -> tuple[str, str]:
+    """The sign-LSH SQL fragments shared by the NN-Descent oracle
+    generator and the graph-INSERT oracle (l135): ``bucket_exprs`` —
+    the 4-table, 16-max-plane bit expressions gated on ``nps.np`` —
+    and ``np_case`` — the integer CASE chain replaying
+    ``similarity.auto_n_planes`` over a count. Keeping them in ONE
+    place is what keeps the build and insert probes in lockstep: a
+    plane-count or seed change diverges both oracles together."""
+    import numpy as np  # noqa: PLC0415
+
+    dim, max_planes, n_tables, seed = 64, 16, 4, 42
+    per_table = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + t)
+        planes = rng.standard_normal((max_planes, dim))
+        bits = " + ".join(
+            f"(CASE WHEN {p} < nps.np AND list_dot_product(v, "
+            f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) > 0 "
+            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
+            for p, plane in enumerate(planes)
+        )
+        per_table.append(f"({bits}) + {t << 32}::BIGINT")
+    bucket_exprs = ", ".join(per_table)
+    # smallest np in [6,16] with cnt <= 16*2^np — auto_n_planes exactly
+    np_case = " ".join(
+        f"WHEN cnt <= {16 << p} THEN {p}" for p in range(6, 16)
+    )
+    return bucket_exprs, np_case
+
+
+def _nndescent_oracle_sql(k: int, rounds: int, c_where: str = "") -> str:
     """Parameterized replay of ``knn_graph_nndescent(k, n_planes=AUTO,
     n_tables=4, rounds)``: seeded hyperplanes inline as DOUBLE literals
     (same construction as _l07_oracle), init self-join on any-table
@@ -8960,26 +8990,11 @@ def _nndescent_oracle_sql(k: int, rounds: int) -> str:
     corpus, at any sf. The engine's deterministic per-(table,bucket)
     occupancy cap (bucket_cap=64, smallest ids win) is replayed by the
     QUALIFY row_number() in the cb CTE. Instantiated at (5, 1) for
-    l119 and (8, 2) for l133's serving-store graph."""
-    import numpy as np  # noqa: PLC0415
-
-    dim, max_planes, n_tables, seed = 64, 16, 4, 42
-    per_table = []
-    for t in range(n_tables):
-        rng = np.random.default_rng(seed + t)
-        planes = rng.standard_normal((max_planes, dim))
-        bits = " + ".join(
-            f"(CASE WHEN {p} < nps.np AND list_dot_product(v, "
-            f"[{', '.join(repr(float(x)) for x in plane)}]::DOUBLE[]) > 0 "
-            f"THEN {1 << p}::BIGINT ELSE 0::BIGINT END)"
-            for p, plane in enumerate(planes)
-        )
-        per_table.append(f"({bits}) + {t << 32}::BIGINT")
-    bucket_exprs = ", ".join(per_table)
-    # smallest np in [6,16] with cnt <= 16*2^np — auto_n_planes exactly
-    np_case = " ".join(
-        f"WHEN cnt <= {16 << p} THEN {p}" for p in range(6, 16)
-    )
+    l119 and (8, 2) for l133's serving-store graph; ``c_where``
+    appends a corpus predicate (l135 builds the graph on the
+    pre-insert BASE via ``AND (vec_id % 23) <> 0``)."""
+    dim = 64
+    bucket_exprs, np_case = _nndescent_bucket_parts()
     rounds_sql = ",\n    ".join(
         _nndescent_round_sql(r, k, last=(r == rounds))
         for r in range(1, rounds + 1)
@@ -8987,7 +9002,7 @@ def _nndescent_oracle_sql(k: int, rounds: int) -> str:
     return f"""
     WITH c AS (
       SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = {dim}{c_where}
     ),
     nps AS (SELECT CASE {np_case} ELSE 16 END AS np
             FROM (SELECT count(*) AS cnt FROM c)),
@@ -11154,4 +11169,151 @@ def l134_knn_graph_delete(spark, sf_dir):
         F.coalesce("new_degree", F.lit(0).cast("long")).alias("new_degree"),
         F.coalesce("link_micro_sum", F.lit(0).cast("long"))
         .alias("link_micro_sum"),
+    )
+
+
+def _l135_oracle() -> str:
+    """Replay: the BASE graph CTE is the shared NN-Descent generator
+    at l119 parameters with the base predicate pushed into its corpus
+    CTE (c_where); the insert probe reuses the SAME bucket/np SQL
+    fragments (_nndescent_bucket_parts) the generator builds from, so
+    build and probe stay in lockstep. Seeds, hop expansion, exact
+    re-rank, and the reverse patch are joins + window ranks on
+    integer micro-cosines; all sums integer (order-free). The outer
+    nps/eb CTEs recompute what the nested graph CTE derived
+    internally — duplicated compute, identical values (CTE scopes
+    don't cross the subquery boundary)."""
+    bucket_exprs, np_case = _nndescent_bucket_parts()
+    base_graph = _nndescent_oracle_sql(
+        k=5, rounds=1, c_where=" AND (vec_id % 23) <> 0"
+    )
+    return f"""
+    WITH graph AS MATERIALIZED ({base_graph}),
+    call AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    cbase AS (SELECT id, v FROM call WHERE id % 23 <> 0),
+    cdelta AS (SELECT id, v FROM call WHERE id % 23 = 0),
+    nps AS (SELECT CASE {np_case} ELSE 16 END AS np
+            FROM (SELECT count(*) AS cnt FROM cbase)),
+    ebr AS (SELECT id, unnest([{bucket_exprs}]) AS bucket FROM cbase, nps),
+    eb AS (
+      SELECT id, bucket FROM ebr
+      QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY id) <= 64
+    ),
+    ed AS (SELECT id, unnest([{bucket_exprs}]) AS bucket FROM cdelta, nps),
+    seeds AS (
+      SELECT DISTINCT d.id AS did, b.id AS sid
+      FROM ed d JOIN eb b USING (bucket)
+    ),
+    hop AS (SELECT s.did, g.neighbor_id AS x
+            FROM seeds s JOIN graph g ON g.query_id = s.sid),
+    cand AS (
+      SELECT DISTINCT did, x FROM (
+        SELECT did, sid AS x FROM seeds UNION ALL SELECT did, x FROM hop)
+    ),
+    sc AS (
+      SELECT cand.did, cand.x,
+             CAST(floor(round(list_cosine_similarity(dv.v, bv.v), 6)
+                        * 1000000 + 0.5) AS BIGINT) AS cmicro
+      FROM cand JOIN cdelta dv ON cand.did = dv.id
+                JOIN cbase bv ON cand.x = bv.id
+    ),
+    ins AS (
+      SELECT did, x, cmicro FROM (
+        SELECT did, x, cmicro, row_number() OVER (
+          PARTITION BY did ORDER BY cmicro DESC, x) AS rn FROM sc)
+      WHERE rn <= 5
+    ),
+    touched AS (SELECT DISTINCT x AS u FROM ins),
+    rpool AS (
+      SELECT DISTINCT u, y FROM (
+        SELECT g.query_id AS u, g.neighbor_id AS y
+        FROM graph g JOIN touched t ON g.query_id = t.u
+        UNION ALL SELECT x AS u, did AS y FROM ins)
+    ),
+    rsc AS (
+      SELECT r.u, r.y,
+             CAST(floor(round(list_cosine_similarity(uv.v, yv.v), 6)
+                        * 1000000 + 0.5) AS BIGINT) AS cmicro
+      FROM rpool r JOIN cbase uv ON r.u = uv.id
+                   JOIN call yv ON r.y = yv.id
+    ),
+    radj AS (
+      SELECT u, y, cmicro FROM (
+        SELECT u, y, cmicro, row_number() OVER (
+          PARTITION BY u ORDER BY cmicro DESC, y) AS rn FROM rsc)
+      WHERE rn <= 5
+    ),
+    outagg AS (SELECT did, CAST(count(*) AS BIGINT) AS out_degree,
+                      CAST(sum(cmicro) AS BIGINT) AS link_micro_sum
+               FROM ins GROUP BY did),
+    revagg AS (SELECT y AS did, CAST(count(*) AS BIGINT) AS rev_links
+               FROM radj WHERE y % 23 = 0 GROUP BY y)
+    SELECT d.id AS node_id,
+           CAST(coalesce(o.out_degree, 0) AS BIGINT) AS out_degree,
+           CAST(coalesce(o.link_micro_sum, 0) AS BIGINT) AS link_micro_sum,
+           CAST(coalesce(r.rev_links, 0) AS BIGINT) AS rev_links
+    FROM cdelta d LEFT JOIN outagg o ON d.id = o.did
+                  LEFT JOIN revagg r ON d.id = r.did
+    """
+
+
+@register("l135_knn_graph_append", oracle=_l135_oracle())
+def l135_knn_graph_append(spark, sf_dir):
+    """GRAPH-index APPEND — the last missing lifecycle verb for the
+    graph-ANN family (build l119/l133, serve l133, delete l134,
+    append HERE), mirroring the IVF family's l70 append-parity:
+    vectors with ``vec_id % 23 = 0`` arrive as a delta batch against
+    the NN-Descent graph built on everything else. Each new vector
+    finds entry points through the SAME capped sign-LSH tables the
+    build used (delta-vs-base bucket equi-join), expands one hop over
+    the existing graph, exact-re-ranks to its top-5 out-edges, and
+    the touched base nodes re-rank their adjacency with the
+    newcomers in the pool (the DiskANN insert + reverse-patch rule)
+    — so the report's ``rev_links`` column is the committed evidence
+    inserted vectors become REACHABLE, not just present. Per delta
+    node: out_degree, integer link micro-cosine sum, rev_links.
+    Deterministic end-to-end; the oracle replays base graph (shared
+    generator, base predicate pushed into its corpus CTE), probe,
+    re-rank, and patch exactly. Scale: probe ≤ |delta|·L·cap rows at
+    ANY skew, hop ×k, reverse patch ≤ |delta|·k nodes × (k+1)
+    candidates — Θ(|delta|), never the corpus (see
+    operators/similarity.py::knn_graph_insert)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    valid = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    base = valid.filter(F.col("vec_id") % 23 != 0)
+    delta = valid.filter(F.col("vec_id") % 23 == 0)
+    npl = S.auto_n_planes(base.count())
+    g = S.knn_graph_nndescent(
+        base, k=5, n_planes=npl, n_tables=4
+    ).select("query_id", "neighbor_id")
+    inserted, patched = S.knn_graph_insert(
+        g, base, delta, k=5, n_planes=npl, n_tables=4, dim=dim,
+        bucket_cap=64,
+    )
+    outagg = inserted.groupBy("did").agg(
+        F.count("*").alias("out_degree"),
+        F.sum("cmicro").alias("link_micro_sum"),
+    )
+    revagg = (
+        patched.filter(F.col("y") % 23 == 0)
+        .groupBy("y")
+        .agg(F.count("*").alias("rev_links"))
+    )
+    ids = delta.select(F.col("vec_id").alias("node_id"))
+    zero = F.lit(0).cast("long")
+    return (
+        ids.join(outagg, ids.node_id == outagg.did, "left")
+        .join(revagg, ids.node_id == revagg.y, "left")
+        .select(
+            "node_id",
+            F.coalesce("out_degree", zero).alias("out_degree"),
+            F.coalesce("link_micro_sum", zero).alias("link_micro_sum"),
+            F.coalesce("rev_links", zero).alias("rev_links"),
+        )
     )

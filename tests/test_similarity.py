@@ -1092,3 +1092,59 @@ def test_knn_graph_delete_consolidate_planted(spark):
         1 for u, x, _, _ in adj1 if u // per == x // per
     )
     assert in_cluster / len(adj1) >= 0.9, in_cluster / len(adj1)
+
+
+def test_knn_graph_insert_planted(spark):
+    """Search-based insert (l135's operator) on the planted 16×12
+    cluster corpus: hold out one member per cluster as the delta
+    batch, build the graph on the rest, insert. The LSH probe lands
+    each newcomer in its own cluster's buckets, so its top-5 links
+    stay in-cluster (≥90%), and the reverse patch makes it REACHABLE:
+    most touched base nodes adopt the newcomer into their re-ranked
+    top-5. Deterministic across reruns."""
+    dim, n_clusters, per = 64, 16, 12
+    rows = []
+    for c in range(n_clusters):
+        for j in range(per):
+            v = [0.0] * dim
+            v[c * 4] = 10.0
+            v[c * 4 + 1] = 10.0
+            for d in range(dim):
+                v[d] += ((c * per + j) * 31 + d * 7) % 11 / 10.0
+            rows.append((c * per + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = emb.filter(F.col("vec_id") % per != per - 1)
+    delta = emb.filter(F.col("vec_id") % per == per - 1)
+    npl = S.auto_n_planes(base.count())
+    g = S.knn_graph_nndescent(
+        base, k=5, n_planes=npl, n_tables=2, rounds=1
+    ).select("query_id", "neighbor_id")
+
+    def run():
+        ins, pat = S.knn_graph_insert(
+            g, base, delta, k=5, n_planes=npl, n_tables=2, dim=dim
+        )
+        return (
+            sorted(tuple(r) for r in ins.collect()),
+            sorted(tuple(r) for r in pat.collect()),
+        )
+
+    ins1, pat1 = run()
+    ins2, pat2 = run()
+    assert (ins1, pat1) == (ins2, pat2)
+    assert ins1 and pat1
+    # every delta node got linked, in-cluster, with dense ranks
+    bydid = {}
+    for did, x, cmicro, rank in ins1:
+        assert did % per == per - 1 and x % per != per - 1, (did, x)
+        bydid.setdefault(did, []).append((rank, x))
+    assert len(bydid) == n_clusters
+    for did, rx in bydid.items():
+        assert sorted(r for r, _ in rx) == list(range(1, len(rx) + 1))
+    in_cluster = sum(1 for d, x, _, _ in ins1 if d // per == x // per)
+    assert in_cluster / len(ins1) >= 0.9, in_cluster / len(ins1)
+    # reverse patch: touched nodes only, and newcomers get adopted
+    touched = {x for _, x, _, _ in ins1}
+    assert {u for u, _, _, _ in pat1} == touched
+    adopted = {y for _, y, _, _ in pat1 if y % per == per - 1}
+    assert len(adopted) >= n_clusters * 0.8, adopted
