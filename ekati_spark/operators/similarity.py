@@ -3289,6 +3289,14 @@ def knn_graph_insert(
         .select("did", "x", "cmicro", F.col("rank").cast("int").alias("rank"))
         .transform(cut_lineage)  # consumed 2x: reverse pool + return
     )
+    return inserted, _reverse_patch(g, inserted, vb, vd, k, dim)
+
+
+def _reverse_patch(g, inserted, vb, vd, k, dim):
+    """The reverse-edge arm shared by ``knn_graph_insert`` (batch) and
+    ``knn_graph_reverse_patch`` (derived at read time from committed
+    streamed insert segments): each touched base node re-ranks (its
+    old out-edges) ∪ (new nodes that linked to it) to top-``k``."""
     touched = inserted.select(F.col("x").alias("u")).distinct()
     rpool = (
         g.join(touched, g.q == touched.u, "left_semi")
@@ -3306,21 +3314,62 @@ def knn_graph_insert(
         F.col("id").alias("y"), F.col("v").alias("vy"),
         F.col("nv").alias("ny"),
     )
-    rsc = (
-        rpool.join(uv, "u")
-        .join(yv, "y")
-        .select(
-            "u", "y",
-            micro(F.try_divide(
-                dot(F.col("vu"), F.col("vy"), dim),
-                F.col("nu") * F.col("ny"),
-            )),
+    cmicro = (
+        F.floor(
+            F.round(
+                F.try_divide(
+                    dot(F.col("vu"), F.col("vy"), dim),
+                    F.col("nu") * F.col("ny"),
+                ),
+                6,
+            )
+            * 1000000
+            + F.lit(0.5)
         )
+        .cast("bigint")
+        .alias("cmicro")
     )
+    rsc = rpool.join(uv, "u").join(yv, "y").select("u", "y", cmicro)
     wu = W.partitionBy("u").orderBy(F.desc("cmicro"), F.asc("y"))
-    patched = (
+    return (
         rsc.withColumn("rank", F.row_number().over(wu))
         .filter(F.col("rank") <= k)
         .select("u", "y", "cmicro", F.col("rank").cast("int").alias("rank"))
     )
-    return inserted, patched
+
+
+def knn_graph_reverse_patch(
+    graph: DataFrame,
+    inserted: DataFrame,
+    base: DataFrame,
+    delta: DataFrame,
+    k: int = 5,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Standalone reverse-edge patch over an ALREADY-COMMITTED insert
+    edge set — the read-time half of streaming graph maintenance
+    (st35): per-batch triggers land only their own nodes' out-edges
+    (batch-local, replay-safe through the epoch sink), and the
+    touched base nodes' re-rank is DERIVED here from base graph ∪ all
+    committed segments — so stream-append ≡ batch-append by
+    construction (the st15 mergeable-partial-state pattern). Same
+    semantics, micro-scores, and tie-breaks as the batch arm inside
+    ``knn_graph_insert`` (shared ``_reverse_patch``)."""
+    if dim is None:
+        dim = _infer_dim(base, vec_col)
+
+    def prep(emb):
+        return emb.filter(
+            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+        ).select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            norm(F.col(vec_col), dim).alias("nv"),
+        )
+
+    g = graph.select(
+        F.col("query_id").alias("q"), F.col("neighbor_id").alias("n")
+    )
+    return _reverse_patch(g, inserted, prep(base), prep(delta), k, dim)

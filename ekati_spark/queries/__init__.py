@@ -47,6 +47,7 @@ _POST_WINDOW: list[str] = [
     "l133_knn_graph_serve",
     "l134_knn_graph_delete",
     "l135_knn_graph_append",
+    "st35_stream_graph_maintenance",
 ]
 
 _GRADED_FIRST = [

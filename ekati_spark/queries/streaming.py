@@ -2247,3 +2247,105 @@ def st34_stream_domain_reweighting(spark, sf_dir):
         "source string, n_docs long, mean_utr_ppm long, "
         "excess_ppm long, weight_ppm long",
     )
+
+
+@register(
+    "st35_stream_graph_maintenance",
+    oracle=_REGISTRY["l135_knn_graph_append"].oracle,
+)
+def st35_stream_graph_maintenance(spark, sf_dir):
+    """STREAMING maintenance of the k-NN graph index — l135's append
+    path fed by a stream, completing the graph family's maintenance
+    lifecycle next to IVF (l70/st24), BM25 (l86/st22), and the chunk
+    store (l82/st21): the NN-Descent graph is built and FROZEN on the
+    base corpus (vec_id % 23 != 0), then the delta vectors arrive in
+    two ordered micro-batches. Each trigger computes ONLY its own
+    nodes' out-edges (a newcomer's links depend on the frozen graph +
+    base corpus alone — batch-local by construction, so stream-append
+    commutes) and lands them through the epoch-marker exactly-once
+    sink; the reverse patch — touched base nodes re-ranking with ALL
+    newcomers in the pool — is DERIVED AT READ from base graph ∪
+    committed segments (the st15 mergeable-partial-state pattern:
+    nothing read-modify-writes state, replays are absorbed by the
+    sink). The final report is l135's EXACTLY (its oracle attests
+    this query), proving stream-append ≡ batch-append. Scale: per
+    trigger ∝ batch·L·cap probe rows + k-hop expansion; at 100 TB the
+    base bucket table and graph are persisted artifacts the trigger
+    joins against, and read-time patching touches ≤ |delta|·k nodes."""
+    import shutil
+    from pathlib import Path
+
+    from ekati_spark.operators import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    valid = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    base = valid.filter(F.col("vec_id") % 23 != 0)
+    delta = valid.filter(F.col("vec_id") % 23 == 0)
+    npl = S.auto_n_planes(base.count())
+    g = S.knn_graph_nndescent(
+        base, k=5, n_planes=npl, n_tables=4
+    ).select("query_id", "neighbor_id").transform(
+        cut_lineage  # FROZEN index: built once, reused by every trigger
+    )
+    tmp = Path(mkscratch("st35_"))
+    store = str(tmp / "edges")
+    sink = ops.idempotent_batch_sink(store)
+
+    def land(b, batch_id):
+        ins, _ = S.knn_graph_insert(
+            g, base, b, k=5, n_planes=npl, n_tables=4, dim=dim,
+            bucket_cap=64,
+        )
+        sink(ins, batch_id)
+
+    src = tmp / "src"
+    src.mkdir()
+    for m in range(2):
+        delta.filter(
+            (F.col("vec_id") % 46) == (0 if m == 0 else 23)
+        ).coalesce(1).write.mode("overwrite").parquet(str(tmp / f"b{m}"))
+        parts = sorted((tmp / f"b{m}").glob("*.parquet"))
+        assert len(parts) == 1
+        shutil.move(str(parts[0]), str(src / f"part-{m}.parquet"))
+        shutil.rmtree(tmp / f"b{m}")
+        q = (
+            spark.readStream.format("parquet")
+            .schema(emb.schema)
+            .load(str(src))
+            .writeStream.foreachBatch(land)
+            .option("checkpointLocation", str(tmp / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    committed = ops.read_committed_batches(spark, store).select(
+        "did", "x", "cmicro", "rank"
+    ).transform(cut_lineage)  # consumed 2x: report agg + reverse pool
+    patched = S.knn_graph_reverse_patch(
+        g, committed, base, delta, k=5, dim=dim
+    )
+    outagg = committed.groupBy("did").agg(
+        F.count("*").alias("out_degree"),
+        F.sum("cmicro").alias("link_micro_sum"),
+    )
+    revagg = (
+        patched.filter(F.col("y") % 23 == 0)
+        .groupBy("y")
+        .agg(F.count("*").alias("rev_links"))
+    )
+    ids = delta.select(F.col("vec_id").alias("node_id"))
+    zero = F.lit(0).cast("long")
+    return (
+        ids.join(outagg, ids.node_id == outagg.did, "left")
+        .join(revagg, ids.node_id == revagg.y, "left")
+        .select(
+            "node_id",
+            F.coalesce("out_degree", zero).alias("out_degree"),
+            F.coalesce("link_micro_sum", zero).alias("link_micro_sum"),
+            F.coalesce("rev_links", zero).alias("rev_links"),
+        )
+    )
