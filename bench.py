@@ -152,6 +152,13 @@ HEADLINE = [
     # median measures the warm serve — the l127b store pattern).
     "l132_suffix_dedup_spans",
     "l133_knn_graph_serve",
+    # graph-index lifecycle maintenance (each rebuilds its NN-Descent
+    # substrate live — the build is the dominant cost, the
+    # delete/append arms are the Θ(|affected|·k²)/Θ(|delta|) tails
+    # the docstrings price): delete-consolidation on the full-corpus
+    # graph, LSH-seeded append onto the base-corpus graph.
+    "l134_knn_graph_delete",
+    "l135_knn_graph_append",
 ]
 
 

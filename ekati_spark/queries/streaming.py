@@ -2285,11 +2285,11 @@ def st35_stream_graph_maintenance(spark, sf_dir):
     base = valid.filter(F.col("vec_id") % 23 != 0)
     delta = valid.filter(F.col("vec_id") % 23 == 0)
     npl = S.auto_n_planes(base.count())
-    g = S.knn_graph_nndescent(
-        base, k=5, n_planes=npl, n_tables=4
-    ).select("query_id", "neighbor_id").transform(
-        cut_lineage  # FROZEN index: built once, reused by every trigger
-    )
+    from ekati_spark.queries.llm import _l135_store
+
+    # FROZEN index: the same persisted base-graph store l135
+    # maintains — built once per (session, sf_dir), read per trigger
+    g = spark.read.parquet(f"{_l135_store(spark, sf_dir)}/edges")
     tmp = Path(mkscratch("st35_"))
     store = str(tmp / "edges")
     sink = ops.idempotent_batch_sink(store)
