@@ -159,6 +159,10 @@ HEADLINE = [
     # graph, LSH-seeded append onto the base-corpus graph.
     "l134_knn_graph_delete",
     "l135_knn_graph_append",
+    # routed serving for external queries (greedy upper-layer descent
+    # + 2-hop expansion, both layer graphs store-cached — the median
+    # measures the warm routed serve).
+    "l136_knn_graph_route_serve",
 ]
 
 

@@ -48,6 +48,7 @@ _POST_WINDOW: list[str] = [
     "l134_knn_graph_delete",
     "l135_knn_graph_append",
     "st35_stream_graph_maintenance",
+    "l136_knn_graph_route_serve",
 ]
 
 _GRADED_FIRST = [

@@ -11385,3 +11385,279 @@ def l135_knn_graph_append(spark, sf_dir):
             F.coalesce("rev_links", zero).alias("rev_links"),
         )
     )
+
+
+def _l136_store(spark, sf_dir) -> str:
+    """UPPER-LAYER graph for routed serving: l119-parameter NN-Descent
+    among the deterministic 1/16 node sample (vec_id % 16 = 0) — the
+    HNSW upper-level construction (a sampled layer whose graph is
+    navigated greedily to find entry points into the base layer)."""
+
+    def build(base):
+        emb = load_table(spark, sf_dir, "embeddings")
+        dim = 64
+        l1 = emb.filter(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == dim)
+            & (F.col("vec_id") % 16 == 0)
+        )
+        S.knn_graph_nndescent(
+            l1, k=5, n_planes=S.auto_n_planes(l1.count()), n_tables=4
+        ).select("query_id", "neighbor_id").write.mode(
+            "overwrite"
+        ).parquet(f"{base}/edges")
+
+    return _graph_edge_store(spark, sf_dir, "l136_l1", build)
+
+
+def _l136_oracle() -> str:
+    """Replay: BOTH layers come from the shared NN-Descent generator
+    (full corpus = l134's graph CTE; upper layer = the same generator
+    with the 1/16 sample predicate pushed into its corpus CTE). The
+    3-step greedy descent is unrolled — each step CTE picks, per
+    query, the micro-cosine argmax over (current node ∪ its
+    undirected upper-layer neighbors), MATERIALIZED because the next
+    step references it twice (the self and expansion branches). The
+    base-layer 2-hop expansion, re-rank, and exact audit mirror
+    l133's serve tail with the landing node as the seed and the
+    query EXCLUDED from candidates (external-query semantics)."""
+    gfull = _nndescent_oracle_sql(k=5, rounds=1)
+    gl1 = _nndescent_oracle_sql(
+        k=5, rounds=1, c_where=" AND (vec_id % 16) = 0"
+    )
+    micro = (
+        "CAST(floor(round(list_cosine_similarity({a}, {b}), 6)"
+        " * 1000000 + 0.5) AS BIGINT)"
+    )
+    steps = []
+    for r in (1, 2, 3):
+        qb = micro.format(a="q.qv", b="cv.v")
+        steps.append(f"""
+    c{r} AS (
+      SELECT s.query_id, s.node AS y FROM s{r - 1} s
+      UNION
+      SELECT s.query_id, u.b FROM s{r - 1} s JOIN u1 u ON u.a = s.node
+    ),
+    sc{r} AS (
+      SELECT cr.query_id, cr.y, {qb} AS cmicro
+      FROM c{r} cr JOIN q ON q.query_id = cr.query_id
+                   JOIN c cv ON cv.id = cr.y
+    ),
+    s{r} AS MATERIALIZED (
+      SELECT query_id, y AS node FROM (
+        SELECT query_id, y, row_number() OVER (
+          PARTITION BY query_id ORDER BY cmicro DESC, y) AS rn
+        FROM sc{r})
+      WHERE rn = 1
+    )""")
+    steps_sql = ",".join(steps)
+    return f"""
+    WITH gfull AS MATERIALIZED ({gfull}),
+    gl1 AS MATERIALIZED ({gl1}),
+    c AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = 64
+    ),
+    q AS (SELECT id AS query_id, v AS qv FROM c
+          WHERE id % 37 = 0 AND id < 2048),
+    u1 AS (SELECT query_id AS a, neighbor_id AS b FROM gl1
+           UNION SELECT neighbor_id, query_id FROM gl1),
+    entry AS (SELECT min(id) AS node FROM c WHERE id % 16 = 0),
+    s0 AS (SELECT q.query_id, e.node FROM q, entry e),{steps_sql},
+    uf AS (SELECT query_id AS a, neighbor_id AS b FROM gfull
+           UNION SELECT neighbor_id, query_id FROM gfull),
+    h1 AS (
+      SELECT s.query_id, s.node AS x FROM s3 s
+      UNION
+      SELECT s.query_id, u.b FROM s3 s JOIN uf u ON u.a = s.node
+    ),
+    h2 AS (SELECT h.query_id, u.b AS x FROM h1 h JOIN uf u ON u.a = h.x),
+    cand AS (
+      SELECT DISTINCT query_id, x FROM (
+        SELECT query_id, x FROM h1 UNION ALL SELECT query_id, x FROM h2)
+      WHERE x <> query_id
+    ),
+    scf AS (
+      SELECT cand.query_id, cand.x AS neighbor_id,
+             {micro.format(a="q.qv", b="cv.v")} AS cmicro
+      FROM cand JOIN q ON q.query_id = cand.query_id
+                JOIN c cv ON cv.id = cand.x
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cmicro,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY cmicro DESC, neighbor_id) AS rn
+      FROM scf
+    ),
+    exact AS (
+      SELECT q.query_id, e.id AS neighbor_id
+      FROM q JOIN c e ON e.id <> q.query_id
+      QUALIFY row_number() OVER (PARTITION BY q.query_id
+        ORDER BY {micro.format(a="q.qv", b="e.v")} DESC, e.id) <= 5
+    )
+    SELECT r.query_id AS query_id, r.neighbor_id AS neighbor_id,
+           r.cmicro AS cmicro, CAST(r.rn AS INTEGER) AS rank,
+           CAST(CASE WHEN x.neighbor_id IS NULL THEN 0 ELSE 1 END AS INTEGER)
+             AS in_exact_top5
+    FROM ranked r LEFT JOIN exact x
+      ON x.query_id = r.query_id AND x.neighbor_id = r.neighbor_id
+    WHERE r.rn <= 5
+    """
+
+
+@register("l136_knn_graph_route_serve", oracle=_l136_oracle())
+def l136_knn_graph_route_serve(spark, sf_dir):
+    """ROUTED graph-ANN serving for EXTERNAL queries — the HNSW/
+    DiskANN serve shape l133 stops short of: l133's 2-hop serve seeds
+    from the query's OWN adjacency (the query must be a graph node);
+    here the query arrives with no edges and is routed in — a greedy
+    3-step descent over an UPPER-LAYER graph (l119-parameter
+    NN-Descent on the deterministic 1/16 node sample, persisted in
+    its own store) from the global min-id entry point, each step
+    moving to the micro-cosine argmax over (current ∪ undirected
+    neighbors); the landing node seeds l133's base-layer 2-hop
+    expansion + exact re-rank (query excluded from candidates), with
+    the committed ``in_exact_top5`` audit. Serve cost per query:
+    3·(2k+1) routing scores + ≤ 2k+(2k)² expansion candidates —
+    INDEPENDENT of corpus size (the logarithmic-layers premise,
+    flattened to one upper layer at these SFs). Deterministic
+    end-to-end: both layer graphs come from the shared NN-Descent
+    generator (full layer = l134's store, upper layer from the 1/16
+    predicate pushed into the generator's corpus CTE), the descent
+    unrolls to 3 argmax CTEs, so the DuckDB oracle replays routing,
+    expansion, re-rank, and audit exactly."""
+    from ekati_spark.driverside import collect_bounded  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = 64
+    valid = emb.filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    c = valid.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
+        S.norm(F.col("embedding"), dim).alias("nv"),
+    ).transform(cut_lineage)  # consumed per routing step + expansion
+    gfull = spark.read.parquet(f"{_l134_store(spark, sf_dir)}/edges")
+    gl1 = spark.read.parquet(f"{_l136_store(spark, sf_dir)}/edges")
+
+    def undirected(g):
+        return g.select(
+            F.col("query_id").alias("a"), F.col("neighbor_id").alias("b")
+        ).unionByName(
+            g.select(
+                F.col("neighbor_id").alias("a"), F.col("query_id").alias("b")
+            )
+        ).distinct()
+
+    u1 = undirected(gl1).transform(cut_lineage)  # 3 routing steps
+    uf = undirected(gfull).transform(cut_lineage)  # h1 + h2
+    qp = c.filter((F.col("id") % 37 == 0) & (F.col("id") < 2048)).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
+    ).transform(cut_lineage)  # joined by every scoring stage
+    entry = collect_bounded(
+        valid.filter(F.col("vec_id") % 16 == 0).agg(
+            F.min("vec_id").alias("m")
+        ),
+        1,
+        "l136 entry point",
+    )[0].m
+
+    def micro(qv, nq, xv, nx):
+        return (
+            F.floor(
+                F.round(F.try_divide(S.dot(qv, xv, dim), nq * nx), 6)
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cmicro")
+        )
+
+    cy = c.select(
+        F.col("id").alias("y"), F.col("v").alias("vy"),
+        F.col("nv").alias("ny"),
+    )
+    cur = qp.select("query_id").withColumn(
+        "node", F.lit(int(entry)).cast("long")
+    )
+    for _ in range(3):
+        cands = cur.select(
+            "query_id", F.col("node").alias("y")
+        ).unionByName(
+            cur.join(u1, cur.node == u1.a).select(
+                "query_id", F.col("b").alias("y")
+            )
+        ).distinct()
+        scored = (
+            cands.join(cy, "y")
+            .join(qp, "query_id")
+            .select(
+                "query_id", "y",
+                micro(F.col("qv"), F.col("nq"), F.col("vy"), F.col("ny")),
+            )
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cmicro"), F.asc("y"))
+        cur = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("query_id", F.col("y").alias("node"))
+            .transform(cut_lineage)  # consumed 2x by the next step
+        )
+    h1 = cur.select(
+        "query_id", F.col("node").alias("x")
+    ).unionByName(
+        cur.join(uf, cur.node == uf.a).select(
+            "query_id", F.col("b").alias("x")
+        )
+    ).distinct().transform(cut_lineage)  # consumed 2x: union + h2 join
+    h2 = h1.join(
+        uf.select(F.col("a").alias("x"), F.col("b").alias("x2")), "x"
+    ).select("query_id", F.col("x2").alias("x"))
+    cand = (
+        h1.unionByName(h2)
+        .filter(F.col("x") != F.col("query_id"))
+        .distinct()
+    )
+    cx = c.select(
+        F.col("id").alias("x"), F.col("v").alias("vx"),
+        F.col("nv").alias("nx"),
+    )
+    scf = (
+        cand.join(cx, "x")
+        .join(qp, "query_id")
+        .select(
+            "query_id", F.col("x").alias("neighbor_id"),
+            micro(F.col("qv"), F.col("nq"), F.col("vx"), F.col("nx")),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(
+        F.desc("cmicro"), F.asc("neighbor_id")
+    )
+    topk = scf.withColumn("rank", F.row_number().over(wf)).filter(
+        F.col("rank") <= 5
+    )
+    vq = valid.filter(
+        (F.col("vec_id") % 37 == 0) & (F.col("vec_id") < 2048)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = S.brute_force_topk(valid, vq, k=5).select(
+        "query_id", F.col("neighbor_id").alias("x_id")
+    )
+    return (
+        topk.join(
+            exact,
+            (topk.query_id == exact.query_id)
+            & (topk.neighbor_id == exact.x_id),
+            "left",
+        )
+        .select(
+            topk.query_id,
+            "neighbor_id",
+            "cmicro",
+            F.col("rank").cast("int").alias("rank"),
+            F.col("x_id").isNotNull().cast("int").alias("in_exact_top5"),
+        )
+    )

@@ -1148,3 +1148,35 @@ def test_knn_graph_insert_planted(spark):
     assert {u for u, _, _, _ in pat1} == touched
     adopted = {y for _, y, _, _ in pat1 if y % per == per - 1}
     assert len(adopted) >= n_clusters * 0.8, adopted
+
+
+def test_l136_routed_serve_external_query_contract(spark):
+    """Routed serving (l136): external-query semantics hold — the
+    query never appears among its own results, ranks are dense 1..5,
+    and the greedy-routed 2-hop overlap@5 with the exact top-5 is
+    above the random-candidate chance floor (~2.5% at sf0.001). The
+    upper-layer store is built once per (session, sf_dir)."""
+    import shutil
+
+    from ekati_spark.queries import REGISTRY, llm as L
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        rows = REGISTRY["l136_knn_graph_route_serve"].fn(spark, sf).collect()
+        assert rows
+        byq = {}
+        for r in rows:
+            assert r.neighbor_id != r.query_id
+            byq.setdefault(r.query_id, []).append(r)
+        for q, rs in byq.items():
+            assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        overlap = sum(r.in_exact_top5 for r in rows) / len(rows)
+        assert overlap >= 0.05, overlap
+        base1 = L._l136_store(spark, sf)
+        base2 = L._l136_store(spark, sf)
+        assert base1 == base2
+    finally:
+        for k in list(L._graph_edge_store_cache):
+            shutil.rmtree(
+                L._graph_edge_store_cache.pop(k), ignore_errors=True
+            )
