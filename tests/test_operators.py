@@ -607,6 +607,10 @@ def test_graded_set_plans_have_no_accidental_cartesian(spark, sf_dir):
         # ground truth for the in_exact_top5 column); its SERVING path
         # — store read, 2-hop expansion, re-rank — is equi-joins only
         "l133_knn_graph_serve",
+        # l136's exact-audit arm is the same l06 shape; its routed
+        # SERVING path — entry literals, beam steps, store reads,
+        # 2-hop expansion — is equi-joins only
+        "l136_knn_graph_route_serve",
     }
     flagged = {}
     for name in list(REGISTRY):
