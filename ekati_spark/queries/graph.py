@@ -1240,9 +1240,22 @@ def _copurchase_edges(orders, li):
     15 GiB). Materializing e once runs the reduce once."""
     from pyspark.sql import Window as _W
 
+    # One explicit wide exchange on p feeds the whole chain: p is a
+    # subset of the distinct key (c, p), so hashpartitioning(p) also
+    # satisfies the dedup and the row_number window — the plan runs
+    # dedup + cap + pair join + partial pair-count in ONE stage after
+    # ONE shuffle (was two ENSURE_REQUIREMENTS exchanges). The count
+    # is user-pinned (repartition(N, col)) because AQE coalesces this
+    # exchange by its INPUT size (~7 MiB at sf0.1 → 4 tasks) while the
+    # stage above it explodes ~cap²/2 pairs per part (13× the rows) —
+    # sf0.1 stage trace: the 5.7 s pair stage ran on 4 of 32 cores.
+    # Scale-adaptive: N tracks the session's core count, not a
+    # constant (guide §2.4/§2.5; explode-after-coalesce).
+    n_wide = 4 * orders.sparkSession.sparkContext.defaultParallelism
     cp = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .repartition(n_wide, "p")
         .distinct()
     )
     cps = (
