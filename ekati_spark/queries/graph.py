@@ -1532,10 +1532,17 @@ def g32_hits(spark, sf_dir):
     )
 
     def _norm(df, key):
-        m = int(df.agg(F.max("v")).first()[0])
-        out = df.select(key, F.expr(f"v * {PPM}L div {m}L").alias("v"))
-        # tiny (≤ node count) and consumed by the next join + top-k
-        return out.transform(cut_lineage)
+        # Materialize the raw per-round scores BEFORE the max probe:
+        # the probe and the normalized output both read the ≤node-count
+        # checkpoint, so the w-join + aggregation chain above executes
+        # ONCE per round (the old order ran it twice — once under
+        # agg(max).first(), again under the output's checkpoint; the
+        # sf0.1 stage trace showed every round's 586k-row join shuffle
+        # duplicated). Normalization stays a narrow projection over the
+        # materialized blocks — tiny, consumed by the next join + top-k.
+        raw = df.transform(cut_lineage)
+        m = int(raw.agg(F.max("v")).first()[0])
+        return raw.select(key, F.expr(f"v * {PPM}L div {m}L").alias("v"))
 
     a = _norm(w.groupBy("s").agg(F.sum("w").alias("v")), "s")
     for _ in range(1):  # one and a half more rounds: h1 -> a2 -> h2
