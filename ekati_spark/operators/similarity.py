@@ -26,15 +26,24 @@ from ekati_spark.checkpoint import cut_lineage, cut_lineage_lazy
 from ekati_spark.driverside import collect_bounded
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """a · b. With ``dim``, an unrolled element_at sum that stays in
     whole-stage codegen (the zip_with/aggregate lambdas are interpreted
     row-at-a-time — ~100x slower in pair-join hot paths). Only pass
     ``dim`` for MATERIALIZED array columns (scan/shuffle output): over a
     lambda-HOF expression each element_at would re-evaluate the lambda.
     Both forms accumulate left-to-right in double, so results are
-    bit-identical to each other and to the DuckDB oracles."""
+    bit-identical to each other and to the DuckDB oracles.
+
+    Pass COLUMN NAMES (str) with ``dim`` where possible: the unrolled
+    fold is then parsed JVM-side from one SQL string — one py4j round
+    trip instead of ~6·dim Column-API calls. Building l127b's plan
+    spent 4.5 s of DRIVER wall in those socket round-trips (13k
+    send_commands; guide §7.3 planning-side cost); the parsed tree is
+    the identical left-fold, so plans and results are unchanged."""
     if dim:
+        if isinstance(a, str) and isinstance(b, str):
+            return F.expr(_dot_sql(a, b, dim))
         return _fold_sum(
             _el(a, k) * _el(b, k) for k in range(1, dim + 1)
         )
@@ -45,15 +54,29 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """The unrolled left-fold dot as ONE SQL string (identical tree to
+    the Column-API fold: left-assoc `+` over cast-double products)."""
+    if not dim:
+        return "CAST(0.0 AS DOUBLE)"
+    return " + ".join(
+        f"CAST(element_at({a}, {k}) AS DOUBLE)"
+        f" * CAST(element_at({b}, {k}) AS DOUBLE)"
+        for k in range(1, dim + 1)
+    )
+
+
+def norm(a: Column | str, dim: int | None = None) -> Column:
     if dim:
+        if isinstance(a, str):
+            return F.expr(f"sqrt({_dot_sql(a, a, dim)})")
         return F.sqrt(
             _fold_sum(_el(a, k) * _el(a, k) for k in range(1, dim + 1))
         )
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """NULL (not an ANSI DIVIDE_BY_ZERO abort) when either vector has
     zero norm; null scores drop out of every threshold/top-k filter."""
     return F.try_divide(dot(a, b, dim), norm(a, dim) * norm(b, dim))
@@ -331,7 +354,7 @@ def _lsh_bucket_members(
     ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("nv"),
+        norm(vec_col, dim).alias("nv"),
     ).transform(cut_lineage_lazy)  # consumed 3x: buckets + 2 id joins
     bucket_ids = _sign_lsh_bucket_udf(dim, n_planes, n_tables, seed)
     e = v.select("id", F.explode(bucket_ids("v")).alias("bucket"))
@@ -593,7 +616,7 @@ def ann_lsh_buckets(
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("nv"),
+        norm(vec_col, dim).alias("nv"),
     )
     q = queries.filter(
         F.col(query_vec_col).isNotNull()
@@ -601,7 +624,7 @@ def ann_lsh_buckets(
     ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
-        norm(F.col(query_vec_col), dim).alias("nq"),
+        norm(query_vec_col, dim).alias("nq"),
     )
     bucket_ids = _sign_lsh_bucket_udf(dim, n_planes, n_tables, seed)
     ce = c.withColumn("c_bucket", F.explode(bucket_ids("v")))
@@ -616,7 +639,7 @@ def ann_lsh_buckets(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     cos = F.try_divide(
-        dot(F.col("qv"), F.col("v"), dim), F.col("nq") * F.col("nv")
+        dot("qv", "v", dim), F.col("nq") * F.col("nv")
     )
     scored = cand.withColumn("cosine", F.round(cos, 6)).select(
         "query_id", "neighbor_id", "cosine"
@@ -752,7 +775,7 @@ def semantic_dedup(
     ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("nv"),
+        norm(vec_col, dim).alias("nv"),
     )
     cents = _seed_centroids(c, n_lists, seed, "id")
     for _ in range(kmeans_iters):
@@ -774,7 +797,7 @@ def semantic_dedup(
         F.col("nv").alias("nv_b"),
     )
     cos = F.try_divide(
-        dot(F.col("v_a"), F.col("v_b"), dim), F.col("nv_a") * F.col("nv_b")
+        dot("v_a", "v_b", dim), F.col("nv_a") * F.col("nv_b")
     )
     dropped = (
         a.join(b, "list_id")
@@ -836,7 +859,7 @@ def ivf_topk(
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("nv"),
+        norm(vec_col, dim).alias("nv"),
     )
     q = _norm_queries(queries, dim, query_id_col, query_vec_col)
 
@@ -866,7 +889,7 @@ def _norm_queries(
     ).select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).alias("qv"),
-        norm(F.col(query_vec_col), dim).alias("nq"),
+        norm(query_vec_col, dim).alias("nq"),
     )
 
 
@@ -913,7 +936,7 @@ def _score_probed(assigned: DataFrame, qp: DataFrame, dim: int, k: int) -> DataF
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     cos = F.try_divide(
-        dot(F.col("qv"), F.col("v"), dim), F.col("nq") * F.col("nv")
+        dot("qv", "v", dim), F.col("nq") * F.col("nv")
     )
     scored = cand.withColumn("cosine", F.round(cos, 6)).select(
         "query_id", "neighbor_id", "cosine"
@@ -950,7 +973,7 @@ def build_ivf_index(
     ).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("nv"),
+        norm(vec_col, dim).alias("nv"),
     )
     centroids = _seed_centroids(c, n_lists, seed, "neighbor_id")
     for _ in range(kmeans_iters):
@@ -1356,9 +1379,11 @@ def pq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(_as_double(F.col("v")), F.col("qv"), dim).alias(
-                "cosine_sim"
-            ),
+            # names, not Columns: the unrolled fold parses as one SQL
+            # string (driver round-trip cost); per-element CAST AS
+            # DOUBLE inside the fold makes the _as_double wrap
+            # redundant on this side (identical IEEE widening).
+            cosine("v", "qv", dim).alias("cosine_sim"),
         )
     )
     w2 = W.partitionBy("query_id").orderBy(
@@ -3176,7 +3201,7 @@ def knn_graph_delete_consolidate(
     ).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        norm(F.col(vec_col), dim).alias("nv"),
+        norm(vec_col, dim).alias("nv"),
     ).transform(cut_lineage_lazy)  # consumed 2x: both score sides
     cu = c.select(
         F.col("id").alias("u"), F.col("v").alias("vu"),
@@ -3187,7 +3212,7 @@ def knn_graph_delete_consolidate(
         F.col("nv").alias("nx"),
     )
     cos = F.try_divide(
-        dot(F.col("vu"), F.col("vx"), dim), F.col("nu") * F.col("nx")
+        dot("vu", "vx", dim), F.col("nu") * F.col("nx")
     )
     sc = (
         pool.join(cu, "u")
@@ -3295,7 +3320,7 @@ def knn_graph_insert(
         .select(
             "did", "x",
             micro(F.try_divide(
-                dot(F.col("vq"), F.col("vx"), dim),
+                dot("vq", "vx", dim),
                 F.col("nq") * F.col("nx"),
             )),
         )
@@ -3336,7 +3361,7 @@ def _reverse_patch(g, inserted, vb, vd, k, dim):
         F.floor(
             F.round(
                 F.try_divide(
-                    dot(F.col("vu"), F.col("vy"), dim),
+                    dot("vu", "vy", dim),
                     F.col("nu") * F.col("ny"),
                 ),
                 6,
@@ -3384,7 +3409,7 @@ def knn_graph_reverse_patch(
         ).select(
             F.col(id_col).alias("id"),
             F.col(vec_col).alias("v"),
-            norm(F.col(vec_col), dim).alias("nv"),
+            norm(vec_col, dim).alias("nv"),
         )
 
     g = graph.select(

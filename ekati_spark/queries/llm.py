@@ -5755,7 +5755,7 @@ def l87_semantic_decontamination(spark, sf_dir):
     v = emb.select(
         F.col("vec_id").alias("id"),
         F.col("embedding").alias("v"),
-        S.norm(F.col("embedding"), 64).alias("nv"),
+        S.norm("embedding", 64).alias("nv"),
         "label",
     ).transform(cut_lineage)  # consumed by 2 bucket sides + the scorer
     buckets = _sign_lsh_bucket_udf(64, 6, 8, 42)
@@ -10978,7 +10978,7 @@ def l133_knn_graph_serve(spark, sf_dir):
     )
     c = valid.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v")
-    ).withColumn("nv", S.norm(F.col("v"), dim))
+    ).withColumn("nv", S.norm("v", dim))
     # bounded benchmark panel: % 37 spreads queries across the id
     # space, the < 2048 cap pins |Q| <= 56 at ANY corpus size (l06's
     # bounded-query principle at panel scale) — without it the exact
@@ -11007,7 +11007,7 @@ def l133_knn_graph_serve(spark, sf_dir):
         .distinct()
     )
     cos = F.try_divide(
-        S.dot(F.col("qv"), F.col("v"), dim), F.col("nq") * F.col("nv")
+        S.dot("qv", "v", dim), F.col("nq") * F.col("nv")
     )
     scored = (
         cand.join(c.withColumnRenamed("id", "dst"), "dst")
@@ -11540,7 +11540,7 @@ def l136_knn_graph_route_serve(spark, sf_dir):
     )
     c = valid.select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("v"),
-        S.norm(F.col("embedding"), dim).alias("nv"),
+        S.norm("embedding", dim).alias("nv"),
     ).transform(cut_lineage)  # consumed per routing step + expansion
     gfull = spark.read.parquet(f"{_l134_store(spark, sf_dir)}/edges")
     gl1 = spark.read.parquet(f"{_l136_store(spark, sf_dir)}/edges")
