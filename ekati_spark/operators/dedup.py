@@ -97,9 +97,9 @@ def ngram_jaccard_pairs(
     the whole lambda per row — with the tokenizing ``split`` re-run for
     every ``element_at`` — measured ~25x slower than the window form.
     """
-    rows = shingle_rows(docs, n, text_col, id_col).transform(
-        cut_lineage
-    )
+    rows = shingle_rows(
+        docs, n, text_col, id_col, widen=False
+    ).transform(cut_lineage)
     sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
     ex = rows.join(sz, "id")
     a, b = ex.alias("a"), ex.alias("b")
@@ -129,12 +129,34 @@ def _minhash_perm(h: Column, seed: int) -> Column:
     return (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_31)
 
 
+def widen_narrow_scan(df: DataFrame, key_col: str) -> DataFrame:
+    """Hash-repartition to core count when the frame's physical plan
+    yields fewer partitions than ``defaultParallelism`` — the
+    one-small-parquet-file case, where every CPU-dense codegen map
+    above the scan (tokenize/shingle/md5) would otherwise run on one
+    core. A no-op whenever the scan is already core-wide (any
+    real-scale table), so the exchange exists only where it is
+    trivially cheap. Hash on ``key_col`` (not round-robin)
+    deliberately: a downstream distinct/groupBy keyed on a superset of
+    it reuses THIS exchange (HashPartitioning(k) satisfies
+    ClusteredDistribution(k, ...)), so the widen replaces the
+    ENSURE_REQUIREMENTS exchange — whose AQE-coalesced task count
+    tracks byte size, blind to per-row CPU — instead of adding one;
+    and hash avoids round-robin's sort-before-repartition pass. The
+    partition probe is plan-only (no job)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= par:
+        return df
+    return df.repartition(par, F.col(key_col))
+
+
 def shingle_rows(
     docs: DataFrame,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
     distinct: bool = True,
+    widen: bool = True,
 ) -> DataFrame:
     """Distinct word-n-gram shingles, exploded: ``(id, g)`` string rows.
 
@@ -143,13 +165,17 @@ def shingle_rows(
     expressions (NOT interpreted ``transform`` lambdas — the HOF trap
     this module documents), so gram formation is a single
     whole-stage-codegen map over the scan; the only shuffle is the
-    distinct. This replaced a posexplode -> window ``lead`` -> concat
+    distinct — or, on a narrower-than-core-count scan, the single
+    ``widen_narrow_scan`` exchange on ``id`` that the distinct and any
+    downstream per-id aggregation then reuse. This replaced a posexplode -> window ``lead`` -> concat
     formulation whose partitionBy(id) shuffle+sort dominated the cold
     path (measured 3.4 s -> 1.2 s for the sf0.1 shingle table; row-set
     parity is exact, including NULL/short/empty docs). Set semantics
     (distinct) match ``shingles``'s ``array_distinct``; docs with fewer
     than ``n`` tokens yield no rows (slice length clamps to 0).
     """
+    if widen:
+        docs = widen_narrow_scan(docs, id_col)
     a = F.split(F.trim(F.lower(F.col(text_col))), " +")
     # slice() raises on negative length — clamp; NULL text gives a NULL
     # zip (explode emits nothing), same as the old posexplode path.
@@ -189,6 +215,7 @@ def multi_width_shingle_rows(
     array of structs, and the only shuffle is the distinct. Row-set per
     width is EXACTLY ``shingle_rows(docs, w)`` (pinned in pytest).
     """
+    docs = widen_narrow_scan(docs, id_col)
     ws = sorted(set(widths))
     wmin, wmax = ws[0], ws[-1]
     a = F.split(F.trim(F.lower(F.col(text_col))), " +")
@@ -1146,9 +1173,9 @@ def containment_pairs(
     shingle-inverted-index self-join as ``ngram_jaccard_pairs`` (cost
     ∝ Σ shared-shingle bucket², not n²); at 100 TB the scale path is
     the LSH candidate generator feeding this as the verifier."""
-    rows = shingle_rows(docs, n, text_col, id_col).transform(
-        cut_lineage
-    )
+    rows = shingle_rows(
+        docs, n, text_col, id_col, widen=False
+    ).transform(cut_lineage)
     sz = rows.groupBy("id").agg(F.count("*").alias("sz"))
     ex = rows.join(sz, "id")
     a, b = ex.alias("a"), ex.alias("b")
