@@ -11573,6 +11573,9 @@ def l136_knn_graph_route_serve(spark, sf_dir):
     ]
 
     def micro(qv, nq, xv, nx):
+        # qv/xv are column NAMES: S.dot then parses the unrolled fold
+        # from ONE SQL string (identical tree) instead of ~6*dim py4j
+        # Column-API round-trips — this runs 4x per fn() build.
         return (
             F.floor(
                 F.round(F.try_divide(S.dot(qv, xv, dim), nq * nx), 6)
@@ -11604,7 +11607,7 @@ def l136_knn_graph_route_serve(spark, sf_dir):
             .join(qp, "query_id")
             .select(
                 "query_id", "y",
-                micro(F.col("qv"), F.col("nq"), F.col("vy"), F.col("ny")),
+                micro("qv", F.col("nq"), "vy", F.col("ny")),
             )
         )
         w = W.partitionBy("query_id").orderBy(F.desc("cmicro"), F.asc("y"))
@@ -11638,7 +11641,7 @@ def l136_knn_graph_route_serve(spark, sf_dir):
         .join(qp, "query_id")
         .select(
             "query_id", F.col("x").alias("neighbor_id"),
-            micro(F.col("qv"), F.col("nq"), F.col("vx"), F.col("nx")),
+            micro("qv", F.col("nq"), "vx", F.col("nx")),
         )
     )
     wf = W.partitionBy("query_id").orderBy(
