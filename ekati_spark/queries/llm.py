@@ -6660,7 +6660,12 @@ def _planted_frame_dhashes(spark, sf_dir):
     'hi:lo' dHash string."""
     from ekati_spark.operators.multimodal import sample_frames
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # one id-hash exchange that the doc_id window/groupBy downstream
+    # reuse; without it the explode -> Arrow decode pipeline runs on
+    # the single local parquet split (no-op at real scale)
+    docs = D.widen_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     mm = docs.withColumn(
         "media",
         F.struct(
@@ -7093,7 +7098,12 @@ def l102_frame_decode_coverage(spark, sf_dir):
     none (LLM-data extension)."""
     from ekati_spark.operators.multimodal import sample_frames
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # one id-hash exchange that the doc_id window/groupBy downstream
+    # reuse; without it the explode -> Arrow decode pipeline runs on
+    # the single local parquet split (no-op at real scale)
+    docs = D.widen_narrow_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id"), "doc_id"
+    )
     mm = docs.withColumn(
         "media",
         F.struct(
