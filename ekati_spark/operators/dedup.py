@@ -1511,19 +1511,28 @@ def suffix_window_spans(
         F.col(id_col).alias("id"),
         F.split(F.trim(F.lower(F.col(text_col))), " +").alias("ts"),
     )
+    # The sort row carries ONLY the string window key (plus id/pos):
+    # `k` and the token array are the same content (tokens come from a
+    # whitespace split, so join-by-space is lossless), and shipping
+    # both through the range exchange + persist doubled the sorted
+    # bytes. The array is re-split from `k` AFTER the sort (one
+    # codegen projection over the ranged frame).
     suf = toks.select(
         "id", F.posexplode("ts").alias("pos", "_tok"), F.col("ts")
     ).select(
         "id",
         "pos",
-        F.slice(F.col("ts"), F.col("pos") + 1, F.lit(cap)).alias("arr"),
+        F.array_join(
+            F.slice(F.col("ts"), F.col("pos") + 1, F.lit(cap)), " "
+        ).alias("k"),
     )
     keyed = ordered_row_number(
-        suf.withColumn("k", F.array_join("arr", " ")),
+        suf,
         ["k", "id", "pos"],
         out_col="idx",
-        drop_cols=["k"],
         num_partitions=num_partitions,
+    ).select(
+        "id", "pos", "idx", F.split(F.col("k"), " ").alias("arr")
     )
     # Adjacent-pair LCP: zip_with pads the shorter side with null and
     # eqNullSafe(null) is false, so the first `false` position IS the
