@@ -1397,7 +1397,11 @@ def winnow_fingerprints(
     fingerprint joins tractable at 100 TB."""
     from pyspark.sql import Window as W
 
-    toks = docs.select(
+    # one id-hash exchange that the per-doc gram/winnow windows reuse
+    # (HashPartitioning(id) satisfies their clustering) — without it
+    # the tokenize+explode runs on the single local parquet split and
+    # the window stages get AQE-coalesced to ~2 tasks; no-op at scale
+    toks = widen_narrow_scan(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias(
             "pos", "tok"
