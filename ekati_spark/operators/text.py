@@ -209,7 +209,12 @@ def repetition_stats(
     """
     from pyspark.sql import Window as W
 
-    toks = docs.select(
+    from ekati_spark.operators.dedup import widen_narrow_scan
+
+    # one id-hash exchange the per-doc windows/counts reuse; without
+    # it the tokenize+explode runs on the single local parquet split
+    # (no-op at real scale)
+    toks = widen_narrow_scan(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "tok"),
     )
@@ -526,7 +531,11 @@ def bpe_encode_greedy(
     token stream without hauling it."""
     from pyspark.sql import Window as W
 
-    toks = docs.select(
+    from ekati_spark.operators.dedup import widen_narrow_scan
+
+    # the l97 shape: widen the tokenize, the per-doc island windows
+    # then reuse the id exchange (no-op at real scale)
+    toks = widen_narrow_scan(docs, id_col).select(
         F.col(id_col).alias("id"),
         F.posexplode(F.split(F.trim(F.lower(F.col(text_col))), " +")).alias(
             "pos", "tok"
