@@ -58,3 +58,37 @@ def count_bounded_exec(df: DataFrame, bound: int, what: str) -> int:
                 "results to a sink and read metrics afterwards"
             )
     return n
+
+
+def local_rows_df(spark, rows, schema: str) -> DataFrame:
+    """Small driver-literal DataFrame WITHOUT the Python-RDD path.
+
+    ``spark.createDataFrame(list)`` parallelizes the list across
+    ``defaultParallelism`` slices and runs a Python serializer task
+    per slice — a 32-task Python-worker stage to materialize a
+    handful of seed/offset rows (measured ~0.3 s per frame per
+    query). Here the rows become one literal struct-array exploded
+    over ``range(1)``: pure JVM codegen, one task, no Python workers.
+    For DRIVER-KNOWN SMALL row sets only (seeds, partition offsets,
+    probe tables — the collect_bounded size class); scalar values
+    (str/int/float/bool/None) whose types are taken from ``schema``.
+    """
+    from pyspark.sql import functions as F, types as T
+
+    st = T._parse_datatype_string(schema)
+    if not rows:
+        return spark.createDataFrame([], st)
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(r, st.fields)
+            ]
+        )
+        for r in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("_r"))
+        .select(*[f"_r.{f.name}" for f in st.fields])
+    )

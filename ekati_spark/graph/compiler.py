@@ -21,6 +21,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ekati_spark.driverside import local_rows_df
 from ekati_spark.graph import ir
 from ekati_spark.graph.model import PropertyGraph
 from ekati_spark.graph.parser import parse
@@ -159,8 +160,10 @@ class QueryEngine:
                 .select("node_id", "remote")
                 .distinct()
             )
-        seed_df = self.spark.createDataFrame(
-            [(s.iri, s.remote) for s in seeds], "node_id string, remote string"
+        seed_df = local_rows_df(
+            self.spark,
+            [(s.iri, s.remote) for s in seeds],
+            "node_id string, remote string",
         )
         # point lookups: semi-join prunes to the seed partitions
         return universe.join(seed_df, ["node_id", "remote"], "left_semi")

@@ -26,6 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window as W, functions as F
 
+from ekati_spark.driverside import local_rows_df
+
 _SPACE = 16**8
 
 
@@ -226,7 +228,9 @@ def weighted_systematic_sample(
     total = acc
     if total <= 0:
         raise ValueError("total weight must be positive")
-    off = df.sparkSession.createDataFrame(offsets, ["_pid", "_off"])
+    off = local_rows_df(
+        df.sparkSession, offsets, "_pid int, _off long"
+    )
     win = (
         W.partitionBy("_pid")
         .orderBy(key_col)
@@ -330,8 +334,8 @@ def ordered_row_number(
     for pid in range(n):
         offsets.append((pid, acc))
         acc += cnt.get(pid, 0)
-    off = df.sparkSession.createDataFrame(
-        offsets, "_pid int, _off long"
+    off = local_rows_df(
+        df.sparkSession, offsets, "_pid int, _off long"
     )
     w = W.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     return (

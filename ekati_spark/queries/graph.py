@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ekati_spark.checkpoint import cut_lineage
+from ekati_spark.driverside import local_rows_df
 
 from ekati_spark.catalog import load_table
 from ekati_spark.graph.model import PropertyGraph
@@ -47,7 +48,9 @@ def _graph(spark, sf_dir) -> PropertyGraph:
 
 
 def _seed(spark, ids):
-    return spark.createDataFrame([(i,) for i in ids], "node_id string")
+    return local_rows_df(
+        spark, [(i,) for i in ids], "node_id string"
+    )
 
 
 @register(
