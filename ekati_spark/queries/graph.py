@@ -1269,10 +1269,30 @@ def _copurchase_edges(orders, li):
         .filter(F.col("rn") <= _CP_PART_CAP)
         .drop("rn")
     )
-    a, b = cps.alias("a"), cps.alias("b")
+    # Pair generation by combination-explode, not self-join: each
+    # part's capped buyer set is collected into ONE sorted array
+    # (bounded at _CP_PART_CAP elements — the cap window upstream makes
+    # the collect_list safe at any skew, unlike a pre-cap collect) and
+    # the u < v pairs explode from it with two codegen generators.
+    # Identical pair multiset to `cps a JOIN cps b ON a.p = b.p AND
+    # a.c < b.c` (sorted distinct array ⇒ index order IS value order),
+    # but the plan drops the SMJ entirely: the groupBy(p) reuses the
+    # window's pinned exchange, so pair emission is a map-side explode
+    # instead of a 600k×600k sort-merge scan — the sf0.1 stage trace
+    # had the join's two probe stages at ~100 s of the substrate's
+    # ~190 s CPU.
+    buyers = cps.groupBy("p").agg(
+        F.sort_array(F.collect_list("c")).alias("cs")
+    )
     return (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.c") < F.col("b.c")))
-        .groupBy(F.col("a.c").alias("u"), F.col("b.c").alias("v"))
+        buyers.select(F.col("cs"), F.posexplode("cs").alias("i", "u"))
+        .select(
+            "u",
+            F.explode(
+                F.slice(F.col("cs"), F.col("i") + 2, F.lit(_CP_PART_CAP))
+            ).alias("v"),
+        )
+        .groupBy("u", "v")
         .agg(F.count("*").alias("sp"))
         .filter(F.col("sp") >= 4)
         .select("u", "v")
