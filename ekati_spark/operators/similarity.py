@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window as W, functions as F, types as T
 
 from ekati_spark.checkpoint import cut_lineage, cut_lineage_lazy
-from ekati_spark.driverside import collect_bounded
+from ekati_spark.driverside import collect_bounded, local_rows_df
 
 
 def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
@@ -2685,8 +2685,8 @@ def debias_top_component(
     vv = sum(int(x) * int(x) for x in component)
     quant = _quant_udf(scale)
     spark = corpus.sparkSession
-    vtab = spark.createDataFrame(
-        [(i, int(x)) for i, x in enumerate(component)], "i int, v long"
+    vtab = local_rows_df(
+        spark, [(i, int(x)) for i, x in enumerate(component)], "i int, v long"
     )
     q = corpus.filter(
         F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
@@ -2794,7 +2794,8 @@ def kcenter_coreset(
         F.count("*").alias("n_assigned"),
         F.max("md").alias("radius_sq"),
     )
-    sel = corpus.sparkSession.createDataFrame(
+    sel = local_rows_df(
+        corpus.sparkSession,
         [(i, cid) for i, (cid, _) in enumerate(centers)],
         "so int, vec_id long",
     )
@@ -2910,7 +2911,8 @@ def kcenter_composable(
     cover = c.mapInPandas(label, schema="id long, md long, so int").groupBy(
         "so"
     ).agg(F.count("*").alias("n_assigned"), F.max("md").alias("radius_sq"))
-    sel = corpus.sparkSession.createDataFrame(
+    sel = local_rows_df(
+        corpus.sparkSession,
         [(i, cid) for i, (cid, _) in enumerate(centers)],
         "so int, vec_id long",
     )
