@@ -36,6 +36,11 @@ def main() -> None:
     Q.REGISTRY["r01_scan_count"].fn(spark, sf_dir).collect()
 
     for name in args:
+        # the status store registers stages ASYNCHRONOUSLY: snapshot
+        # too early and the warm-up's own stages leak past the HWM
+        # into the query's attribution (observed: r01's 32-task scan
+        # charged to the profiled query) — settle first
+        time.sleep(1.0)
         before = [r["stage_id"] for r in stage_metrics(spark).collect()]
         hwm = max(before) if before else -1
         spark.sparkContext.setJobDescription(f"qstages:{name}")
