@@ -28,7 +28,7 @@ def one_cycle() -> tuple[dict[str, float], float, float]:
     wall = time.monotonic() - t0
     meds: dict[str, float] = {}
     for line in proc.stderr.splitlines():
-        m = re.match(r"# (\w+): median ([0-9.]+)s", line)
+        m = re.match(r"# (\w+): (?:interleaved )?median ([0-9.]+)s", line)
         if m:
             meds[m.group(1)] = float(m.group(2))
     total = None
@@ -38,6 +38,8 @@ def one_cycle() -> tuple[dict[str, float], float, float]:
     if total is None or not meds:
         sys.stderr.write(proc.stderr[-2000:])
         raise SystemExit(f"cycle failed (rc={proc.returncode})")
+    with open("/tmp/bench_cycles_stderr.log", "a") as f:
+        f.write(proc.stderr)
     return meds, total, wall
 
 
