@@ -19,14 +19,14 @@ from ekati_spark.queries import streaming  # noqa: F401
 from ekati_spark.queries import stats  # noqa: F401
 
 # The driver grades the first 50 registered queries, so registration
-# order IS the graded set. CORRECTNESS_r14.json graded the round-14
-# window green (50/50 hash-match), so every query registered through
-# round 13 is driver-attested-ever. The never-driver-attested set is
-# the 2 round-14 additions (l127b, l108b — the index-backed serving
-# forms). This round-15 window = the 5-query sentinel core + those 2 +
-# 43 least-recently-attested fillers (last green: CORRECTNESS_r06/r08).
-# Queries added during round 15 go into _POST_WINDOW below and rotate
-# in next round.
+# order IS the graded set. CORRECTNESS_r15.json graded the round-15
+# window green (50/50 hash-match), so the never-driver-attested set is
+# now exactly the 6 round-15 mid-round additions that sat in
+# _POST_WINDOW (l132–l136, st35 — the suffix-sort and graph-ANN
+# lifecycle families). This round-16 window = the 5-query sentinel
+# core + those 6 + 39 least-recently-attested fillers (last green:
+# CORRECTNESS_r08/r10). No queries were added during round 16 (an
+# optimization round), so _POST_WINDOW is empty.
 #
 # This list is DERIVED, not hand-curated: `python tools/rotate_window.py`
 # regenerates it from the committed CORRECTNESS/JUDGE artifacts, and
@@ -42,66 +42,59 @@ from ekati_spark.queries import stats  # noqa: F401
 # the never-attested block of the NEXT round's rotation, at which point
 # this list is cleared. tools/rotate_window.py excludes these names
 # when re-deriving the window.
-_POST_WINDOW: list[str] = [
-    "l132_suffix_dedup_spans",
-    "l133_knn_graph_serve",
-    "l134_knn_graph_delete",
-    "l135_knn_graph_append",
-    "st35_stream_graph_maintenance",
-    "l136_knn_graph_route_serve",
-]
+_POST_WINDOW: list[str] = []
 
 _GRADED_FIRST = [
     # sentinel core: one per family, re-attested every round
     "r03_pricing_summary", "g01_follow_one_hop",
     "l01_dedup_exact", "l06_knn_bruteforce", "st01_tumbling_window",
     # --- never driver-attested ---
-    "l108b_knn_label_consistency_ivf",
-    "l127b_hybrid_rrf_indexed",
+    "l132_suffix_dedup_spans",
+    "l133_knn_graph_serve",
+    "l134_knn_graph_delete",
+    "l135_knn_graph_append",
+    "l136_knn_graph_route_serve",
+    "st35_stream_graph_maintenance",
     # --- least-recently attested fillers ---
-    "g38_clustering_coefficient",  # last green r06
-    "g39_betweenness_sampled",  # last green r06
-    "g40_random_walk_corpus",  # last green r06
-    "g41_coreness_buckets",  # last green r06
-    "g42_temporal_broker_score",  # last green r06
-    "l41_perplexity_buckets",  # last green r06
-    "l44_bpe_merge_pairs",  # last green r06
-    "l46_incremental_dedup",  # last green r06
-    "l47_token_waterfill",  # last green r06
-    "l48_quality_classifier",  # last green r06
-    "l50_dedup_keep_best",  # last green r06
-    "l54_knn_pq",  # last green r06
-    "l55_lsh_recall_audit",  # last green r06
-    "l57_curation_pipeline",  # last green r06
-    "l61_audio_decode",  # last green r06
-    "l66_token_dropout",  # last green r06
-    "l67_feature_standardize",  # last green r06
-    "st11_stream_scd2",  # last green r06
-    "st12_dedup_ingest",  # last green r06
-    "st13_stream_stream_full_join",  # last green r06
-    "st14_spend_threshold_alerts",  # last green r06
-    "r67_kmv_set_ops",  # last green r08
-    "r68_asof_forward_tolerance",  # last green r08
-    "r69_mv_retract_refresh",  # last green r08
-    "r70_countmin_sketch",  # last green r08
-    "g43_neighborhood_function",  # last green r08
-    "g44_bidirectional_shortest_path",  # last green r08
-    "l11_multimodal_content",  # last green r08
-    "l19_quantize_embeddings",  # last green r08
-    "l23_repetition_stats",  # last green r08
-    "l25_pack_sequences",  # last green r08
-    "l27_unigram_logprob",  # last green r08
-    "l29_containment_pairs",  # last green r08
-    "l32_global_shuffle",  # last green r08
-    "l33_hard_negatives",  # last green r08
-    "l34_vocab_coverage",  # last green r08
-    "l35_joint_curation",  # last green r08
-    "l36_source_token_report",  # last green r08
-    "l39_matryoshka_truncation",  # last green r08
-    "l42_dataset_card",  # last green r08
-    "l43_weighted_sample",  # last green r08
-    "l45_bitext_margin_pairs",  # last green r08
-    "l49_dsir_importance",  # last green r08
+    "l51_curriculum_order",  # last green r08
+    "l52_bigram_interp_logprob",  # last green r08
+    "l53_perceptual_dhash",  # last green r08
+    "l56_ngram_novelty",  # last green r08
+    "l58_sq8_recall_audit",  # last green r08
+    "l59_source_overlap_matrix",  # last green r08
+    "l60_eval_apportionment",  # last green r08
+    "l62_audio_resample",  # last green r08
+    "l63_frame_sampling",  # last green r08
+    "l64_skipgram_collocations",  # last green r08
+    "l65_snapshot_diff",  # last green r08
+    "l68_feature_bucketize",  # last green r08
+    "l69_decode_coverage",  # last green r08
+    "l70_ivf_append_parity",  # last green r08
+    "l71_dedup_threshold_sweep",  # last green r08
+    "l73_temperature_mixture",  # last green r08
+    "l75_knn_filtered",  # last green r08
+    "l74_chunk_embedding_pool",  # last green r08
+    "l77_minhash_persisted",  # last green r08
+    "l78_split_integrity_audit",  # last green r08
+    "st15_stream_kmv_distinct",  # last green r08
+    "st16_stream_nt_ingest",  # last green r08
+    "st17_stream_countmin",  # last green r08
+    "r02_filter_project",  # last green r10
+    "r04_single_row_agg",  # last green r10
+    "r07_cube",  # last green r10
+    "r11_local_supplier_volume",  # last green r10
+    "r12_join_left",  # last green r10
+    "r14_join_semi",  # last green r10
+    "r15_join_anti",  # last green r10
+    "r16_cross_theta",  # last green r10
+    "r18_window_running_sum",  # last green r10
+    "r19_window_lag_lead",  # last green r10
+    "r71_dup_drift_daily",  # last green r10
+    "r72_topk_with_ties",  # last green r10
+    "r73_rollup_router",  # last green r10
+    "r74_ordered_set_aggs",  # last green r10
+    "r75_percentile_cont",  # last green r10
+    "g45_bucketed_follow_parity",  # last green r10
 ]
 
 
