@@ -186,6 +186,13 @@ NOISY = {
     # steady-state ~1.5s — late-session JVM/GC aging lands on whichever
     # query is in flight; interleaving spreads it
     "l97_bpe_encode": 0.1,
+    # r16: same aging treatment — their first in-context run carries a
+    # 3-9s codegen/plan-compile spike over a ~1.5s steady state
+    # (r16 measured l05b [8.995, 1.612, 1.624], l45b [5.974, ...]),
+    # so a sequential median-of-3 eats one spike; round-robin passes
+    # spread it like the other seven entries
+    "l05b_dup_pairs_ann": 0.1,
+    "l45b_bitext_margin_ann": 0.1,
 }
 
 
@@ -448,33 +455,50 @@ def main() -> None:
     # size stores to state volume / executor count the same way.
     batch_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    for sname, build, mode, n_in in (
-        (
-            "stream_tumbling_agg",
-            lambda: tumbling_counts(events_stream(spark, sf_dir)),
-            "complete",
-            n_events,
-        ),
-        (
-            "stream_stream_join",
-            lambda: stream_stream_join(events_stream(spark, sf_dir)),
-            "append",
-            n_events,
-        ),
-    ):
-        # Both state-store backends: the default HDFS-backed in-memory
-        # store (fastest at bench-sized state) and RocksDB — the
-        # production choice once state outgrows executor heap (100 TB
-        # scale: bounded memory, changelog checkpointing). Tracking
-        # both makes the RocksDB tax a measured number, not folklore.
-        _ROCKS = (
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider"
+    # Both state-store backends: the default HDFS-backed in-memory
+    # store (fastest at bench-sized state) and RocksDB — the
+    # production choice once state outgrows executor heap (100 TB
+    # scale: bounded memory, changelog checkpointing). Tracking
+    # both makes the RocksDB tax a measured number, not folklore.
+    #
+    # The four (query, backend) combos run INTERLEAVED round-robin
+    # (round-16 verdict item 10): stream_tumbling_agg swung 0.67x on
+    # the driver two rounds running with ZERO code change — the
+    # sequential median-of-3 let one box-load window land on a single
+    # entry's whole sample, exactly what the NOISY interleave already
+    # fixes for the batch entries. Same run count, same median, same
+    # per-run conf; only the ORDER changed (pass-major instead of
+    # query-major).
+    _ROCKS = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    stream_combos = [
+        (sname, build, mode, n_in, provider, tag, sink)
+        for sname, build, mode, n_in in (
+            (
+                "stream_tumbling_agg",
+                lambda: tumbling_counts(events_stream(spark, sf_dir)),
+                "complete",
+                n_events,
+            ),
+            (
+                "stream_stream_join",
+                lambda: stream_stream_join(events_stream(spark, sf_dir)),
+                "append",
+                n_events,
+            ),
         )
         for provider, tag, sink in (
             (None, "", stream_rates),
             (_ROCKS, "_rocksdb", stream_rates_rocksdb),
-        ):
+        )
+    ]
+    stream_runs: dict[str, list] = {
+        f"{sname}{tag}": [] for sname, _, _, _, _, tag, _ in stream_combos
+    }
+    for i in range(3):
+        for sname, build, mode, n_in, provider, tag, sink in stream_combos:
             if provider is None:
                 spark.conf.unset(
                     "spark.sql.streaming.stateStore.providerClass"
@@ -483,23 +507,25 @@ def main() -> None:
                 spark.conf.set(
                     "spark.sql.streaming.stateStore.providerClass", provider
                 )
-            runs = []
-            for i in range(3):
-                t0 = time.perf_counter()
-                run_to_memory(
-                    build(), f"bench_{sname}{tag}_{i}", mode
-                ).count()
-                runs.append(time.perf_counter() - t0)
-            med = sorted(runs)[1]
-            if provider is None:
-                times[sname] = round(med, 3)
-            sink[sname] = round(n_in / med)
-            print(
-                f"# {sname}{tag}: median {med:.3f}s of "
-                f"{[round(r,3) for r in runs]}"
-                f" -> {sink[sname]} events/s",
-                file=sys.stderr,
+            t0 = time.perf_counter()
+            run_to_memory(
+                build(), f"bench_{sname}{tag}_{i}", mode
+            ).count()
+            stream_runs[f"{sname}{tag}"].append(
+                time.perf_counter() - t0
             )
+    for sname, build, mode, n_in, provider, tag, sink in stream_combos:
+        runs = stream_runs[f"{sname}{tag}"]
+        med = sorted(runs)[1]
+        if provider is None:
+            times[sname] = round(med, 3)
+        sink[sname] = round(n_in / med)
+        print(
+            f"# {sname}{tag}: interleaved median {med:.3f}s of "
+            f"{[round(r,3) for r in runs]}"
+            f" -> {sink[sname]} events/s",
+            file=sys.stderr,
+        )
     spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.shuffle.partitions", batch_parts)
 
@@ -551,6 +577,9 @@ def main() -> None:
         detail["gen"] = gen
     if noisy_runs:
         detail["noisy_runs"] = noisy_runs
+    detail["stream_runs"] = {
+        k: [round(x, 3) for x in v] for k, v in stream_runs.items()
+    }
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -560,29 +589,51 @@ def main() -> None:
         json.dump(detail, fh, indent=1)
         fh.write("\n")
     print(f"# detail maps written to {detail_path}", file=sys.stderr)
+    # Round-16 reporting fix (verdict item 2 — REPORTING only, the
+    # timing loops above are untouched): 65 entries at 3 decimals blew
+    # the old 1500-char guard and its top-25-slowest trim hid 40
+    # queries from the driver's per-query comparison, manufacturing
+    # phantom "dropped_from_bench" entries and shrinking PERF's common
+    # set to 20. Measured driver behavior (BENCH_r12-r15 artifacts):
+    # the stdout tail window is exactly 2000 chars of merged output
+    # with this line printed last, so the LINE itself just has to stay
+    # under ~2000. At 2 decimals the full 65-entry map is ~1970 chars;
+    # if growth ever pushes past the 1960 guard, entries are trimmed
+    # DETERMINISTICALLY from a fixed list of long-attested sub-second
+    # queries (stable name set round-over-round — the driver-visible
+    # set never tracks whichever queries happened to be fastest).
+    # Full 3-decimal values always live in BENCH_DETAIL.json.
+    _TRIM_FIRST = [
+        "l25_pack_sequences", "l08_text_stats",
+        "l36_source_token_report", "l48_quality_classifier",
+        "l01_dedup_exact", "r58_quantile_sketch",
+        "l82_cdc_chunk_dedup", "r53_sliding_distinct_users",
+        "st01_tumbling_window", "l38_chunk_dedup_rewrite",
+        "r56_incremental_mv", "l95_substring_scrub",
+    ]
     compact_head = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        "queries": {k: round(v, 2) for k, v in times.items()},
         "sf": sf,
         "ingest_fragments_per_s": ingest["fragments_per_s"],
     }
     if gen is not None:
         compact_head["gen"] = gen
     compact = json.dumps(compact_head, separators=(",", ":"))
-    if len(compact) > 1500:  # headroom guard: trim per-query map first
-        print(
-            f"# WARNING compact line {len(compact)} chars > 1500; "
-            "trimming queries map to top-25 slowest",
-            file=sys.stderr,
-        )
-        top = dict(
-            sorted(times.items(), key=lambda kv: -kv[1])[:25]
-        )
-        compact_head["queries"] = top
-        compact_head["queries_truncated_see"] = "BENCH_DETAIL.json"
-        compact = json.dumps(compact_head, separators=(",", ":"))
+    for name in _TRIM_FIRST:
+        if len(compact) <= 1960:
+            break
+        if name in compact_head["queries"]:
+            print(
+                f"# compact line {len(compact)} chars > 1960; trimming "
+                f"{name} (see BENCH_DETAIL.json)",
+                file=sys.stderr,
+            )
+            del compact_head["queries"][name]
+            compact_head["queries_truncated_see"] = "BENCH_DETAIL.json"
+            compact = json.dumps(compact_head, separators=(",", ":"))
     print(compact)
 
 

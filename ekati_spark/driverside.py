@@ -78,6 +78,14 @@ def local_rows_df(spark, rows, schema: str) -> DataFrame:
     st = T._parse_datatype_string(schema)
     if not rows:
         return spark.createDataFrame([], st)
+    for i, r in enumerate(rows):
+        # createDataFrame raised on ragged rows; zip() would silently
+        # truncate — keep the loud contract
+        if len(r) != len(st.fields):
+            raise ValueError(
+                f"local_rows_df: row {i} has {len(r)} values for "
+                f"{len(st.fields)} schema fields"
+            )
     structs = [
         F.struct(
             *[

@@ -42,8 +42,9 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     send_commands; guide §7.3 planning-side cost); the parsed tree is
     the identical left-fold, so plans and results are unchanged."""
     if dim:
-        if isinstance(a, str) and isinstance(b, str):
+        if _is_plain_ident(a) and _is_plain_ident(b):
             return F.expr(_dot_sql(a, b, dim))
+        a, b = _as_col(a), _as_col(b)
         return _fold_sum(
             _el(a, k) * _el(b, k) for k in range(1, dim + 1)
         )
@@ -54,22 +55,41 @@ def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     )
 
 
+def _is_plain_ident(a) -> bool:
+    """The SQL fast path is only safe for plain identifiers: a name
+    needing quoting (space, hyphen, leading digit) fails F.expr's
+    parse, and a DOTTED name would parse as a struct-field/alias
+    reference where F.col resolved a column — route those through the
+    Column fold instead (identical tree, just built via the API)."""
+    import re  # noqa: PLC0415
+
+    return isinstance(a, str) and re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", a)
+
+
+def _as_col(a: Column | str) -> Column:
+    return F.col(a) if isinstance(a, str) else a
+
+
 def _dot_sql(a: str, b: str, dim: int) -> str:
     """The unrolled left-fold dot as ONE SQL string (identical tree to
-    the Column-API fold: left-assoc `+` over cast-double products)."""
+    the Column-API fold: left-assoc `+` over cast-double products).
+    Identifiers are backtick-quoted — callers gate on plain identifiers
+    (``_is_plain_ident``), and the quoting additionally keeps a name
+    that collides with a SQL keyword parseable."""
     if not dim:
         return "CAST(0.0 AS DOUBLE)"
     return " + ".join(
-        f"CAST(element_at({a}, {k}) AS DOUBLE)"
-        f" * CAST(element_at({b}, {k}) AS DOUBLE)"
+        f"CAST(element_at(`{a}`, {k}) AS DOUBLE)"
+        f" * CAST(element_at(`{b}`, {k}) AS DOUBLE)"
         for k in range(1, dim + 1)
     )
 
 
 def norm(a: Column | str, dim: int | None = None) -> Column:
     if dim:
-        if isinstance(a, str):
+        if _is_plain_ident(a):
             return F.expr(f"sqrt({_dot_sql(a, a, dim)})")
+        a = _as_col(a)
         return F.sqrt(
             _fold_sum(_el(a, k) * _el(a, k) for k in range(1, dim + 1))
         )
@@ -91,7 +111,11 @@ def _pair_dot_udf():
     stays out of BNLJ/BHJ condition evaluation by construction, and
     the batch fold runs in numpy instead of per-row JVM expression
     trees (measured on the l119 init score, 183k pairs at sf0.1:
-    2.8 s unrolled-JVM → 0.6 s Arrow)."""
+    2.8 s unrolled-JVM → 0.6 s Arrow; on l45b's candidate scoring the
+    interpreted zip_with fold it replaced additionally DEGRADED 3-10×
+    with JVM age — 10-12 s of executor time for the same stage a fresh
+    JVM runs in ~2 s — where the numpy fold is age-stable). Shared by
+    ``_score_pairs_join`` and ``bitext_margin_ann``."""
 
     @F.pandas_udf("double")
     def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -511,14 +535,7 @@ def _score_pairs_join(cand: DataFrame, v: DataFrame) -> DataFrame:
         )
     )
 
-    @F.pandas_udf("double")
-    def pair_dot(va: pd.Series, vb: pd.Series) -> pd.Series:
-        A = np.stack(va.to_numpy()).astype(np.float64)
-        B = np.stack(vb.to_numpy()).astype(np.float64)
-        acc = np.zeros(len(A))
-        for d in range(A.shape[1]):  # sequential per-dim left-fold
-            acc += A[:, d] * B[:, d]
-        return pd.Series(acc)
+    pair_dot = _pair_dot_udf()
 
     return pairs.select(
         "id_a",
@@ -1152,7 +1169,15 @@ def bitext_margin_ann(
     over the candidate relation. Neighborhood top-k sums are computed
     WITHIN the candidate set (the standard mining practice — Artetxe &
     Schwenk run margins over FAISS candidates); deterministic seeded
-    buckets make the whole pipeline SQL-replayable."""
+    buckets make the whole pipeline SQL-replayable.
+
+    Pair scoring runs through the Arrow ``_pair_dot_udf`` and per-row
+    norms through the codegen'd unrolled fold — bit-identical to the
+    interpreted zip_with lambdas they replaced (the module's standing
+    left-fold contract), but JIT-stable: the interpreted fold's
+    executor CPU degraded 3-10× with JVM age inside a long bench
+    session (the round-15 l45b driver regression — 10-12 s of executor
+    time in the scoring stage a fresh JVM runs in ~2 s)."""
     if dim is None:
         dim = _infer_dim(src, vec_col)
     bucket_ids = _sign_lsh_bucket_udf(dim, n_planes, n_tables, seed)
@@ -1168,7 +1193,7 @@ def bitext_margin_ann(
                 F.col(id_col).alias(id_name),
                 _as_double(F.col(vec_col)).alias(f"{prefix}v"),
             )
-            .withColumn(f"n{prefix}", norm(F.col(f"{prefix}v")))
+            .withColumn(f"n{prefix}", norm(f"{prefix}v", dim))
             .transform(cut_lineage_lazy)
         )
 
@@ -1185,8 +1210,9 @@ def bitext_margin_ann(
     cand = (
         sb.join(tb, "bucket").select("src_id", "tgt_id").distinct()
     )
+    pair_dot = _pair_dot_udf()
     cos = F.try_divide(
-        dot(F.col("sv"), F.col("tv")), F.col("ns") * F.col("nt")
+        pair_dot("sv", "tv"), F.col("ns") * F.col("nt")
     )
     pairs = (
         cand.join(s, "src_id")
@@ -1451,23 +1477,45 @@ def _int_kmeans(
     scale: int,
     id_col: str,
     vec_col: str,
+    dim: int | None = None,
+    prepared: DataFrame | None = None,
+    eager_final: bool = True,
 ):
     """Shared integer-deterministic k-means core (l15/l37 oracle path):
     quantize to the int64 grid, seed with the ``n_lists`` smallest ids,
     iterate exact integer Lloyd steps. Returns (assigned DataFrame with
     columns ``id, qv, list_id`` — localCheckpointed, final-centroid
-    assignment — and the centroid dict)."""
+    assignment — and the centroid dict).
 
-    dim = _infer_dim(corpus, vec_col)
-    quant = _quant_udf(scale)
+    ``prepared`` lets a caller hand in the quantized, lineage-cut
+    ``(id, qv)`` frame it already materialized (the l108b self-probe
+    counts it for ``auto_n_lists`` — one scan instead of two) and must
+    come with ``dim``. ``eager_final=False`` plans the final-assignment
+    lineage cut lazily: when every consumer sits inside ONE downstream
+    action (the self-probe's nsubs/probe/member trio), the eager cut
+    is a pure extra driver-sequential job — the lazy checkpoint
+    materializes once inside the consuming job instead (guide §2.6:
+    the serve paths here are latency-bound on sequential job count,
+    8c/32c ratio 0.72 before this change)."""
 
-    c = (
-        corpus.filter(
-            F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
+    if prepared is not None:
+        if dim is None:
+            raise ValueError("_int_kmeans: prepared frame requires dim")
+        c = prepared
+    else:
+        if dim is None:
+            dim = _infer_dim(corpus, vec_col)
+        quant = _quant_udf(scale)
+        c = (
+            corpus.filter(
+                F.col(vec_col).isNotNull()
+                & (F.size(F.col(vec_col)) == dim)
+            )
+            .select(
+                F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv")
+            )
+            .transform(cut_lineage)  # reused per iteration + final assign
         )
-        .select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
-        .transform(cut_lineage)  # reused per iteration + final assign
-    )
     seeds = c.orderBy("id").limit(n_lists).collect()
     cents = {i: list(r["qv"]) for i, r in enumerate(seeds)}
 
@@ -1510,7 +1558,9 @@ def _int_kmeans(
 
     for _ in range(kmeans_iters):
         cents = update(assign(c, cents))
-    assigned = assign(c, cents).transform(cut_lineage)
+    assigned = assign(c, cents).transform(
+        cut_lineage if eager_final else cut_lineage_lazy
+    )
     return assigned, cents
 
 
@@ -1672,6 +1722,7 @@ def exact_self_topk_int(
     n_blocks: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """EXACT whole-corpus self top-k on the integer grid — the
     all-pairs ground truth ``ivf_self_topk_int`` is audited against
@@ -1687,8 +1738,12 @@ def exact_self_topk_int(
     break by neighbor_id via stable argsort over ascending-id member
     blocks. Quadratic BY DEFINITION (the documented audit baseline —
     the scale path is the IVF/LSH candidate generators); B bounds a
-    cell at (2n/B)·dim ints + an (n/B)² score tile."""
-    dim = _infer_dim(emb, vec_col)
+    cell at (2n/B)·dim ints + an (n/B)² score tile. ``dim`` skips the
+    one-row inference job when the caller already filtered/declared a
+    fixed vector width (the l108/l108b exact arm filters size == 64
+    immediately upstream)."""
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
     quant = _quant_udf(scale)
     B = n_blocks
     blk = F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(B))
@@ -1803,6 +1858,7 @@ def ivf_self_topk_int(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     split_cap: int = 4096,
+    dim: int | None = None,
 ) -> DataFrame:
     """Whole-corpus SELF top-k from the integer IVF index: every vector
     is a query against the index it lives in (the all-vectors shape
@@ -1848,14 +1904,34 @@ def ivf_self_topk_int(
     many queries probe one hot list. At 100 TB lists are partitions
     of the persisted index and probes prune the scan (l75/l93's
     PartitionFilters shape)."""
-    dim = _infer_dim(emb, vec_col)
-    if n_lists is None:
-        n = emb.filter(
+    # Driver-job-chain shape (round-16 verdict item 4): the warm serve
+    # here was ~10 SEQUENTIAL driver jobs (infer dim, full-scan count,
+    # a second infer inside the kmeans, quantize checkpoint, seed
+    # collect, two Lloyd collects, an eager final-assign checkpoint,
+    # the exact arm's infer, the final action) — latency-bound at
+    # bench SF (8c/32c ratio 0.72). Collapsed: dim passes through
+    # (callers that filter/declare a fixed width hand it in), the
+    # quantized frame is checkpointed ONCE and the auto_n_lists count
+    # reads that materialization instead of re-scanning the corpus,
+    # and the final assignment cut is lazy (all three consumers live
+    # in the one downstream action). Results are invariant: the count
+    # is over the identical filter (quantization is 1:1) and every
+    # collapsed job computed the same values.
+    if dim is None:
+        dim = _infer_dim(emb, vec_col)
+    quant = _quant_udf(scale)
+    c = (
+        emb.filter(
             F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) == dim)
-        ).count()
-        n_lists = auto_n_lists(n)
+        )
+        .select(F.col(id_col).alias("id"), quant(F.col(vec_col)).alias("qv"))
+        .transform(cut_lineage)  # reused: count + per-iteration + assign
+    )
+    if n_lists is None:
+        n_lists = auto_n_lists(c.count())
     assigned, cents = _int_kmeans(
-        emb, n_lists, kmeans_iters, scale, id_col, vec_col
+        emb, n_lists, kmeans_iters, scale, id_col, vec_col,
+        dim=dim, prepared=c, eager_final=False,
     )
     ids = sorted(cents)
     C = np.array([cents[i] for i in ids], dtype=np.int64)

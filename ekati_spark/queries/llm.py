@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from pyspark.sql import Window as W
 
-from ekati_spark.checkpoint import cut_lineage
+from ekati_spark.checkpoint import cut_lineage, cut_lineage_lazy
 
 from ekati_spark.catalog import load_table
 from ekati_spark.operators import dedup as D, sampling as P, similarity as S, text as X
@@ -7826,7 +7826,9 @@ def _knn_exact_pred(spark, sf_dir):
     )
     lab = emb.select("vec_id", "label")
     top5 = (
-        S.exact_self_topk_int(emb, k=5)
+        # dim=64 restates the filter directly above — skips the
+        # one-row inference job (the serve paths are job-count-bound)
+        S.exact_self_topk_int(emb, k=5, dim=64)
         .join(
             lab.select(
                 F.col("vec_id").alias("query_id"),
@@ -8018,7 +8020,11 @@ def l108b_knn_label_consistency_ivf(spark, sf_dir):
     is: the documented quadratic audit baseline, here doubling as the
     agreement ground truth."""
     emb = load_table(spark, sf_dir, "embeddings")
-    topk = S.ivf_self_topk_int(emb, k=5, n_probe=6, kmeans_iters=2)
+    # dim=64 is the declared corpus contract (the oracle filters
+    # len(embedding) = 64 and builds its CASE/centroid chains at that
+    # width) — passing it skips the one-row inference job on the serve
+    # path (round-16 verdict item 4: the warm run is job-count-bound)
+    topk = S.ivf_self_topk_int(emb, k=5, n_probe=6, kmeans_iters=2, dim=64)
     lab = emb.filter(
         F.col("embedding").isNotNull() & (F.size("embedding") == 64)
     ).select("vec_id", "label")
@@ -10208,15 +10214,24 @@ def l127b_hybrid_rrf_indexed(spark, sf_dir):
         F.col("tok").isin(*_L80_TERMS)
     )
     dl = spark.read.parquet(f"{base}/dl")
+    # LAZY lineage cut (round-16 verdict item 1): the eager cut ran the
+    # whole lexical arm as its own driver-sequential job chain BEFORE
+    # the dense arms even planned. Both consumers (indexed fusion +
+    # exact audit) sit inside the ONE final action, so the lazy
+    # checkpoint materializes once there — and AQE then overlaps the
+    # lexical arm's stages with both dense arms' stages instead of
+    # serializing them (guide §2.6).
     lex = _bm25_topk(tf, dl, int(tot["n"]), int(tot["l"]), k=50).select(
         "doc_id", F.col("rank").cast("int").alias("lex_rank")
-    ).transform(cut_lineage)  # consumed 2x: indexed fusion + exact audit
+    ).transform(cut_lineage_lazy)  # consumed 2x, both in the final job
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 7).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
     )
-    dense_ann = S.ann_lsh_buckets(emb, q, k=50, n_planes=6).select(
+    # dim=64 is the declared corpus contract (the oracle's candidate
+    # CTE filters len(embedding) = 64) — skips the inference job
+    dense_ann = S.ann_lsh_buckets(emb, q, k=50, n_planes=6, dim=64).select(
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").cast("int").alias("dense_rank"),
     )
