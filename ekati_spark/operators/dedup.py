@@ -1552,40 +1552,51 @@ def suffix_window_spans(
             F.slice(F.col("ts"), F.col("pos") + 1, F.lit(cap)), " "
         ).alias("k"),
     )
+    # Sort-adjacent neighbors arrive IN-ROW (``neighbor_col`` —
+    # lead/lag over the window the global index already pays for,
+    # plus two ≤#partitions-row broadcast fix-ups at partition
+    # boundaries), so both LCPs are per-row expressions. The previous
+    # formulation materialized an (idx, lcp) pair table via an
+    # adjacent-pair SELF-JOIN and re-attached it with two more joins:
+    # five ENSURE_REQUIREMENTS hash exchanges of the full suffix table
+    # plus an extra localCheckpoint job, all gone (guide §2.4; the
+    # round-16 A/B and plan diff are in OPTIMIZATION_r16.md).
     keyed = ordered_row_number(
         suf,
         ["k", "id", "pos"],
         out_col="idx",
         num_partitions=num_partitions,
+        neighbor_col="k",
     ).select(
-        "id", "pos", "idx", F.split(F.col("k"), " ").alias("arr")
+        "id",
+        "pos",
+        F.split(F.col("k"), " ").alias("arr"),
+        F.split(F.col("k_next"), " ").alias("brr"),
+        F.split(F.col("k_prev"), " ").alias("prr"),
     )
+
     # Adjacent-pair LCP: zip_with pads the shorter side with null and
     # eqNullSafe(null) is false, so the first `false` position IS the
-    # mismatch point; no false => identical up to min length.
-    a, b = keyed.alias("a"), keyed.select(
-        (F.col("idx") - 1).alias("idx"), F.col("arr").alias("brr")
-    ).alias("b")
-    zipped = F.zip_with("a.arr", "b.brr", lambda x, y: x.eqNullSafe(y))
-    p = F.array_position(zipped, False)
-    lcp = F.when(p == 0, F.least(F.size("a.arr"), F.size("b.brr"))).otherwise(
-        p - 1
-    )
-    plcp = (
-        a.join(b, "idx")
-        .select(F.col("idx"), lcp.cast("int").alias("lcp"))
-        .transform(cut_lineage)
-    )
-    nxt = plcp
-    prv = plcp.select((F.col("idx") + 1).alias("idx"), F.col("lcp"))
+    # mismatch point; no false => identical up to min length. A NULL
+    # neighbor (the ends of the total order) nulls the whole
+    # expression, coalesced to 0 — exactly what the old left joins
+    # produced for the missing adjacent row. LCP is symmetric, so the
+    # predecessor-side value computed here from (k_prev, k) is the
+    # identical integer the old plan shipped from row idx-1.
+    def lcp_with(other: str) -> Column:
+        zipped = F.zip_with("arr", other, lambda x, y: x.eqNullSafe(y))
+        p = F.array_position(zipped, False)
+        return F.when(
+            p == 0, F.least(F.size("arr"), F.size(other))
+        ).otherwise(p - 1)
+
     duplen = (
-        keyed.join(nxt.withColumnRenamed("lcp", "lcp_n"), "idx", "left")
-        .join(prv.withColumnRenamed("lcp", "lcp_p"), "idx", "left")
-        .select(
+        keyed.select(
             "id",
             "pos",
             F.greatest(
-                F.coalesce("lcp_n", F.lit(0)), F.coalesce("lcp_p", F.lit(0))
+                F.coalesce(lcp_with("brr").cast("int"), F.lit(0)),
+                F.coalesce(lcp_with("prr").cast("int"), F.lit(0)),
             ).alias("dup_len"),
         )
         .transform(cut_lineage)

@@ -291,6 +291,7 @@ def ordered_row_number(
     out_col: str = "pos",
     drop_cols: list[str] | None = None,
     num_partitions: int | None = None,
+    neighbor_col: str | None = None,
 ) -> DataFrame:
     """Distributed ``row_number() OVER (ORDER BY order_cols)``: a stable
     1-based ``out_col`` in the total order of ``order_cols`` (which must
@@ -313,6 +314,21 @@ def ordered_row_number(
     callers discard sort-only helper columns. Shared by
     ``global_shuffle`` (hash order) and the suffix-array sort
     (``dedup.suffix_window_spans``).
+
+    ``neighbor_col`` additionally emits ``<neighbor_col>_next`` /
+    ``<neighbor_col>_prev`` — that column's value on the global-order
+    successor/predecessor row (NULL at the two ends of the total
+    order). Within a range partition these are a lead/lag over the SAME
+    window the row number already pays for (no new exchange, no
+    self-join); the ≤ #partitions boundary rows are fixed up with two
+    broadcast joins keyed on the dense ``out_col`` (each partition's
+    first row is the successor of index ``off``, its last row the
+    predecessor of index ``off + count + 1``). This replaces the
+    adjacent-pair SELF-JOIN consumers used to run on ``out_col`` —
+    which re-shuffled the whole sorted frame once per join side
+    (ENSURE_REQUIREMENTS hash exchanges; the round-16 l132 profile
+    showed three extra 270k-row exchanges at sf0.1) — with in-row
+    neighbor columns (guide §2.4: remove shuffles outright).
     """
     drop_cols = drop_cols or []
     n = int(
@@ -338,8 +354,37 @@ def ordered_row_number(
         df.sparkSession, offsets, "_pid int, _off long"
     )
     w = W.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
-    return (
+    base = (
         rng.join(F.broadcast(off), "_pid")
-        .withColumn(out_col, F.row_number().over(w) + F.col("_off"))
-        .drop("_pid", "_off", *drop_cols)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn(out_col, F.col("_rn") + F.col("_off"))
+    )
+    if neighbor_col is None:
+        return base.drop("_pid", "_off", "_rn", *drop_cols)
+    nxt, prv = f"{neighbor_col}_next", f"{neighbor_col}_prev"
+    base = base.withColumn(
+        "_ld", F.lead(neighbor_col).over(w)
+    ).withColumn("_lg", F.lag(neighbor_col).over(w))
+    # partition-FIRST rows are the global successors of index off (the
+    # previous partition's last row); partition-LAST rows (local
+    # row_number == partition count) the predecessors of index
+    # off+count+1. Indices are dense 1..N by construction, so the two
+    # fix-up frames join purely on out_col — ≤ n rows each, broadcast.
+    firsts = base.filter(F.col("_rn") == 1).select(
+        (F.col(out_col) - 1).alias(out_col),
+        F.col(neighbor_col).alias("_bnd_n"),
+    )
+    lasts = base.filter(F.col("_ld").isNull()).select(
+        (F.col(out_col) + 1).alias(out_col),
+        F.col(neighbor_col).alias("_bnd_p"),
+    )
+    return (
+        base.join(F.broadcast(firsts), out_col, "left")
+        .join(F.broadcast(lasts), out_col, "left")
+        .withColumn(nxt, F.coalesce("_ld", "_bnd_n"))
+        .withColumn(prv, F.coalesce("_lg", "_bnd_p"))
+        .drop(
+            "_pid", "_off", "_rn", "_ld", "_lg", "_bnd_n", "_bnd_p",
+            *drop_cols,
+        )
     )
