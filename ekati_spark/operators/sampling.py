@@ -274,14 +274,44 @@ def global_shuffle(
     if prefix_col is not None:
         # Curriculum use: a fixed-width string prefix makes the order
         # (prefix asc, hash) — deterministic shuffle WITHIN each prefix
-        # stage. Same machinery, same scale shape.
+        # stage. Same machinery, same scale shape (the prefix breaks
+        # the hash's uniformity, so no analytic bucket: this path
+        # keeps the sampled range exchange).
         h = F.concat(prefix_col, h)
+        return ordered_row_number(
+            df.withColumn("_h", h),
+            ["_h", key_col],
+            out_col="pos",
+            drop_cols=["_h"],
+            num_partitions=num_partitions,
+        )
+    # The sort key IS a uniform hash, so the range boundaries are known
+    # analytically: bucket i covers hash prefixes [i/n, (i+1)/n) of the
+    # 48-bit keyspace. lowercase-hex lexicographic order == numeric
+    # order of the prefix, so the bucket is monotone in the (_h, key)
+    # total order — ordered_row_number's pinned-bucket contract — and
+    # the sampled range exchange, its boundary-sampling job, and the
+    # persist all drop out (round-16 verdict item 6; guide §2.4).
+    n = int(
+        num_partitions
+        or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    # 64 buckets per partition (guide §2.5: many more distinct bucket
+    # values than partitions, so the hash layout stays even), capped so
+    # value*m stays in int64 against the 40-bit prefix (10 hex chars);
+    # integer div keeps the mapping exact end-to-end.
+    m = min(64 * n, 1 << 22)
+    bucket = F.expr(
+        f"cast(conv(substring(_h, 1, 10), 16, 10) as bigint) * {m}"
+        " div 1099511627776"  # 2^40
+    )
     return ordered_row_number(
         df.withColumn("_h", h),
         ["_h", key_col],
         out_col="pos",
         drop_cols=["_h"],
-        num_partitions=num_partitions,
+        num_partitions=n,
+        bucket_col=bucket,
     )
 
 
@@ -292,6 +322,7 @@ def ordered_row_number(
     drop_cols: list[str] | None = None,
     num_partitions: int | None = None,
     neighbor_col: str | None = None,
+    bucket_col: Column | None = None,
 ) -> DataFrame:
     """Distributed ``row_number() OVER (ORDER BY order_cols)``: a stable
     1-based ``out_col`` in the total order of ``order_cols`` (which must
@@ -329,29 +360,68 @@ def ordered_row_number(
     (ENSURE_REQUIREMENTS hash exchanges; the round-16 l132 profile
     showed three extra 270k-row exchanges at sf0.1) — with in-row
     neighbor columns (guide §2.4: remove shuffles outright).
+    ``bucket_col`` (round-16 verdict item 6 — pin the boundaries): a
+    caller-supplied DETERMINISTIC partition id, monotone
+    non-decreasing in the ``order_cols`` total order (all rows of
+    bucket i sort before all rows of bucket i+1). When given, the
+    range exchange is replaced by the bucket expression: no
+    ``repartitionByRange`` (whose per-job boundary re-sampling is an
+    extra full input pass AND the reason the ranged frame had to be
+    persisted for bit-stability), and the cached layout is a hash
+    partitioning on ``_pid`` that the assignment window consumes with
+    NO further exchange — the range path re-shuffled its cache
+    through an ENSURE_REQUIREMENTS hash exchange on every
+    consumption. Used by ``global_shuffle`` (md5-hash
+    order ⇒ an analytic uniform bucket from the hash prefix exists);
+    the suffix-array sort keeps the sampled range path — string keys
+    have no analytic boundary, and a re-sampled boundary set would
+    not be bit-stable across the two consuming jobs.
     """
     drop_cols = drop_cols or []
     n = int(
         num_partitions
         or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     )
-    rng = (
-        df.repartitionByRange(n, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
+    if bucket_col is not None and neighbor_col is None:
+        # The pinned bucket needs no range exchange and no boundary
+        # sampling pass — one full input pass fewer. Hash-repartition
+        # by the bucket BEFORE the persist: hashpartitioning(_pid)
+        # satisfies the window's ClusteredDistribution(_pid), so the
+        # assignment job reads the cache with NO further exchange
+        # (guide §2.4 — the range path paid an ENSURE_REQUIREMENTS
+        # hash exchange above its cache on every consumption). The
+        # persist is NOT a correctness guard here (the bucket is
+        # deterministic; both jobs would agree without it) — it is a
+        # measured recompute guard for the second consumption. A
+        # 100-TB deployment drops it and re-derives the narrow
+        # (key, hash, bucket) projection per pass instead of spilling
+        # a corpus-sized cache.
+        rng = (
+            df.withColumn("_pid", bucket_col.cast("int"))
+            .repartition(n, F.col("_pid"))
+            .persist()
+        )
+    else:
+        rng = (
+            df.repartitionByRange(n, *order_cols)
+            .withColumn("_pid", F.spark_partition_id())
+            .persist()
+        )
     cnt = {
         r["pid"]: r["n"]
         for r in rng.groupBy(F.col("_pid").alias("pid"))
         .agg(F.count("*").alias("n"))
         .collect()
     }
+    # Offsets over the OBSERVED pids in ascending order (the bucket
+    # path's ids are caller-defined and sparser than 0..n-1; absent
+    # pids hold zero rows and contribute nothing to the prefix sum).
     offsets, acc = [], 0
-    for pid in range(n):
+    for pid in sorted(cnt):
         offsets.append((pid, acc))
-        acc += cnt.get(pid, 0)
+        acc += cnt[pid]
     off = local_rows_df(
-        df.sparkSession, offsets, "_pid int, _off long"
+        df.sparkSession, offsets or [(0, 0)], "_pid int, _off long"
     )
     w = W.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     base = (

@@ -1396,7 +1396,13 @@ def l32_global_shuffle(spark, sf_dir):
     from ekati_spark.operators.sampling import global_shuffle
 
     docs = load_table(spark, sf_dir, "documents")
-    return global_shuffle(docs, "doc_id").select("doc_id", "pos")
+    # Project to the key BEFORE the operator: the ordering machinery
+    # consumes its input twice (count + assignment), and an un-pruned
+    # `text` rode both passes and the exchange (guide §2.3 — the
+    # output is (doc_id, pos) only).
+    return global_shuffle(docs.select("doc_id"), "doc_id").select(
+        "doc_id", "pos"
+    )
 
 
 @register(
@@ -1948,8 +1954,16 @@ def l43_weighted_sample(spark, sf_dir):
     two-level prefix-sum shape that avoids a single-partition window.
     """
     docs = load_table(spark, sf_dir, "documents")
+    # Project before the operator: the weight line is built over a
+    # range exchange + persist that carried the full `text` payload
+    # for rows whose output is four narrow columns (guide §2.3 —
+    # persist materializes the frame's full schema; column pruning
+    # does not reach through a cache boundary).
     out = P.weighted_systematic_sample(
-        docs, key_col="doc_id", weight_col="n_chars", k=100
+        docs.select("doc_id", "lang", "source", "n_chars"),
+        key_col="doc_id",
+        weight_col="n_chars",
+        k=100,
     )
     return out.select("doc_id", "lang", "source", "n_chars", "n_picks")
 

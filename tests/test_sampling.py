@@ -118,6 +118,30 @@ def test_global_shuffle_is_deterministic_permutation(spark):
     assert m3 != m1
 
 
+def test_global_shuffle_bucket_path_matches_window_reference(spark):
+    """The no-prefix path pins its range boundaries analytically from
+    the md5 prefix (no sampled range exchange, no persist) — the
+    assigned positions must still equal the naive single-window
+    ``row_number() OVER (ORDER BY md5(salt||key), key)`` reference
+    bit-for-bit, at any partition count."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame([(i,) for i in range(3000)], "k long")
+    h = F.md5(F.concat(F.lit("shuf"), F.col("k").cast("string")))
+    ref = {
+        r.k: r.pos
+        for r in df.withColumn(
+            "pos", F.row_number().over(Window.orderBy(h, F.col("k")))
+        ).collect()
+    }
+    for n in (1, 7, 64):
+        got = {
+            r.k: r.pos
+            for r in S.global_shuffle(df, "k", num_partitions=n).collect()
+        }
+        assert got == ref, f"num_partitions={n}"
+
+
 def test_leakage_safe_split_is_group_atomic(spark, sf_dir):
     """Exact-duplicate documents always land in the same split (the
     leakage guarantee l22's per-doc split does not give)."""
