@@ -401,28 +401,49 @@ def ordered_row_number(
             .repartition(n, F.col("_pid"))
             .persist()
         )
+        # The bucket ids are data columns, so the offsets need NO
+        # driver round-trip at all: per-bucket counts + a running sum
+        # over the (#buckets)-row aggregate, broadcast-joined back.
+        # The first version collected the counts and replayed them as
+        # a local_rows_df literal frame — at 64 buckets/partition
+        # that is a thousands-of-structs literal expression tree,
+        # re-analyzed on every build and every plan copy (the exact
+        # Catalyst literal-blowup failure mode the k-means/minhash
+        # kernels hit in round 12; l32 at sf1 measured 18.7 s
+        # minimum against sub-3 s before). Distributed offsets fold
+        # the count pass into the one final action (no separate
+        # collect job) and keep the plan tree constant-size.
+        per = rng.groupBy("_pid").agg(F.count("*").alias("_n"))
+        off = per.select(
+            "_pid",
+            F.coalesce(
+                F.sum("_n").over(
+                    W.orderBy("_pid").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_off"),
+        )
     else:
         rng = (
             df.repartitionByRange(n, *order_cols)
             .withColumn("_pid", F.spark_partition_id())
             .persist()
         )
-    cnt = {
-        r["pid"]: r["n"]
-        for r in rng.groupBy(F.col("_pid").alias("pid"))
-        .agg(F.count("*").alias("n"))
-        .collect()
-    }
-    # Offsets over the OBSERVED pids in ascending order (the bucket
-    # path's ids are caller-defined and sparser than 0..n-1; absent
-    # pids hold zero rows and contribute nothing to the prefix sum).
-    offsets, acc = [], 0
-    for pid in sorted(cnt):
-        offsets.append((pid, acc))
-        acc += cnt[pid]
-    off = local_rows_df(
-        df.sparkSession, offsets or [(0, 0)], "_pid int, _off long"
-    )
+        cnt = {
+            r["pid"]: r["n"]
+            for r in rng.groupBy(F.col("_pid").alias("pid"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+        offsets, acc = [], 0
+        for pid in range(n):
+            offsets.append((pid, acc))
+            acc += cnt.get(pid, 0)
+        off = local_rows_df(
+            df.sparkSession, offsets, "_pid int, _off long"
+        )
     w = W.partitionBy("_pid").orderBy(*[F.col(c) for c in order_cols])
     base = (
         rng.join(F.broadcast(off), "_pid")
