@@ -1491,12 +1491,16 @@ def _int_kmeans(
     ``(id, qv)`` frame it already materialized (the l108b self-probe
     counts it for ``auto_n_lists`` — one scan instead of two) and must
     come with ``dim``. ``eager_final=False`` plans the final-assignment
-    lineage cut lazily: when every consumer sits inside ONE downstream
-    action (the self-probe's nsubs/probe/member trio), the eager cut
-    is a pure extra driver-sequential job — the lazy checkpoint
-    materializes once inside the consuming job instead (guide §2.6:
-    the serve paths here are latency-bound on sequential job count,
-    8c/32c ratio 0.72 before this change)."""
+    lineage cut lazily — saving one driver-sequential job when every
+    consumer sits inside ONE downstream action. **Measured
+    scale-inversion (round 16, sf1)**: a lazy checkpoint's data only
+    becomes reusable after the materializing JOB completes, so
+    multiple consumer branches inside that one action each recompute
+    the assignment mapInPandas fused into their own map stages — the
+    self-probe's scorer stage went 505 s → 1483 s of task time at sf1
+    (3×, identical shuffle records) for the one job saved. The
+    self-probe therefore stays EAGER; lazy is only right when the cut
+    frame is cheap to recompute (l127b's query-term BM25 arm)."""
 
     if prepared is not None:
         if dim is None:
@@ -1912,11 +1916,13 @@ def ivf_self_topk_int(
     # bench SF (8c/32c ratio 0.72). Collapsed: dim passes through
     # (callers that filter/declare a fixed width hand it in), the
     # quantized frame is checkpointed ONCE and the auto_n_lists count
-    # reads that materialization instead of re-scanning the corpus,
-    # and the final assignment cut is lazy (all three consumers live
-    # in the one downstream action). Results are invariant: the count
-    # is over the identical filter (quantization is 1:1) and every
-    # collapsed job computed the same values.
+    # reads that materialization instead of re-scanning the corpus.
+    # The final-assign cut stays EAGER: a lazy cut saved one more job
+    # but recomputed the assignment per consumer branch inside the
+    # final action — 3× the scorer stage's CPU at sf1 (see
+    # _int_kmeans's eager_final note). Results are invariant: the
+    # count is over the identical filter (quantization is 1:1) and
+    # every collapsed job computed the same values.
     if dim is None:
         dim = _infer_dim(emb, vec_col)
     quant = _quant_udf(scale)
@@ -1931,7 +1937,7 @@ def ivf_self_topk_int(
         n_lists = auto_n_lists(c.count())
     assigned, cents = _int_kmeans(
         emb, n_lists, kmeans_iters, scale, id_col, vec_col,
-        dim=dim, prepared=c, eager_final=False,
+        dim=dim, prepared=c, eager_final=True,
     )
     ids = sorted(cents)
     C = np.array([cents[i] for i in ids], dtype=np.int64)
